@@ -1,0 +1,116 @@
+"""Last-write-wins collapse of a change-event batch to one row per key.
+
+The reference applies events strictly serially (reader.py:157-172), so
+LWW is implicit. A distributed micro-batch may hold many changes for one
+(repo, path); before merging we collapse them to the single effective
+change per key — *without a sort*:
+
+    groupBy(key).agg(max_by(..., lsn) FILTER (...))
+
+max_by is an associative aggregate, so Spark performs partial (map-side)
+combine inside each input partition before the shuffle: per-key traffic
+is O(#partitions), not O(#events). That is inherently skew-resistant —
+a hot key that dominates a batch still only ships one partial row per
+upstream partition — and beats the row_number()-window formulation,
+which must shuffle *all* events of a key into one task and sort them.
+An optional explicit salting phase (``salt_buckets``) adds a second
+pre-aggregation keyed by (key, salt) for pathological single-key floods,
+per the scale rule (BASELINE.json north_rule "skew salting").
+
+TOAST semantics (SURVEY.md §7 hard parts): each value column resolves to
+the max-LSN event that *carries information* for it — a non-'u' I/U (its
+own value, possibly NULL) or a D (explicit reset: a 'u' update applied
+after an in-batch delete re-creates the row with NULL, never resurrecting
+the pre-delete value). Columns with no in-batch information resolve to a
+NULL struct → the merge falls back to the target's current value.
+
+Output schema: key cols, ``final_op`` ('I'/'U'/'D'), ``max_lsn``, and one
+``r_<col> STRUCT<v: STRING>`` per value column (NULL struct = keep target).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import functions as F
+
+
+def _resolved_expr(col: str) -> str:
+    """Aggregate resolving one value column (see module docstring)."""
+    return (
+        f"max_by(named_struct('v', CASE WHEN op = 'D' THEN CAST(NULL AS STRING) "
+        f"ELSE after['{col}'] END), lsn) "
+        f"FILTER (WHERE op = 'D' OR NOT array_contains(coalesce(after_unchanged, array()), '{col}')) "
+        f"AS r_{col}"
+    )
+
+
+def lww_changes(events_df, key_cols: Sequence[str], value_cols: Sequence[str],
+                salt_buckets: int = 0):
+    """Collapse decoded I/U/D events (single relation) to one row per key."""
+    # D events carry the key in `before` (replica-identity image,
+    # reference reader.py:286-305); I/U carry it in `after`.
+    key_sel = [
+        f"CASE WHEN op = 'D' THEN before['{k}'] ELSE after['{k}'] END AS {k}"
+        for k in key_cols
+    ]
+    base = events_df.selectExpr(
+        *key_sel, "op", "lsn", "after", "after_unchanged"
+    )
+
+    final_aggs = [
+        "max_by(op, lsn) AS final_op",
+        "max(lsn) AS max_lsn",
+        "count(*) AS n_events",
+    ]
+    if salt_buckets <= 1:
+        aggs = final_aggs + [_resolved_expr(c) for c in value_cols]
+        return base.groupBy(*key_cols).agg(*[F.expr(a) for a in aggs])
+
+    # explicit two-phase salted aggregation for pathological key skew
+    salted = base.withColumn("_salt", F.pmod(F.xxhash64("lsn"), F.lit(salt_buckets)))
+    phase1_aggs = (
+        ["max_by(op, lsn) AS final_op", "max(lsn) AS max_lsn", "count(*) AS n_events"]
+        + [_resolved_expr(c) for c in value_cols]
+        + [
+            f"max(lsn) FILTER (WHERE op = 'D' OR NOT "
+            f"array_contains(coalesce(after_unchanged, array()), '{c}')) AS r_{c}_lsn"
+            for c in value_cols
+        ]
+    )
+    p1 = salted.groupBy(*key_cols, "_salt").agg(*[F.expr(a) for a in phase1_aggs])
+    phase2_aggs = (
+        [
+            "max_by(final_op, max_lsn) AS final_op",
+            "max(max_lsn) AS max_lsn",
+            "sum(n_events) AS n_events",
+        ]
+        + [
+            f"max_by(r_{c}, r_{c}_lsn) FILTER (WHERE r_{c} IS NOT NULL) AS r_{c}"
+            for c in value_cols
+        ]
+    )
+    return p1.groupBy(*key_cols).agg(*[F.expr(a) for a in phase2_aggs])
+
+
+def truncate_barrier(events_df, relation_id: int):
+    """Split a batch at the last Truncate event for a relation.
+
+    Returns (effective_events_df, truncated: bool). Only events after the
+    last T matter for the final state; if any T exists the merge replaces
+    the target's content entirely (reference applies T as an ordered
+    DELETE-all, reader.py:307-320).
+
+    The max-T-LSN lookup is a driver-side scalar over the (rare) T cohort.
+    """
+    from pyspark.sql import functions as F
+
+    t_max = (
+        events_df.filter(F.col("op") == "T")
+        .agg(F.max("lsn").alias("m"))
+        .collect()[0]["m"]
+    )
+    eff = events_df.filter(F.col("op") != "T")
+    if t_max is not None:
+        eff = eff.filter(F.col("lsn") > t_max)
+    return eff, t_max is not None

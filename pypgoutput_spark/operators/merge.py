@@ -1,0 +1,132 @@
+"""MERGE of an LWW-collapsed change set into a LakeTable.
+
+The MERGE INTO analog (north rule): given one effective change per key
+(output of :func:`pypgoutput_spark.operators.lww.lww_changes`), rewrite
+only the hash buckets the change set touches:
+
+    WHEN MATCHED AND final_op = 'D'  THEN DELETE
+    WHEN MATCHED                     THEN UPDATE SET c = coalesce-with-target
+    WHEN NOT MATCHED AND op <> 'D'   THEN INSERT
+
+Join strategy — deliberately *not* a full-outer join (full outer cannot
+broadcast; it would shuffle the whole touched-target side even for a tiny
+change set). Instead three broadcast-friendly pieces:
+
+    kept    = target  LEFT ANTI  changes      (rows untouched by the batch)
+    old     = target  INNER      changes      (old values for TOAST fallback)
+    upserts = changes LEFT OUTER old          (resolve each column)
+    result  = kept UNION upserts
+
+When the change set is small (the common CDC case) Spark broadcasts it in
+all three joins — the target's touched buckets stream through map-side
+joins with zero shuffle of table data. When it is large, AQE falls back
+to shuffled joins and splits skewed partitions. Either way only *touched*
+buckets are read and rewritten (file-level pruning via the snapshot).
+
+Exactly-once: the batch's ``watermark_lsn`` commits atomically with the
+data; re-applying a batch at or below the table watermark is a no-op
+(idempotent replay — the distributed analog of the reference's
+``send_feedback(flush_lsn)`` ack, reference reader.py:374-390).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import functions as F
+
+from pypgoutput_spark.lake.table import LakeTable
+
+
+def merge_into(
+    table: LakeTable,
+    changes,
+    watermark_lsn: int,
+    truncate: bool = False,
+    broadcast_threshold: int = 2_000_000,
+    extra_metrics: Optional[dict] = None,
+) -> dict:
+    """Apply an LWW change set. Returns the batch metrics dict.
+
+    ``changes`` columns: key cols, final_op, max_lsn, n_events, r_<c>
+    structs per value column (NULL struct = keep target value).
+    ``truncate``: the batch contained a Truncate — the merge replaces the
+    table's full content with the post-truncate upserts.
+    """
+    snap = table.snapshot()
+    if watermark_lsn <= snap["watermark_lsn"]:
+        return {
+            "skipped": True,
+            "reason": "watermark",
+            "watermark_lsn": snap["watermark_lsn"],
+        }
+    keys: Sequence[str] = snap["key_cols"]
+    value_cols = [n for n, _ in snap["schema"] if n not in keys]
+
+    ch = table.with_bucket(changes)
+    ch.cache()
+    try:
+        # driver-side: touched buckets + per-op counts (tiny aggregates)
+        op_counts = {
+            r["final_op"]: r["cnt"]
+            for r in ch.groupBy("final_op").agg(F.count("*").alias("cnt")).collect()
+        }
+        touched = [
+            int(r["_bucket"]) for r in ch.select("_bucket").distinct().collect()
+        ]
+        n_changes = sum(op_counts.values())
+        small = n_changes <= broadcast_threshold
+        b = (lambda df: F.broadcast(df)) if small else (lambda df: df)
+
+        target = (
+            table.read(buckets=touched)
+            if not truncate
+            else table.read(buckets=[])
+        )
+
+        kept = target.join(b(ch.select(*keys)), on=list(keys), how="left_anti")
+
+        old = target.join(
+            b(ch.filter(F.col("final_op") != "D").select(*keys)),
+            on=list(keys),
+            how="inner",
+        ).select(*keys, *[F.col(c).alias(f"_old_{c}") for c in value_cols])
+
+        ups = ch.filter(F.col("final_op") != "D").join(
+            b(old) if small else old, on=list(keys), how="left"
+        )
+        resolved = ups.select(
+            *keys,
+            *[
+                F.when(F.col(f"r_{c}").isNotNull(), F.col(f"r_{c}.v"))
+                .otherwise(F.col(f"_old_{c}"))
+                .alias(c)
+                for c in value_cols
+            ],
+        )
+
+        result = kept.unionByName(resolved)
+        staged = table.write_buckets(
+            table.with_bucket(result), snap["version"] + 1
+        )
+        metrics = {
+            "upserts": int(op_counts.get("I", 0) + op_counts.get("U", 0)),
+            "deletes": int(op_counts.get("D", 0)),
+            "change_keys": int(n_changes),
+            "buckets_touched": len(touched),
+            "truncated": truncate,
+            "broadcast": small,
+            **(extra_metrics or {}),
+        }
+        version = table.commit(
+            staged,
+            replaced_buckets=touched,
+            watermark_lsn=watermark_lsn,
+            metrics=metrics,
+            truncate=truncate,
+        )
+        metrics["version"] = version
+        metrics["skipped"] = False
+        return metrics
+    finally:
+        ch.unpersist()

@@ -1,0 +1,398 @@
+"""Deterministic synthetic pgoutput WAL stream generator.
+
+Replaces the reference's live-Postgres source (reference reader.py:334-390
+``ExtractRaw``) with a seeded, distributed, *SQL-expressible* generator:
+
+  - The **logical change-event stream** over the target table
+    ``(repo, path, commit, lang, content)`` is defined purely by
+    deterministic SQL expressions (md5-derived integers) that evaluate
+    identically in Spark SQL and DuckDB. That makes the end-to-end
+    pipeline (encode → binary WAL frames → vectorized decode → LWW →
+    merge) verifiable against an independent DuckDB oracle that never
+    touches the binary path.
+  - The **wire frames** are produced by encoding that stream through
+    :mod:`pypgoutput_spark.wal.codec` inside a ``mapInPandas`` stage —
+    Arrow-batched, no driver-side loops, no shuffle (LSNs are assigned
+    arithmetically, not by row_number).
+
+Stream shape (per generation parameters):
+  - ``n_txns`` transactions of exactly ``ops_per_txn`` DML ops each.
+  - Frame LSNs: txn ``t`` occupies ``[base, base + ops + 1]`` with
+    ``base = 10 + t * (ops_per_txn + 2)``: Begin at ``base``, ops at
+    ``base+1+k``, Commit at ``base+ops+1``. Monotone, gap-free per txn.
+  - WAL **segments**: ``segment = txn div txns_per_segment``. Segments are
+    the unit of parallel decode; transactions never straddle segments.
+  - Ops: I / U / D mix by hash; optionally a Truncate as the first op of
+    every ``truncate_every``-th txn.
+  - Hot-key skew: ``hot_pct`` % of ops hit one of ``n_hot`` hot repos
+    (integer-exact skew — no floats, so both engines agree bit-for-bit).
+  - TOAST: ``toast_pct`` % of updates send ``content`` as an unchanged
+    TOAST cell (category 'u', value not on the wire) — the merge must
+    preserve the target's value (reference loses this distinction at
+    reader.py:63-69; we keep it, see SURVEY.md §7).
+  - ``lang`` is NULL for one of five hash buckets → exercises the 'n'
+    (NULL) tuple category end-to-end.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator, List, Sequence, Tuple
+
+from pypgoutput_spark.wal import codec
+
+# the fixed target relation (BASELINE.json input_hint)
+RELATION_ID = 51234
+RELATION_NAMESPACE = "public"
+RELATION_NAME = "repo_files"
+#: (part_of_pkey, name, pg_type_oid, atttypmod) — all text, keys (repo, path)
+RELATION_COLUMNS: Tuple[Tuple[int, str, int, int], ...] = (
+    (1, "repo", 25, -1),
+    (1, "path", 25, -1),
+    (0, "commit", 25, -1),
+    (0, "lang", 25, -1),
+    (0, "content", 25, -1),
+)
+KEY_COLUMNS = ("repo", "path")
+VALUE_COLUMNS = ("commit", "lang", "content")
+ALL_COLUMNS = KEY_COLUMNS + VALUE_COLUMNS
+
+
+@dataclass(frozen=True)
+class GenParams:
+    n_txns: int = 100
+    ops_per_txn: int = 10
+    n_repos: int = 50
+    n_paths: int = 40
+    seed: str = "s42"
+    toast_pct: int = 25          # % of U ops with unchanged-TOAST content
+    truncate_every: int = 0      # every k-th txn starts with a Truncate (0 = never)
+    hot_pct: int = 20            # % of ops routed to hot repos
+    n_hot: int = 2
+    insert_pct: int = 60
+    update_pct: int = 30         # delete_pct = 100 - insert - update
+    txns_per_segment: int = 25
+    content_repeat_max: int = 6
+
+    @property
+    def n_ops(self) -> int:
+        return self.n_txns * self.ops_per_txn
+
+    @property
+    def lsn_stride(self) -> int:
+        return self.ops_per_txn + 2
+
+
+# ---------------------------------------------------------------------------
+# dialect-parameterized SQL expressions for the logical event stream
+# ---------------------------------------------------------------------------
+
+
+class _Dialect:
+    """Tiny SQL expression factory valid in both Spark SQL and DuckDB."""
+
+    def __init__(self, name: str):
+        assert name in ("spark", "duckdb")
+        self.name = name
+
+    def h(self, *parts: str) -> str:
+        """Deterministic non-negative bigint from md5 of concatenated parts.
+
+        parts are SQL expressions (already stringly-typed or literal).
+        15 hex chars < 2^60 so it always fits a signed bigint.
+        """
+        cat = ", ".join(parts)
+        if self.name == "spark":
+            return f"CAST(conv(substring(md5(concat({cat})), 1, 15), 16, 10) AS BIGINT)"
+        return f"(('0x' || substr(md5(concat({cat})), 1, 15))::BIGINT)"
+
+    def s(self, expr: str) -> str:
+        """Cast to string."""
+        if self.name == "spark":
+            return f"CAST({expr} AS STRING)"
+        return f"CAST({expr} AS VARCHAR)"
+
+    def idiv(self, a: str, b: str) -> str:
+        if self.name == "spark":
+            return f"({a} DIV {b})"
+        return f"({a} // {b})"
+
+
+def event_exprs(p: GenParams, dialect: str) -> dict:
+    """SQL expressions for every logical-event column, keyed by name.
+
+    All expressions reference a single input column ``i`` (the global op
+    index, 0-based). Evaluating them over ``range(0, n_ops)`` in either
+    engine yields the identical logical change stream.
+    """
+    d = _Dialect(dialect)
+    q = lambda lit: f"'{lit}'"  # noqa: E731
+    seed = q(p.seed)
+    i_s = d.s("i")
+
+    txn = d.idiv("i", str(p.ops_per_txn))
+    op_idx = f"(i % {p.ops_per_txn})"
+    lsn = f"(10 + {txn} * {p.lsn_stride} + 1 + {op_idx})"
+
+    h_op = d.h(seed, q(":op:"), i_s)
+    op_core = (
+        f"CASE WHEN {h_op} % 100 < {p.insert_pct} THEN 'I' "
+        f"WHEN {h_op} % 100 < {p.insert_pct + p.update_pct} THEN 'U' ELSE 'D' END"
+    )
+    if p.truncate_every > 0:
+        op = (
+            f"CASE WHEN ({txn} % {p.truncate_every}) = 0 AND {op_idx} = 0 "
+            f"THEN 'T' ELSE {op_core} END"
+        )
+    else:
+        op = op_core
+
+    h_hot = d.h(seed, q(":hot:"), i_s)
+    h_hotpick = d.h(seed, q(":hotpick:"), i_s)
+    h_repo = d.h(seed, q(":repo:"), i_s)
+    repo_idx = (
+        f"CASE WHEN {h_hot} % 100 < {p.hot_pct} THEN {h_hotpick} % {p.n_hot} "
+        f"ELSE {h_repo} % {p.n_repos} END"
+    )
+    repo = f"concat('repo-', lpad({d.s(repo_idx)}, 5, '0'))"
+
+    h_path = d.h(seed, q(":path:"), i_s)
+    path_idx = f"({h_path} % {p.n_paths})"
+    h_lang = d.h(seed, q(":lang:"), i_s)
+    lang_idx = f"({h_lang} % 5)"
+    lang = (
+        f"CASE {lang_idx} WHEN 0 THEN 'py' WHEN 1 THEN 'java' "
+        f"WHEN 2 THEN 'scala' WHEN 3 THEN 'sql' ELSE NULL END"
+    )
+    ext = (
+        f"CASE {lang_idx} WHEN 0 THEN '.py' WHEN 1 THEN '.java' "
+        f"WHEN 2 THEN '.scala' WHEN 3 THEN '.sql' ELSE '.txt' END"
+    )
+    path = f"concat('src/f', lpad({d.s(path_idx)}, 4, '0'), {ext})"
+
+    commit = f"substr(md5(concat({seed}, ':commit:', {i_s})), 1, 12)"
+    h_clen = d.h(seed, q(":clen:"), i_s)
+    content = (
+        f"repeat(concat(substr(md5(concat({seed}, ':content:', {i_s})), 1, 16), ' '), "
+        f"1 + ({h_clen} % {p.content_repeat_max}))"
+    )
+    h_toast = d.h(seed, q(":toast:"), i_s)
+    content_unchanged = f"(({op}) = 'U' AND {h_toast} % 100 < {p.toast_pct})"
+
+    return {
+        "i": "i",
+        "txn": txn,
+        "op_idx": op_idx,
+        "lsn": lsn,
+        "segment": d.idiv(txn, str(p.txns_per_segment)),
+        "op": op,
+        "repo": repo,
+        "path": path,
+        "commit": commit,
+        "lang": lang,
+        "content": content,
+        "content_unchanged": content_unchanged,
+    }
+
+
+def duckdb_events_sql(p: GenParams) -> str:
+    """DuckDB query producing the logical event stream (the oracle's input)."""
+    ex = event_exprs(p, "duckdb")
+    cols = ",\n    ".join(f'{expr} AS "{name}"' for name, expr in ex.items() if name != "i")
+    return f"SELECT i,\n    {cols}\nFROM (SELECT range AS i FROM range(0, {p.n_ops}))"
+
+
+def spark_events_df(spark, p: GenParams, n_partitions: int = 0):
+    """The logical event stream as a Spark DataFrame.
+
+    Pure arithmetic over ``spark.range`` — embarrassingly parallel, no
+    shuffle, deterministic regardless of parallelism (the two-cluster-size
+    scaling runs consume byte-identical input).
+    """
+    ex = event_exprs(p, "spark")
+    n_part = n_partitions or spark.sparkContext.defaultParallelism
+    df = spark.range(0, p.n_ops, 1, n_part).withColumnRenamed("id", "i")
+    return df.selectExpr(*[f"{expr} AS `{name}`" for name, expr in ex.items()])
+
+
+# ---------------------------------------------------------------------------
+# frame encoding (logical stream -> binary pgoutput WAL frames)
+# ---------------------------------------------------------------------------
+
+FRAMES_SCHEMA = "segment BIGINT, lsn BIGINT, payload BINARY"
+
+
+def _encode_stream_pandas(batches: Iterator, p: GenParams) -> Iterator:
+    """mapInPandas kernel: one input row per *slot* (B, ops..., C) -> frame."""
+    import pandas as pd
+
+    for pdf in batches:
+        segs: List[int] = []
+        lsns: List[int] = []
+        payloads: List[bytes] = []
+        for row in pdf.itertuples(index=False):
+            kind = row.kind
+            if kind == "B":
+                payloads.append(
+                    codec.encode_begin(int(row.lsn), int(row.commit_ts_us), int(row.xid))
+                )
+            elif kind == "C":
+                payloads.append(
+                    codec.encode_commit(
+                        int(row.lsn) - 1, int(row.lsn), int(row.commit_ts_us)
+                    )
+                )
+            elif row.op == "I":
+                payloads.append(
+                    codec.encode_insert(
+                        RELATION_ID,
+                        [
+                            ("t", row.repo),
+                            ("t", row.path),
+                            ("t", row.commit),
+                            ("t", row.lang) if row.lang is not None else ("n", None),
+                            ("t", row.content),
+                        ],
+                    )
+                )
+            elif row.op == "U":
+                content_cell = ("u", None) if row.content_unchanged else ("t", row.content)
+                payloads.append(
+                    codec.encode_update(
+                        RELATION_ID,
+                        [
+                            ("t", row.repo),
+                            ("t", row.path),
+                            ("t", row.commit),
+                            ("t", row.lang) if row.lang is not None else ("n", None),
+                            content_cell,
+                        ],
+                    )
+                )
+            elif row.op == "D":
+                payloads.append(
+                    codec.encode_delete(
+                        RELATION_ID,
+                        [("t", row.repo), ("t", row.path), ("n", None), ("n", None), ("n", None)],
+                        kind="K",
+                    )
+                )
+            elif row.op == "T":
+                payloads.append(codec.encode_truncate([RELATION_ID], 0))
+            else:  # pragma: no cover
+                raise ValueError(f"bad slot kind={kind!r} op={row.op!r}")
+            segs.append(int(row.segment))
+            lsns.append(int(row.lsn))
+        yield pd.DataFrame({"segment": segs, "lsn": lsns, "payload": payloads})
+
+
+def spark_frames_df(spark, p: GenParams, n_partitions: int = 0, include_relation: bool = True):
+    """Binary WAL frames ``(segment, lsn, payload)`` for the full stream.
+
+    Built as: one row per slot (Begin, each op, Commit) via an arithmetic
+    explode over ``spark.range(n_txns)``, then Arrow-batched encoding in a
+    single ``mapInPandas`` pass. No shuffle anywhere.
+    """
+    from pyspark.sql import functions as F
+
+    ex = event_exprs(p, "spark")
+    n_part = n_partitions or spark.sparkContext.defaultParallelism
+
+    ops = spark.range(0, p.n_ops, 1, n_part).withColumnRenamed("id", "i").selectExpr(
+        "'O' AS kind",
+        f"{ex['txn']} AS txn",
+        f"{ex['segment']} AS segment",
+        f"{ex['lsn']} AS lsn",
+        f"CAST({ex['txn']} * 1000000 AS BIGINT) AS commit_ts_us",
+        f"CAST(1000 + {ex['txn']} AS BIGINT) AS xid",
+        f"{ex['op']} AS op",
+        f"{ex['repo']} AS repo",
+        f"{ex['path']} AS path",
+        f"{ex['commit']} AS `commit`",
+        f"{ex['lang']} AS lang",
+        f"{ex['content']} AS content",
+        f"{ex['content_unchanged']} AS content_unchanged",
+    )
+    stride = p.lsn_stride
+    bc = (
+        spark.range(0, p.n_txns, 1, n_part)
+        .withColumnRenamed("id", "txn")
+        .selectExpr(
+            "txn",
+            f"(txn DIV {p.txns_per_segment}) AS segment",
+            "CAST(txn * 1000000 AS BIGINT) AS commit_ts_us",
+            "CAST(1000 + txn AS BIGINT) AS xid",
+        )
+        .selectExpr(
+            "explode(array("
+            f"  named_struct('kind', 'B', 'lsn', 10 + txn * {stride}),"
+            f"  named_struct('kind', 'C', 'lsn', 10 + txn * {stride} + {p.ops_per_txn + 1})"
+            ")) AS s",
+            "txn", "segment", "commit_ts_us", "xid",
+        )
+        .selectExpr(
+            "s.kind AS kind", "txn", "segment", "CAST(s.lsn AS BIGINT) AS lsn",
+            "commit_ts_us", "xid",
+            "CAST(NULL AS STRING) AS op", "CAST(NULL AS STRING) AS repo",
+            "CAST(NULL AS STRING) AS path", "CAST(NULL AS STRING) AS `commit`",
+            "CAST(NULL AS STRING) AS lang", "CAST(NULL AS STRING) AS content",
+            "CAST(NULL AS BOOLEAN) AS content_unchanged",
+        )
+    )
+    slots = ops.unionByName(bc)
+    frames = slots.mapInPandas(lambda it: _encode_stream_pandas(it, p), schema=FRAMES_SCHEMA)
+
+    if include_relation:
+        rel_payload = codec.encode_relation(
+            RELATION_ID, RELATION_NAMESPACE, RELATION_NAME, "d", RELATION_COLUMNS
+        )
+        rel = spark.createDataFrame(
+            [(0, 1, bytearray(rel_payload))], schema=FRAMES_SCHEMA
+        )
+        frames = rel.unionByName(frames)
+    return frames
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle for the final merged table state
+# ---------------------------------------------------------------------------
+
+
+def duckdb_final_state_sql(p: GenParams, with_sha: bool = True) -> str:
+    """DuckDB SQL computing the expected final table state after replaying
+    the full stream with serial reference semantics (apply each event in
+    LSN order: I/U upsert, D delete, T truncate, TOAST-'u' preserves the
+    current value).
+
+    Distributed-engine equivalence (what our Spark pipeline implements):
+      - truncate barrier: only events after the last T matter;
+      - LWW: the max-LSN event per (repo, path) decides presence;
+      - TOAST resolution: content = value of the max-LSN event that
+        *carries* content information — a non-'u' I/U (its own content)
+        or a D (an explicit reset to NULL: a toast-'u' update applied
+        after an in-batch delete re-creates the row with unknown/NULL
+        content under serial relaxed-upsert semantics; it must NOT
+        resurrect the pre-delete value).
+    Expressed with max_by(...) FILTER(...) — the same aggregate shape the
+    Spark side uses (partial map-side combine, skew-resistant).
+    """
+    events = duckdb_events_sql(p)
+    sha = ", sha256(content) AS content_sha" if with_sha else ""
+    return f"""
+WITH ev AS ({events}),
+cut AS (SELECT coalesce(max(lsn), -1) AS tlsn FROM ev WHERE op = 'T'),
+eff AS (SELECT ev.* FROM ev, cut WHERE ev.lsn > cut.tlsn AND ev.op <> 'T'),
+lww AS (
+  SELECT repo, path,
+    max_by(op, lsn) AS final_op,
+    max_by({{'v': "commit"}}, lsn) FILTER (WHERE op <> 'D') AS commit_s,
+    max_by({{'v': lang}}, lsn) FILTER (WHERE op <> 'D') AS lang_s,
+    max_by({{'v': CASE WHEN op = 'D' THEN NULL ELSE content END}}, lsn)
+      FILTER (WHERE op = 'D' OR NOT content_unchanged) AS content_s
+  FROM eff
+  GROUP BY repo, path
+)
+SELECT repo, path, commit_s.v AS "commit", lang_s.v AS lang, content_s.v AS content{sha}
+FROM lww
+WHERE final_op <> 'D'
+""".strip()

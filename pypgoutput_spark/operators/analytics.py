@@ -1,0 +1,204 @@
+"""Analytic / CDC-adjacent operators over the test star schema.
+
+Demonstrates the general query surface (aggregation, joins, windows,
+sessionization, top-k, JSON extraction) with hash-stable oracles:
+
+  - double-typed measures are summed through exact DECIMAL casts
+    (order-free), then returned as doubles;
+  - timestamps are returned as epoch microseconds (bigint) to dodge
+    engine-specific timezone/precision rendering;
+  - top-k orderings carry a unique tie-break key.
+
+Scale notes: the star joins broadcast the dimension side (nation,
+region, customer at TPC-H proportions); Q1-style aggregations partial-
+aggregate map-side; sessionization shuffles once on user_id.
+"""
+
+from __future__ import annotations
+
+from pypgoutput_spark.functions.detsql import DUCKDB, SPARK, Dialect
+from pypgoutput_spark.operators.qlib import run_sql
+
+
+def _epoch_us(d: Dialect, expr: str) -> str:
+    if d.name == "spark":
+        # parquet naive timestamps read as TIMESTAMP_NTZ; session tz is UTC,
+        # so the cast interprets the wall-clock as UTC — matching DuckDB's
+        # epoch_us over the same naive value
+        return f"unix_micros(CAST({expr} AS TIMESTAMP))"
+    return f"epoch_us({expr})"
+
+
+def _json_int(d: Dialect, expr: str, key: str) -> str:
+    if d.name == "spark":
+        return f"CAST(get_json_object({expr}, '$.{key}') AS INT)"
+    return f"CAST(json_extract_string({expr}, '$.{key}') AS INT)"
+
+
+def events_latest_by_user_sql(d: Dialect) -> str:
+    """LWW analog on the events stream: latest event per user."""
+    return f"""
+SELECT user_id,
+  max(event_id) AS last_event_id,
+  max_by(event_type, event_id) AS last_event_type,
+  max_by(value, event_id) AS last_value,
+  max_by({_epoch_us(d, 'ts')}, event_id) AS last_ts_us
+FROM events
+GROUP BY user_id
+""".strip()
+
+
+def events_type_stats_sql(d: Dialect) -> str:
+    return f"""
+SELECT event_type,
+  count(*) AS n_events,
+  count(DISTINCT user_id) AS n_users,
+  {d.exact_sum('value')} AS total_value,
+  min({_epoch_us(d, 'ts')}) AS first_ts_us,
+  max({_epoch_us(d, 'ts')}) AS last_ts_us
+FROM events
+GROUP BY event_type
+""".strip()
+
+
+def events_json_extract_sql(d: Dialect) -> str:
+    return f"""
+SELECT {_json_int(d, 'props', 'k')} AS k,
+  count(*) AS n,
+  {d.exact_sum('value')} AS total_value
+FROM events
+GROUP BY {_json_int(d, 'props', 'k')}
+""".strip()
+
+
+def sessionize_sql(d: Dialect, gap_minutes: int = 30) -> str:
+    """Gap-based sessionization (streaming session-window analog, done
+    batch-side): a >30 min silence starts a new session."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    ts_us = _epoch_us(d, "ts")
+    return f"""
+WITH ordered AS (
+  SELECT user_id, event_id, {ts_us} AS ts_us,
+    lag({ts_us}) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts_us
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts_us IS NULL OR ts_us - prev_ts_us > {gap_us}
+                 THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sessioned AS (
+  SELECT user_id, event_id, ts_us,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+  count(*) AS n_events,
+  min(ts_us) AS session_start_us,
+  max(ts_us) AS session_end_us
+FROM sessioned
+GROUP BY user_id, session_seq
+""".strip()
+
+
+def running_value_sql(d: Dialect) -> str:
+    return f"""
+SELECT event_id, user_id,
+  CAST(sum(CAST(value AS DECIMAL(28,10))) OVER (
+    PARTITION BY user_id ORDER BY event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+FROM events
+""".strip()
+
+
+def topk_users_sql(d: Dialect, k: int = 10) -> str:
+    return f"""
+SELECT user_id, {d.exact_sum('value')} AS total_value, count(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY total_value DESC, user_id
+LIMIT {k}
+""".strip()
+
+
+def pricing_summary_sql(d: Dialect) -> str:
+    """TPC-H Q1-style pricing summary with exact decimal arithmetic."""
+    return f"""
+SELECT l_returnflag, l_linestatus,
+  {d.exact_sum('l_quantity')} AS sum_qty,
+  {d.exact_sum('l_extendedprice')} AS sum_base_price,
+  {d.exact_sum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+  {d.exact_sum('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)')} AS sum_charge,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""".strip()
+
+
+def nation_revenue_sql(d: Dialect) -> str:
+    """Star join: orders ⋈ customer ⋈ nation ⋈ region (dims broadcast)."""
+    return f"""
+SELECT r_name, n_name,
+  count(*) AS n_orders,
+  {d.exact_sum('o_totalprice')} AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""".strip()
+
+
+def order_lineitem_rollup_sql(d: Dialect) -> str:
+    """Fact-fact join + per-order rollup + having filter."""
+    return f"""
+SELECT o_orderkey, o_orderstatus,
+  count(*) AS n_lines,
+  {d.exact_sum('l_extendedprice * (1 - l_discount)')} AS order_revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey, o_orderstatus
+HAVING count(*) >= 5
+""".strip()
+
+
+def _runner(sql_builder, tables):
+    def run(spark, sf_dir: str):
+        return run_sql(spark, sf_dir, sql_builder(SPARK), tables=tables)
+
+    return run
+
+
+QUERIES = {
+    "cdc_events_latest_by_user": (
+        _runner(events_latest_by_user_sql, ("events",)),
+        events_latest_by_user_sql(DUCKDB),
+    ),
+    "cdc_events_type_stats": (
+        _runner(events_type_stats_sql, ("events",)),
+        events_type_stats_sql(DUCKDB),
+    ),
+    "events_json_extract": (
+        _runner(events_json_extract_sql, ("events",)),
+        events_json_extract_sql(DUCKDB),
+    ),
+    "events_sessionize": (_runner(sessionize_sql, ("events",)), sessionize_sql(DUCKDB)),
+    "events_running_value": (
+        _runner(running_value_sql, ("events",)),
+        running_value_sql(DUCKDB),
+    ),
+    "events_topk_users": (_runner(topk_users_sql, ("events",)), topk_users_sql(DUCKDB)),
+    "agg_pricing_summary": (
+        _runner(pricing_summary_sql, ("lineitem",)),
+        pricing_summary_sql(DUCKDB),
+    ),
+    "join_nation_revenue": (
+        _runner(nation_revenue_sql, ("orders", "customer", "nation", "region")),
+        nation_revenue_sql(DUCKDB),
+    ),
+    "join_order_rollup": (
+        _runner(order_lineitem_rollup_sql, ("orders", "lineitem")),
+        order_lineitem_rollup_sql(DUCKDB),
+    ),
+}

@@ -1,0 +1,233 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, each a ``queries()`` entry with a DuckDB oracle over the
+same parquet tables (dual-dialect SQL, see functions/detsql.py):
+
+  - exact:        hash-groupBy on md5(text) (content-hash dedup)
+  - n-gram Jaccard: word-bigram shingles → inverted-index self-join →
+                  exact integer Jaccard threshold (no floats)
+  - MinHash+LSH:  K md5-derived min-hashes → bands → bucket join →
+                  candidate pairs (the 100 TB-scale path: candidate
+                  generation cost ~ O(docs × bands), never O(docs²))
+  - SimHash:      32-bit signs-of-sums signature over token hashes
+  - embedding cosine: label-blocked pair join over integer-quantized
+                  vectors with an exact cross-multiplied threshold
+
+Scale notes (what changes at 1000 executors / 100 TB):
+  - the Jaccard self-join caps shingle document-frequency (stop-shingles
+    dropped) — the classic guard against the quadratic hot-shingle
+    blowup; the cap is part of the operator contract.
+  - MinHash/LSH is the intended scale path: bucket join keys are
+    (band_id, band_hash), high-cardinality and uniform by construction,
+    so the shuffle is balanced regardless of content skew.
+  - cosine dedup blocks by ``label`` (in production: by an IVF/LSH
+    bucket — see operators/similarity.py) to avoid the full cross join.
+  - all shuffles are on hashed keys; all arithmetic is JVM-side
+    (higher-order array functions), no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pypgoutput_spark.functions.detsql import DUCKDB, SPARK, Dialect
+from pypgoutput_spark.operators.qlib import run_sql
+
+#: drop shingles shared by more than this many docs (stop-shingles)
+SHINGLE_DF_CAP = 40
+#: MinHash parameters: K hashes in B bands of R rows (K = B*R)
+MINHASH_K, MINHASH_BANDS = 12, 4
+#: integer Jaccard threshold num/den (inter/union >= num/den)
+JACCARD_NUM, JACCARD_DEN = 1, 4
+#: cosine threshold (compared via exact cross-multiplication)
+COSINE_T2 = "0.1225"  # threshold², cosine >= 0.35 (near-dup for random test vectors)
+
+
+def _shingles_cte(d: Dialect) -> str:
+    """CTEs: toks (token arrays) and sh (distinct word-bigram shingles,
+    doc-frequency capped)."""
+    toks = d.split_ws("text")
+    grams = d.array_transform(
+        d.sequence("1", f"{d.array_len('toks')} - 1"),
+        f"i -> concat({d.array_get('toks', 'i')}, ' ', {d.array_get('toks', 'i + 1')})",
+    )
+    return f"""
+toks AS (
+  SELECT doc_id, {toks} AS toks FROM documents WHERE n_chars > 0
+),
+sh_all AS (
+  SELECT DISTINCT doc_id, {d.unnest(f"{d.array_distinct(grams)}")} AS shingle FROM toks
+),
+sh AS (
+  SELECT doc_id, shingle FROM sh_all
+  WHERE shingle IN (
+    SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= {SHINGLE_DF_CAP}
+  )
+)
+""".strip()
+
+
+def exact_stats_sql(d: Dialect) -> str:
+    return """
+SELECT source,
+  count(*) AS n_docs,
+  count(DISTINCT md5(text)) AS n_distinct_texts,
+  count(*) - count(DISTINCT md5(text)) AS n_exact_dups
+FROM documents
+GROUP BY source
+""".strip()
+
+
+def keep_first_sql(d: Dialect) -> str:
+    return """
+SELECT md5(text) AS text_hash,
+  min(doc_id) AS keeper_doc_id,
+  count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""".strip()
+
+
+def ngram_jaccard_sql(d: Dialect) -> str:
+    return f"""
+WITH {_shingles_cte(d)},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, inter, sa.sz + sb.sz - inter AS uni
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE inter * {JACCARD_DEN} >= (sa.sz + sb.sz - inter) * {JACCARD_NUM}
+""".strip()
+
+
+def _minhash_cte(d: Dialect) -> str:
+    toks = d.split_ws("text")
+    grams = d.array_distinct(
+        d.array_transform(
+            d.sequence("1", f"{d.array_len('toks')} - 1"),
+            f"i -> concat({d.array_get('toks', 'i')}, ' ', {d.array_get('toks', 'i + 1')})",
+        )
+    )
+    mh_parts = []
+    for k in range(MINHASH_K):
+        seeded = d.md5_int(f"concat('{k}:', s)")
+        mh_parts.append(
+            d.array_min(d.array_transform("grams", f"s -> {seeded}")) + f" AS mh_{k}"
+        )
+    mh_cols = ", ".join(mh_parts)
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    band_selects = []
+    for b in range(MINHASH_BANDS):
+        cols = ", ".join(
+            d.s(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bh FROM mh"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+toks AS (
+  SELECT doc_id, {toks} AS toks FROM documents WHERE n_chars > 0
+),
+sharr AS (
+  SELECT doc_id, {grams} AS grams FROM toks WHERE {d.array_len('toks')} >= 2
+),
+mh AS (
+  SELECT doc_id, {mh_cols} FROM sharr WHERE {d.array_len('grams')} > 0
+),
+bands AS ({bands})
+""".strip()
+
+
+def minhash_lsh_sql(d: Dialect) -> str:
+    return f"""
+WITH {_minhash_cte(d)}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+""".strip()
+
+
+def minhash_signatures_sql(d: Dialect) -> str:
+    cols = ", ".join(f"mh_{k}" for k in range(MINHASH_K))
+    return f"""
+WITH {_minhash_cte(d)}
+SELECT doc_id, {cols} FROM mh
+""".strip()
+
+
+def simhash_sql(d: Dialect) -> str:
+    toks = d.split_ws("text")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN ({d.shiftr('h', str(b))} & 1) = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        for b in range(32)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {toks} AS toks FROM documents WHERE n_chars > 0
+),
+tok AS (SELECT doc_id, {d.unnest('toks')} AS t FROM toks),
+th AS (SELECT doc_id, ({d.md5_int('t')} & 4294967295) AS h FROM tok),
+bits AS (SELECT doc_id, {bit_sums} FROM th GROUP BY doc_id)
+SELECT doc_id, CAST({combine} AS BIGINT) AS simhash
+FROM bits
+""".strip()
+
+
+def embedding_cosine_sql(d: Dialect) -> str:
+    quant = d.array_transform(
+        "embedding", "x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)"
+    )
+    dot = d.dot_bigint("a.qv", "b.qv", 64)
+    na, nb = d.dot_bigint("a.qv", "a.qv", 64), d.dot_bigint("b.qv", "b.qv", 64)
+    return f"""
+WITH q AS (
+  SELECT vec_id, label, {quant} AS qv FROM embeddings
+),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    {dot} AS dot, {na} AS na, {nb} AS nb
+  FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, dot, na, nb
+FROM cand
+WHERE dot > 0
+  AND (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE))
+      >= (({COSINE_T2} * CAST(na AS DOUBLE)) * CAST(nb AS DOUBLE))
+""".strip()
+
+
+# ---- Spark runners -----------------------------------------------------------
+
+
+def _runner(sql_builder, tables):
+    def run(spark, sf_dir: str):
+        return run_sql(spark, sf_dir, sql_builder(SPARK), tables=tables)
+
+    return run
+
+
+QUERIES = {
+    "dedup_exact_stats": (_runner(exact_stats_sql, ("documents",)), exact_stats_sql(DUCKDB)),
+    "dedup_keep_first": (_runner(keep_first_sql, ("documents",)), keep_first_sql(DUCKDB)),
+    "dedup_ngram_jaccard": (_runner(ngram_jaccard_sql, ("documents",)), ngram_jaccard_sql(DUCKDB)),
+    "dedup_minhash_signatures": (
+        _runner(minhash_signatures_sql, ("documents",)),
+        minhash_signatures_sql(DUCKDB),
+    ),
+    "dedup_minhash_lsh_pairs": (
+        _runner(minhash_lsh_sql, ("documents",)),
+        minhash_lsh_sql(DUCKDB),
+    ),
+    "dedup_simhash": (_runner(simhash_sql, ("documents",)), simhash_sql(DUCKDB)),
+    "dedup_embedding_cosine": (
+        _runner(embedding_cosine_sql, ("embeddings",)),
+        embedding_cosine_sql(DUCKDB),
+    ),
+}

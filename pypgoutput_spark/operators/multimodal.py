@@ -1,0 +1,131 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+
+Pattern for image/audio/video in a 100 TB training-data pipeline: the
+payload is an opaque BINARY column; decode / feature-extract / resize /
+frame-sample run as Arrow-batched pandas kernels over ``mapInPandas``
+(one Python process per partition, zero per-row overhead crossing the
+JVM boundary). The actual media codecs are not available in this
+container, so the decode step is STUBBED (`NotImplementedError`), while
+everything Spark-side — schema, batching, partitioning, UDF signature —
+is real and tested:
+
+  - `q_payload_meta`: binary payload → (size, sha256, head hex) through a
+    real mapInPandas kernel, hash-verified against a DuckDB oracle that
+    computes the same bytes arithmetic in SQL.
+  - `decode_image` / `decode_audio`: the stub seam where PIL/ffmpeg would
+    plug in; raises with a clear message.
+  - `fake_image_stats`: deterministic stand-in "feature extraction"
+    (per-channel byte sums at stride 4) proving the batch shape end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pypgoutput_spark.functions.detsql import DUCKDB, SPARK, Dialect
+from pypgoutput_spark.operators.qlib import register_views
+
+META_SCHEMA = "doc_id BIGINT, payload_size INT, payload_sha256 STRING, head_hex STRING"
+STATS_SCHEMA = "doc_id BIGINT, c0 BIGINT, c1 BIGINT, c2 BIGINT, c3 BIGINT"
+
+
+def decode_image(payload: bytes):
+    """Stub: real pipelines plug PIL/turbojpeg here (not in container)."""
+    raise NotImplementedError(
+        "image decode requires PIL/libjpeg which are not available in this "
+        "environment; the Spark-side plumbing (binary column, mapInPandas "
+        "batch shape) is exercised via fake_image_stats instead"
+    )
+
+
+def decode_audio(payload: bytes):
+    """Stub: real pipelines plug ffmpeg/soundfile here (not in container)."""
+    raise NotImplementedError("audio decode not available in this environment")
+
+
+def _meta_kernel(batches: Iterator) -> Iterator:
+    import pandas as pd
+
+    for pdf in batches:
+        payloads = [bytes(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "payload_size": [len(p) for p in payloads],
+                "payload_sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
+                "head_hex": [p[:8].hex() for p in payloads],
+            }
+        )
+
+
+def fake_image_stats_kernel(batches: Iterator) -> Iterator:
+    """Deterministic stand-in for per-channel feature extraction:
+    channel c = sum of payload bytes at positions ≡ c (mod 4)."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = {"doc_id": pdf["doc_id"].values}
+        sums = {c: [] for c in range(4)}
+        for p in pdf["payload"]:
+            b = bytes(p)
+            for c in range(4):
+                sums[c].append(sum(b[c::4]))
+        for c in range(4):
+            rows[f"c{c}"] = sums[c]
+        yield pd.DataFrame(rows)
+
+
+def q_payload_meta(spark, sf_dir: str):
+    register_views(spark, sf_dir, tables=("documents",))
+    payloads = spark.sql(
+        "SELECT doc_id, encode(text, 'UTF-8') AS payload FROM documents WHERE n_chars > 0"
+    )
+    return payloads.mapInPandas(_meta_kernel, schema=META_SCHEMA)
+
+
+def payload_meta_oracle_sql() -> str:
+    # identical bytes arithmetic in SQL (texts are UTF-8; head is the
+    # first 8 *bytes* — equal to 8 chars for this ASCII corpus)
+    return """
+SELECT doc_id,
+  strlen(text) AS payload_size,
+  sha256(text) AS payload_sha256,
+  lower(hex(encode(substr(text, 1, 8)))) AS head_hex
+FROM documents
+WHERE n_chars > 0
+""".strip()
+
+
+def q_fake_image_stats(spark, sf_dir: str):
+    register_views(spark, sf_dir, tables=("documents",))
+    payloads = spark.sql(
+        "SELECT doc_id, encode(text, 'UTF-8') AS payload FROM documents WHERE n_chars > 0"
+    )
+    return payloads.mapInPandas(fake_image_stats_kernel, schema=STATS_SCHEMA)
+
+
+def fake_image_stats_oracle_sql() -> str:
+    d = DUCKDB
+    parts = []
+    for c in range(4):
+        chars = d.array_transform(
+            d.sequence(str(c + 1), "length(text)"),
+            "i -> CASE WHEN (i - 1) % 4 = " + str(c) + " THEN ascii(substr(text, i, 1)) ELSE 0 END",
+        )
+        parts.append(
+            f"CAST({d.fold(chars, 'CAST(0 AS BIGINT)', '(acc, x) -> acc + x')} AS BIGINT) AS c{c}"
+        )
+    cols = ",\n  ".join(parts)
+    return f"""
+SELECT doc_id,
+  {cols}
+FROM documents
+WHERE n_chars > 0
+""".strip()
+
+
+QUERIES = {
+    "mm_payload_meta": (q_payload_meta, payload_meta_oracle_sql()),
+    "mm_fake_image_stats": (q_fake_image_stats, fake_image_stats_oracle_sql()),
+}

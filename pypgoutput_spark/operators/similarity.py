@@ -1,0 +1,104 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a production ANN stack would stage them:
+
+  - **brute-force cosine top-k** (`sim_topk_bruteforce`): exact baseline.
+    In Spark the ORDER BY ... LIMIT k compiles to TakeOrderedAndProject —
+    a per-partition top-k + tiny driver merge, never a global sort, so it
+    scales linearly with the scan.
+  - **random-hyperplane LSH** (`sim_lsh_buckets`, `sim_lsh_ann_pairs`):
+    the scale path. Hyperplanes are ±1 vectors derived from md5 bits and
+    embedded as *literal* arrays (computed once in Python via hashlib —
+    identical constants in the Spark plan and the DuckDB oracle, zero
+    per-row hash calls). Candidate generation is a self-join on the
+    16-bit bucket key — high-cardinality, uniform, skew-free.
+
+Float discipline (hash-stable oracles): embeddings are quantized to
+integer milli-units; dot products and norms are exact BIGINTs; the only
+floating-point ops are single IEEE multiplies/divides/sqrt on identical
+inputs, which are bit-deterministic across engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pypgoutput_spark.functions.detsql import DUCKDB, SPARK, Dialect
+from pypgoutput_spark.operators.qlib import run_sql
+
+DIM = 64
+N_PLANES = 16
+
+
+def _hyperplane(j: int) -> list:
+    """Deterministic ±1 hyperplane j (md5-bit derived, engine-independent)."""
+    comps = []
+    for d in range(DIM):
+        h = hashlib.md5(f"hp{j}:{d}".encode()).hexdigest()
+        comps.append(1 if int(h[:8], 16) % 2 == 0 else -1)
+    return comps
+
+
+def _quant(d: Dialect) -> str:
+    return d.array_transform(
+        "embedding", "x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)"
+    )
+
+
+def _arr_lit(d: Dialect, vals) -> str:
+    body = ", ".join(str(v) for v in vals)
+    return f"array({body})" if d.name == "spark" else f"[{body}]"
+
+
+def topk_bruteforce_sql(d: Dialect, k: int = 10) -> str:
+    dot = d.dot_bigint("a.qv", "q.qv", DIM)
+    na = d.dot_bigint("a.qv", "a.qv", DIM)
+    nq = d.dot_bigint("q.qv", "q.qv", DIM)
+    return f"""
+WITH e AS (SELECT vec_id, {_quant(d)} AS qv FROM embeddings),
+q AS (SELECT qv FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)),
+scored AS (
+  SELECT a.vec_id,
+    CAST({dot} AS DOUBLE) / sqrt(CAST({na} AS DOUBLE) * CAST({nq} AS DOUBLE)) AS score
+  FROM e a, q
+  WHERE a.vec_id <> (SELECT min(vec_id) FROM e)
+)
+SELECT vec_id, score FROM scored
+ORDER BY score DESC, vec_id
+LIMIT {k}
+""".strip()
+
+
+def lsh_buckets_sql(d: Dialect) -> str:
+    bits = []
+    for j in range(N_PLANES):
+        dot = d.dot_bigint("qv", _arr_lit(d, _hyperplane(j)), DIM)
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    return f"""
+WITH e AS (SELECT vec_id, label, {_quant(d)} AS qv FROM embeddings)
+SELECT vec_id, label, CAST({bucket} AS BIGINT) AS bucket
+FROM e
+""".strip()
+
+
+def lsh_ann_pairs_sql(d: Dialect) -> str:
+    return f"""
+WITH b AS ({lsh_buckets_sql(d)})
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, a.bucket
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+""".strip()
+
+
+def _runner(sql_builder):
+    def run(spark, sf_dir: str):
+        return run_sql(spark, sf_dir, sql_builder(SPARK), tables=("embeddings",))
+
+    return run
+
+
+QUERIES = {
+    "sim_topk_bruteforce": (_runner(topk_bruteforce_sql), topk_bruteforce_sql(DUCKDB)),
+    "sim_lsh_buckets": (_runner(lsh_buckets_sql), lsh_buckets_sql(DUCKDB)),
+    "sim_lsh_ann_pairs": (_runner(lsh_ann_pairs_sql), lsh_ann_pairs_sql(DUCKDB)),
+}

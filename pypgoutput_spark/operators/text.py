@@ -1,0 +1,138 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All four operators run over the ``documents`` table and are defined as
+dual-dialect SQL (see functions/detsql.py): the Spark plan stays entirely
+inside Catalyst/whole-stage-codegen (no Python UDFs — string/array
+higher-order functions are JVM-side), and the DuckDB rendering of the
+same expressions is the correctness oracle.
+
+Scale: every operator is a narrow per-row map (no shuffle at all); at
+100 TB it parallelizes trivially with the scan and benefits from parquet
+column pruning (only ``doc_id``/``text`` are read).
+"""
+
+from __future__ import annotations
+
+from pypgoutput_spark.functions.detsql import DUCKDB, SPARK, Dialect
+from pypgoutput_spark.operators.qlib import run_sql
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+#: deterministic marker vocabularies for the n-gram/marker language scorer
+LANG_MARKERS = {
+    "en": ("the", "a", "is", "and", "of"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "que", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def token_count_sql(d: Dialect) -> str:
+    toks = d.split_ws("text")
+    return f"""
+SELECT doc_id,
+  {d.array_len(toks)} AS n_tokens_ws,
+  {d.regexp_count("text", _BPE_PATTERN)} AS n_tokens_bpe,
+  length(text) AS n_chars_calc
+FROM documents
+WHERE n_chars > 0
+""".strip()
+
+
+def quality_score_sql(d: Dialect) -> str:
+    toks = d.split_ws("text")
+    stop = d.array_lit(STOPWORDS)
+    hits = d.array_len(d.array_filter(toks, f"x -> {d.array_contains(stop, 'x')}"))
+    n_tok = d.array_len(toks)
+    n_punct = d.regexp_count("text", "[.,;:!?]")
+    # ratios are single IEEE divisions of exact integers → deterministic
+    return f"""
+SELECT doc_id,
+  {n_tok} AS n_tokens,
+  {n_punct} AS n_punct,
+  {hits} AS n_stopwords,
+  CAST({n_punct} AS DOUBLE) / length(text) AS punct_ratio,
+  CAST({hits} AS DOUBLE) / {n_tok} AS stopword_ratio,
+  CAST(length(text) AS DOUBLE) / {n_tok} AS avg_token_len,
+  (CASE WHEN {n_tok} >= 10 THEN 1 ELSE 0 END
+   + CASE WHEN {hits} > 0 THEN 1 ELSE 0 END
+   + CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 1 ELSE 0 END) AS quality_score
+FROM documents
+WHERE n_chars > 0 AND {n_tok} > 0
+""".strip()
+
+
+def lang_id_sql(d: Dialect) -> str:
+    toks = d.split_ws("text")
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = d.array_lit(markers)
+        scores[lang] = d.array_len(
+            d.array_filter(toks, f"x -> {d.array_contains(arr, 'x')}")
+        )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang AS lang_true,
+    {scores['en']} AS s_en, {scores['de']} AS s_de,
+    {scores['es']} AS s_es, {scores['fr']} AS s_fr
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, lang_true, s_en, s_de, s_es, s_fr,
+  CASE
+    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+    WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+    WHEN s_es >= s_fr THEN 'es'
+    ELSE 'fr'
+  END AS lang_pred
+FROM scored
+""".strip()
+
+
+def fingerprint_sql(d: Dialect) -> str:
+    """Polynomial rolling hash of the character stream, mod 1e9+7.
+
+    Document fingerprinting for dedup/provenance: deterministic 30-bit
+    content fingerprint; identical across engines because every step is
+    exact integer arithmetic.
+    """
+    chars = d.array_transform(
+        d.sequence("1", "length(text)"), "i -> ascii(substr(text, i, 1))"
+    )
+    fold = d.fold(
+        chars,
+        "CAST(0 AS BIGINT)",
+        "(acc, x) -> (acc * 31 + x) % 1000000007",
+    )
+    return f"""
+SELECT doc_id, length(text) AS n, {fold} AS fingerprint
+FROM documents
+WHERE n_chars > 0
+""".strip()
+
+
+# ---- Spark runners (one per queries() entry) --------------------------------
+
+
+def q_token_count(spark, sf_dir: str):
+    return run_sql(spark, sf_dir, token_count_sql(SPARK), tables=("documents",))
+
+
+def q_quality_score(spark, sf_dir: str):
+    return run_sql(spark, sf_dir, quality_score_sql(SPARK), tables=("documents",))
+
+
+def q_lang_id(spark, sf_dir: str):
+    return run_sql(spark, sf_dir, lang_id_sql(SPARK), tables=("documents",))
+
+
+def q_fingerprint(spark, sf_dir: str):
+    return run_sql(spark, sf_dir, fingerprint_sql(SPARK), tables=("documents",))
+
+
+QUERIES = {
+    "text_token_count": (q_token_count, token_count_sql(DUCKDB)),
+    "text_quality_score": (q_quality_score, quality_score_sql(DUCKDB)),
+    "text_lang_id": (q_lang_id, lang_id_sql(DUCKDB)),
+    "text_fingerprint": (q_fingerprint, fingerprint_sql(DUCKDB)),
+}

@@ -77,6 +77,16 @@ def bench_cdc(spark, sf: float, salt_buckets: int = 0) -> dict:
         # (scan → decode → LWW → merge), not the synthetic generator
         gen.spark_frames_df(spark, p).write.parquet(frames_dir)
         frames = spark.read.parquet(frames_dir)
+        # warm-up: one tiny ingest into a throwaway table pays the one-time
+        # Python-worker fork / Arrow init / codegen compile costs so the
+        # timed section measures steady-state throughput
+        warm_table = LakeTable.create(
+            spark, os.path.join(tmp, "warm"),
+            schema=[(c, "string") for c in gen.ALL_COLUMNS],
+            key_cols=list(gen.KEY_COLUMNS), n_buckets=8,
+        )
+        warm_frames = gen.spark_frames_df(spark, gen.GenParams(n_txns=40, ops_per_txn=5))
+        pipeline.run_ingest(spark, warm_frames, warm_table)
         table = LakeTable.create(
             spark, os.path.join(tmp, "lake"),
             schema=[(c, "string") for c in gen.ALL_COLUMNS],

@@ -6,62 +6,87 @@ generator pulling one message at a time through a pipe, the frame
 DataFrame is hash-partitioned by WAL segment, sorted by LSN within
 partitions, and decoded by an Arrow-batched ``mapInPandas`` kernel.
 
-Transaction scoping (reference reader.py:182-193): Begin/Commit markers
-open/close a transaction whose (xid, begin_lsn, commit_ts) is stamped on
-every contained event. Because a segment's frames are contiguous within
-one partition and sorted by LSN, the kernel carries open-transaction
-state across Arrow batches with a per-segment dict — exact semantics,
-zero shuffle beyond the single segment repartition (which also gives the
-decode its parallelism unit: ~one task per WAL segment).
+Design for throughput:
 
-Scale notes:
-  - decode parallelism = number of segments; segments are sized by the
-    source (frames per segment ≈ frames_per_task), so a 1000-executor
-    cluster sees 1000s of independent decode tasks.
-  - only I/U/D/T events are emitted; B/C/R/O/Y frames are consumed inside
-    the kernel (R additionally flows to the driver-side registry via a
-    JVM byte-predicate filter — see plans.registry).
-  - output carries cells as MAP<STRING,STRING> keyed by column name plus
-    the TOAST-unchanged column list, so downstream operators never need
-    positional knowledge (the positional zip of reference reader.py:63-69
-    happens here, vectorized, against the registry version in effect at
-    the event's LSN).
+  - The Python kernel emits only primitive columns (strings, longs) and
+    flat string arrays — no per-row dict/map objects. Name mapping (the
+    positional zip of reference reader.py:63-69) happens JVM-side via a
+    broadcast join with the tiny registry DataFrame followed by
+    ``map_from_arrays``; the TOAST-unchanged column list is computed with
+    codegen'd array functions, not Python.
+  - The kernel parses with ``struct.unpack_from`` over the raw bytes
+    (no BytesIO, no intermediate message objects) and dispatches on the
+    first byte (reference decoders.py:58-61 semantics, incl. the Update
+    K/O/N state machine and Delete K/O validation).
+  - Transaction scoping (reference reader.py:182-193): Begin/Commit
+    open/close a transaction whose (xid, begin_lsn, commit_ts) stamps
+    every contained event. A segment's frames are contiguous within one
+    partition and LSN-sorted, so the kernel carries open-transaction
+    state across Arrow batches in a per-segment dict — exact semantics,
+    zero extra shuffle (the single segment repartition is also the
+    parallelism unit: one decode task per ~segment).
+
+Scale: decode parallelism = number of WAL segments; only I/U/D/T events
+are emitted (B/C/R/O/Y are consumed in the kernel; R additionally flows
+to the driver-side registry via a JVM byte-predicate filter — see
+plans.registry).
 """
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional
+import struct
+from typing import Iterator, Optional
 
 from pypgoutput_spark.plans.registry import RelationRegistry, plain_lookup
 from pypgoutput_spark.wal import codec
 
-#: canonical decoded change-event schema (SURVEY.md §1.1 ChangeEvent)
-EVENTS_SCHEMA = (
+#: kernel output (primitive columns only — see module docstring)
+RAW_SCHEMA = (
     "lsn BIGINT, op STRING, relation_id INT, xid BIGINT, begin_lsn BIGINT, "
     "commit_ts_us BIGINT, schema_version INT, before_kind STRING, "
-    "before MAP<STRING,STRING>, after MAP<STRING,STRING>, "
-    "after_unchanged ARRAY<STRING>, segment BIGINT"
+    "before_cats ARRAY<STRING>, before_vals ARRAY<STRING>, "
+    "new_cats ARRAY<STRING>, new_vals ARRAY<STRING>, segment BIGINT"
 )
 
-
-def _zip_cells(names, cats, vals):
-    """Positional cells → (name→value map, unchanged-column list).
-
-    NULL ('n') cells map to None values; TOAST ('u') cells also map to
-    None but are listed in ``unchanged`` — the distinction the reference
-    erases (reader.py:63-69) and the merge needs (SURVEY.md §7).
-    """
-    m = {}
-    unchanged: List[str] = []
-    for name, cat, val in zip(names, cats, vals):
-        m[name] = val
-        if cat == "u":
-            unchanged.append(name)
-    return m, unchanged
+# NB: plain functions (not pre-bound Struct methods) — the kernel closure
+# must stay cloudpickle-able for shipping to executors
+def _unpack_i16(b, pos):
+    return struct.unpack_from(">h", b, pos)
 
 
-def _split(cells):
-    return [c for c, _ in cells], [v for _, v in cells]
+def _unpack_i32(b, pos):
+    return struct.unpack_from(">i", b, pos)
+
+
+def _unpack_begin(b, pos):
+    return struct.unpack_from(">qqi", b, pos)  # lsn, ts, xid
+
+
+def _parse_tuple(b: bytes, pos: int):
+    """TupleData at pos → (cats, vals, end_pos). 'n'/'u' cells → None val
+    (reference decoders.py:96-128 grammar)."""
+    (n_cols,) = _unpack_i16(b, pos)
+    pos += 2
+    cats: list = []
+    vals: list = []
+    for _ in range(n_cols):
+        c = b[pos]
+        pos += 1
+        if c == 116:  # 't'
+            (ln,) = _unpack_i32(b, pos)
+            pos += 4
+            cats.append("t")
+            vals.append(b[pos : pos + ln].decode("utf-8"))
+            pos += ln
+        elif c == 110:  # 'n'
+            cats.append("n")
+            vals.append(None)
+        elif c == 117:  # 'u'
+            cats.append("u")
+            vals.append(None)
+        else:
+            raise ValueError(f"bad TupleData category byte {chr(c)!r} at {pos - 1}")
+    return cats, vals, pos
 
 
 def _make_kernel(registry_plain: dict, strict: bool = True):
@@ -69,93 +94,222 @@ def _make_kernel(registry_plain: dict, strict: bool = True):
         import pandas as pd
 
         open_tx: dict = {}  # segment -> (xid, begin_lsn, commit_ts_us)
+        cols = (
+            "lsn", "op", "relation_id", "xid", "begin_lsn", "commit_ts_us",
+            "schema_version", "before_kind", "before_cats", "before_vals",
+            "new_cats", "new_vals", "segment",
+        )
         for pdf in batches:
-            out = {k: [] for k in (
-                "lsn", "op", "relation_id", "xid", "begin_lsn", "commit_ts_us",
-                "schema_version", "before_kind", "before", "after",
-                "after_unchanged", "segment",
-            )}
-
-            def emit(lsn, op, rid, seg, schema_version, before_kind=None,
-                     before=None, after=None, after_unchanged=None):
-                tx = open_tx.get(seg)
-                out["lsn"].append(lsn)
-                out["op"].append(op)
-                out["relation_id"].append(rid)
-                out["xid"].append(tx[0] if tx else None)
-                out["begin_lsn"].append(tx[1] if tx else None)
-                out["commit_ts_us"].append(tx[2] if tx else None)
-                out["schema_version"].append(schema_version)
-                out["before_kind"].append(before_kind)
-                out["before"].append(before)
-                out["after"].append(after)
-                out["after_unchanged"].append(after_unchanged)
-                out["segment"].append(seg)
+            out = {k: [] for k in cols}
+            a_lsn, a_op, a_rid = out["lsn"].append, out["op"].append, out["relation_id"].append
+            a_xid, a_blsn, a_cts = out["xid"].append, out["begin_lsn"].append, out["commit_ts_us"].append
+            a_ver, a_bk = out["schema_version"].append, out["before_kind"].append
+            a_bc, a_bv = out["before_cats"].append, out["before_vals"].append
+            a_nc, a_nv = out["new_cats"].append, out["new_vals"].append
+            a_seg = out["segment"].append
 
             for seg, lsn, payload in zip(
                 pdf["segment"].values, pdf["lsn"].values, pdf["payload"].values
             ):
-                seg = int(seg)
-                lsn = int(lsn)
-                m = codec.decode_message(bytes(payload))
-                t = m["msg_type"]
-                if t == "B":
-                    open_tx[seg] = (m["xid"], lsn, m["commit_ts_us"])
+                b = bytes(payload)
+                t = b[0]
+                if t == 66:  # 'B'
+                    blsn, cts, xid = _unpack_begin(b, 1)
+                    open_tx[seg] = (xid, int(lsn), cts)
                     continue
-                if t == "C":
+                if t == 67:  # 'C'
                     open_tx.pop(seg, None)
                     continue
-                if t in ("R", "O", "Y"):
-                    continue  # registry handled driver-side; O/Y ignored (reference parity)
-                if t == "T":
-                    for rid in m["relation_ids"]:
-                        looked = plain_lookup(registry_plain, rid, lsn)
-                        emit(lsn, "T", rid, seg,
-                             looked[0] if looked else None)
+                if t in (82, 79, 89):  # 'R' (driver-side), 'O', 'Y' (reference stubs)
                     continue
-                rid = m["relation_id"]
-                looked = plain_lookup(registry_plain, rid, lsn)
+
+                if t == 84:  # 'T' truncate: fan out per relation (reader.py:307-320)
+                    (n_rel,) = _unpack_i32(b, 1)
+                    tx = open_tx.get(seg)
+                    for k in range(n_rel):
+                        (rid,) = _unpack_i32(b, 6 + 4 * k)
+                        looked = plain_lookup(registry_plain, rid, int(lsn))
+                        a_lsn(int(lsn)); a_op("T"); a_rid(rid)
+                        a_xid(tx[0] if tx else None)
+                        a_blsn(tx[1] if tx else None)
+                        a_cts(tx[2] if tx else None)
+                        a_ver(looked[0] if looked else None)
+                        a_bk(None); a_bc(None); a_bv(None); a_nc(None); a_nv(None)
+                        a_seg(int(seg))
+                    continue
+
+                (rid,) = _unpack_i32(b, 1)
+                looked = plain_lookup(registry_plain, rid, int(lsn))
                 if looked is None:
                     if strict:
                         raise ValueError(
-                            f"no Relation message seen for relation_id={rid} "
-                            f"at lsn={lsn} (stream must carry 'R' before DML)"
+                            f"no Relation message seen for relation_id={rid} at "
+                            f"lsn={lsn} (stream must carry 'R' before DML)"
                         )
                     continue
-                version, names, _pkeys = looked
-                if t == "I":
-                    after, unch = _zip_cells(names, *_split(m["new"]))
-                    emit(lsn, "I", rid, seg, version, None, None, after, unch)
-                elif t == "U":
-                    before = None
-                    if m["old"] is not None:
-                        before, _ = _zip_cells(names, *_split(m["old"]))
-                    after, unch = _zip_cells(names, *_split(m["new"]))
-                    emit(lsn, "U", rid, seg, version, m["old_kind"], before, after, unch)
-                elif t == "D":
-                    before, _ = _zip_cells(names, *_split(m["old"]))
-                    emit(lsn, "D", rid, seg, version, m["old_kind"], before, None, None)
-            if out["lsn"]:  # empty pandas frames break Arrow map-type inference
+                version = looked[0]
+                bk = None
+                b_cats = b_vals = n_cats = n_vals = None
+
+                if t == 73:  # 'I'
+                    if b[5] != 78:  # 'N'
+                        raise ValueError("Insert expects 'N' tuple marker")
+                    n_cats, n_vals, _ = _parse_tuple(b, 6)
+                    op = "I"
+                elif t == 85:  # 'U' — K/O optional old image, then mandatory N
+                    pos = 5
+                    marker = b[pos]
+                    pos += 1
+                    if marker in (75, 79):  # 'K' / 'O'
+                        bk = chr(marker)
+                        b_cats, b_vals, pos = _parse_tuple(b, pos)
+                        marker = b[pos]
+                        pos += 1
+                    if marker != 78:
+                        raise ValueError(
+                            f"Update missing 'N' new-tuple marker, got {chr(marker)!r}"
+                        )
+                    n_cats, n_vals, _ = _parse_tuple(b, pos)
+                    op = "U"
+                elif t == 68:  # 'D' — K or O required
+                    marker = b[5]
+                    if marker not in (75, 79):
+                        raise ValueError(
+                            f"Delete tuple kind must be 'K' or 'O', got {chr(marker)!r}"
+                        )
+                    bk = chr(marker)
+                    b_cats, b_vals, _ = _parse_tuple(b, 6)
+                    op = "D"
+                else:
+                    raise ValueError(f"unknown pgoutput message type byte {chr(t)!r}")
+
+                tx = open_tx.get(seg)
+                a_lsn(int(lsn)); a_op(op); a_rid(rid)
+                a_xid(tx[0] if tx else None)
+                a_blsn(tx[1] if tx else None)
+                a_cts(tx[2] if tx else None)
+                a_ver(version); a_bk(bk)
+                a_bc(b_cats); a_bv(b_vals); a_nc(n_cats); a_nv(n_vals)
+                a_seg(int(seg))
+
+            if out["lsn"]:  # empty pandas frames break Arrow type inference
                 yield pd.DataFrame(out)
 
     return kernel
+
+
+def decode_frames_raw(frames_df, registry: Optional[RelationRegistry] = None,
+                      strict: bool = True):
+    """frames → RAW decoded events (positional cell arrays, no maps).
+
+    The hot-path form: one shuffle (repartition by segment for transaction
+    co-location), kernel output only. Use :func:`project_relation` to get
+    typed columns for one relation, or :func:`decode_frames` for the
+    generic named-map form.
+    """
+    if registry is None:
+        registry = RelationRegistry.from_frames(frames_df)
+    plain = registry.to_plain()
+    partitioned = frames_df.repartition("segment").sortWithinPartitions("segment", "lsn")
+    return partitioned.mapInPandas(_make_kernel(plain, strict), schema=RAW_SCHEMA)
+
+
+def project_relation(raw_events, relation_version):
+    """Positional projection of RAW events for one relation version →
+    plain typed columns (reference reader.py:63-69, vectorized, JVM-side):
+
+        lsn, op, xid, begin_lsn, commit_ts_us, <key+value columns as
+        STRING>, u_<col> BOOLEAN (TOAST-unchanged flags)
+
+    Delete events take key columns from the before-image (replica
+    identity); I/U take everything from the new tuple. No maps, no
+    Python — the whole projection is codegen'd array indexing, and the
+    downstream LWW shuffle carries flat strings instead of map objects.
+    """
+    from pyspark.sql import functions as F
+
+    rv = relation_version
+    cols = [F.col("lsn"), F.col("op"), F.col("xid"), F.col("begin_lsn"),
+            F.col("commit_ts_us")]
+    key_set = set(rv.key_columns)
+    for i, name in enumerate(rv.column_names):
+        new_v = F.col("new_vals").getItem(i)
+        if name in key_set:
+            cols.append(
+                F.when(F.col("op") == "D", F.col("before_vals").getItem(i))
+                .otherwise(new_v).alias(name)
+            )
+        else:
+            cols.append(new_v.alias(name))
+        cols.append(
+            (F.col("new_cats").getItem(i) == "u").alias(f"u_{name}")
+        )
+    return (
+        raw_events.filter(
+            (F.col("relation_id") == rv.relation_id)
+            & (F.col("schema_version") == rv.version)
+        ).select(*cols)
+    )
 
 
 def decode_frames(frames_df, registry: Optional[RelationRegistry] = None,
                   strict: bool = True):
     """frames (segment, lsn, payload) → canonical change events.
 
-    One shuffle: repartition by segment so each transaction's frames are
-    co-located and LSN-sorted for exact B..C transaction stamping.
+    One shuffle (repartition by segment for transaction co-location);
+    name mapping and TOAST bookkeeping are JVM-side (broadcast registry
+    join + map_from_arrays + codegen'd array ops).
+
+    Output: lsn, op, relation_id, xid, begin_lsn, commit_ts(_us),
+    schema_version, before_kind, before/after MAP<STRING,STRING>,
+    after_unchanged ARRAY<STRING>, segment.
     """
     from pyspark.sql import functions as F
 
+    spark = frames_df.sparkSession
     if registry is None:
         registry = RelationRegistry.from_frames(frames_df)
-    plain = registry.to_plain()
-    partitioned = frames_df.repartition("segment").sortWithinPartitions("segment", "lsn")
-    events = partitioned.mapInPandas(_make_kernel(plain, strict), schema=EVENTS_SCHEMA)
-    return events.withColumn(
-        "commit_ts",
-        F.timestamp_micros(F.col("commit_ts_us") + F.lit(codec.PG_EPOCH_UNIX_US)),
+
+    reg_rows = [
+        (rid, v.version, list(v.column_names))
+        for rid in registry.relation_ids()
+        for v in registry.versions(rid)
+    ]
+    reg_df = spark.createDataFrame(
+        reg_rows or [(0, 0, [])],
+        schema="relation_id INT, schema_version INT, col_names ARRAY<STRING>",
+    )
+
+    raw = decode_frames_raw(frames_df, registry, strict)
+    return (
+        raw.join(F.broadcast(reg_df), ["relation_id", "schema_version"], "left")
+        .withColumn(
+            "before",
+            F.when(
+                F.col("before_vals").isNotNull(),
+                F.map_from_arrays(F.col("col_names"), F.col("before_vals")),
+            ),
+        )
+        .withColumn(
+            "after",
+            F.when(
+                F.col("new_vals").isNotNull(),
+                F.map_from_arrays(F.col("col_names"), F.col("new_vals")),
+            ),
+        )
+        .withColumn(
+            "after_unchanged",
+            F.when(
+                F.col("new_cats").isNotNull(),
+                F.expr(
+                    "transform(filter(arrays_zip(col_names, new_cats), "
+                    "x -> x.new_cats = 'u'), x -> x.col_names)"
+                ),
+            ),
+        )
+        .withColumn(
+            "commit_ts",
+            F.timestamp_micros(F.col("commit_ts_us") + F.lit(codec.PG_EPOCH_UNIX_US)),
+        )
+        .drop("before_cats", "before_vals", "new_cats", "new_vals", "col_names")
     )

@@ -93,6 +93,58 @@ def lww_changes(events_df, key_cols: Sequence[str], value_cols: Sequence[str],
     return p1.groupBy(*key_cols).agg(*[F.expr(a) for a in phase2_aggs])
 
 
+def _resolved_expr_flat(col: str) -> str:
+    """Aggregate resolving one value column over the flat (positional)
+    projection: plain columns ``<col>`` + ``u_<col>`` instead of maps."""
+    return (
+        f"max_by(named_struct('v', CASE WHEN op = 'D' THEN CAST(NULL AS STRING) "
+        f"ELSE `{col}` END), lsn) "
+        f"FILTER (WHERE op = 'D' OR NOT coalesce(u_{col}, false)) AS r_{col}"
+    )
+
+
+def lww_changes_flat(projected_df, key_cols: Sequence[str],
+                     value_cols: Sequence[str], salt_buckets: int = 0):
+    """LWW over the flat projection (operators.decode.project_relation):
+    same semantics as :func:`lww_changes`, but the shuffle carries plain
+    string columns instead of map objects — the hot-path form.
+    """
+    final_aggs = [
+        "max_by(op, lsn) AS final_op",
+        "max(lsn) AS max_lsn",
+        "count(*) AS n_events",
+    ]
+    if salt_buckets <= 1:
+        aggs = final_aggs + [_resolved_expr_flat(c) for c in value_cols]
+        return projected_df.groupBy(*key_cols).agg(*[F.expr(a) for a in aggs])
+
+    salted = projected_df.withColumn(
+        "_salt", F.pmod(F.xxhash64("lsn"), F.lit(salt_buckets))
+    )
+    phase1_aggs = (
+        final_aggs
+        + [_resolved_expr_flat(c) for c in value_cols]
+        + [
+            f"max(lsn) FILTER (WHERE op = 'D' OR NOT coalesce(u_{c}, false)) "
+            f"AS r_{c}_lsn"
+            for c in value_cols
+        ]
+    )
+    p1 = salted.groupBy(*key_cols, "_salt").agg(*[F.expr(a) for a in phase1_aggs])
+    phase2_aggs = (
+        [
+            "max_by(final_op, max_lsn) AS final_op",
+            "max(max_lsn) AS max_lsn",
+            "sum(n_events) AS n_events",
+        ]
+        + [
+            f"max_by(r_{c}, r_{c}_lsn) FILTER (WHERE r_{c} IS NOT NULL) AS r_{c}"
+            for c in value_cols
+        ]
+    )
+    return p1.groupBy(*key_cols).agg(*[F.expr(a) for a in phase2_aggs])
+
+
 def truncate_barrier(events_df, relation_id: int):
     """Split a batch at the last Truncate event for a relation.
 

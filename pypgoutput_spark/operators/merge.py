@@ -43,7 +43,7 @@ def merge_into(
     changes,
     watermark_lsn: int,
     truncate: bool = False,
-    broadcast_threshold: int = 2_000_000,
+    broadcast_threshold: int = 150_000,
     extra_metrics: Optional[dict] = None,
 ) -> dict:
     """Apply an LWW change set. Returns the batch metrics dict.
@@ -66,14 +66,15 @@ def merge_into(
     ch = table.with_bucket(changes)
     ch.cache()
     try:
-        # driver-side: touched buckets + per-op counts (tiny aggregates)
-        op_counts = {
-            r["final_op"]: r["cnt"]
-            for r in ch.groupBy("final_op").agg(F.count("*").alias("cnt")).collect()
-        }
-        touched = [
-            int(r["_bucket"]) for r in ch.select("_bucket").distinct().collect()
-        ]
+        # one driver action: touched buckets + per-op counts (also
+        # materializes the change-set cache)
+        bucket_ops = ch.groupBy("_bucket", "final_op").agg(F.count("*").alias("cnt")).collect()
+        op_counts: dict = {}
+        touched_set = set()
+        for r in bucket_ops:
+            op_counts[r["final_op"]] = op_counts.get(r["final_op"], 0) + r["cnt"]
+            touched_set.add(int(r["_bucket"]))
+        touched = sorted(touched_set)
         n_changes = sum(op_counts.values())
         small = n_changes <= broadcast_threshold
         b = (lambda df: F.broadcast(df)) if small else (lambda df: df)

@@ -89,17 +89,20 @@ class RelationRegistry:
     def from_frames(cls, frames_df) -> "RelationRegistry":
         """Extract and decode the 'R' cohort of a frames DataFrame.
 
-        The filter is a JVM-side byte predicate — only Relation frames
-        (a handful per stream) ever reach Python or the driver.
+        With an ``mtype`` column (stamped at frame receipt) the filter is
+        pushed to the parquet scan and the payload column is only
+        materialized for matching rows; otherwise a JVM-side byte
+        predicate over the payload. Only Relation frames (a handful per
+        stream) ever reach Python or the driver.
         """
         from pyspark.sql import functions as F
 
         reg = cls()
-        r_frames = (
-            frames_df.filter(F.expr("substring(payload, 1, 1) = X'52'"))  # 'R'
-            .select("lsn", "payload")
-            .collect()
-        )
+        if "mtype" in frames_df.columns:
+            flt = F.col("mtype") == "R"
+        else:
+            flt = F.expr("substring(payload, 1, 1) = X'52'")
+        r_frames = frames_df.filter(flt).select("lsn", "payload").collect()
         for row in sorted(r_frames, key=lambda r: r["lsn"]):
             reg.add_relation(row["lsn"], codec.decode_message(bytes(row["payload"])))
         return reg

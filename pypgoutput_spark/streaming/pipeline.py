@@ -27,31 +27,84 @@ from pyspark.sql import functions as F
 
 from pypgoutput_spark.lake.table import LakeTable
 from pypgoutput_spark.operators import decode as decode_op
-from pypgoutput_spark.operators.lww import lww_changes, truncate_barrier
+from pypgoutput_spark.operators.lww import lww_changes_flat
 from pypgoutput_spark.operators.merge import merge_into
 from pypgoutput_spark.plans.registry import RelationRegistry
 from pypgoutput_spark.wal.generator import RELATION_ID
 
 
-def apply_events_batch(
+def apply_frames_batch(
     table: LakeTable,
-    events,
+    frames,
+    registry: Optional[RelationRegistry] = None,
     relation_id: int = RELATION_ID,
-    watermark_lsn: Optional[int] = None,
     salt_buckets: int = 0,
+    strict: bool = True,
 ) -> dict:
-    """Decode-output events (one relation) → LWW → merge. Returns metrics."""
+    """One micro-batch: frames → decode → LWW → merge. Returns metrics.
+
+    Batch stats (watermark candidate + truncate-barrier LSN) come from the
+    frame *metadata* columns — a scan that prunes the payload entirely
+    when the source stamps ``mtype`` — so the expensive decode runs
+    exactly once, streaming straight into the LWW aggregation (which is
+    itself a partial-combining groupBy: decoded events are never
+    materialized or cached).
+    """
     snap = table.snapshot()
     keys = snap["key_cols"]
     value_cols = [n for n, _ in snap["schema"] if n not in keys]
 
-    rel_events = events.filter(F.col("relation_id") == relation_id)
-    eff, truncated = truncate_barrier(rel_events, relation_id)
-    if watermark_lsn is None:
-        watermark_lsn = (
-            rel_events.agg(F.max("lsn").alias("m")).collect()[0]["m"] or -1
+    has_mtype = "mtype" in frames.columns
+    t_pred = (
+        F.col("mtype") == "T"
+        if has_mtype
+        else F.expr("substring(payload, 1, 1) = X'54'")
+    )
+    stats = frames.agg(
+        F.max("lsn").alias("max_lsn"),
+        F.max(F.when(t_pred, F.col("lsn"))).alias("t_lsn"),
+    ).collect()[0]
+    if stats["max_lsn"] is None:
+        return {"skipped": True, "reason": "empty", "watermark_lsn": table.watermark_lsn}
+    watermark_lsn = stats["max_lsn"]
+    truncated = stats["t_lsn"] is not None
+
+    eff_frames = frames
+    if truncated and has_mtype:
+        # drop dead DML frames below the barrier before decode; keep all
+        # B/C/R frames (a post-barrier event's Begin may precede the barrier)
+        eff_frames = frames.filter(
+            ~F.col("mtype").isin("I", "U", "D")
+            | (F.col("lsn") > F.lit(stats["t_lsn"]))
         )
-    changes = lww_changes(eff, keys, value_cols, salt_buckets=salt_buckets)
+
+    if registry is None:
+        registry = RelationRegistry.from_frames(frames)
+    versions = registry.versions(relation_id)
+    if not versions:
+        return {"skipped": True, "reason": "no-relation", "watermark_lsn": table.watermark_lsn}
+
+    raw = decode_op.decode_frames_raw(eff_frames, registry, strict=strict)
+    # project every schema version present in the stream, aligned to the
+    # table's current columns (missing columns → NULL, not-unchanged)
+    parts = []
+    base_cols = ["lsn", "op", "xid", "begin_lsn", "commit_ts_us"]
+    for rv in versions:
+        p_df = decode_op.project_relation(raw, rv)
+        sel = list(base_cols)
+        for c in list(keys) + value_cols:
+            if c in rv.column_names:
+                sel += [f"`{c}`", f"u_{c}"]
+            else:
+                sel += [f"CAST(NULL AS STRING) AS `{c}`", f"false AS u_{c}"]
+        parts.append(p_df.selectExpr(*sel))
+    proj = parts[0]
+    for extra in parts[1:]:
+        proj = proj.unionByName(extra)
+    proj = proj.filter(F.col("op") != "T")
+    if truncated:
+        proj = proj.filter(F.col("lsn") > stats["t_lsn"])
+    changes = lww_changes_flat(proj, keys, value_cols, salt_buckets=salt_buckets)
     return merge_into(table, changes, watermark_lsn, truncate=truncated)
 
 
@@ -96,9 +149,9 @@ def run_ingest(
 
     out = []
     for batch_frames in batches:
-        events = decode_op.decode_frames(batch_frames, registry, strict=strict)
-        metrics = apply_events_batch(
-            table, events, relation_id, salt_buckets=salt_buckets
+        metrics = apply_frames_batch(
+            table, batch_frames, registry, relation_id,
+            salt_buckets=salt_buckets, strict=strict,
         )
         out.append(metrics)
         if on_batch:
@@ -120,19 +173,20 @@ def stream_ingest(
     stream checkpoint this is exactly-once end-to-end. Returns the
     StreamingQuery (caller awaits/stops).
     """
+    from pypgoutput_spark.wal.generator import FRAMES_SCHEMA
+
     frames_stream = (
-        spark.readStream.schema("segment BIGINT, lsn BIGINT, payload BINARY")
+        spark.readStream.schema(FRAMES_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(frames_dir)
     )
     # registry from the static view of the same directory (R frames precede
     # DML in WAL order; for a fixed publication they exist from the start)
-    static = spark.read.schema("segment BIGINT, lsn BIGINT, payload BINARY").parquet(frames_dir)
+    static = spark.read.schema(FRAMES_SCHEMA).parquet(frames_dir)
     registry = RelationRegistry.from_frames(static)
 
     def _apply(batch_df, batch_id: int) -> None:
-        events = decode_op.decode_frames(batch_df, registry, strict=False)
-        apply_events_batch(table, events, relation_id)
+        apply_frames_batch(table, batch_df, registry, relation_id, strict=False)
 
     return (
         frames_stream.writeStream.foreachBatch(_apply)

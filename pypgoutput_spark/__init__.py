@@ -20,4 +20,33 @@ from pypgoutput_spark.wal.codec import decode_batch, decode_message
 
 __version__ = "0.1.0"
 
-__all__ = ["codec", "decode_message", "decode_batch", "__version__"]
+__all__ = [
+    "codec",
+    "decode_message",
+    "decode_batch",
+    "LakeTable",
+    "RelationRegistry",
+    "decode_frames",
+    "run_ingest",
+    "__version__",
+]
+
+
+def __getattr__(name):  # lazy: keep pure-codec imports Spark-free
+    if name == "LakeTable":
+        from pypgoutput_spark.lake.table import LakeTable
+
+        return LakeTable
+    if name == "RelationRegistry":
+        from pypgoutput_spark.plans.registry import RelationRegistry
+
+        return RelationRegistry
+    if name == "decode_frames":
+        from pypgoutput_spark.operators.decode import decode_frames
+
+        return decode_frames
+    if name == "run_ingest":
+        from pypgoutput_spark.streaming.pipeline import run_ingest
+
+        return run_ingest
+    raise AttributeError(name)

@@ -45,7 +45,8 @@ RAW_SCHEMA = (
     "lsn BIGINT, op STRING, relation_id INT, xid BIGINT, begin_lsn BIGINT, "
     "commit_ts_us BIGINT, schema_version INT, before_kind STRING, "
     "before_cats ARRAY<STRING>, before_vals ARRAY<STRING>, "
-    "new_cats ARRAY<STRING>, new_vals ARRAY<STRING>, segment BIGINT"
+    "new_cats ARRAY<STRING>, new_vals ARRAY<STRING>, segment BIGINT, "
+    "error STRING"
 )
 
 # NB: plain functions (not pre-bound Struct methods) — the kernel closure
@@ -97,7 +98,7 @@ def _make_kernel(registry_plain: dict, strict: bool = True):
         cols = (
             "lsn", "op", "relation_id", "xid", "begin_lsn", "commit_ts_us",
             "schema_version", "before_kind", "before_cats", "before_vals",
-            "new_cats", "new_vals", "segment",
+            "new_cats", "new_vals", "segment", "error",
         )
         for pdf in batches:
             out = {k: [] for k in cols}
@@ -107,10 +108,22 @@ def _make_kernel(registry_plain: dict, strict: bool = True):
             a_bc, a_bv = out["before_cats"].append, out["before_vals"].append
             a_nc, a_nv = out["new_cats"].append, out["new_vals"].append
             a_seg = out["segment"].append
+            a_err = out["error"].append
+
+            def emit_dead_letter(seg, lsn, exc):
+                """Quarantine row for a corrupt/undecodable frame (op='E'):
+                the distributed alternative to the reference's
+                tear-down-on-error (reader.py:326-331)."""
+                a_lsn(int(lsn)); a_op("E"); a_rid(None)
+                a_xid(None); a_blsn(None); a_cts(None)
+                a_ver(None); a_bk(None)
+                a_bc(None); a_bv(None); a_nc(None); a_nv(None)
+                a_seg(int(seg)); a_err(f"{type(exc).__name__}: {exc}")
 
             for seg, lsn, payload in zip(
                 pdf["segment"].values, pdf["lsn"].values, pdf["payload"].values
             ):
+              try:
                 b = bytes(payload)
                 t = b[0]
                 if t == 66:  # 'B'
@@ -135,7 +148,7 @@ def _make_kernel(registry_plain: dict, strict: bool = True):
                         a_cts(tx[2] if tx else None)
                         a_ver(looked[0] if looked else None)
                         a_bk(None); a_bc(None); a_bv(None); a_nc(None); a_nv(None)
-                        a_seg(int(seg))
+                        a_seg(int(seg)); a_err(None)
                     continue
 
                 (rid,) = _unpack_i32(b, 1)
@@ -190,7 +203,11 @@ def _make_kernel(registry_plain: dict, strict: bool = True):
                 a_cts(tx[2] if tx else None)
                 a_ver(version); a_bk(bk)
                 a_bc(b_cats); a_bv(b_vals); a_nc(n_cats); a_nv(n_vals)
-                a_seg(int(seg))
+                a_seg(int(seg)); a_err(None)
+              except Exception as exc:  # noqa: BLE001
+                if strict:
+                    raise
+                emit_dead_letter(seg, lsn, exc)
 
             if out["lsn"]:  # empty pandas frames break Arrow type inference
                 yield pd.DataFrame(out)
@@ -199,22 +216,31 @@ def _make_kernel(registry_plain: dict, strict: bool = True):
 
 
 def decode_frames_raw(frames_df, registry: Optional[RelationRegistry] = None,
-                      strict: bool = True):
+                      strict: bool = True, clustered: bool = False):
     """frames → RAW decoded events (positional cell arrays, no maps).
 
-    The hot-path form: one shuffle (repartition by segment for transaction
-    co-location), kernel output only. Use :func:`project_relation` to get
-    typed columns for one relation, or :func:`decode_frames` for the
-    generic named-map form.
+    The hot-path form; use :func:`project_relation` for typed columns of
+    one relation, or :func:`decode_frames` for the generic named-map form.
+
+    ``clustered=True`` declares that every WAL segment is wholly contained
+    in one input partition (true for a receiver that lands frames in LSN
+    order with segment-aligned files, and for the synthetic generator) —
+    decode then runs with only a cheap *local* sort, *zero shuffle*, and
+    parallelism = input partitions. Default is a repartition by segment
+    for arbitrary frame layouts. Transaction stamping is exact either way
+    (the kernel keys open-transaction state by segment).
     """
     if registry is None:
         registry = RelationRegistry.from_frames(frames_df)
     plain = registry.to_plain()
-    partitioned = frames_df.repartition("segment").sortWithinPartitions("segment", "lsn")
+    if clustered:
+        partitioned = frames_df.sortWithinPartitions("segment", "lsn")
+    else:
+        partitioned = frames_df.repartition("segment").sortWithinPartitions("segment", "lsn")
     return partitioned.mapInPandas(_make_kernel(plain, strict), schema=RAW_SCHEMA)
 
 
-def project_relation(raw_events, relation_version):
+def project_relation(raw_events, relation_version, typed: bool = False):
     """Positional projection of RAW events for one relation version →
     plain typed columns (reference reader.py:63-69, vectorized, JVM-side):
 
@@ -232,15 +258,22 @@ def project_relation(raw_events, relation_version):
     cols = [F.col("lsn"), F.col("op"), F.col("xid"), F.col("begin_lsn"),
             F.col("commit_ts_us")]
     key_set = set(rv.key_columns)
+    spark_types = dict(rv.spark_fields()) if typed else {}
     for i, name in enumerate(rv.column_names):
         new_v = F.col("new_vals").getItem(i)
         if name in key_set:
-            cols.append(
+            c = (
                 F.when(F.col("op") == "D", F.col("before_vals").getItem(i))
-                .otherwise(new_v).alias(name)
+                .otherwise(new_v)
             )
         else:
-            cols.append(new_v.alias(name))
+            c = new_v
+        if typed:
+            # typed validation/cast, the pydantic-model analog
+            # (reference reader.py:87-98, 260-296): pgoutput wire values
+            # are always text; typing applies post-decode per the OID map
+            c = c.cast(spark_types[name])
+        cols.append(c.alias(name))
         cols.append(
             (F.col("new_cats").getItem(i) == "u").alias(f"u_{name}")
         )

@@ -40,6 +40,7 @@ def apply_frames_batch(
     relation_id: int = RELATION_ID,
     salt_buckets: int = 0,
     strict: bool = True,
+    clustered: bool = False,
 ) -> dict:
     """One micro-batch: frames → decode → LWW → merge. Returns metrics.
 
@@ -62,12 +63,21 @@ def apply_frames_batch(
     )
     stats = frames.agg(
         F.max("lsn").alias("max_lsn"),
+        F.min("lsn").alias("min_lsn"),
         F.max(F.when(t_pred, F.col("lsn"))).alias("t_lsn"),
+        F.min("segment").alias("seg_lo"),
+        F.max("segment").alias("seg_hi"),
+        F.count("*").alias("n_frames"),
     ).collect()[0]
     if stats["max_lsn"] is None:
         return {"skipped": True, "reason": "empty", "watermark_lsn": table.watermark_lsn}
     watermark_lsn = stats["max_lsn"]
     truncated = stats["t_lsn"] is not None
+    lineage = {
+        "lsn_range": [stats["min_lsn"], stats["max_lsn"]],
+        "segment_range": [stats["seg_lo"], stats["seg_hi"]],
+        "n_frames": stats["n_frames"],
+    }
 
     eff_frames = frames
     if truncated and has_mtype:
@@ -84,7 +94,7 @@ def apply_frames_batch(
     if not versions:
         return {"skipped": True, "reason": "no-relation", "watermark_lsn": table.watermark_lsn}
 
-    raw = decode_op.decode_frames_raw(eff_frames, registry, strict=strict)
+    raw = decode_op.decode_frames_raw(eff_frames, registry, strict=strict, clustered=clustered)
     # project every schema version present in the stream, aligned to the
     # table's current columns (missing columns → NULL, not-unchanged)
     parts = []
@@ -105,7 +115,10 @@ def apply_frames_batch(
     if truncated:
         proj = proj.filter(F.col("lsn") > stats["t_lsn"])
     changes = lww_changes_flat(proj, keys, value_cols, salt_buckets=salt_buckets)
-    return merge_into(table, changes, watermark_lsn, truncate=truncated)
+    return merge_into(
+        table, changes, watermark_lsn, truncate=truncated,
+        extra_metrics={"lineage": lineage},
+    )
 
 
 def run_ingest(
@@ -116,6 +129,7 @@ def run_ingest(
     n_batches: int = 1,
     salt_buckets: int = 0,
     strict: bool = True,
+    clustered: bool = False,
     on_batch: Optional[Callable[[dict], None]] = None,
 ) -> List[dict]:
     """Replay a frames DataFrame into the table in ``n_batches`` micro-batches
@@ -151,7 +165,7 @@ def run_ingest(
     for batch_frames in batches:
         metrics = apply_frames_batch(
             table, batch_frames, registry, relation_id,
-            salt_buckets=salt_buckets, strict=strict,
+            salt_buckets=salt_buckets, strict=strict, clustered=clustered,
         )
         out.append(metrics)
         if on_batch:
@@ -172,6 +186,12 @@ def stream_ingest(
     The lake commit is idempotent on watermark_lsn, so together with the
     stream checkpoint this is exactly-once end-to-end. Returns the
     StreamingQuery (caller awaits/stops).
+
+    Delivery contract: frame files must land in LSN-monotone order (a WAL
+    tail naturally does — the receiver rolls files as the LSN advances;
+    the file source processes oldest-first). The watermark guard treats a
+    batch whose max LSN is at or below the table watermark as already
+    applied, which is only correct under monotone delivery.
     """
     from pypgoutput_spark.wal.generator import FRAMES_SCHEMA
 

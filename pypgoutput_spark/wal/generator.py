@@ -296,59 +296,54 @@ def _encode_stream_pandas(batches: Iterator, p: GenParams) -> Iterator:
 
 
 def spark_frames_df(spark, p: GenParams, n_partitions: int = 0, include_relation: bool = True):
-    """Binary WAL frames ``(segment, lsn, payload)`` for the full stream.
+    """Binary WAL frames ``(segment, lsn, mtype, payload)`` for the stream.
 
-    Built as: one row per slot (Begin, each op, Commit) via an arithmetic
-    explode over ``spark.range(n_txns)``, then Arrow-batched encoding in a
-    single ``mapInPandas`` pass. No shuffle anywhere.
+    Built as one row per slot (Begin, each op, Commit) via a two-level
+    arithmetic explode over ``spark.range(n_segments)``, then Arrow-batched
+    encoding in a single ``mapInPandas`` pass. No shuffle anywhere, and —
+    like a real WAL receiver's output — the result is **segment-clustered
+    and LSN-ordered within every partition** (``spark.range`` splits are
+    contiguous segment runs), so the decode stage can skip its co-location
+    shuffle (``decode_frames_raw(clustered=True)``).
     """
     from pyspark.sql import functions as F
 
     ex = event_exprs(p, "spark")
     n_part = n_partitions or spark.sparkContext.defaultParallelism
-
-    ops = spark.range(0, p.n_ops, 1, n_part).withColumnRenamed("id", "i").selectExpr(
-        "'O' AS kind",
-        f"{ex['txn']} AS txn",
-        f"{ex['segment']} AS segment",
-        f"{ex['lsn']} AS lsn",
-        f"CAST({ex['txn']} * 1000000 AS BIGINT) AS commit_ts_us",
-        f"CAST(1000 + {ex['txn']} AS BIGINT) AS xid",
-        f"{ex['op']} AS op",
-        f"{ex['repo']} AS repo",
-        f"{ex['path']} AS path",
-        f"{ex['commit']} AS `commit`",
-        f"{ex['lang']} AS lang",
-        f"{ex['content']} AS content",
-        f"{ex['content_unchanged']} AS content_unchanged",
-    )
+    n_segments = (p.n_txns + p.txns_per_segment - 1) // p.txns_per_segment
     stride = p.lsn_stride
-    bc = (
-        spark.range(0, p.n_txns, 1, n_part)
-        .withColumnRenamed("id", "txn")
+    ops = p.ops_per_txn
+
+    # segment → txns → slots (slot 0 = Begin, 1..ops = DML, ops+1 = Commit);
+    # generated order == LSN order within each partition
+    slots = (
+        spark.range(0, n_segments, 1, min(n_part, max(1, n_segments)))
+        .withColumnRenamed("id", "seg")
         .selectExpr(
-            "txn",
-            f"(txn DIV {p.txns_per_segment}) AS segment",
+            "seg AS segment",
+            f"explode(sequence(seg * {p.txns_per_segment}, "
+            f"least((seg + 1) * {p.txns_per_segment}, {p.n_txns}) - 1)) AS txn",
+        )
+        .selectExpr("segment", "txn", f"explode(sequence(0, {ops + 1})) AS slot")
+        .selectExpr(
+            "segment", "txn", "slot",
+            f"CASE WHEN slot = 0 THEN 'B' WHEN slot = {ops + 1} THEN 'C' ELSE 'O' END AS kind",
+            f"CAST(10 + txn * {stride} + slot AS BIGINT) AS lsn",
             "CAST(txn * 1000000 AS BIGINT) AS commit_ts_us",
             "CAST(1000 + txn AS BIGINT) AS xid",
+            f"CASE WHEN slot BETWEEN 1 AND {ops} THEN txn * {ops} + slot - 1 END AS i",
         )
         .selectExpr(
-            "explode(array("
-            f"  named_struct('kind', 'B', 'lsn', 10 + txn * {stride}),"
-            f"  named_struct('kind', 'C', 'lsn', 10 + txn * {stride} + {p.ops_per_txn + 1})"
-            ")) AS s",
-            "txn", "segment", "commit_ts_us", "xid",
-        )
-        .selectExpr(
-            "s.kind AS kind", "txn", "segment", "CAST(s.lsn AS BIGINT) AS lsn",
-            "commit_ts_us", "xid",
-            "CAST(NULL AS STRING) AS op", "CAST(NULL AS STRING) AS repo",
-            "CAST(NULL AS STRING) AS path", "CAST(NULL AS STRING) AS `commit`",
-            "CAST(NULL AS STRING) AS lang", "CAST(NULL AS STRING) AS content",
-            "CAST(NULL AS BOOLEAN) AS content_unchanged",
+            "segment", "txn", "kind", "lsn", "commit_ts_us", "xid",
+            f"CASE WHEN kind = 'O' THEN {ex['op']} END AS op",
+            f"CASE WHEN kind = 'O' THEN {ex['repo']} END AS repo",
+            f"CASE WHEN kind = 'O' THEN {ex['path']} END AS path",
+            f"CASE WHEN kind = 'O' THEN {ex['commit']} END AS `commit`",
+            f"CASE WHEN kind = 'O' THEN {ex['lang']} END AS lang",
+            f"CASE WHEN kind = 'O' THEN {ex['content']} END AS content",
+            f"CASE WHEN kind = 'O' THEN {ex['content_unchanged']} ELSE false END AS content_unchanged",
         )
     )
-    slots = ops.unionByName(bc)
     frames = slots.mapInPandas(lambda it: _encode_stream_pandas(it, p), schema=FRAMES_SCHEMA)
 
     if include_relation:

@@ -104,6 +104,15 @@ WHERE inter * {JACCARD_DEN} >= (sa.sz + sb.sz - inter) * {JACCARD_NUM}
 
 
 def _minhash_cte(d: Dialect) -> str:
+    """MinHash signatures via explode-once + K min() aggregates.
+
+    Shingles are exploded a single time and each of the K hash families
+    is a plain ``min(bigint)`` aggregate — hash-aggregable with map-side
+    partial combine, so the per-doc signature costs one pass over the
+    shingle stream regardless of K (the array-transform formulation
+    recomputes the shingle array per hash column after Catalyst collapses
+    projections — measured 10x slower).
+    """
     toks = d.split_ws("text")
     grams = d.array_distinct(
         d.array_transform(
@@ -113,30 +122,42 @@ def _minhash_cte(d: Dialect) -> str:
     )
     mh_parts = []
     for k in range(MINHASH_K):
-        seeded = d.md5_int(f"concat('{k}:', s)")
-        mh_parts.append(
-            d.array_min(d.array_transform("grams", f"s -> {seeded}")) + f" AS mh_{k}"
-        )
+        seeded = d.md5_int(f"concat('{k}:', shingle)")
+        mh_parts.append(f"min({seeded}) AS mh_{k}")
     mh_cols = ", ".join(mh_parts)
+    # one struct per band, exploded in a single pass over mh (a UNION of
+    # per-band selects would re-plan — and re-compute — the signature
+    # aggregation once per band after CTE inlining)
     rows_per_band = MINHASH_K // MINHASH_BANDS
-    band_selects = []
+    band_structs = []
     for b in range(MINHASH_BANDS):
         cols = ", ".join(
             d.s(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)
         )
-        band_selects.append(
-            f"SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bh FROM mh"
-        )
-    bands = " UNION ALL ".join(band_selects)
+        bh = f"md5(concat_ws('|', {cols}))"
+        if d.name == "spark":
+            band_structs.append(f"named_struct('band', {b}, 'bh', {bh})")
+        else:
+            band_structs.append(f"{{'band': {b}, 'bh': {bh}}}")
+    arr = (
+        f"array({', '.join(band_structs)})"
+        if d.name == "spark"
+        else f"[{', '.join(band_structs)}]"
+    )
+    bands = (
+        "SELECT doc_id, s.band AS band, s.bh AS bh FROM "
+        f"(SELECT doc_id, {d.unnest(arr)} AS s FROM mh)"
+    )
     return f"""
 toks AS (
   SELECT doc_id, {toks} AS toks FROM documents WHERE n_chars > 0
 ),
-sharr AS (
-  SELECT doc_id, {grams} AS grams FROM toks WHERE {d.array_len('toks')} >= 2
+shingles AS (
+  SELECT doc_id, {d.unnest('grams')} AS shingle
+  FROM (SELECT doc_id, {grams} AS grams FROM toks WHERE {d.array_len('toks')} >= 2)
 ),
 mh AS (
-  SELECT doc_id, {mh_cols} FROM sharr WHERE {d.array_len('grams')} > 0
+  SELECT doc_id, {mh_cols} FROM shingles GROUP BY doc_id
 ),
 bands AS ({bands})
 """.strip()
@@ -206,9 +227,37 @@ WHERE dot > 0
 # ---- Spark runners -----------------------------------------------------------
 
 
-def _runner(sql_builder, tables):
+def q_minhash_lsh_pairs(spark, sf_dir: str):
+    """LSH candidate pairs with the band table materialized once.
+
+    A plain SQL self-join would inline the bands CTE on both sides and
+    re-run the whole signature pipeline twice; staging the (tiny) band
+    table — in production: the persisted signature index — halves the
+    work and makes the candidate join a cheap hash join on (band, bh).
+    """
+    from pyspark.sql import functions as F
+
+    from pypgoutput_spark.functions.detsql import SPARK as _S
+    from pypgoutput_spark.operators.qlib import register_views
+
+    register_views(spark, sf_dir, tables=("documents",), spread=("documents",))
+    bands = spark.sql(f"WITH {_minhash_cte(_S)} SELECT * FROM bands").localCheckpoint()
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _runner(sql_builder, tables, spread=()):
     def run(spark, sf_dir: str):
-        return run_sql(spark, sf_dir, sql_builder(SPARK), tables=tables)
+        return run_sql(spark, sf_dir, sql_builder(SPARK), tables=tables, spread=spread)
 
     return run
 
@@ -216,18 +265,18 @@ def _runner(sql_builder, tables):
 QUERIES = {
     "dedup_exact_stats": (_runner(exact_stats_sql, ("documents",)), exact_stats_sql(DUCKDB)),
     "dedup_keep_first": (_runner(keep_first_sql, ("documents",)), keep_first_sql(DUCKDB)),
-    "dedup_ngram_jaccard": (_runner(ngram_jaccard_sql, ("documents",)), ngram_jaccard_sql(DUCKDB)),
+    "dedup_ngram_jaccard": (_runner(ngram_jaccard_sql, ("documents",), ("documents",)), ngram_jaccard_sql(DUCKDB)),
     "dedup_minhash_signatures": (
-        _runner(minhash_signatures_sql, ("documents",)),
+        _runner(minhash_signatures_sql, ("documents",), ("documents",)),
         minhash_signatures_sql(DUCKDB),
     ),
     "dedup_minhash_lsh_pairs": (
-        _runner(minhash_lsh_sql, ("documents",)),
+        q_minhash_lsh_pairs,
         minhash_lsh_sql(DUCKDB),
     ),
-    "dedup_simhash": (_runner(simhash_sql, ("documents",)), simhash_sql(DUCKDB)),
+    "dedup_simhash": (_runner(simhash_sql, ("documents",), ("documents",)), simhash_sql(DUCKDB)),
     "dedup_embedding_cosine": (
-        _runner(embedding_cosine_sql, ("embeddings",)),
+        _runner(embedding_cosine_sql, ("embeddings",), ("embeddings",)),
         embedding_cosine_sql(DUCKDB),
     ),
 }

@@ -96,10 +96,14 @@ def merge_into(
         ups = ch.filter(F.col("final_op") != "D").join(
             b(old) if small else old, on=list(keys), how="left"
         )
+        # resolve each column (in-batch value, else target's old value) and
+        # cast to the table's declared type — wire values are text
+        # (pgoutput v1), the table schema may have evolved typed columns
+        col_types = dict(snap["schema"])
         resolved = ups.select(
             *keys,
             *[
-                F.when(F.col(f"r_{c}").isNotNull(), F.col(f"r_{c}.v"))
+                F.when(F.col(f"r_{c}").isNotNull(), F.col(f"r_{c}.v").cast(col_types[c]))
                 .otherwise(F.col(f"_old_{c}"))
                 .alias(c)
                 for c in value_cols

@@ -92,7 +92,7 @@ FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
 
 def _runner(sql_builder):
     def run(spark, sf_dir: str):
-        return run_sql(spark, sf_dir, sql_builder(SPARK), tables=("embeddings",))
+        return run_sql(spark, sf_dir, sql_builder(SPARK), tables=("embeddings",), spread=("embeddings",))
 
     return run
 

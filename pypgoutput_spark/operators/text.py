@@ -127,7 +127,7 @@ def q_lang_id(spark, sf_dir: str):
 
 
 def q_fingerprint(spark, sf_dir: str):
-    return run_sql(spark, sf_dir, fingerprint_sql(SPARK), tables=("documents",))
+    return run_sql(spark, sf_dir, fingerprint_sql(SPARK), tables=("documents",), spread=("documents",))
 
 
 QUERIES = {

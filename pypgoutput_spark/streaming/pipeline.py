@@ -33,6 +33,28 @@ from pypgoutput_spark.plans.registry import RelationRegistry
 from pypgoutput_spark.wal.generator import RELATION_ID
 
 
+def evolve_to_relation(table: LakeTable, rv, key_cols) -> bool:
+    """Diff the table schema against a RelationVersion and apply add/drop
+    actions (key columns are never dropped). Returns True if evolved."""
+    from pypgoutput_spark.plans.registry import SchemaAction
+    from pypgoutput_spark.wal import codec as _codec
+
+    current = {n: t for n, t in table.snapshot()["schema"]}
+    target = {
+        c[1]: _codec.spark_type_for_oid(c[2], c[3]) for c in rv.columns
+    }
+    actions = []
+    for name, typ in target.items():
+        if name not in current:
+            actions.append(SchemaAction("add", name, typ))
+    for name in current:
+        if name not in target and name not in key_cols:
+            actions.append(SchemaAction("drop", name))
+    if actions:
+        table.evolve_schema(actions)
+    return bool(actions)
+
+
 def apply_frames_batch(
     table: LakeTable,
     frames,
@@ -93,6 +115,15 @@ def apply_frames_batch(
     versions = registry.versions(relation_id)
     if not versions:
         return {"skipped": True, "reason": "no-relation", "watermark_lsn": table.watermark_lsn}
+
+    # stream-driven schema evolution (last-Relation-wins, reference
+    # reader.py:222-243): align the table schema to the newest Relation
+    # version before merging — adds/drops are metadata-only commits
+    latest = versions[-1]
+    evolved = evolve_to_relation(table, latest, keys)
+    if evolved:
+        snap = table.snapshot()
+        value_cols = [n for n, _ in snap["schema"] if n not in keys]
 
     raw = decode_op.decode_frames_raw(eff_frames, registry, strict=strict, clustered=clustered)
     # project every schema version present in the stream, aligned to the

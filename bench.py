@@ -60,7 +60,7 @@ def _sf_of(sf_dir: str) -> float:
 def cdc_params(sf: float):
     from pypgoutput_spark.wal.generator import GenParams
 
-    n_txns = max(200, int(25_000 * sf / 0.1))
+    n_txns = max(200, int(62_500 * sf / 0.1))  # 500k change events at sf0.1
     return GenParams(
         n_txns=n_txns, ops_per_txn=8, n_repos=max(50, n_txns // 25),
         n_paths=40, toast_pct=25, truncate_every=0,

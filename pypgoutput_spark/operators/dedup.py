@@ -120,10 +120,17 @@ def _minhash_cte(d: Dialect) -> str:
             f"i -> concat({d.array_get('toks', 'i')}, ' ', {d.array_get('toks', 'i + 1')})",
         )
     )
+    # universal hashing: ONE md5 per shingle, K families derived as
+    # (a_k * h + b_k) mod p with p = 2^31 - 1 (Mersenne) — products stay
+    # under 2^62, exact in both engines; a_k/b_k are md5-seeded constants
+    import hashlib as _hl
+
+    P = 2147483647
     mh_parts = []
     for k in range(MINHASH_K):
-        seeded = d.md5_int(f"concat('{k}:', shingle)")
-        mh_parts.append(f"min({seeded}) AS mh_{k}")
+        a = int(_hl.md5(f"mh-a:{k}".encode()).hexdigest()[:7], 16) % (P - 1) + 1
+        b = int(_hl.md5(f"mh-b:{k}".encode()).hexdigest()[:7], 16) % P
+        mh_parts.append(f"min(({a} * h + {b}) % {P}) AS mh_{k}")
     mh_cols = ", ".join(mh_parts)
     # one struct per band, exploded in a single pass over mh (a UNION of
     # per-band selects would re-plan — and re-compute — the signature
@@ -153,8 +160,11 @@ toks AS (
   SELECT doc_id, {toks} AS toks FROM documents WHERE n_chars > 0
 ),
 shingles AS (
-  SELECT doc_id, {d.unnest('grams')} AS shingle
-  FROM (SELECT doc_id, {grams} AS grams FROM toks WHERE {d.array_len('toks')} >= 2)
+  SELECT doc_id, ({d.md5_int('shingle')} % 2147483647) AS h
+  FROM (
+    SELECT doc_id, {d.unnest('grams')} AS shingle
+    FROM (SELECT doc_id, {grams} AS grams FROM toks WHERE {d.array_len('toks')} >= 2)
+  )
 ),
 mh AS (
   SELECT doc_id, {mh_cols} FROM shingles GROUP BY doc_id
@@ -225,6 +235,118 @@ WHERE dot > 0
 
 
 # ---- Spark runners -----------------------------------------------------------
+#
+# Queries that EXPLODE higher-order-function arrays stage the exploded
+# table with localCheckpoint first: Spark evaluates lambda expressions
+# (filter/transform/array_distinct) interpreted, and the Generate
+# operator's size()-guard re-evaluates the generator expression, which
+# measured ~25x slower than materialize-then-explode at sf0.1. The
+# DuckDB oracles keep the single-statement CTE form.
+
+
+def _staged_sql(spark, sf_dir: str, cte: str, stage_select: str, stage_view: str,
+                final_sql: str, tables=("documents",), spread=("documents",)):
+    from pypgoutput_spark.operators.qlib import register_views
+
+    register_views(spark, sf_dir, tables=tables, spread=spread)
+    staged = spark.sql(f"WITH {cte} {stage_select}").localCheckpoint()
+    staged.createOrReplaceTempView(stage_view)
+    return spark.sql(final_sql)
+
+
+def q_ngram_jaccard(spark, sf_dir: str):
+    return _staged_sql(
+        spark, sf_dir, _shingles_cte(SPARK), "SELECT * FROM sh", "sh_staged",
+        f"""
+WITH sizes AS (SELECT doc_id, count(*) AS sz FROM sh_staged GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh_staged a JOIN sh_staged b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, inter, sa.sz + sb.sz - inter AS uni
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE inter * {JACCARD_DEN} >= (sa.sz + sb.sz - inter) * {JACCARD_NUM}
+""".strip(),
+    )
+
+
+def _stage_gram_arrays(spark, sf_dir: str) -> None:
+    """Materialize (doc_id, grams ARRAY<STRING>) as `grams_staged`.
+
+    The arrays (higher-order lambdas) are computed exactly once; the
+    downstream explode then iterates materialized data instead of
+    re-evaluating interpreted lambda trees inside Generate.
+    """
+    d = SPARK
+    toks = d.split_ws("text")
+    grams = d.array_distinct(
+        d.array_transform(
+            d.sequence("1", f"{d.array_len('toks')} - 1"),
+            f"i -> concat({d.array_get('toks', 'i')}, ' ', {d.array_get('toks', 'i + 1')})",
+        )
+    )
+    _staged_sql(
+        spark, sf_dir, f"""
+toks AS (SELECT doc_id, {toks} AS toks FROM documents WHERE n_chars > 0)
+""".strip(),
+        f"SELECT doc_id, {grams} AS grams FROM toks WHERE {d.array_len('toks')} >= 2",
+        "grams_staged", "SELECT 1",
+    )
+
+
+def _mh_cte_from_staged(d) -> str:
+    """mh/bands CTEs reading the pre-staged gram arrays (Spark side)."""
+    full = _minhash_cte(d)
+    _, rest = full.split("shingles AS (", 1)
+    # shingles from the staged arrays instead of recomputing them
+    shingles = (
+        f"shingles AS (\n  SELECT doc_id, ({d.md5_int('shingle')} % 2147483647) AS h\n"
+        f"  FROM (SELECT doc_id, {d.unnest('grams')} AS shingle FROM grams_staged)\n)"
+    )
+    # keep everything from "mh AS (" onward
+    mh_on = rest.split("mh AS (", 1)[1]
+    return shingles + ",\nmh AS (" + mh_on
+
+
+def _staged_bands(spark, sf_dir: str):
+    """Band table with the gram arrays staged once."""
+    _stage_gram_arrays(spark, sf_dir)
+    return spark.sql(f"WITH {_mh_cte_from_staged(SPARK)} SELECT * FROM bands")
+
+
+def q_minhash_signatures(spark, sf_dir: str):
+    _stage_gram_arrays(spark, sf_dir)
+    cols = ", ".join(f"mh_{k}" for k in range(MINHASH_K))
+    return spark.sql(f"WITH {_mh_cte_from_staged(SPARK)} SELECT doc_id, {cols} FROM mh")
+
+
+def q_simhash(spark, sf_dir: str):
+    d = SPARK
+    toks = d.split_ws("text")
+    cte = f"""
+toks AS (
+  SELECT doc_id, {toks} AS toks FROM documents WHERE n_chars > 0
+),
+tok AS (SELECT doc_id, {d.unnest('toks')} AS t FROM toks),
+th AS (SELECT doc_id, ({d.md5_int('t')} & 4294967295) AS h FROM tok)
+""".strip()
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN ({d.shiftr('h', str(b))} & 1) = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        for b in range(32)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
+    )
+    return _staged_sql(
+        spark, sf_dir, cte, "SELECT * FROM th", "th_staged",
+        f"""
+WITH bits AS (SELECT doc_id, {bit_sums} FROM th_staged GROUP BY doc_id)
+SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM bits
+""".strip(),
+    )
 
 
 def q_minhash_lsh_pairs(spark, sf_dir: str):
@@ -237,11 +359,7 @@ def q_minhash_lsh_pairs(spark, sf_dir: str):
     """
     from pyspark.sql import functions as F
 
-    from pypgoutput_spark.functions.detsql import SPARK as _S
-    from pypgoutput_spark.operators.qlib import register_views
-
-    register_views(spark, sf_dir, tables=("documents",), spread=("documents",))
-    bands = spark.sql(f"WITH {_minhash_cte(_S)} SELECT * FROM bands").localCheckpoint()
+    bands = _staged_bands(spark, sf_dir).localCheckpoint()
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -265,16 +383,16 @@ def _runner(sql_builder, tables, spread=()):
 QUERIES = {
     "dedup_exact_stats": (_runner(exact_stats_sql, ("documents",)), exact_stats_sql(DUCKDB)),
     "dedup_keep_first": (_runner(keep_first_sql, ("documents",)), keep_first_sql(DUCKDB)),
-    "dedup_ngram_jaccard": (_runner(ngram_jaccard_sql, ("documents",), ("documents",)), ngram_jaccard_sql(DUCKDB)),
+    "dedup_ngram_jaccard": (q_ngram_jaccard, ngram_jaccard_sql(DUCKDB)),
     "dedup_minhash_signatures": (
-        _runner(minhash_signatures_sql, ("documents",), ("documents",)),
+        q_minhash_signatures,
         minhash_signatures_sql(DUCKDB),
     ),
     "dedup_minhash_lsh_pairs": (
         q_minhash_lsh_pairs,
         minhash_lsh_sql(DUCKDB),
     ),
-    "dedup_simhash": (_runner(simhash_sql, ("documents",), ("documents",)), simhash_sql(DUCKDB)),
+    "dedup_simhash": (q_simhash, simhash_sql(DUCKDB)),
     "dedup_embedding_cosine": (
         _runner(embedding_cosine_sql, ("embeddings",), ("embeddings",)),
         embedding_cosine_sql(DUCKDB),

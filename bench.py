@@ -116,6 +116,7 @@ BENCH_QUERIES = (
     "text_quality_score",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh_pairs",
+    "dedup_lsh_verified_pairs",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "sim_topk_bruteforce",

@@ -190,6 +190,73 @@ SELECT doc_id, {cols} FROM mh
 """.strip()
 
 
+def lsh_verified_sql(d: Dialect) -> str:
+    """Two-stage near-dup dedup, the 100 TB-scale production shape:
+    MinHash/LSH generates candidates in O(docs × bands), then only the
+    candidates pay the exact Jaccard verification — never an all-pairs
+    join. Pairs returned with exact integer intersection/union and the
+    verification verdict at JACCARD_NUM/JACCARD_DEN."""
+    return f"""
+WITH {_minhash_cte(d)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sh AS (SELECT DISTINCT doc_id, h AS shingle_h FROM shingles),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle_h = x.shingle_h
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+  sa.sz + sb.sz - i.n_inter AS n_union,
+  (i.n_inter * {JACCARD_DEN} >= (sa.sz + sb.sz - i.n_inter) * {JACCARD_NUM}) AS is_dup
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+""".strip()
+
+
+def q_lsh_verified(spark, sf_dir: str):
+    """Spark runner: staged shingle hashes + staged bands, exact verify."""
+    from pyspark.sql import functions as F
+
+    _stage_gram_arrays(spark, sf_dir)
+    d = SPARK
+    sh = spark.sql(
+        f"SELECT DISTINCT doc_id, ({d.md5_int('shingle')} % 2147483647) AS shingle_h "
+        f"FROM (SELECT doc_id, {d.unnest('grams')} AS shingle FROM grams_staged)"
+    ).localCheckpoint()
+    sh.createOrReplaceTempView("sh_v")
+    bands = spark.sql(f"WITH {_mh_cte_from_staged(SPARK)} SELECT * FROM bands")
+    bands.localCheckpoint().createOrReplaceTempView("bands_v")
+    return spark.sql(f"""
+WITH cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_v a JOIN bands_v b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh_v GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh_v x ON x.doc_id = c.doc_a
+  JOIN sh_v y ON y.doc_id = c.doc_b AND y.shingle_h = x.shingle_h
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+  sa.sz + sb.sz - i.n_inter AS n_union,
+  (i.n_inter * {JACCARD_DEN} >= (sa.sz + sb.sz - i.n_inter) * {JACCARD_NUM}) AS is_dup
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+""".strip())
+
+
 def simhash_sql(d: Dialect) -> str:
     toks = d.split_ws("text")
     bit_sums = ", ".join(
@@ -392,6 +459,7 @@ QUERIES = {
         q_minhash_lsh_pairs,
         minhash_lsh_sql(DUCKDB),
     ),
+    "dedup_lsh_verified_pairs": (q_lsh_verified, lsh_verified_sql(DUCKDB)),
     "dedup_simhash": (q_simhash, simhash_sql(DUCKDB)),
     "dedup_embedding_cosine": (
         _runner(embedding_cosine_sql, ("embeddings",), ("embeddings",)),

@@ -89,8 +89,11 @@ flagged AS (
 ),
 sessioned AS (
   SELECT user_id, event_id, ts_us,
-    sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    -- BIGINT cast: DuckDB types sum(int) OVER (...) as HUGEINT (int128),
+    -- Spark as BIGINT; pin both to BIGINT so value hashes agree
+    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq,

@@ -30,6 +30,7 @@ from pypgoutput_spark.operators import (
     similarity as _similarity,
     text as _text,
 )
+from pypgoutput_spark.plans import registry as _registry_mod
 from pypgoutput_spark.streaming import pipeline as _pipeline
 from pypgoutput_spark.wal import generator as _gen
 
@@ -38,6 +39,12 @@ from pypgoutput_spark.wal import generator as _gen
 P_ENTRY = _gen.GenParams(
     n_txns=150, ops_per_txn=8, n_repos=50, n_paths=30,
     toast_pct=30, truncate_every=40, txns_per_segment=15,
+)
+
+#: two interleaved relations with relation-scoped truncates
+P_MULTI = _gen.GenParams(
+    n_txns=120, ops_per_txn=8, n_repos=40, n_paths=24,
+    toast_pct=30, truncate_every=30, txns_per_segment=12, n_relations=2,
 )
 
 
@@ -74,6 +81,63 @@ def q_cdc_decoded_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_multi_relation_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-relation routing: two relations interleaved in one WAL
+    stream, each merged into its own lake table, truncates scoped to the
+    relation they list (reference any-relation dispatch,
+    reader.py:124-132, 252-258)."""
+    from pyspark.sql import functions as F
+
+    tmp = tempfile.mkdtemp(prefix="pypgoutput_spark_multi_")
+    tables = {
+        _gen.RELATION_ID + r: LakeTable.create(
+            spark, f"{tmp}/lake_{r}",
+            schema=[(c, "string") for c in _gen.ALL_COLUMNS],
+            key_cols=list(_gen.KEY_COLUMNS), n_buckets=8,
+        )
+        for r in range(P_MULTI.n_relations)
+    }
+    frames = _gen.spark_frames_df(spark, P_MULTI)
+    _pipeline.run_ingest(spark, frames, tables, n_batches=2)
+    parts = [
+        t.read().select(
+            F.lit(rid).cast("bigint").alias("relation_id"),
+            "repo", "path", "commit", "lang", "content",
+            F.expr("sha2(content, 256)").alias("content_sha"),
+        )
+        for rid, t in sorted(tables.items())
+    ]
+    out = parts[0]
+    for p_df in parts[1:]:
+        out = out.unionByName(p_df)
+    return out
+
+
+def q_cdc_decoded_events_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch transaction scope: the stream is cut mid-transaction
+    into two decode batches; the open-transaction carry re-stamps the
+    straddled events exactly (reference reader.py:182-193 semantics).
+    Same oracle as cdc_decoded_events — a match proves the carry."""
+    frames = _gen.spark_frames_df(spark, P_ENTRY)
+    # cut inside txn 75: its slots span [10+75*stride, 10+75*stride+9]
+    cut = 10 + 75 * P_ENTRY.lsn_stride + 4
+    b1 = frames.filter(f"lsn < {cut}")
+    b2 = frames.filter(f"lsn >= {cut}")
+    registry = _registry_mod.RelationRegistry.from_frames(frames)
+    carry = _pipeline.open_tx_carry(b1)
+    assert carry, "cut must fall inside an open transaction"
+    ev1 = _decode.decode_frames(b1, registry)
+    ev2 = _decode.decode_frames(b2, registry, open_tx=carry)
+    return ev1.unionByName(ev2).filter("op IN ('I','U')").selectExpr(
+        "lsn", "op",
+        "after['repo'] AS repo", "after['path'] AS path",
+        "after['commit'] AS commit", "after['lang'] AS lang",
+        "after['content'] AS content",
+        "array_contains(coalesce(after_unchanged, array()), 'content') AS content_unchanged",
+        "xid", "begin_lsn",
+    )
+
+
 def _cdc_decoded_events_oracle(p: _gen.GenParams) -> str:
     stride = p.lsn_stride
     return f"""
@@ -97,6 +161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cdc_pipeline_final_state": q_cdc_pipeline_final_state,
         "cdc_decoded_events": q_cdc_decoded_events,
+        "cdc_multi_relation_final_state": q_cdc_multi_relation_final_state,
+        "cdc_decoded_events_split": q_cdc_decoded_events_split,
     }
     for mod in (_text, _dedup, _similarity, _multimodal, _analytics):
         for name, (fn, _sql) in mod.QUERIES.items():
@@ -108,6 +174,10 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {
         "cdc_pipeline_final_state": _gen.duckdb_final_state_sql(P_ENTRY, with_sha=True),
         "cdc_decoded_events": _cdc_decoded_events_oracle(P_ENTRY),
+        "cdc_multi_relation_final_state": _gen.duckdb_final_state_sql(
+            P_MULTI, with_sha=True, with_relation=True
+        ),
+        "cdc_decoded_events_split": _cdc_decoded_events_oracle(P_ENTRY),
     }
     for mod in (_text, _dedup, _similarity, _multimodal, _analytics):
         for name, (_fn, sql) in mod.QUERIES.items():

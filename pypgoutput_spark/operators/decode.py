@@ -90,11 +90,19 @@ def _parse_tuple(b: bytes, pos: int):
     return cats, vals, pos
 
 
-def _make_kernel(registry_plain: dict, strict: bool = True):
+def _make_kernel(registry_plain: dict, strict: bool = True,
+                 init_tx: Optional[dict] = None):
+    """``init_tx``: open-transaction state carried in from a previous
+    micro-batch whose cut fell inside a transaction (B seen, no C yet) —
+    the distributed analog of the reference's in-memory
+    ``transaction_metadata`` surviving arbitrary message boundaries
+    (reference reader.py:182-193). Keyed by segment."""
+
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        open_tx: dict = {}  # segment -> (xid, begin_lsn, commit_ts_us)
+        # segment -> (xid, begin_lsn, commit_ts_us); seeded with carry-in
+        open_tx: dict = dict(init_tx) if init_tx else {}
         cols = (
             "lsn", "op", "relation_id", "xid", "begin_lsn", "commit_ts_us",
             "schema_version", "before_kind", "before_cats", "before_vals",
@@ -216,7 +224,8 @@ def _make_kernel(registry_plain: dict, strict: bool = True):
 
 
 def decode_frames_raw(frames_df, registry: Optional[RelationRegistry] = None,
-                      strict: bool = True, clustered: bool = False):
+                      strict: bool = True, clustered: bool = False,
+                      open_tx: Optional[dict] = None):
     """frames → RAW decoded events (positional cell arrays, no maps).
 
     The hot-path form; use :func:`project_relation` for typed columns of
@@ -237,7 +246,9 @@ def decode_frames_raw(frames_df, registry: Optional[RelationRegistry] = None,
         partitioned = frames_df.sortWithinPartitions("segment", "lsn")
     else:
         partitioned = frames_df.repartition("segment").sortWithinPartitions("segment", "lsn")
-    return partitioned.mapInPandas(_make_kernel(plain, strict), schema=RAW_SCHEMA)
+    return partitioned.mapInPandas(
+        _make_kernel(plain, strict, init_tx=open_tx), schema=RAW_SCHEMA
+    )
 
 
 def project_relation(raw_events, relation_version, typed: bool = False):
@@ -286,7 +297,7 @@ def project_relation(raw_events, relation_version, typed: bool = False):
 
 
 def decode_frames(frames_df, registry: Optional[RelationRegistry] = None,
-                  strict: bool = True):
+                  strict: bool = True, open_tx: Optional[dict] = None):
     """frames (segment, lsn, payload) → canonical change events.
 
     One shuffle (repartition by segment for transaction co-location);
@@ -313,7 +324,7 @@ def decode_frames(frames_df, registry: Optional[RelationRegistry] = None,
         schema="relation_id INT, schema_version INT, col_names ARRAY<STRING>",
     )
 
-    raw = decode_frames_raw(frames_df, registry, strict)
+    raw = decode_frames_raw(frames_df, registry, strict, open_tx=open_tx)
     return (
         raw.join(F.broadcast(reg_df), ["relation_id", "schema_version"], "left")
         .withColumn(

@@ -145,24 +145,7 @@ def lww_changes_flat(projected_df, key_cols: Sequence[str],
     return p1.groupBy(*key_cols).agg(*[F.expr(a) for a in phase2_aggs])
 
 
-def truncate_barrier(events_df, relation_id: int):
-    """Split a batch at the last Truncate event for a relation.
-
-    Returns (effective_events_df, truncated: bool). Only events after the
-    last T matter for the final state; if any T exists the merge replaces
-    the target's content entirely (reference applies T as an ordered
-    DELETE-all, reader.py:307-320).
-
-    The max-T-LSN lookup is a driver-side scalar over the (rare) T cohort.
-    """
-    from pyspark.sql import functions as F
-
-    t_max = (
-        events_df.filter(F.col("op") == "T")
-        .agg(F.max("lsn").alias("m"))
-        .collect()[0]["m"]
-    )
-    eff = events_df.filter(F.col("op") != "T")
-    if t_max is not None:
-        eff = eff.filter(F.col("lsn") > t_max)
-    return eff, t_max is not None
+# NOTE: truncate barriers are relation-scoped and live in
+# streaming.pipeline.apply_frames_batch (parsed from the 'T' cohort's
+# relation-id lists) — a frame-level barrier here would wrongly apply one
+# relation's Truncate to another relation's events.

@@ -63,6 +63,14 @@ def merge_into(
     keys: Sequence[str] = snap["key_cols"]
     value_cols = [n for n, _ in snap["schema"] if n not in keys]
 
+    # cast key columns to the table's declared key types BEFORE bucketing:
+    # change-set keys arrive as wire text (pgoutput v1), and xxhash64 is
+    # type-sensitive — a bigint-keyed table must bucket/join changes as
+    # bigint or every match is missed
+    col_types = dict(snap["schema"])
+    changes = changes.withColumns(
+        {k: F.col(k).cast(col_types[k]) for k in keys}
+    )
     ch = table.with_bucket(changes)
     ch.cache()
     try:
@@ -76,6 +84,23 @@ def merge_into(
             touched_set.add(int(r["_bucket"]))
         touched = sorted(touched_set)
         n_changes = sum(op_counts.values())
+
+        if n_changes == 0 and not truncate:
+            # nothing to apply for this table in this batch (common in
+            # multi-relation routing): advance the watermark with a
+            # metadata-only commit — no scan, no write job
+            metrics = {
+                "upserts": 0, "deletes": 0, "change_keys": 0,
+                "buckets_touched": 0, "truncated": False, "broadcast": True,
+                **(extra_metrics or {}),
+            }
+            version = table.commit(
+                {}, [], watermark_lsn=watermark_lsn, metrics=metrics
+            )
+            metrics["version"] = version
+            metrics["skipped"] = False
+            return metrics
+
         small = n_changes <= broadcast_threshold
         b = (lambda df: F.broadcast(df)) if small else (lambda df: df)
 
@@ -99,7 +124,6 @@ def merge_into(
         # resolve each column (in-batch value, else target's old value) and
         # cast to the table's declared type — wire values are text
         # (pgoutput v1), the table schema may have evolved typed columns
-        col_types = dict(snap["schema"])
         resolved = ups.select(
             *keys,
             *[

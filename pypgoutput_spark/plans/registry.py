@@ -85,9 +85,11 @@ class RelationRegistry:
         versions.append(rv)
         return rv
 
-    @classmethod
-    def from_frames(cls, frames_df) -> "RelationRegistry":
-        """Extract and decode the 'R' cohort of a frames DataFrame.
+    def merge_frames(self, frames_df) -> int:
+        """Merge a (micro-)batch's 'R' cohort into this registry in LSN
+        order — the stream-driven schema-evolution hook (an R frame
+        landing mid-stream re-versions its relation, last-Relation-wins,
+        reference reader.py:222-243). Returns the number of R frames seen.
 
         With an ``mtype`` column (stamped at frame receipt) the filter is
         pushed to the parquet scan and the payload column is only
@@ -97,14 +99,20 @@ class RelationRegistry:
         """
         from pyspark.sql import functions as F
 
-        reg = cls()
         if "mtype" in frames_df.columns:
             flt = F.col("mtype") == "R"
         else:
             flt = F.expr("substring(payload, 1, 1) = X'52'")
         r_frames = frames_df.filter(flt).select("lsn", "payload").collect()
         for row in sorted(r_frames, key=lambda r: r["lsn"]):
-            reg.add_relation(row["lsn"], codec.decode_message(bytes(row["payload"])))
+            self.add_relation(row["lsn"], codec.decode_message(bytes(row["payload"])))
+        return len(r_frames)
+
+    @classmethod
+    def from_frames(cls, frames_df) -> "RelationRegistry":
+        """Extract and decode the 'R' cohort of a frames DataFrame."""
+        reg = cls()
+        reg.merge_frames(frames_df)
         return reg
 
     # -- lookup --------------------------------------------------------------

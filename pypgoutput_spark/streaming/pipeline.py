@@ -2,9 +2,24 @@
 
 Micro-batch driver (the distributed analog of the reference's
 ``LogicalReplicationReader`` loop, reference reader.py:112-193): frames
-are consumed in LSN-ordered batches of whole WAL segments; each batch is
-decoded, truncate-barriered, LWW-collapsed, and merged into the LakeTable
-with the batch's max LSN committed atomically as the new watermark.
+are consumed in LSN-ordered batches; each batch is decoded once,
+truncate-barriered *per relation*, LWW-collapsed, and merged into one
+LakeTable per replicated relation, with the batch's max LSN committed
+atomically as the new watermark.
+
+Multi-relation routing (reference parity: schema caches keyed by
+relation_id, reader.py:124-132; per-event dispatch, reader.py:252-258):
+``apply_frames_batch`` accepts either a single LakeTable or a
+``{relation_id: LakeTable}`` map. Events route to their relation's table;
+a Truncate barriers only the relations it lists (parsed from the tiny 'T'
+cohort driver-side), never the others.
+
+Transactions spanning batch boundaries (reference reader.py:182-193: the
+in-memory transaction scope survives arbitrary message boundaries):
+each batch returns the open-transaction state at its end (B seen, no C);
+the caller threads it into the next batch's decode kernel, and it is
+persisted inside the same atomic snapshot commit as the data — so resume
+restores it exactly.
 
 Resume-from-checkpoint: the table's ``watermark_lsn`` IS the checkpoint.
 On restart, frames with lsn ≤ watermark are filtered out before decode
@@ -21,23 +36,28 @@ apply through ``foreachBatch`` over a file-source stream.
 from __future__ import annotations
 
 import math
-from typing import Callable, List, Optional
+from typing import Callable, Dict, List, Optional, Union
 
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from pypgoutput_spark.lake.table import LakeTable
 from pypgoutput_spark.operators import decode as decode_op
 from pypgoutput_spark.operators.lww import lww_changes_flat
 from pypgoutput_spark.operators.merge import merge_into
 from pypgoutput_spark.plans.registry import RelationRegistry
+from pypgoutput_spark.wal import codec as _codec
 from pypgoutput_spark.wal.generator import RELATION_ID
+
+#: JVM-side relation id of a DML frame (big-endian int32 at payload[1:5]) —
+#: lets pre-decode filters scope per-relation without touching Python
+_RID_EXPR = "CAST(conv(hex(substring(payload, 2, 4)), 16, 10) AS BIGINT)"
 
 
 def evolve_to_relation(table: LakeTable, rv, key_cols) -> bool:
     """Diff the table schema against a RelationVersion and apply add/drop
     actions (key columns are never dropped). Returns True if evolved."""
     from pypgoutput_spark.plans.registry import SchemaAction
-    from pypgoutput_spark.wal import codec as _codec
 
     current = {n: t for n, t in table.snapshot()["schema"]}
     target = {
@@ -55,126 +75,306 @@ def evolve_to_relation(table: LakeTable, rv, key_cols) -> bool:
     return bool(actions)
 
 
+def _mtype_pred(frames, letter: str):
+    if "mtype" in frames.columns:
+        return F.col("mtype") == letter
+    return F.expr(f"substring(payload, 1, 1) = X'{ord(letter):02X}'")
+
+
+def _serialize_tx(open_tx: Optional[dict]) -> dict:
+    return {str(k): list(v) for k, v in (open_tx or {}).items()}
+
+
+def _deserialize_tx(stored: Optional[dict]) -> dict:
+    return {int(k): tuple(v) for k, v in (stored or {}).items()}
+
+
+def stored_open_tx(tables) -> dict:
+    """Carried open-transaction state persisted by the last commit(s) —
+    read from the managed table with the highest watermark."""
+    tabs = list(tables.values()) if isinstance(tables, dict) else [tables]
+    best: dict = {}
+    best_wm = -1
+    for t in tabs:
+        snap = t.snapshot()
+        if snap["watermark_lsn"] > best_wm:
+            best_wm = snap["watermark_lsn"]
+            best = snap["metrics"].get("open_tx", {})
+    return _deserialize_tx(best)
+
+
+def _carry_from_stats(frames, seg_rows, open_tx: Optional[dict]) -> dict:
+    """Open-transaction state at the end of a batch, given per-segment
+    max-B/max-C LSNs. A segment whose last B has no later C is open; its
+    (xid, begin_lsn, commit_ts_us) is read from that single B frame.
+    Segments with any B/C activity supersede their carried-in state;
+    silent segments keep it."""
+    carry: dict = dict(open_tx or {})
+    for r in seg_rows:
+        if r["b_lsn"] is not None or r["c_lsn"] is not None:
+            carry.pop(int(r["segment"]), None)
+    open_b_lsns = [
+        r["b_lsn"]
+        for r in seg_rows
+        if r["b_lsn"] is not None
+        and (r["c_lsn"] is None or r["b_lsn"] > r["c_lsn"])
+    ]
+    if open_b_lsns:
+        for row in (
+            frames.filter(_mtype_pred(frames, "B") & F.col("lsn").isin(open_b_lsns))
+            .select("segment", "lsn", "payload")
+            .collect()
+        ):
+            m = _codec.decode_message(bytes(row["payload"]))
+            carry[int(row["segment"])] = (m["xid"], int(row["lsn"]), m["commit_ts_us"])
+    return carry
+
+
+def open_tx_carry(frames, open_tx: Optional[dict] = None) -> dict:
+    """Standalone carry computation for a frames batch (metadata-only scan
+    plus at most one tiny B-frame lookup) — what ``apply_frames_batch``
+    derives internally; exposed for decode-only consumers and tests."""
+    b_pred, c_pred = _mtype_pred(frames, "B"), _mtype_pred(frames, "C")
+    seg_rows = (
+        frames.groupBy("segment")
+        .agg(
+            F.max(F.when(b_pred, F.col("lsn"))).alias("b_lsn"),
+            F.max(F.when(c_pred, F.col("lsn"))).alias("c_lsn"),
+        )
+        .collect()
+    )
+    return _carry_from_stats(frames, seg_rows, open_tx)
+
+
 def apply_frames_batch(
-    table: LakeTable,
+    tables: Union[LakeTable, Dict[int, LakeTable]],
     frames,
     registry: Optional[RelationRegistry] = None,
     relation_id: int = RELATION_ID,
     salt_buckets: int = 0,
     strict: bool = True,
     clustered: bool = False,
+    open_tx: Optional[dict] = None,
+    quarantine_dir: Optional[str] = None,
 ) -> dict:
-    """One micro-batch: frames → decode → LWW → merge. Returns metrics.
+    """One micro-batch: frames → decode once → route per relation →
+    LWW → merge each table. Returns metrics (incl. ``open_tx`` carry-out).
 
-    Batch stats (watermark candidate + truncate-barrier LSN) come from the
-    frame *metadata* columns — a scan that prunes the payload entirely
-    when the source stamps ``mtype`` — so the expensive decode runs
-    exactly once, streaming straight into the LWW aggregation (which is
-    itself a partial-combining groupBy: decoded events are never
-    materialized or cached).
+    Batch stats (watermark candidate, per-segment transaction bounds)
+    come from the frame *metadata* columns — a scan that prunes the
+    payload entirely when the source stamps ``mtype`` — so the expensive
+    decode runs exactly once. With a single projection the decoded events
+    stream straight into the LWW aggregation; with several (multiple
+    relations or schema versions) the raw decode output is persisted so
+    the Python kernel never re-runs per consumer.
     """
-    snap = table.snapshot()
-    keys = snap["key_cols"]
-    value_cols = [n for n, _ in snap["schema"] if n not in keys]
+    single = isinstance(tables, LakeTable)
+    table_map: Dict[int, LakeTable] = {relation_id: tables} if single else dict(tables)
 
-    has_mtype = "mtype" in frames.columns
-    t_pred = (
-        F.col("mtype") == "T"
-        if has_mtype
-        else F.expr("substring(payload, 1, 1) = X'54'")
+    # ---- batch stats: one metadata-only scan, grouped by segment --------
+    b_pred, c_pred, t_pred = (_mtype_pred(frames, x) for x in "BCT")
+    seg_rows = (
+        frames.groupBy("segment")
+        .agg(
+            F.max("lsn").alias("max_lsn"),
+            F.min("lsn").alias("min_lsn"),
+            F.count("*").alias("n"),
+            F.max(F.when(b_pred, F.col("lsn"))).alias("b_lsn"),
+            F.max(F.when(c_pred, F.col("lsn"))).alias("c_lsn"),
+            F.max(F.when(t_pred, F.col("lsn"))).alias("t_lsn"),
+        )
+        .collect()
     )
-    stats = frames.agg(
-        F.max("lsn").alias("max_lsn"),
-        F.min("lsn").alias("min_lsn"),
-        F.max(F.when(t_pred, F.col("lsn"))).alias("t_lsn"),
-        F.min("segment").alias("seg_lo"),
-        F.max("segment").alias("seg_hi"),
-        F.count("*").alias("n_frames"),
-    ).collect()[0]
-    if stats["max_lsn"] is None:
-        return {"skipped": True, "reason": "empty", "watermark_lsn": table.watermark_lsn}
-    watermark_lsn = stats["max_lsn"]
-    truncated = stats["t_lsn"] is not None
+    if not seg_rows:
+        return {
+            "skipped": True, "reason": "empty",
+            "open_tx": dict(open_tx or {}),
+            "watermark_lsn": max(t.watermark_lsn for t in table_map.values()),
+        }
+    watermark_lsn = max(r["max_lsn"] for r in seg_rows)
     lineage = {
-        "lsn_range": [stats["min_lsn"], stats["max_lsn"]],
-        "segment_range": [stats["seg_lo"], stats["seg_hi"]],
-        "n_frames": stats["n_frames"],
+        "lsn_range": [min(r["min_lsn"] for r in seg_rows), watermark_lsn],
+        "segment_range": [
+            int(min(r["segment"] for r in seg_rows)),
+            int(max(r["segment"] for r in seg_rows)),
+        ],
+        "n_frames": int(sum(r["n"] for r in seg_rows)),
     }
 
+    # ---- per-relation truncate barriers (relation-scoped, not global):
+    # parse the rare 'T' cohort driver-side for its relation-id lists
+    t_lsn_by_rid: Dict[int, int] = {}
+    if any(r["t_lsn"] is not None for r in seg_rows):
+        for row in frames.filter(t_pred).select("lsn", "payload").collect():
+            decoded = _codec.decode_message(bytes(row["payload"]))
+            for rid in decoded["relation_ids"]:
+                t_lsn_by_rid[rid] = max(t_lsn_by_rid.get(rid, -1), row["lsn"])
+
+    # ---- open-transaction carry-out (B seen, no C by batch end) ---------
+    carry = _carry_from_stats(frames, seg_rows, open_tx)
+
+    # ---- pre-decode filter: drop DML made dead by a later same-relation
+    # truncate (relation id read JVM-side from the payload header)
     eff_frames = frames
-    if truncated and has_mtype:
-        # drop dead DML frames below the barrier before decode; keep all
-        # B/C/R frames (a post-barrier event's Begin may precede the barrier)
-        eff_frames = frames.filter(
-            ~F.col("mtype").isin("I", "U", "D")
-            | (F.col("lsn") > F.lit(stats["t_lsn"]))
+    if t_lsn_by_rid:
+        cases = " ".join(
+            f"WHEN {rid} THEN lsn > {tl}" for rid, tl in t_lsn_by_rid.items()
         )
+        keep_dml = f"CASE {_RID_EXPR} {cases} ELSE true END"
+        if "mtype" in frames.columns:
+            eff_frames = frames.filter(
+                ~F.col("mtype").isin("I", "U", "D") | F.expr(keep_dml)
+            )
+        else:
+            eff_frames = frames.filter(
+                F.expr("substring(payload, 1, 1) NOT IN (X'49', X'55', X'44')")
+                | F.expr(keep_dml)
+            )
 
     if registry is None:
         registry = RelationRegistry.from_frames(frames)
-    versions = registry.versions(relation_id)
-    if not versions:
-        return {"skipped": True, "reason": "no-relation", "watermark_lsn": table.watermark_lsn}
+
+    # relations with a table AND a registered schema; others are skipped
+    # with an explicit metric (never silently lost)
+    managed = {
+        rid: tbl for rid, tbl in table_map.items() if registry.versions(rid)
+    }
+    if not managed:
+        return {
+            "skipped": True, "reason": "no-relation",
+            "open_tx": carry,
+            "watermark_lsn": max(t.watermark_lsn for t in table_map.values()),
+        }
 
     # stream-driven schema evolution (last-Relation-wins, reference
-    # reader.py:222-243): align the table schema to the newest Relation
+    # reader.py:222-243): align each table schema to its newest Relation
     # version before merging — adds/drops are metadata-only commits
-    latest = versions[-1]
-    evolved = evolve_to_relation(table, latest, keys)
-    if evolved:
-        snap = table.snapshot()
-        value_cols = [n for n, _ in snap["schema"] if n not in keys]
+    table_cols: Dict[int, tuple] = {}
+    n_projections = 0
+    for rid, tbl in managed.items():
+        snap = tbl.snapshot()
+        keys = snap["key_cols"]
+        evolve_to_relation(tbl, registry.versions(rid)[-1], keys)
+        snap = tbl.snapshot()
+        table_cols[rid] = (keys, [n for n, _ in snap["schema"] if n not in keys])
+        n_projections += len(registry.versions(rid))
 
-    raw = decode_op.decode_frames_raw(eff_frames, registry, strict=strict, clustered=clustered)
-    # project every schema version present in the stream, aligned to the
-    # table's current columns (missing columns → NULL, not-unchanged)
-    parts = []
-    base_cols = ["lsn", "op", "xid", "begin_lsn", "commit_ts_us"]
-    for rv in versions:
-        p_df = decode_op.project_relation(raw, rv)
-        sel = list(base_cols)
-        for c in list(keys) + value_cols:
-            if c in rv.column_names:
-                sel += [f"`{c}`", f"u_{c}"]
-            else:
-                sel += [f"CAST(NULL AS STRING) AS `{c}`", f"false AS u_{c}"]
-        parts.append(p_df.selectExpr(*sel))
-    proj = parts[0]
-    for extra in parts[1:]:
-        proj = proj.unionByName(extra)
-    proj = proj.filter(F.col("op") != "T")
-    if truncated:
-        proj = proj.filter(F.col("lsn") > stats["t_lsn"])
-    changes = lww_changes_flat(proj, keys, value_cols, salt_buckets=salt_buckets)
-    return merge_into(
-        table, changes, watermark_lsn, truncate=truncated,
-        extra_metrics={"lineage": lineage},
+    raw = decode_op.decode_frames_raw(
+        eff_frames, registry, strict=strict, clustered=clustered, open_tx=open_tx
     )
+
+    # stage the decode output when >1 consumer would re-run the Python
+    # kernel (multiple relations / schema versions), or when dead-letter
+    # rows must be counted/quarantined (strict=False)
+    staged = n_projections > 1 or not strict
+    dead_letters = 0
+    try:
+        if staged:
+            raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
+            if not strict:
+                dead = raw.filter(F.col("op") == "E")
+                dead_letters = dead.count()  # also materializes the cache
+                if dead_letters and quarantine_dir:
+                    dead.select("segment", "lsn", "error").write.mode(
+                        "append"
+                    ).parquet(quarantine_dir)
+            else:
+                raw.count()  # materialize once before fan-out
+
+        out: dict = {
+            "skipped": False,
+            "watermark_lsn": watermark_lsn,
+            "open_tx": carry,
+            "dead_letters": int(dead_letters),
+            "lineage": lineage,
+            "relations": {},
+        }
+        base_cols = ["lsn", "op", "xid", "begin_lsn", "commit_ts_us"]
+        for rid, tbl in managed.items():
+            keys, value_cols = table_cols[rid]
+            parts = []
+            for rv in registry.versions(rid):
+                p_df = decode_op.project_relation(raw, rv)
+                sel = list(base_cols)
+                for c in list(keys) + value_cols:
+                    if c in rv.column_names:
+                        sel += [f"`{c}`", f"u_{c}"]
+                    else:
+                        sel += [f"CAST(NULL AS STRING) AS `{c}`", f"false AS u_{c}"]
+                parts.append(p_df.selectExpr(*sel))
+            proj = parts[0]
+            for extra in parts[1:]:
+                proj = proj.unionByName(extra)
+            proj = proj.filter(F.col("op") != "T")
+            truncated = rid in t_lsn_by_rid
+            if truncated:
+                proj = proj.filter(F.col("lsn") > t_lsn_by_rid[rid])
+            changes = lww_changes_flat(proj, keys, value_cols, salt_buckets=salt_buckets)
+            m = merge_into(
+                tbl, changes, watermark_lsn, truncate=truncated,
+                extra_metrics={
+                    "lineage": lineage,
+                    "open_tx": _serialize_tx(carry),
+                    "dead_letters": int(dead_letters),
+                },
+            )
+            out["relations"][rid] = m
+        if single:
+            # back-compat: single-table callers see the merge metrics at
+            # the top level (upserts/deletes/buckets_touched/...)
+            out.update(out["relations"][relation_id])
+        return out
+    finally:
+        if staged:
+            raw.unpersist()
 
 
 def run_ingest(
     spark,
     frames,
-    table: LakeTable,
+    tables: Union[LakeTable, Dict[int, LakeTable]],
     relation_id: int = RELATION_ID,
     n_batches: int = 1,
     salt_buckets: int = 0,
     strict: bool = True,
     clustered: bool = False,
+    split: str = "segment",
     on_batch: Optional[Callable[[dict], None]] = None,
+    quarantine_dir: Optional[str] = None,
 ) -> List[dict]:
-    """Replay a frames DataFrame into the table in ``n_batches`` micro-batches
-    split on WAL-segment boundaries (transactions never straddle segments).
+    """Replay a frames DataFrame into the table(s) in ``n_batches``
+    micro-batches. ``split='segment'`` cuts on WAL-segment boundaries;
+    ``split='lsn'`` cuts the raw LSN range evenly — cuts may then fall
+    *inside* a transaction, which the open-transaction carry handles
+    exactly (reference reader.py:182-193 semantics).
 
-    Exactly-once: frames at or below the table watermark are skipped.
+    Exactly-once: frames at or below the managed watermark are skipped;
+    open-transaction state is restored from the last snapshot commit.
     """
+    table_map = {relation_id: tables} if isinstance(tables, LakeTable) else dict(tables)
     registry = RelationRegistry.from_frames(frames)  # full R cohort, resume-safe
-    watermark = table.watermark_lsn
+    watermark = min(t.watermark_lsn for t in table_map.values())
+    open_tx = stored_open_tx(table_map)
     if watermark >= 0:
         frames = frames.filter(F.col("lsn") > watermark)
 
     if n_batches <= 1:
         batches = [frames]
+    elif split == "lsn":
+        bounds = frames.agg(
+            F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:
+            return []
+        lo, hi = int(bounds["lo"]), int(bounds["hi"])
+        span = max(1, math.ceil((hi - lo + 1) / n_batches))
+        batches = [
+            frames.filter(
+                (F.col("lsn") >= lo + i * span) & (F.col("lsn") < lo + (i + 1) * span)
+            )
+            for i in range(n_batches)
+            if lo + i * span <= hi
+        ]
     else:
         bounds = frames.agg(
             F.min("segment").alias("lo"), F.max("segment").alias("hi")
@@ -195,9 +395,11 @@ def run_ingest(
     out = []
     for batch_frames in batches:
         metrics = apply_frames_batch(
-            table, batch_frames, registry, relation_id,
+            tables, batch_frames, registry, relation_id,
             salt_buckets=salt_buckets, strict=strict, clustered=clustered,
+            open_tx=open_tx, quarantine_dir=quarantine_dir,
         )
+        open_tx = metrics.get("open_tx", {})
         out.append(metrics)
         if on_batch:
             on_batch(metrics)
@@ -207,41 +409,72 @@ def run_ingest(
 def stream_ingest(
     spark,
     frames_dir: str,
-    table: LakeTable,
+    table: Union[LakeTable, Dict[int, LakeTable]],
     checkpoint_dir: str,
     relation_id: int = RELATION_ID,
     max_files_per_trigger: int = 8,
+    trigger: Optional[dict] = None,
+    quarantine_dir: Optional[str] = None,
+    on_batch: Optional[Callable[[dict], None]] = None,
 ):
     """Structured-Streaming variant: parquet frame files → foreachBatch merge.
 
     The lake commit is idempotent on watermark_lsn, so together with the
     stream checkpoint this is exactly-once end-to-end. Returns the
-    StreamingQuery (caller awaits/stops).
+    StreamingQuery (caller awaits/stops). ``trigger`` defaults to
+    ``{"availableNow": True}``; pass e.g. ``{"processingTime": "1 second"}``
+    for a continuous micro-batch loop (reference consume_stream analog,
+    reader.py:334-390).
 
-    Delivery contract: frame files must land in LSN-monotone order (a WAL
-    tail naturally does — the receiver rolls files as the LSN advances;
-    the file source processes oldest-first). The watermark guard treats a
-    batch whose max LSN is at or below the table watermark as already
-    applied, which is only correct under monotone delivery.
+    Schema evolution mid-stream: each micro-batch's 'R' frames are merged
+    into the registry before decode (an R landing mid-stream re-versions
+    its relation, last-Relation-wins — reader.py:222-243).
+
+    Late / out-of-order frame files: frames at or below the managed
+    watermark are replays under the monotone-delivery contract and are
+    skipped idempotently — but they are *counted* (``late_frames``) and,
+    with ``quarantine_dir``, persisted for audit, so a contract violation
+    (novel old frames) is observable rather than silently dropped.
     """
     from pypgoutput_spark.wal.generator import FRAMES_SCHEMA
+
+    table_map = {relation_id: table} if isinstance(table, LakeTable) else dict(table)
 
     frames_stream = (
         spark.readStream.schema(FRAMES_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(frames_dir)
     )
-    # registry from the static view of the same directory (R frames precede
-    # DML in WAL order; for a fixed publication they exist from the start)
-    static = spark.read.schema(FRAMES_SCHEMA).parquet(frames_dir)
-    registry = RelationRegistry.from_frames(static)
+    registry = RelationRegistry()
+    state = {"open_tx": stored_open_tx(table_map)}
 
     def _apply(batch_df, batch_id: int) -> None:
-        apply_frames_batch(table, batch_df, registry, relation_id, strict=False)
+        # merge this micro-batch's R cohort into the registry (stream-driven
+        # schema evolution; R frames are tiny and exempt from the watermark)
+        registry.merge_frames(batch_df)
+        wm = min(t.watermark_lsn for t in table_map.values())
+        eff = batch_df
+        if wm >= 0:
+            late = batch_df.filter(
+                (F.col("lsn") <= wm) & ~_mtype_pred(batch_df, "R")
+            )
+            n_late = late.count()
+            if n_late:
+                state["late_frames"] = state.get("late_frames", 0) + n_late
+                if quarantine_dir:
+                    late.write.mode("append").parquet(quarantine_dir + "/late_frames")
+            eff = batch_df.filter(F.col("lsn") > wm)
+        m = apply_frames_batch(
+            table_map, eff, registry, relation_id, strict=False,
+            open_tx=state["open_tx"], quarantine_dir=quarantine_dir,
+        )
+        state["open_tx"] = m.get("open_tx", {})
+        m["late_frames"] = state.get("late_frames", 0)
+        if on_batch:
+            on_batch(m)
 
-    return (
-        frames_stream.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = frames_stream.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
     )
+    trig = trigger or {"availableNow": True}
+    return writer.trigger(**trig).start()

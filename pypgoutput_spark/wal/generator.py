@@ -45,6 +45,10 @@ from pypgoutput_spark.wal import codec
 RELATION_ID = 51234
 RELATION_NAMESPACE = "public"
 RELATION_NAME = "repo_files"
+#: multi-relation streams use RELATION_ID + k for k in [0, n_relations)
+#: (reference processes any number of interleaved relations, keyed by
+#: relation_id — reader.py:124-132, 252-258)
+RELATION_NAMES = ("repo_files", "repo_files_aux", "repo_files_3", "repo_files_4")
 #: (part_of_pkey, name, pg_type_oid, atttypmod) — all text, keys (repo, path)
 RELATION_COLUMNS: Tuple[Tuple[int, str, int, int], ...] = (
     (1, "repo", 25, -1),
@@ -73,6 +77,7 @@ class GenParams:
     update_pct: int = 30         # delete_pct = 100 - insert - update
     txns_per_segment: int = 25
     content_repeat_max: int = 6
+    n_relations: int = 1         # ops fan out over RELATION_ID + (0..n-1)
 
     @property
     def n_ops(self) -> int:
@@ -179,12 +184,19 @@ def event_exprs(p: GenParams, dialect: str) -> dict:
     h_toast = d.h(seed, q(":toast:"), i_s)
     content_unchanged = f"(({op}) = 'U' AND {h_toast} % 100 < {p.toast_pct})"
 
+    if p.n_relations > 1:
+        h_rel = d.h(seed, q(":rel:"), i_s)
+        rel = f"({h_rel} % {p.n_relations})"
+    else:
+        rel = "0"
+
     return {
         "i": "i",
         "txn": txn,
         "op_idx": op_idx,
         "lsn": lsn,
         "segment": d.idiv(txn, str(p.txns_per_segment)),
+        "rel": rel,
         "op": op,
         "repo": repo,
         "path": path,
@@ -242,11 +254,13 @@ def _encode_stream_pandas(batches: Iterator, p: GenParams) -> Iterator:
     pk_i32 = struct.Struct(">i").pack
     pk_bc = struct.Struct(">qqi").pack      # begin: lsn, ts, xid
     pk_c = struct.Struct(">bqqq").pack      # commit: flags, lsn_c, lsn_e, ts
-    rid_be = pk_i32(RELATION_ID)
-    I_HDR = b"I" + rid_be + b"N\x00\x05"
-    U_HDR = b"U" + rid_be + b"N\x00\x05"
-    D_PAYLOAD_MID = b"D" + rid_be + b"K\x00\x05"
-    T_PAYLOAD = b"T" + pk_i32(1) + b"\x00" + rid_be
+    n_rel = max(1, p.n_relations)
+    # per-relation header constants (relation id = RELATION_ID + rel index)
+    rid_bes = [pk_i32(RELATION_ID + r) for r in range(n_rel)]
+    I_HDRS = [b"I" + rb + b"N\x00\x05" for rb in rid_bes]
+    U_HDRS = [b"U" + rb + b"N\x00\x05" for rb in rid_bes]
+    D_MIDS = [b"D" + rb + b"K\x00\x05" for rb in rid_bes]
+    T_PAYLOADS = [b"T" + pk_i32(1) + b"\x00" + rb for rb in rid_bes]
     B_PFX = b"B"
 
     def t_cell(s: str) -> bytes:
@@ -257,9 +271,10 @@ def _encode_stream_pandas(batches: Iterator, p: GenParams) -> Iterator:
         payloads: List[bytes] = []
         mtypes: List[str] = []
         ap, am = payloads.append, mtypes.append
-        for kind, lsn, cts, xid, op, repo, path, commit, lang, content, unch in zip(
+        for kind, lsn, cts, xid, rel, op, repo, path, commit, lang, content, unch in zip(
             pdf["kind"].tolist(), pdf["lsn"].tolist(), pdf["commit_ts_us"].tolist(),
-            pdf["xid"].tolist(), pdf["op"].tolist(), pdf["repo"].tolist(),
+            pdf["xid"].tolist(), pdf["rel"].tolist(), pdf["op"].tolist(),
+            pdf["repo"].tolist(),
             pdf["path"].tolist(), pdf["commit"].tolist(), pdf["lang"].tolist(),
             pdf["content"].tolist(), pdf["content_unchanged"].tolist(),
         ):
@@ -275,13 +290,13 @@ def _encode_stream_pandas(batches: Iterator, p: GenParams) -> Iterator:
                     + (t_cell(lang) if lang is not None else b"n")
                     + (b"u" if (op == "U" and unch) else t_cell(content))
                 )
-                ap((I_HDR if op == "I" else U_HDR) + cells)
+                ap((I_HDRS[rel] if op == "I" else U_HDRS[rel]) + cells)
                 am(op)
             elif op == "D":
-                ap(D_PAYLOAD_MID + t_cell(repo) + t_cell(path) + b"nnn")
+                ap(D_MIDS[rel] + t_cell(repo) + t_cell(path) + b"nnn")
                 am("D")
             elif op == "T":
-                ap(T_PAYLOAD)
+                ap(T_PAYLOADS[rel])
                 am("T")
             else:  # pragma: no cover
                 raise ValueError(f"bad slot kind={kind!r} op={op!r}")
@@ -335,6 +350,7 @@ def spark_frames_df(spark, p: GenParams, n_partitions: int = 0, include_relation
         )
         .selectExpr(
             "segment", "txn", "kind", "lsn", "commit_ts_us", "xid",
+            f"CASE WHEN kind = 'O' THEN {ex['rel']} ELSE 0 END AS rel",
             f"CASE WHEN kind = 'O' THEN {ex['op']} END AS op",
             f"CASE WHEN kind = 'O' THEN {ex['repo']} END AS repo",
             f"CASE WHEN kind = 'O' THEN {ex['path']} END AS path",
@@ -347,12 +363,24 @@ def spark_frames_df(spark, p: GenParams, n_partitions: int = 0, include_relation
     frames = slots.mapInPandas(lambda it: _encode_stream_pandas(it, p), schema=FRAMES_SCHEMA)
 
     if include_relation:
-        rel_payload = codec.encode_relation(
-            RELATION_ID, RELATION_NAMESPACE, RELATION_NAME, "d", RELATION_COLUMNS
-        )
-        rel = spark.createDataFrame(
-            [(0, 1, "R", bytearray(rel_payload))], schema=FRAMES_SCHEMA
-        )
+        rel_rows = [
+            (
+                0,
+                1 + r,
+                "R",
+                bytearray(
+                    codec.encode_relation(
+                        RELATION_ID + r,
+                        RELATION_NAMESPACE,
+                        RELATION_NAMES[r] if r < len(RELATION_NAMES) else f"repo_files_{r + 1}",
+                        "d",
+                        RELATION_COLUMNS,
+                    )
+                ),
+            )
+            for r in range(max(1, p.n_relations))
+        ]
+        rel = spark.createDataFrame(rel_rows, schema=FRAMES_SCHEMA)
         frames = rel.unionByName(frames)
     return frames
 
@@ -362,7 +390,9 @@ def spark_frames_df(spark, p: GenParams, n_partitions: int = 0, include_relation
 # ---------------------------------------------------------------------------
 
 
-def duckdb_final_state_sql(p: GenParams, with_sha: bool = True) -> str:
+def duckdb_final_state_sql(
+    p: GenParams, with_sha: bool = True, with_relation: bool = False
+) -> str:
     """DuckDB SQL computing the expected final table state after replaying
     the full stream with serial reference semantics (apply each event in
     LSN order: I/U upsert, D delete, T truncate, TOAST-'u' preserves the
@@ -382,21 +412,25 @@ def duckdb_final_state_sql(p: GenParams, with_sha: bool = True) -> str:
     """
     events = duckdb_events_sql(p)
     sha = ", sha256(content) AS content_sha" if with_sha else ""
+    rel_out = f"{RELATION_ID} + rel AS relation_id, " if with_relation else ""
     return f"""
 WITH ev AS ({events}),
-cut AS (SELECT coalesce(max(lsn), -1) AS tlsn FROM ev WHERE op = 'T'),
-eff AS (SELECT ev.* FROM ev, cut WHERE ev.lsn > cut.tlsn AND ev.op <> 'T'),
+cut AS (SELECT rel, coalesce(max(lsn), -1) AS tlsn FROM ev WHERE op = 'T' GROUP BY rel),
+eff AS (
+  SELECT ev.* FROM ev LEFT JOIN cut ON ev.rel = cut.rel
+  WHERE ev.lsn > coalesce(cut.tlsn, -1) AND ev.op <> 'T'
+),
 lww AS (
-  SELECT repo, path,
+  SELECT rel, repo, path,
     max_by(op, lsn) AS final_op,
     max_by({{'v': "commit"}}, lsn) FILTER (WHERE op <> 'D') AS commit_s,
     max_by({{'v': lang}}, lsn) FILTER (WHERE op <> 'D') AS lang_s,
     max_by({{'v': CASE WHEN op = 'D' THEN NULL ELSE content END}}, lsn)
       FILTER (WHERE op = 'D' OR NOT content_unchanged) AS content_s
   FROM eff
-  GROUP BY repo, path
+  GROUP BY rel, repo, path
 )
-SELECT repo, path, commit_s.v AS "commit", lang_s.v AS lang, content_s.v AS content{sha}
+SELECT {rel_out}repo, path, commit_s.v AS "commit", lang_s.v AS lang, content_s.v AS content{sha}
 FROM lww
 WHERE final_op <> 'D'
 """.strip()

@@ -47,6 +47,140 @@ def test_stream_ingest_available_now(spark, tmp_path):
     assert table.current_version() >= 2
 
 
+def test_stream_ingest_processing_time_trigger(spark, tmp_path):
+    """Continuous micro-batch loop (processingTime trigger): files landing
+    while the query runs are picked up and merged — the consume_stream
+    analog (reference reader.py:334-390)."""
+    import time
+
+    p = gen.GenParams(n_txns=40, ops_per_txn=5, toast_pct=25, txns_per_segment=10)
+    frames_dir = str(tmp_path / "frames")
+    frames = gen.spark_frames_df(spark, p)
+    # first two segments land before the stream starts
+    frames.filter("segment < 2").coalesce(1).write.mode("append").parquet(frames_dir)
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"),
+        schema=[(c, "string") for c in gen.ALL_COLUMNS],
+        key_cols=list(gen.KEY_COLUMNS), n_buckets=8,
+    )
+    q = pipeline.stream_ingest(
+        spark, frames_dir, table, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, trigger={"processingTime": "1 second"},
+    )
+    try:
+        # land the remaining segments while the query is live
+        time.sleep(1.5)
+        frames.filter("segment >= 2").coalesce(1).write.mode("append").parquet(frames_dir)
+        max_lsn = frames.agg({"lsn": "max"}).collect()[0][0]
+        deadline = time.time() + 120
+        while table.watermark_lsn < max_lsn and time.time() < deadline:
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert table.watermark_lsn == max_lsn
+    got = table.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    want = (
+        duckdb.sql(gen.duckdb_final_state_sql(p, with_sha=False))
+        .df().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want) and got[want.columns.tolist()].equals(want)
+
+
+def test_stream_late_file_guard(spark, tmp_path):
+    """A frame file landing out of LSN order (below the applied watermark)
+    is counted + quarantined, never silently no-op'd, and the table state
+    is untouched (idempotent under the monotone-delivery contract)."""
+    p = gen.GenParams(n_txns=30, ops_per_txn=5, toast_pct=25, txns_per_segment=10)
+    frames_dir = str(tmp_path / "frames")
+    frames = gen.spark_frames_df(spark, p)
+    frames.coalesce(1).write.mode("append").parquet(frames_dir)
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"),
+        schema=[(c, "string") for c in gen.ALL_COLUMNS],
+        key_cols=list(gen.KEY_COLUMNS), n_buckets=8,
+    )
+    ckpt = str(tmp_path / "ckpt")
+    qdir = str(tmp_path / "quarantine")
+    q = pipeline.stream_ingest(spark, frames_dir, table, ckpt, quarantine_dir=qdir)
+    q.awaitTermination(300)
+    v_applied = table.current_version()
+    state_before = table.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+
+    # a violating file: frames from segment 0 re-land (all below watermark)
+    frames.filter("segment = 0 AND mtype <> 'R'").coalesce(1).write.mode(
+        "append"
+    ).parquet(frames_dir)
+    seen = []
+    q2 = pipeline.stream_ingest(
+        spark, frames_dir, table, ckpt, quarantine_dir=qdir,
+        on_batch=lambda m: seen.append(m),
+    )
+    q2.awaitTermination(300)
+    assert seen and seen[-1]["late_frames"] > 0          # observable, not silent
+    late = spark.read.parquet(qdir + "/late_frames")
+    assert late.count() == seen[-1]["late_frames"]       # audit trail persisted
+    state_after = table.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    assert state_after.equals(state_before)              # state untouched
+    assert all(
+        h["watermark_lsn"] <= table.watermark_lsn for h in table.history()
+    ) and table.current_version() >= v_applied
+
+
+def test_stream_mid_stream_relation_resend(spark, tmp_path):
+    """An 'R' frame landing mid-stream (DDL) re-versions the relation for
+    later micro-batches — the per-batch registry merge (last-Relation-wins,
+    reference reader.py:222-243)."""
+    import time
+
+    RID = gen.RELATION_ID
+    V0 = gen.RELATION_COLUMNS
+    V1 = gen.RELATION_COLUMNS + ((0, "stars", 20, -1),)
+
+    def cells5(repo, path, c, lang, content, content_cat="t"):
+        return [("t", repo), ("t", path), ("t", c), ("t", lang),
+                (content_cat, content if content_cat == "t" else None)]
+
+    file1 = [
+        (0, 1, "R", codec.encode_relation(RID, "public", "repo_files", "d", V0)),
+        (0, 10, "B", codec.encode_begin(10, 1_000_000, 1)),
+        (0, 11, "I", codec.encode_insert(RID, cells5("a", "p1", "c1", "py", "body1"))),
+        (0, 13, "C", codec.encode_commit(12, 13, 1_000_000)),
+    ]
+    file2 = [
+        (0, 20, "R", codec.encode_relation(RID, "public", "repo_files", "d", V1)),
+        (0, 22, "B", codec.encode_begin(22, 2_000_000, 2)),
+        (0, 23, "I", codec.encode_insert(
+            RID, cells5("a", "p3", "c3", "py", "body3") + [("t", "5")])),
+        (0, 24, "U", codec.encode_update(
+            RID, cells5("a", "p1", "c1b", "py", None, content_cat="u") + [("t", "7")])),
+        (0, 25, "C", codec.encode_commit(24, 25, 2_000_000)),
+    ]
+    frames_dir = str(tmp_path / "frames")
+    for rows in (file1, file2):
+        spark.createDataFrame(
+            [(s, l, m, bytearray(pl)) for s, l, m, pl in rows],
+            schema=gen.FRAMES_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(frames_dir)
+        time.sleep(1.1)  # distinct mod times → file source preserves order
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"),
+        schema=[(c, "string") for c in gen.ALL_COLUMNS],
+        key_cols=list(gen.KEY_COLUMNS), n_buckets=4,
+    )
+    q = pipeline.stream_ingest(
+        spark, frames_dir, table, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+    snap = table.snapshot()
+    assert ["stars", "bigint"] in snap["schema"]
+    rows = {(r["repo"], r["path"]): r for r in table.read().collect()}
+    assert rows[("a", "p1")]["commit"] == "c1b"
+    assert rows[("a", "p1")]["content"] == "body1"  # TOAST fallback to target
+    assert rows[("a", "p1")]["stars"] == 7
+    assert rows[("a", "p3")]["stars"] == 5
+
+
 def test_project_relation_typed(spark):
     """O19 parity: post-decode cast per the OID map (wire is always text)."""
     reg = RelationRegistry()

@@ -225,7 +225,8 @@ def _make_kernel(registry_plain: dict, strict: bool = True,
 
 def decode_frames_raw(frames_df, registry: Optional[RelationRegistry] = None,
                       strict: bool = True, clustered: bool = False,
-                      open_tx: Optional[dict] = None):
+                      open_tx: Optional[dict] = None,
+                      vectorized: Optional[bool] = None):
     """frames → RAW decoded events (positional cell arrays, no maps).
 
     The hot-path form; use :func:`project_relation` for typed columns of
@@ -246,6 +247,17 @@ def decode_frames_raw(frames_df, registry: Optional[RelationRegistry] = None,
         partitioned = frames_df.sortWithinPartitions("segment", "lsn")
     else:
         partitioned = frames_df.repartition("segment").sortWithinPartitions("segment", "lsn")
+    # the Arrow-native numpy kernel (wal.vdecode) is the hot path; the
+    # per-message loop kernel keeps the dead-letter (op='E') path where
+    # per-row error isolation is the point
+    if vectorized is None:
+        vectorized = strict
+    if vectorized and strict:
+        from pypgoutput_spark.wal import vdecode
+
+        return partitioned.mapInArrow(
+            vdecode.make_kernel(plain, init_tx=open_tx), schema=RAW_SCHEMA
+        )
     return partitioned.mapInPandas(
         _make_kernel(plain, strict, init_tx=open_tx), schema=RAW_SCHEMA
     )

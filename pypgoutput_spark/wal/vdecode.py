@@ -1,0 +1,446 @@
+"""Vectorized pgoutput decode kernel (Arrow-native, numpy offset tables).
+
+The hot-path alternative to the per-message loop in
+``operators.decode._make_kernel``: one ``mapInArrow`` stage whose kernel
+never creates a per-row Python object. Per Arrow batch:
+
+  - payloads are viewed as ONE concatenated uint8 buffer + an int32
+    offset table (that is already Arrow's binary-column layout — zero
+    copy in);
+  - messages are cohorted by their first byte; the hot I/U/D cohorts are
+    parsed with a **column wavefront**: a ``pos`` vector (one cursor per
+    message) advances over the TupleData cells one column index at a
+    time, so the Python-level loop count is ``max(n_columns)`` (~5-20),
+    not ``n_messages × n_columns``;
+  - cell values are materialized with a single fancy-index **gather**
+    into a contiguous buffer (the repeat/cumsum trick) and handed to
+    Arrow as (validity, offsets, data) buffers — list<string> columns are
+    built without ever instantiating a Python string;
+  - transaction scoping (reference reader.py:182-193) is a vectorized
+    scan: ``maximum.accumulate`` over B/C marker positions gives every
+    event its governing Begin, with the same cross-batch / cross-
+    micro-batch open-transaction carry as the loop kernel;
+  - rare cohorts (Truncate fan-out) fall back to the scalar decoder —
+    they are a vanishing fraction of WAL traffic.
+
+Grammar parity targets are identical to ``wal.codec`` (reference
+decoders.py:131-413): big-endian signed ints, TupleData n/u/t categories,
+Update K/O/N state machine, Delete K/O required, Begin xid as Int32.
+Used for strict decode only — the loop kernel keeps the dead-letter
+(op='E') path, where per-message error isolation is the point.
+"""
+
+from __future__ import annotations
+
+import bisect
+from typing import Iterator, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from pypgoutput_spark.wal import codec as _codec
+
+#: must mirror operators.decode.RAW_SCHEMA exactly
+RAW_PA_SCHEMA = pa.schema(
+    [
+        ("lsn", pa.int64()),
+        ("op", pa.string()),
+        ("relation_id", pa.int32()),
+        ("xid", pa.int64()),
+        ("begin_lsn", pa.int64()),
+        ("commit_ts_us", pa.int64()),
+        ("schema_version", pa.int32()),
+        ("before_kind", pa.string()),
+        ("before_cats", pa.list_(pa.string())),
+        ("before_vals", pa.list_(pa.string())),
+        ("new_cats", pa.list_(pa.string())),
+        ("new_vals", pa.list_(pa.string())),
+        ("segment", pa.int64()),
+        ("error", pa.string()),
+    ]
+)
+
+_B, _C, _I, _U, _D, _T, _R, _O, _Y = (ord(x) for x in "BCIUDTROY")
+_N, _K, _OLD_O, _t, _n, _u = (ord(x) for x in "NKOtnu")
+
+
+def _be(data: np.ndarray, starts: np.ndarray, width: int) -> np.ndarray:
+    """Gather big-endian signed ints of ``width`` bytes at ``starts``."""
+    if starts.size == 0:
+        return np.empty(0, dtype=np.int64)
+    m = data[starts[:, None] + np.arange(width)]
+    return m.view(f">i{width}").ravel().astype(np.int64)
+
+
+def _const_str(ch: str, n: int) -> pa.Array:
+    """StringArray of n copies of a 1-char value, built from buffers."""
+    offsets = np.arange(n + 1, dtype=np.int32)
+    return pa.StringArray.from_buffers(
+        n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(ch.encode() * n)
+    )
+
+
+def _parse_tuples(data: np.ndarray, starts: np.ndarray):
+    """Wavefront-parse one TupleData per message starting at ``starts``.
+
+    Returns (cat_matrix, val_starts, val_lens, ncols, end_pos): matrices
+    are (n_messages, max_ncols) with absent cells zeroed; ``end_pos`` is
+    the cursor after each tuple (for Update's K/O→N chaining).
+    """
+    n = starts.size
+    ncols = _be(data, starts, 2)
+    max_c = int(ncols.max()) if n else 0
+    pos = (starts + 2).astype(np.int64)
+    cat_m = np.zeros((n, max_c), dtype=np.uint8)
+    vstart = np.zeros((n, max_c), dtype=np.int64)
+    vlen = np.zeros((n, max_c), dtype=np.int64)
+    for j in range(max_c):
+        active = np.nonzero(ncols > j)[0]
+        if active.size == 0:
+            break
+        p = pos[active]
+        cat = data[p]
+        cat_m[active, j] = cat
+        is_t = cat == _t
+        t_rows = active[is_t]
+        if t_rows.size:
+            lens = _be(data, pos[t_rows] + 1, 4)
+            vstart[t_rows, j] = pos[t_rows] + 5
+            vlen[t_rows, j] = lens
+            pos[t_rows] += 5 + lens
+        nu_rows = active[~is_t]
+        if nu_rows.size:
+            bad = (data[pos[nu_rows]] != _n) & (data[pos[nu_rows]] != _u)
+            if bad.any():
+                raise ValueError(
+                    f"bad TupleData category byte {chr(data[pos[nu_rows][bad][0]])!r}"
+                )
+            pos[nu_rows] += 1
+    return cat_m, vstart, vlen, ncols, pos
+
+
+def _tuple_lists(data: np.ndarray, cat_m, vstart, vlen, ncols, valid=None):
+    """(cats list<string>, vals list<string>) Arrow arrays, row-major,
+    via one contiguous gather — no per-cell Python objects.
+
+    ``valid``: optional per-row boolean mask; False rows become NULL
+    lists (their ncols must be 0 so offsets don't advance).
+    """
+    n, max_c = cat_m.shape
+
+    def _as_list(values: pa.Array) -> pa.Array:
+        offsets = np.concatenate([[0], np.cumsum(ncols)]).astype(np.int32)
+        if valid is None:
+            return pa.ListArray.from_arrays(pa.array(offsets), values)
+        validity = np.packbits(valid, bitorder="little")
+        return pa.Array.from_buffers(
+            pa.list_(pa.string()), n,
+            [pa.py_buffer(validity.tobytes()), pa.py_buffer(offsets.tobytes())],
+            null_count=int((~valid).sum()), children=[values],
+        )
+
+    if n == 0 or max_c == 0:
+        empty = _as_list(pa.array([], type=pa.string()))
+        return empty, empty
+    cell_mask = np.arange(max_c) < ncols[:, None]
+    flat = cell_mask.ravel()
+    cats_flat = cat_m.ravel()[flat]
+    starts_flat = vstart.ravel()[flat]
+    lens_flat = vlen.ravel()[flat]
+    n_cells = cats_flat.size
+
+    # cats: one 1-byte string per cell
+    cat_values = pa.StringArray.from_buffers(
+        n_cells,
+        pa.py_buffer(np.arange(n_cells + 1, dtype=np.int32).tobytes()),
+        pa.py_buffer(cats_flat.tobytes()),
+    )
+    cats_arr = _as_list(cat_values)
+
+    # vals: gather all 't' bytes into one contiguous buffer
+    out_off = np.zeros(n_cells + 1, dtype=np.int64)
+    np.cumsum(lens_flat, out=out_off[1:])
+    total = int(out_off[-1])
+    if total:
+        ar = np.arange(total, dtype=np.int64)
+        idx = ar - np.repeat(out_off[:-1], lens_flat) + np.repeat(starts_flat, lens_flat)
+        gathered = data[idx]
+    else:
+        gathered = np.empty(0, dtype=np.uint8)
+    is_null = cats_flat != _t
+    validity = np.packbits(~is_null, bitorder="little")
+    val_values = pa.StringArray.from_buffers(
+        n_cells,
+        pa.py_buffer(out_off.astype(np.int32).tobytes()),
+        pa.py_buffer(gathered.tobytes()),
+        pa.py_buffer(validity.tobytes()),
+        null_count=int(is_null.sum()),
+    )
+    vals_arr = _as_list(val_values)
+    return cats_arr, vals_arr
+
+
+def _null_list(n: int) -> pa.Array:
+    return pa.nulls(n, pa.list_(pa.string()))
+
+
+def _schema_versions(plain: dict, rids: np.ndarray, lsns: np.ndarray) -> np.ndarray:
+    """Vectorized plain_lookup: schema version in effect per event."""
+    out = np.zeros(rids.size, dtype=np.int32)
+    for rid in np.unique(rids):
+        versions = plain.get(int(rid))
+        if not versions:
+            raise ValueError(
+                f"no Relation message seen for relation_id={int(rid)} "
+                "(stream must carry 'R' before DML)"
+            )
+        sel = rids == rid
+        v_lsns = np.array([v[0] for v in versions], dtype=np.int64)
+        v_nums = np.array([v[1] for v in versions], dtype=np.int32)
+        pos = np.searchsorted(v_lsns, lsns[sel], side="right") - 1
+        out[sel] = v_nums[np.clip(pos, 0, None)]
+    return out
+
+
+def make_kernel(registry_plain: dict, init_tx: Optional[dict] = None):
+    """mapInArrow kernel: frames RecordBatches → RAW event RecordBatches."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        open_tx: dict = dict(init_tx) if init_tx else {}
+        for rb in batches:
+            pay = rb.column(rb.schema.get_field_index("payload"))
+            if isinstance(pay, pa.ChunkedArray):  # pragma: no cover
+                pay = pay.combine_chunks()
+            bufs = pay.buffers()
+            # arrow binary layout: [validity, offsets(int32), data]
+            offs = np.frombuffer(bufs[1], dtype=np.int32)[
+                pay.offset : pay.offset + len(pay) + 1
+            ].astype(np.int64)
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            seg = rb.column(rb.schema.get_field_index("segment")).to_numpy()
+            lsn = rb.column(rb.schema.get_field_index("lsn")).to_numpy()
+            n = len(pay)
+            if n == 0:
+                continue
+            starts = offs[:-1]
+            first = data[starts]
+
+            known = np.isin(first, [_B, _C, _I, _U, _D, _T, _R, _O, _Y])
+            if not known.all():
+                i = int(np.nonzero(~known)[0][0])
+                raise ValueError(
+                    f"unknown pgoutput message type byte {chr(first[i])!r} at lsn={lsn[i]}"
+                )
+
+            # ---- transaction scoping: vectorized B/C scan ----------------
+            idx = np.arange(n, dtype=np.int64)
+            is_b, is_c = first == _B, first == _C
+            last_b = np.maximum.accumulate(np.where(is_b, idx, -1))
+            last_c = np.maximum.accumulate(np.where(is_c, idx, -1))
+            lb = np.clip(last_b, 0, None)
+            in_open = (last_b >= 0) & (last_b > last_c) & (seg[lb] == seg)
+            has_activity = (
+                (np.maximum(last_b, last_c) >= 0)
+                & (seg[np.clip(np.maximum(last_b, last_c), 0, None)] == seg)
+            )
+            b_rows = idx[is_b]
+            xid_at = np.zeros(n, dtype=np.int64)
+            cts_at = np.zeros(n, dtype=np.int64)
+            if b_rows.size:
+                xid_at[b_rows] = _be(data, starts[b_rows] + 17, 4)
+                cts_at[b_rows] = _be(data, starts[b_rows] + 9, 8)
+            ev_xid = np.where(in_open, xid_at[lb], 0)
+            ev_blsn = np.where(in_open, lsn[lb], 0)
+            ev_cts = np.where(in_open, cts_at[lb], 0)
+            ev_has_tx = in_open.copy()
+            # rows before any same-segment B/C: carried-in open transaction
+            need_carry = ~has_activity
+            if need_carry.any() and open_tx:
+                for s in np.unique(seg[need_carry]):
+                    tx = open_tx.get(int(s))
+                    if tx is not None:
+                        rows = need_carry & (seg == s)
+                        ev_xid[rows], ev_blsn[rows], ev_cts[rows] = tx
+                        ev_has_tx[rows] = True
+            # carry-out: per segment, final open state (segments are
+            # contiguous within the sorted partition)
+            useg, first_i = np.unique(seg, return_index=True)
+            last_i = np.concatenate([first_i[1:], [n]]) - 1
+            for s, li in zip(useg, last_i):
+                if in_open[li]:
+                    open_tx[int(s)] = (
+                        int(xid_at[lb[li]]), int(lsn[lb[li]]), int(cts_at[lb[li]])
+                    )
+                elif has_activity[li]:
+                    open_tx.pop(int(s), None)
+
+            def tx_cols(sel: np.ndarray):
+                has = ev_has_tx[sel]
+                mk = lambda v: pa.array(v[sel], type=pa.int64(), mask=~has)  # noqa: E731
+                return mk(ev_xid), mk(ev_blsn), mk(ev_cts)
+
+            # ---- Insert cohort ------------------------------------------
+            sel = first == _I
+            if sel.any():
+                rows = idx[sel]
+                st = starts[rows]
+                marker = data[st + 5]
+                if (marker != _N).any():
+                    raise ValueError("Insert expects 'N' tuple marker")
+                rid = _be(data, st + 1, 4)
+                cat_m, vs, vl, nc, _pos = _parse_tuples(data, st + 6)
+                cats, vals = _tuple_lists(data, cat_m, vs, vl, nc)
+                xid_a, blsn_a, cts_a = tx_cols(sel)
+                m = rows.size
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(lsn[rows]), _const_str("I", m),
+                        pa.array(rid, type=pa.int32()), xid_a, blsn_a, cts_a,
+                        pa.array(_schema_versions(registry_plain, rid, lsn[rows])),
+                        pa.nulls(m, pa.string()), _null_list(m), _null_list(m),
+                        cats, vals, pa.array(seg[rows]), pa.nulls(m, pa.string()),
+                    ],
+                    schema=RAW_PA_SCHEMA,
+                )
+
+            # ---- Update cohort (optional K/O old image, then N) ----------
+            sel = first == _U
+            if sel.any():
+                rows = idx[sel]
+                st = starts[rows]
+                rid = _be(data, st + 1, 4)
+                marker = data[st + 5]
+                has_old = (marker == _K) | (marker == _OLD_O)
+                if ((marker != _N) & ~has_old).any():
+                    bad = rows[(marker != _N) & ~has_old][0]
+                    raise ValueError(
+                        f"Update missing 'N' new-tuple marker at lsn={lsn[bad]}"
+                    )
+                m = rows.size
+                new_start = st + 6  # rows without old image: N at +5
+                bk = pa.nulls(m, pa.string())
+                b_cats, b_vals = _null_list(m), _null_list(m)
+                if has_old.any():
+                    o_rows = np.nonzero(has_old)[0]
+                    cat_o, vs_o, vl_o, nc_o, end_o = _parse_tuples(
+                        data, st[o_rows] + 6
+                    )
+                    if (data[end_o] != _N).any():
+                        raise ValueError("Update missing 'N' after old image")
+                    # scatter old-image lists back to full cohort positions;
+                    # rows without old image stay ncols=0 + NULL validity
+                    full_cat = np.zeros((m, cat_o.shape[1]), dtype=np.uint8)
+                    full_vs = np.zeros((m, cat_o.shape[1]), dtype=np.int64)
+                    full_vl = np.zeros((m, cat_o.shape[1]), dtype=np.int64)
+                    full_nc = np.zeros(m, dtype=np.int64)
+                    full_cat[o_rows], full_vs[o_rows] = cat_o, vs_o
+                    full_vl[o_rows], full_nc[o_rows] = vl_o, nc_o
+                    b_cats, b_vals = _tuple_lists(
+                        data, full_cat, full_vs, full_vl, full_nc, valid=has_old
+                    )
+                    bk_np = np.where(marker == _K, _K, _OLD_O).astype(np.uint8)
+                    bk = pa.StringArray.from_buffers(
+                        m,
+                        pa.py_buffer(np.arange(m + 1, dtype=np.int32).tobytes()),
+                        pa.py_buffer(bk_np.tobytes()),
+                        pa.py_buffer(np.packbits(has_old, bitorder="little").tobytes()),
+                        null_count=int((~has_old).sum()),
+                    )
+                    new_start = st.copy()
+                    new_start[o_rows] = end_o + 1
+                    new_start[~has_old] += 6
+                cat_m, vs, vl, nc, _pos = _parse_tuples(data, new_start)
+                cats, vals = _tuple_lists(data, cat_m, vs, vl, nc)
+                xid_a, blsn_a, cts_a = tx_cols(sel)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(lsn[rows]), _const_str("U", m),
+                        pa.array(rid, type=pa.int32()), xid_a, blsn_a, cts_a,
+                        pa.array(_schema_versions(registry_plain, rid, lsn[rows])),
+                        bk, b_cats, b_vals, cats, vals,
+                        pa.array(seg[rows]), pa.nulls(m, pa.string()),
+                    ],
+                    schema=RAW_PA_SCHEMA,
+                )
+
+            # ---- Delete cohort (K or O old image required) ---------------
+            sel = first == _D
+            if sel.any():
+                rows = idx[sel]
+                st = starts[rows]
+                rid = _be(data, st + 1, 4)
+                marker = data[st + 5]
+                bad = (marker != _K) & (marker != _OLD_O)
+                if bad.any():
+                    raise ValueError(
+                        f"Delete tuple kind must be 'K' or 'O', got "
+                        f"{chr(marker[np.nonzero(bad)[0][0]])!r}"
+                    )
+                m = rows.size
+                cat_m, vs, vl, nc, _pos = _parse_tuples(data, st + 6)
+                cats, vals = _tuple_lists(data, cat_m, vs, vl, nc)
+                bk = pa.StringArray.from_buffers(
+                    m,
+                    pa.py_buffer(np.arange(m + 1, dtype=np.int32).tobytes()),
+                    pa.py_buffer(marker.astype(np.uint8).tobytes()),
+                )
+                xid_a, blsn_a, cts_a = tx_cols(sel)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(lsn[rows]), _const_str("D", m),
+                        pa.array(rid, type=pa.int32()), xid_a, blsn_a, cts_a,
+                        pa.array(_schema_versions(registry_plain, rid, lsn[rows])),
+                        bk, cats, vals, _null_list(m), _null_list(m),
+                        pa.array(seg[rows]), pa.nulls(m, pa.string()),
+                    ],
+                    schema=RAW_PA_SCHEMA,
+                )
+
+            # ---- Truncate cohort: rare → scalar decode + fan-out ---------
+            sel = first == _T
+            if sel.any():
+                rows = idx[sel]
+                out = {
+                    "lsn": [], "op": [], "relation_id": [], "xid": [],
+                    "begin_lsn": [], "commit_ts_us": [], "schema_version": [],
+                    "segment": [],
+                }
+                for r in rows:
+                    payload = bytes(data[offs[r] : offs[r + 1]])
+                    decoded = _codec.decode_message(payload)
+                    for t_rid in decoded["relation_ids"]:
+                        versions = registry_plain.get(t_rid)
+                        out["lsn"].append(int(lsn[r]))
+                        out["op"].append("T")
+                        out["relation_id"].append(t_rid)
+                        out["xid"].append(int(ev_xid[r]) if ev_has_tx[r] else None)
+                        out["begin_lsn"].append(int(ev_blsn[r]) if ev_has_tx[r] else None)
+                        out["commit_ts_us"].append(int(ev_cts[r]) if ev_has_tx[r] else None)
+                        ver = None
+                        if versions:
+                            pos = bisect.bisect_right(
+                                [v[0] for v in versions], int(lsn[r])
+                            ) - 1
+                            ver = versions[max(pos, 0)][1]
+                        out["schema_version"].append(ver)
+                        out["segment"].append(int(seg[r]))
+                m = len(out["lsn"])
+                if m:
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(out["lsn"], type=pa.int64()),
+                            pa.array(out["op"], type=pa.string()),
+                            pa.array(out["relation_id"], type=pa.int32()),
+                            pa.array(out["xid"], type=pa.int64()),
+                            pa.array(out["begin_lsn"], type=pa.int64()),
+                            pa.array(out["commit_ts_us"], type=pa.int64()),
+                            pa.array(out["schema_version"], type=pa.int32()),
+                            pa.nulls(m, pa.string()), _null_list(m), _null_list(m),
+                            _null_list(m), _null_list(m),
+                            pa.array(out["segment"], type=pa.int64()),
+                            pa.nulls(m, pa.string()),
+                        ],
+                        schema=RAW_PA_SCHEMA,
+                    )
+
+    return kernel

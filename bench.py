@@ -35,12 +35,19 @@ import time
 def _mk_spark(cpus: int):
     from pyspark.sql import SparkSession
 
+    # shuffle partitions scale with INPUT VOLUME, not core count: pinned
+    # to cores, a 16M-event LWW shuffle spills at low N (measured r1); a
+    # high initial count costs nothing because AQE coalesces small
+    # shuffles back down at runtime, while big shuffles keep enough
+    # partitions to fit executor memory
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", max(64, cpus * 8)))
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("pypgoutput_spark-bench")
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
@@ -155,6 +162,17 @@ def main() -> None:
     if "--ingest-once" in sys.argv:
         print(json.dumps(ingest_once(os.environ["SPARK_GRAFT_FRAMES_DIR"], cpus)))
         return
+    if "--generate" in sys.argv:
+        from pypgoutput_spark.wal import generator as gen
+
+        n_events = int(os.environ["SPARK_GRAFT_SCALE_EVENTS"])
+        spark = _mk_spark(cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        gen.spark_frames_df(spark, scaling_params(n_events), n_partitions=128).write.parquet(
+            os.environ["SPARK_GRAFT_FRAMES_DIR"]
+        )
+        spark.stop()
+        return
 
     spark = _mk_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -241,15 +259,24 @@ def run_scaling(sf_dir: str) -> None:
     frames_dir = os.path.join(tmp, "frames")
     try:
         # generate once (deterministic & parallelism-independent — see
-        # tests/test_generator.py), shared by every trial
-        from pypgoutput_spark.wal import generator as gen
-
-        spark = _mk_spark(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-        spark.sparkContext.setLogLevel("ERROR")
-        gen.spark_frames_df(spark, scaling_params(n_events), n_partitions=128).write.parquet(
-            frames_dir
+        # tests/test_generator.py), shared by every trial. Generation runs
+        # in a SUBPROCESS so this parent holds no JVM while trials run
+        # (spark.stop() keeps the py4j gateway JVM — and its heap
+        # reservation — alive, which starved 16-core trials of memory)
+        gen_env = dict(
+            os.environ,
+            SPARK_GRAFT_FRAMES_DIR=frames_dir,
+            SPARK_GRAFT_SCALE_EVENTS=str(n_events),
+            SPARK_GRAFT_SF_DIR=sf_dir,
         )
-        spark.stop()
+        gen_out = subprocess.run(
+            [sys.executable, __file__, "--generate"], env=gen_env,
+            capture_output=True, text=True,
+        )
+        if gen_out.returncode != 0:
+            print(json.dumps({"error": "generation failed",
+                              "stderr": gen_out.stderr.strip()[-400:]}))
+            return
 
         runs: dict = {lo: [], hi: []}
         for _ in range(trials):
@@ -265,12 +292,14 @@ def run_scaling(sf_dir: str) -> None:
                 )
                 lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
                 if out.returncode != 0 or not lines:
-                    print(
-                        f"trial cpus={cpus} failed rc={out.returncode}: "
-                        + out.stderr.strip().splitlines()[-1][:300]
-                        if out.stderr.strip() else "(no stderr)",
-                        file=sys.stderr,
-                    )
+                    errs = [
+                        l for l in out.stderr.splitlines()
+                        if "Error" in l or "Exception" in l
+                    ]
+                    msg = (errs[-1] if errs else out.stderr.strip().splitlines()[-1]
+                           if out.stderr.strip() else "(no stderr)")
+                    print(f"trial cpus={cpus} failed rc={out.returncode}: {msg[:300]}",
+                          file=sys.stderr)
                     continue
                 runs[cpus].append(json.loads(lines[-1]))
         if not runs[lo] or not runs[hi]:

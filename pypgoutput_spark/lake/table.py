@@ -145,11 +145,17 @@ class LakeTable:
 
     def write_buckets(self, df, version: int) -> Dict[str, List[str]]:
         """Write rows (must carry ``_bucket``) as one directory per bucket;
-        returns {bucket: [dir]} for the snapshot."""
+        returns {bucket: [dir]} for the snapshot.
+
+        One shuffle co-locates each bucket's rows (one file per bucket,
+        not #partitions × #buckets fragments); the dynamic-partition
+        writer does its own local sort on ``_bucket`` — an explicit
+        key sort here would only burn CPU (no key-range pruning exists
+        on read).
+        """
         stage = self._stage_dir(version)
         (
             df.repartition(F.col("_bucket"))
-            .sortWithinPartitions("_bucket", *self.snapshot()["key_cols"])
             .write.partitionBy("_bucket")
             .parquet(stage)
         )

@@ -263,7 +263,8 @@ def decode_frames_raw(frames_df, registry: Optional[RelationRegistry] = None,
     )
 
 
-def project_relation(raw_events, relation_version, typed: bool = False):
+def project_relation(raw_events, relation_version, typed: bool = False,
+                     json_as_variant: bool = False):
     """Positional projection of RAW events for one relation version →
     plain typed columns (reference reader.py:63-69, vectorized, JVM-side):
 
@@ -274,14 +275,23 @@ def project_relation(raw_events, relation_version, typed: bool = False):
     identity); I/U take everything from the new tuple. No maps, no
     Python — the whole projection is codegen'd array indexing, and the
     downstream LWW shuffle carries flat strings instead of map objects.
+
+    ``json_as_variant`` (with ``typed``): json/jsonb columns (OIDs
+    114/3802) parse to Spark VARIANT instead of staying text — the
+    analog of the reference's pydantic.Json → dict parsing
+    (reader.py:93-94, asserted at tests/test_reader.py:203,223);
+    malformed json becomes NULL (try_parse_json), matching the
+    dead-letter philosophy rather than tearing the stream down.
     """
     from pyspark.sql import functions as F
 
+    JSON_OIDS = (114, 3802)
     rv = relation_version
     cols = [F.col("lsn"), F.col("op"), F.col("xid"), F.col("begin_lsn"),
             F.col("commit_ts_us")]
     key_set = set(rv.key_columns)
     spark_types = dict(rv.spark_fields()) if typed else {}
+    oids = {c[1]: c[2] for c in rv.columns}
     for i, name in enumerate(rv.column_names):
         new_v = F.col("new_vals").getItem(i)
         if name in key_set:
@@ -295,7 +305,10 @@ def project_relation(raw_events, relation_version, typed: bool = False):
             # typed validation/cast, the pydantic-model analog
             # (reference reader.py:87-98, 260-296): pgoutput wire values
             # are always text; typing applies post-decode per the OID map
-            c = c.cast(spark_types[name])
+            if json_as_variant and oids.get(name) in JSON_OIDS:
+                c = F.try_parse_json(c)
+            else:
+                c = c.cast(spark_types[name])
         cols.append(c.alias(name))
         cols.append(
             (F.col("new_cats").getItem(i) == "u").alias(f"u_{name}")

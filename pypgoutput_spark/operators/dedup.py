@@ -10,8 +10,9 @@ same parquet tables (dual-dialect SQL, see functions/detsql.py):
                   candidate pairs (the 100 TB-scale path: candidate
                   generation cost ~ O(docs × bands), never O(docs²))
   - SimHash:      32-bit signs-of-sums signature over token hashes
-  - embedding cosine: label-blocked pair join over integer-quantized
-                  vectors with an exact cross-multiplied threshold
+  - embedding cosine: banded hyperplane-LSH candidate buckets → exact
+                  cross-multiplied cosine verify over integer-quantized
+                  vectors (two-stage, like dedup_lsh_verified_pairs)
 
 Scale notes (what changes at 1000 executors / 100 TB):
   - the Jaccard self-join caps shingle document-frequency (stop-shingles
@@ -20,8 +21,9 @@ Scale notes (what changes at 1000 executors / 100 TB):
   - MinHash/LSH is the intended scale path: bucket join keys are
     (band_id, band_hash), high-cardinality and uniform by construction,
     so the shuffle is balanced regardless of content skew.
-  - cosine dedup blocks by ``label`` (in production: by an IVF/LSH
-    bucket — see operators/similarity.py) to avoid the full cross join.
+  - cosine dedup candidates come from banded hyperplane-LSH buckets
+    (uniform high-cardinality (band, key) join keys — no data-column
+    blocking, no all-pairs); only candidates pay the exact verify.
   - all shuffles are on hashed keys; all arithmetic is JVM-side
     (higher-order array functions), no Python in the hot path.
 """
@@ -33,12 +35,36 @@ from pypgoutput_spark.operators.qlib import run_sql
 
 #: drop shingles shared by more than this many docs (stop-shingles)
 SHINGLE_DF_CAP = 40
-#: MinHash parameters: K hashes in B bands of R rows (K = B*R)
+#: default MinHash parameters for the fixed CORRECTNESS entries:
+#: K hashes in B bands of R rows (K = B*R); size from corpus scale via
+#: :func:`minhash_params` in real deployments
 MINHASH_K, MINHASH_BANDS = 12, 4
 #: integer Jaccard threshold num/den (inter/union >= num/den)
 JACCARD_NUM, JACCARD_DEN = 1, 4
 #: cosine threshold (compared via exact cross-multiplication)
 COSINE_T2 = "0.1225"  # threshold², cosine >= 0.35 (near-dup for random test vectors)
+#: banded hyperplane-LSH defaults for embedding near-dup candidates
+ANN_BITS_PER_BAND, ANN_BANDS = 4, 6
+
+
+def minhash_params(n_docs: int, jaccard_threshold: float = JACCARD_NUM / JACCARD_DEN):
+    """(K, bands) sized for corpus scale.
+
+    LSH theory: with R rows per band and B bands, a pair at Jaccard J is
+    a candidate with prob 1 - (1 - J^R)^B; the S-curve midpoint sits at
+    J* ≈ (1/B)^(1/R). Candidate volume is bounded because band keys are
+    md5 over R 31-bit minima — random collisions are ~n²/2¹²⁸ (nil), so
+    per-bucket occupancy tracks true near-dup cluster sizes, not corpus
+    size. R is held at 3 (precision); B solves the midpoint for the
+    requested threshold, capped logarithmically in corpus size so K stays
+    O(log n) hashes per doc.
+    """
+    import math
+
+    r = 3
+    b = int(round((1.0 / max(jaccard_threshold, 1e-6)) ** r))
+    b = max(2, min(b, int(8 + 4 * math.log10(max(n_docs, 10)))))
+    return r * b, b
 
 
 def _shingles_cte(d: Dialect) -> str:
@@ -103,7 +129,7 @@ WHERE inter * {JACCARD_DEN} >= (sa.sz + sb.sz - inter) * {JACCARD_NUM}
 """.strip()
 
 
-def _minhash_cte(d: Dialect) -> str:
+def _minhash_cte(d: Dialect, k: int = MINHASH_K, n_bands: int = MINHASH_BANDS) -> str:
     """MinHash signatures via explode-once + K min() aggregates.
 
     Shingles are exploded a single time and each of the K hash families
@@ -127,17 +153,17 @@ def _minhash_cte(d: Dialect) -> str:
 
     P = 2147483647
     mh_parts = []
-    for k in range(MINHASH_K):
-        a = int(_hl.md5(f"mh-a:{k}".encode()).hexdigest()[:7], 16) % (P - 1) + 1
-        b = int(_hl.md5(f"mh-b:{k}".encode()).hexdigest()[:7], 16) % P
-        mh_parts.append(f"min(({a} * h + {b}) % {P}) AS mh_{k}")
+    for ki in range(k):
+        a = int(_hl.md5(f"mh-a:{ki}".encode()).hexdigest()[:7], 16) % (P - 1) + 1
+        b = int(_hl.md5(f"mh-b:{ki}".encode()).hexdigest()[:7], 16) % P
+        mh_parts.append(f"min(({a} * h + {b}) % {P}) AS mh_{ki}")
     mh_cols = ", ".join(mh_parts)
     # one struct per band, exploded in a single pass over mh (a UNION of
     # per-band selects would re-plan — and re-compute — the signature
     # aggregation once per band after CTE inlining)
-    rows_per_band = MINHASH_K // MINHASH_BANDS
+    rows_per_band = k // n_bands
     band_structs = []
-    for b in range(MINHASH_BANDS):
+    for b in range(n_bands):
         cols = ", ".join(
             d.s(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)
         )
@@ -173,19 +199,19 @@ bands AS ({bands})
 """.strip()
 
 
-def minhash_lsh_sql(d: Dialect) -> str:
+def minhash_lsh_sql(d: Dialect, k: int = MINHASH_K, n_bands: int = MINHASH_BANDS) -> str:
     return f"""
-WITH {_minhash_cte(d)}
+WITH {_minhash_cte(d, k, n_bands)}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 """.strip()
 
 
-def minhash_signatures_sql(d: Dialect) -> str:
-    cols = ", ".join(f"mh_{k}" for k in range(MINHASH_K))
+def minhash_signatures_sql(d: Dialect, k: int = MINHASH_K, n_bands: int = MINHASH_BANDS) -> str:
+    cols = ", ".join(f"mh_{ki}" for ki in range(k))
     return f"""
-WITH {_minhash_cte(d)}
+WITH {_minhash_cte(d, k, n_bands)}
 SELECT doc_id, {cols} FROM mh
 """.strip()
 
@@ -278,27 +304,108 @@ FROM bits
 """.strip()
 
 
-def embedding_cosine_sql(d: Dialect) -> str:
+def _ann_band_cte(d: Dialect, bits_per_band: int, n_bands: int) -> str:
+    """CTEs ``q`` (quantized vectors) and ``ebands`` (one row per vector
+    per band; band key = ``bits_per_band`` hyperplane signs).
+
+    Scale contract (the 100 TB shape): candidates join on (band, key) —
+    uniform high-cardinality buckets, never label/all-pairs blocking.
+    Expected within-bucket pairs ≈ n²/2^(bits+1) per band, so bits
+    scale with log2(n) (see similarity.n_planes_for); recall for a pair
+    at cosine c is 1-(1-p^bits)^bands with p = 1 - acos(c)/π — bands
+    buy recall, bits buy precision.
+    """
+    from pypgoutput_spark.operators.similarity import _arr_lit, _hyperplane
+
     quant = d.array_transform(
         "embedding", "x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)"
     )
-    dot = d.dot_bigint("a.qv", "b.qv", 64)
-    na, nb = d.dot_bigint("a.qv", "a.qv", 64), d.dot_bigint("b.qv", "b.qv", 64)
+    band_structs = []
+    for b in range(n_bands):
+        bits = []
+        for j in range(bits_per_band):
+            hp = _arr_lit(d, _hyperplane(b * bits_per_band + j))
+            dot = d.dot_bigint("qv", hp, 64)
+            bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+        key = " + ".join(bits)
+        if d.name == "spark":
+            band_structs.append(f"named_struct('band', {b}, 'k', CAST({key} AS BIGINT))")
+        else:
+            band_structs.append(f"{{'band': {b}, 'k': CAST({key} AS BIGINT)}}")
+    arr = (
+        f"array({', '.join(band_structs)})"
+        if d.name == "spark"
+        else f"[{', '.join(band_structs)}]"
+    )
+    na = d.dot_bigint("qv", "qv", 64)
     return f"""
-WITH q AS (
-  SELECT vec_id, label, {quant} AS qv FROM embeddings
+q AS (
+  SELECT vec_id, {quant} AS qv FROM embeddings
+),
+qn AS (SELECT vec_id, qv, {na} AS nrm, {arr} AS bandarr FROM q),
+ebands AS (
+  SELECT vec_id, s.band AS band, s.k AS k
+  FROM (SELECT vec_id, {d.unnest('bandarr')} AS s FROM qn)
+)
+""".strip()
+
+
+def embedding_cosine_sql(d: Dialect, bits_per_band: int = ANN_BITS_PER_BAND,
+                         n_bands: int = ANN_BANDS) -> str:
+    """Embedding near-dup pairs: banded hyperplane-LSH candidate
+    generation + exact integer-cosine verification — the two-stage shape
+    of dedup_lsh_verified_pairs applied to vectors (candidates are
+    O(vectors × bands), never all-pairs or label-blocked)."""
+    dot = d.dot_bigint("x.qv", "y.qv", 64)
+    return f"""
+WITH {_ann_band_cte(d, bits_per_band, n_bands)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM ebands a JOIN ebands b
+    ON a.band = b.band AND a.k = b.k AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b, {dot} AS dot, x.nrm AS na, y.nrm AS nb
+FROM cand c
+JOIN qn x ON c.vec_a = x.vec_id
+JOIN qn y ON c.vec_b = y.vec_id
+WHERE {dot} > 0
+  AND (CAST({dot} AS DOUBLE) * CAST({dot} AS DOUBLE))
+      >= (({COSINE_T2} * CAST(x.nrm AS DOUBLE)) * CAST(y.nrm AS DOUBLE))
+""".strip()
+
+
+def q_embedding_cosine(spark, sf_dir: str, bits_per_band: int = ANN_BITS_PER_BAND,
+                       n_bands: int = ANN_BANDS):
+    """Spark runner: stage the per-vector band table once (the persisted
+    ANN index in production), then hash-join candidates and verify —
+    avoids Generate re-evaluating the hyperplane lambda trees per band."""
+    from pypgoutput_spark.operators.qlib import register_views
+
+    register_views(spark, sf_dir, tables=("embeddings",), spread=("embeddings",))
+    d = SPARK
+    qn = spark.sql(
+        f"WITH {_ann_band_cte(d, bits_per_band, n_bands)} SELECT * FROM qn"
+    ).localCheckpoint()
+    qn.createOrReplaceTempView("qn_v")
+    dot = d.dot_bigint("x.qv", "y.qv", 64)
+    return spark.sql(f"""
+WITH ebands AS (
+  SELECT vec_id, s.band AS band, s.k AS k
+  FROM (SELECT vec_id, {d.unnest('bandarr')} AS s FROM qn_v)
 ),
 cand AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-    {dot} AS dot, {na} AS na, {nb} AS nb
-  FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM ebands a JOIN ebands b
+    ON a.band = b.band AND a.k = b.k AND a.vec_id < b.vec_id
 )
-SELECT vec_a, vec_b, dot, na, nb
-FROM cand
-WHERE dot > 0
-  AND (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE))
-      >= (({COSINE_T2} * CAST(na AS DOUBLE)) * CAST(nb AS DOUBLE))
-""".strip()
+SELECT c.vec_a, c.vec_b, {dot} AS dot, x.nrm AS na, y.nrm AS nb
+FROM cand c
+JOIN qn_v x ON c.vec_a = x.vec_id
+JOIN qn_v y ON c.vec_b = y.vec_id
+WHERE {dot} > 0
+  AND (CAST({dot} AS DOUBLE) * CAST({dot} AS DOUBLE))
+      >= (({COSINE_T2} * CAST(x.nrm AS DOUBLE)) * CAST(y.nrm AS DOUBLE))
+""".strip())
 
 
 # ---- Spark runners -----------------------------------------------------------
@@ -364,9 +471,9 @@ toks AS (SELECT doc_id, {toks} AS toks FROM documents WHERE n_chars > 0)
     )
 
 
-def _mh_cte_from_staged(d) -> str:
+def _mh_cte_from_staged(d, k: int = MINHASH_K, n_bands: int = MINHASH_BANDS) -> str:
     """mh/bands CTEs reading the pre-staged gram arrays (Spark side)."""
-    full = _minhash_cte(d)
+    full = _minhash_cte(d, k, n_bands)
     _, rest = full.split("shingles AS (", 1)
     # shingles from the staged arrays instead of recomputing them
     shingles = (
@@ -378,16 +485,18 @@ def _mh_cte_from_staged(d) -> str:
     return shingles + ",\nmh AS (" + mh_on
 
 
-def _staged_bands(spark, sf_dir: str):
+def _staged_bands(spark, sf_dir: str, k: int = MINHASH_K, n_bands: int = MINHASH_BANDS):
     """Band table with the gram arrays staged once."""
     _stage_gram_arrays(spark, sf_dir)
-    return spark.sql(f"WITH {_mh_cte_from_staged(SPARK)} SELECT * FROM bands")
+    return spark.sql(f"WITH {_mh_cte_from_staged(SPARK, k, n_bands)} SELECT * FROM bands")
 
 
-def q_minhash_signatures(spark, sf_dir: str):
+def q_minhash_signatures(spark, sf_dir: str, k: int = MINHASH_K, n_bands: int = MINHASH_BANDS):
     _stage_gram_arrays(spark, sf_dir)
-    cols = ", ".join(f"mh_{k}" for k in range(MINHASH_K))
-    return spark.sql(f"WITH {_mh_cte_from_staged(SPARK)} SELECT doc_id, {cols} FROM mh")
+    cols = ", ".join(f"mh_{ki}" for ki in range(k))
+    return spark.sql(
+        f"WITH {_mh_cte_from_staged(SPARK, k, n_bands)} SELECT doc_id, {cols} FROM mh"
+    )
 
 
 def q_simhash(spark, sf_dir: str):
@@ -416,7 +525,8 @@ SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM bits
     )
 
 
-def q_minhash_lsh_pairs(spark, sf_dir: str):
+def q_minhash_lsh_pairs(spark, sf_dir: str, k: int = MINHASH_K,
+                        n_bands: int = MINHASH_BANDS):
     """LSH candidate pairs with the band table materialized once.
 
     A plain SQL self-join would inline the bands CTE on both sides and
@@ -426,7 +536,7 @@ def q_minhash_lsh_pairs(spark, sf_dir: str):
     """
     from pyspark.sql import functions as F
 
-    bands = _staged_bands(spark, sf_dir).localCheckpoint()
+    bands = _staged_bands(spark, sf_dir, k, n_bands).localCheckpoint()
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -461,8 +571,5 @@ QUERIES = {
     ),
     "dedup_lsh_verified_pairs": (q_lsh_verified, lsh_verified_sql(DUCKDB)),
     "dedup_simhash": (q_simhash, simhash_sql(DUCKDB)),
-    "dedup_embedding_cosine": (
-        _runner(embedding_cosine_sql, ("embeddings",), ("embeddings",)),
-        embedding_cosine_sql(DUCKDB),
-    ),
+    "dedup_embedding_cosine": (q_embedding_cosine, embedding_cosine_sql(DUCKDB)),
 }

@@ -71,6 +71,45 @@ def merge_into(
     changes = changes.withColumns(
         {k: F.col(k).cast(col_types[k]) for k in keys}
     )
+
+    if truncate or not snap["buckets"]:
+        # initial load / full replace: the target contributes nothing, so
+        # the whole merge is ONE pass — no change-set cache, no joins;
+        # op counts ride the same write job via observed metrics
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed = changes.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("final_op") == "D", 1)).alias("d"),
+        )
+        resolved = observed.filter(F.col("final_op") != "D").select(
+            *keys,
+            *[F.col(f"r_{c}.v").cast(col_types[c]).alias(c) for c in value_cols],
+        )
+        staged = table.write_buckets(table.with_bucket(resolved), snap["version"] + 1)
+        got = obs.get
+        metrics = {
+            "upserts": int(got["n"] - got["d"]),
+            "deletes": int(got["d"]),
+            "change_keys": int(got["n"]),
+            "buckets_touched": len(staged),
+            "truncated": truncate,
+            "broadcast": False,
+            **(extra_metrics or {}),
+        }
+        version = table.commit(
+            staged,
+            replaced_buckets=[int(b) for b in snap["buckets"]],
+            watermark_lsn=watermark_lsn,
+            metrics=metrics,
+            truncate=truncate,
+        )
+        metrics["version"] = version
+        metrics["skipped"] = False
+        return metrics
+
     ch = table.with_bucket(changes)
     ch.cache()
     try:

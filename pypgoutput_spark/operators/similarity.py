@@ -27,7 +27,27 @@ from pypgoutput_spark.functions.detsql import DUCKDB, SPARK, Dialect
 from pypgoutput_spark.operators.qlib import run_sql
 
 DIM = 64
+#: default hyperplane count for the fixed CORRECTNESS entries; real
+#: deployments size it from corpus cardinality via :func:`n_planes_for`
 N_PLANES = 16
+
+
+def n_planes_for(n_vectors: int) -> int:
+    """Bucket-width parameterization for corpus scale.
+
+    With ``bits`` random hyperplanes there are ``2**bits`` buckets and the
+    expected *within-bucket candidate pairs* for a near-uniform corpus is
+    ``C(n / 2**bits, 2) * 2**bits ≈ n² / 2**(bits+1)`` — so holding
+    ``bits ≈ log2(n) + c`` bounds candidates at ``n / 2**(c+1)`` per
+    bucket-pair unit regardless of corpus growth. c=4 keeps expected
+    occupancy ≈ 1/16 vectors per bucket; clamp to [8, 32] (beyond 32 the
+    int bucket key would overflow and recall for mid-similarity pairs
+    collapses — use banded multi-probe instead, see
+    operators.dedup.embedding_ann_sql).
+    """
+    import math
+
+    return int(min(32, max(8, math.ceil(math.log2(max(n_vectors, 2))) + 4)))
 
 
 def _hyperplane(j: int) -> list:
@@ -69,9 +89,9 @@ LIMIT {k}
 """.strip()
 
 
-def lsh_buckets_sql(d: Dialect) -> str:
+def lsh_buckets_sql(d: Dialect, n_planes: int = N_PLANES) -> str:
     bits = []
-    for j in range(N_PLANES):
+    for j in range(n_planes):
         dot = d.dot_bigint("qv", _arr_lit(d, _hyperplane(j)), DIM)
         bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
     bucket = " + ".join(bits)
@@ -82,9 +102,9 @@ FROM e
 """.strip()
 
 
-def lsh_ann_pairs_sql(d: Dialect) -> str:
+def lsh_ann_pairs_sql(d: Dialect, n_planes: int = N_PLANES) -> str:
     return f"""
-WITH b AS ({lsh_buckets_sql(d)})
+WITH b AS ({lsh_buckets_sql(d, n_planes)})
 SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, a.bucket
 FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
 """.strip()

@@ -76,7 +76,7 @@ def _const_str(ch: str, n: int) -> pa.Array:
     """StringArray of n copies of a 1-char value, built from buffers."""
     offsets = np.arange(n + 1, dtype=np.int32)
     return pa.StringArray.from_buffers(
-        n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(ch.encode() * n)
+        n, pa.py_buffer(offsets), pa.py_buffer(ch.encode() * n)
     )
 
 
@@ -135,7 +135,7 @@ def _tuple_lists(data: np.ndarray, cat_m, vstart, vlen, ncols, valid=None):
         validity = np.packbits(valid, bitorder="little")
         return pa.Array.from_buffers(
             pa.list_(pa.string()), n,
-            [pa.py_buffer(validity.tobytes()), pa.py_buffer(offsets.tobytes())],
+            [pa.py_buffer(validity), pa.py_buffer(offsets)],
             null_count=int((~valid).sum()), children=[values],
         )
 
@@ -152,8 +152,8 @@ def _tuple_lists(data: np.ndarray, cat_m, vstart, vlen, ncols, valid=None):
     # cats: one 1-byte string per cell
     cat_values = pa.StringArray.from_buffers(
         n_cells,
-        pa.py_buffer(np.arange(n_cells + 1, dtype=np.int32).tobytes()),
-        pa.py_buffer(cats_flat.tobytes()),
+        pa.py_buffer(np.arange(n_cells + 1, dtype=np.int32)),
+        pa.py_buffer(np.ascontiguousarray(cats_flat)),
     )
     cats_arr = _as_list(cat_values)
 
@@ -171,9 +171,9 @@ def _tuple_lists(data: np.ndarray, cat_m, vstart, vlen, ncols, valid=None):
     validity = np.packbits(~is_null, bitorder="little")
     val_values = pa.StringArray.from_buffers(
         n_cells,
-        pa.py_buffer(out_off.astype(np.int32).tobytes()),
-        pa.py_buffer(gathered.tobytes()),
-        pa.py_buffer(validity.tobytes()),
+        pa.py_buffer(out_off.astype(np.int32)),
+        pa.py_buffer(gathered),
+        pa.py_buffer(validity),
         null_count=int(is_null.sum()),
     )
     vals_arr = _as_list(val_values)
@@ -341,9 +341,9 @@ def make_kernel(registry_plain: dict, init_tx: Optional[dict] = None):
                     bk_np = np.where(marker == _K, _K, _OLD_O).astype(np.uint8)
                     bk = pa.StringArray.from_buffers(
                         m,
-                        pa.py_buffer(np.arange(m + 1, dtype=np.int32).tobytes()),
-                        pa.py_buffer(bk_np.tobytes()),
-                        pa.py_buffer(np.packbits(has_old, bitorder="little").tobytes()),
+                        pa.py_buffer(np.arange(m + 1, dtype=np.int32)),
+                        pa.py_buffer(bk_np),
+                        pa.py_buffer(np.packbits(has_old, bitorder="little")),
                         null_count=int((~has_old).sum()),
                     )
                     new_start = st.copy()
@@ -381,8 +381,8 @@ def make_kernel(registry_plain: dict, init_tx: Optional[dict] = None):
                 cats, vals = _tuple_lists(data, cat_m, vs, vl, nc)
                 bk = pa.StringArray.from_buffers(
                     m,
-                    pa.py_buffer(np.arange(m + 1, dtype=np.int32).tobytes()),
-                    pa.py_buffer(marker.astype(np.uint8).tobytes()),
+                    pa.py_buffer(np.arange(m + 1, dtype=np.int32)),
+                    pa.py_buffer(marker.astype(np.uint8)),
                 )
                 xid_a, blsn_a, cts_a = tx_cols(sel)
                 yield pa.RecordBatch.from_arrays(

@@ -208,3 +208,39 @@ def test_project_relation_typed(spark):
     assert row["created"].year == 2021 and row["created"].month == 4
     assert row["note"] is None
     assert row["xid"] == 42 and row["begin_lsn"] == 5
+
+
+def test_project_relation_jsonb_variant(spark):
+    """jsonb parity (reference reader.py:93-94, asserted parsed at
+    tests/test_reader.py:203,223): with json_as_variant, jsonb OIDs
+    project to Spark VARIANT — structured access without re-parsing."""
+    reg = RelationRegistry()
+    rv = reg.add_relation(1, codec.decode_message(codec.encode_relation(
+        778, "public", "json_t", "d",
+        [(1, "id", 23, -1), (0, "json_data", 3802, -1), (0, "doc", 114, -1)],
+    )))
+    frames = spark.createDataFrame(
+        [
+            (0, 5, "B", bytearray(codec.encode_begin(5, 1_000_000, 7))),
+            (0, 6, "I", bytearray(codec.encode_insert(
+                778, [("t", "1"),
+                      ("t", '{"a": 5, "b": {"c": "x"}}'),
+                      ("t", '[1, 2, 3]')]))),
+            (0, 7, "I", bytearray(codec.encode_insert(
+                778, [("t", "2"), ("t", "not json"), ("n", None)]))),
+            (0, 8, "C", bytearray(codec.encode_commit(7, 8, 1_000_000))),
+        ],
+        schema=gen.FRAMES_SCHEMA,
+    )
+    raw = decode_op.decode_frames_raw(frames, reg)
+    typed = decode_op.project_relation(raw, rv, typed=True, json_as_variant=True)
+    assert "variant" in typed.schema["json_data"].dataType.simpleString()
+    rows = {r["id"]: r for r in typed.selectExpr(
+        "id",
+        "variant_get(json_data, '$.a', 'int') AS a",
+        "variant_get(json_data, '$.b.c', 'string') AS c",
+        "variant_get(doc, '$[1]', 'int') AS second",
+        "json_data IS NULL AS bad_json",
+    ).collect()}
+    assert rows[1]["a"] == 5 and rows[1]["c"] == "x" and rows[1]["second"] == 2
+    assert rows[2]["bad_json"] is True  # malformed json → NULL, not a crash

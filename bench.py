@@ -126,9 +126,12 @@ BENCH_QUERIES = (
     "dedup_lsh_verified_pairs",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_keep_representative",
     "sim_topk_bruteforce",
     "sim_lsh_ann_pairs",
+    "sim_lsh_topk",
     "mm_payload_meta",
+    "mm_frame_sample",
     "cdc_events_latest_by_user",
     "events_sessionize",
     "agg_pricing_summary",

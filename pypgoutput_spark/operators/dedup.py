@@ -283,6 +283,101 @@ JOIN sizes sb ON i.doc_b = sb.doc_id
 """.strip())
 
 
+def keep_representative_sql(d: Dialect) -> str:
+    """Per-document dedup decision from the two-stage LSH-verified pairs:
+    each doc's representative is the smallest doc_id among itself and its
+    verified near-duplicates; ``keep`` marks cluster representatives.
+
+    Scale note: this is the single-hop contraction (one groupBy over the
+    pair list — O(pairs)); full transitive closure runs the standard
+    large-star/small-star iterations over the same pair table, each
+    iteration this exact shape. Docs without shingles (empty text) are
+    trivially their own representative via the left join.
+    """
+    return f"""
+WITH {_minhash_cte(d)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sh2 AS (SELECT DISTINCT doc_id, h AS shingle_h FROM shingles),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh2 x ON x.doc_id = c.doc_a
+  JOIN sh2 y ON y.doc_id = c.doc_b AND y.shingle_h = x.shingle_h
+  GROUP BY c.doc_a, c.doc_b
+),
+dups AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE i.n_inter * {JACCARD_DEN} >= (sa.sz + sb.sz - i.n_inter) * {JACCARD_NUM}
+),
+neigh AS (
+  SELECT doc_a AS doc_id, doc_b AS nb FROM dups
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS nb FROM dups
+),
+rep AS (SELECT doc_id, least(doc_id, min(nb)) AS representative FROM neigh GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(r.representative, d.doc_id) AS representative,
+  (coalesce(r.representative, d.doc_id) = d.doc_id) AS keep
+FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id
+""".strip()
+
+
+def q_keep_representative(spark, sf_dir: str):
+    """Spark runner: staged shingles/bands (as q_lsh_verified), then the
+    pair→representative contraction."""
+    from pyspark.sql import functions as F
+
+    _stage_gram_arrays(spark, sf_dir)
+    d = SPARK
+    sh = spark.sql(
+        f"SELECT DISTINCT doc_id, ({d.md5_int('shingle')} % 2147483647) AS shingle_h "
+        f"FROM (SELECT doc_id, {d.unnest('grams')} AS shingle FROM grams_staged)"
+    ).localCheckpoint()
+    sh.createOrReplaceTempView("sh_rep_v")
+    bands = spark.sql(f"WITH {_mh_cte_from_staged(SPARK)} SELECT * FROM bands")
+    bands.localCheckpoint().createOrReplaceTempView("bands_rep_v")
+    return spark.sql(f"""
+WITH cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_rep_v a JOIN bands_rep_v b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh_rep_v GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh_rep_v x ON x.doc_id = c.doc_a
+  JOIN sh_rep_v y ON y.doc_id = c.doc_b AND y.shingle_h = x.shingle_h
+  GROUP BY c.doc_a, c.doc_b
+),
+dups AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE i.n_inter * {JACCARD_DEN} >= (sa.sz + sb.sz - i.n_inter) * {JACCARD_NUM}
+),
+neigh AS (
+  SELECT doc_a AS doc_id, doc_b AS nb FROM dups
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS nb FROM dups
+),
+rep AS (SELECT doc_id, least(doc_id, min(nb)) AS representative FROM neigh GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(r.representative, d.doc_id) AS representative,
+  (coalesce(r.representative, d.doc_id) = d.doc_id) AS keep
+FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id
+""".strip())
+
+
 def simhash_sql(d: Dialect) -> str:
     toks = d.split_ws("text")
     bit_sums = ", ".join(
@@ -572,4 +667,8 @@ QUERIES = {
     "dedup_lsh_verified_pairs": (q_lsh_verified, lsh_verified_sql(DUCKDB)),
     "dedup_simhash": (q_simhash, simhash_sql(DUCKDB)),
     "dedup_embedding_cosine": (q_embedding_cosine, embedding_cosine_sql(DUCKDB)),
+    "dedup_keep_representative": (
+        q_keep_representative,
+        keep_representative_sql(DUCKDB),
+    ),
 }

@@ -125,7 +125,66 @@ WHERE n_chars > 0
 """.strip()
 
 
+FRAME_SCHEMA = "doc_id BIGINT, frame_idx INT, frame_sum BIGINT, first_byte INT"
+#: "video" layout stand-in: 16-byte frames, sample every 4th, cap 8 samples
+FRAME_BYTES, FRAME_STRIDE, MAX_SAMPLES = 16, 4, 8
+
+
+def frame_sample_kernel(batches: Iterator) -> Iterator:
+    """Frame-sampling batch shape (video decode stand-in): the payload is
+    treated as a stream of FRAME_BYTES-sized frames; every FRAME_STRIDE-th
+    frame is sampled (capped at MAX_SAMPLES) and summarized. A real
+    pipeline puts ffmpeg keyframe extraction here; the Spark-side
+    plumbing — binary in, exploded one-row-per-sampled-frame out, Arrow
+    batches both ways — is exactly this."""
+    import pandas as pd
+
+    for pdf in batches:
+        out = {"doc_id": [], "frame_idx": [], "frame_sum": [], "first_byte": []}
+        for doc_id, p in zip(pdf["doc_id"].values, pdf["payload"]):
+            b = bytes(p)
+            for s in range(MAX_SAMPLES):
+                f = s * FRAME_STRIDE
+                off = f * FRAME_BYTES
+                if off + FRAME_BYTES > len(b):
+                    break
+                frame = b[off : off + FRAME_BYTES]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(f)
+                out["frame_sum"].append(sum(frame))
+                out["first_byte"].append(frame[0])
+        if out["doc_id"]:
+            yield pd.DataFrame(out)
+
+
+def q_frame_sample(spark, sf_dir: str):
+    register_views(spark, sf_dir, tables=("documents",), spread=("documents",))
+    payloads = spark.sql(
+        "SELECT doc_id, encode(text, 'UTF-8') AS payload FROM documents WHERE n_chars > 0"
+    )
+    return payloads.mapInPandas(frame_sample_kernel, schema=FRAME_SCHEMA)
+
+
+def frame_sample_oracle_sql() -> str:
+    d = DUCKDB
+    fb = FRAME_BYTES
+    chars = d.array_transform(
+        d.sequence("g * 4 * " + str(fb) + " + 1", f"g * 4 * {fb} + {fb}"),
+        "i -> ascii(substr(text, i, 1))",
+    )
+    frame_sum = d.fold(chars, "CAST(0 AS BIGINT)", "(acc, x) -> acc + x")
+    return f"""
+SELECT doc_id,
+  CAST(g * {FRAME_STRIDE} AS INT) AS frame_idx,
+  {frame_sum} AS frame_sum,
+  ascii(substr(text, g * {FRAME_STRIDE} * {fb} + 1, 1)) AS first_byte
+FROM documents, (SELECT unnest(range(0, {MAX_SAMPLES})) AS g) s
+WHERE n_chars > 0 AND g * {FRAME_STRIDE} * {fb} + {fb} <= strlen(text)
+""".strip()
+
+
 QUERIES = {
     "mm_payload_meta": (q_payload_meta, payload_meta_oracle_sql()),
     "mm_fake_image_stats": (q_fake_image_stats, fake_image_stats_oracle_sql()),
+    "mm_frame_sample": (q_frame_sample, frame_sample_oracle_sql()),
 }

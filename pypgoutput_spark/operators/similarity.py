@@ -110,6 +110,57 @@ FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
 """.strip()
 
 
+def lsh_topk_sql(d: Dialect, k: int = 10, bits_per_band: int = 4,
+                 n_bands: int = 4) -> str:
+    """IVF/LSH-cell top-k: the query probes only vectors sharing at least
+    one LSH band cell (candidates ~ corpus × per-band collision rate,
+    never a full scan), then exact cosine ranks the candidates — the
+    two-stage ANN serving shape. Bands reuse the first
+    ``bits_per_band × n_bands`` hyperplanes; the exact variant
+    (`sim_topk_bruteforce`) is the recall baseline."""
+    na = d.dot_bigint("qv", "qv", DIM)
+    band_structs = []
+    for b in range(n_bands):
+        bits = []
+        for j in range(bits_per_band):
+            hp = _arr_lit(d, _hyperplane(b * bits_per_band + j))
+            dot = d.dot_bigint("qv", hp, DIM)
+            bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+        key = " + ".join(bits)
+        if d.name == "spark":
+            band_structs.append(f"named_struct('band', {b}, 'k', CAST({key} AS BIGINT))")
+        else:
+            band_structs.append(f"{{'band': {b}, 'k': CAST({key} AS BIGINT)}}")
+    arr = (
+        f"array({', '.join(band_structs)})"
+        if d.name == "spark"
+        else f"[{', '.join(band_structs)}]"
+    )
+    dot_ab = d.dot_bigint("a.qv", "q.qv", DIM)
+    return f"""
+WITH e AS (SELECT vec_id, {_quant(d)} AS qv FROM embeddings),
+en AS (SELECT vec_id, qv, {na} AS nrm, {arr} AS bandarr FROM e),
+eb AS (
+  SELECT vec_id, s.band AS band, s.k AS k
+  FROM (SELECT vec_id, {d.unnest('bandarr')} AS s FROM en)
+),
+qid AS (SELECT min(vec_id) AS qv_id FROM en),
+cand AS (
+  SELECT DISTINCT a.vec_id
+  FROM eb a JOIN eb b ON a.band = b.band AND a.k = b.k
+  JOIN qid ON b.vec_id = qid.qv_id
+  WHERE a.vec_id <> qid.qv_id
+)
+SELECT a.vec_id,
+  CAST({dot_ab} AS DOUBLE) / sqrt(CAST(a.nrm AS DOUBLE) * CAST(q.nrm AS DOUBLE)) AS score
+FROM cand c
+JOIN en a ON c.vec_id = a.vec_id
+JOIN en q ON q.vec_id = (SELECT qv_id FROM qid)
+ORDER BY score DESC, a.vec_id
+LIMIT {k}
+""".strip()
+
+
 def _runner(sql_builder):
     def run(spark, sf_dir: str):
         return run_sql(spark, sf_dir, sql_builder(SPARK), tables=("embeddings",), spread=("embeddings",))
@@ -121,4 +172,5 @@ QUERIES = {
     "sim_topk_bruteforce": (_runner(topk_bruteforce_sql), topk_bruteforce_sql(DUCKDB)),
     "sim_lsh_buckets": (_runner(lsh_buckets_sql), lsh_buckets_sql(DUCKDB)),
     "sim_lsh_ann_pairs": (_runner(lsh_ann_pairs_sql), lsh_ann_pairs_sql(DUCKDB)),
+    "sim_lsh_topk": (_runner(lsh_topk_sql), lsh_topk_sql(DUCKDB)),
 }

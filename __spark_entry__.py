@@ -47,6 +47,12 @@ P_MULTI = _gen.GenParams(
     toast_pct=30, truncate_every=30, txns_per_segment=12, n_relations=2,
 )
 
+#: key-changing updates ('K' before-images; replay = delete old + upsert new)
+P_KEYCHANGE = _gen.GenParams(
+    n_txns=120, ops_per_txn=8, n_repos=35, n_paths=24,
+    toast_pct=30, txns_per_segment=12, key_change_pct=25,
+)
+
 
 def _run_cdc_pipeline(spark: SparkSession, p: _gen.GenParams) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="pypgoutput_spark_lake_")
@@ -113,6 +119,13 @@ def q_cdc_multi_relation_final_state(spark: SparkSession, sf_dir: str) -> DataFr
     return out
 
 
+def q_cdc_keychange_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-change updates: the 'K' before-image key is deleted and the
+    new key upserted (reference old-key assertion,
+    tests/test_reader.py:231-251; serial replay semantics)."""
+    return _run_cdc_pipeline(spark, P_KEYCHANGE)
+
+
 def q_cdc_decoded_events_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch transaction scope: the stream is cut mid-transaction
     into two decode batches; the open-transaction carry re-stamps the
@@ -163,6 +176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_decoded_events": q_cdc_decoded_events,
         "cdc_multi_relation_final_state": q_cdc_multi_relation_final_state,
         "cdc_decoded_events_split": q_cdc_decoded_events_split,
+        "cdc_keychange_final_state": q_cdc_keychange_final_state,
     }
     for mod in (_text, _dedup, _similarity, _multimodal, _analytics):
         for name, (fn, _sql) in mod.QUERIES.items():
@@ -178,6 +192,9 @@ def oracle_sql() -> dict[str, str]:
             P_MULTI, with_sha=True, with_relation=True
         ),
         "cdc_decoded_events_split": _cdc_decoded_events_oracle(P_ENTRY),
+        "cdc_keychange_final_state": _gen.duckdb_final_state_sql(
+            P_KEYCHANGE, with_sha=True
+        ),
     }
     for mod in (_text, _dedup, _similarity, _multimodal, _analytics):
         for name, (_fn, sql) in mod.QUERIES.items():

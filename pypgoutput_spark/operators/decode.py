@@ -264,7 +264,7 @@ def decode_frames_raw(frames_df, registry: Optional[RelationRegistry] = None,
 
 
 def project_relation(raw_events, relation_version, typed: bool = False,
-                     json_as_variant: bool = False):
+                     json_as_variant: bool = False, with_old_keys: bool = False):
     """Positional projection of RAW events for one relation version →
     plain typed columns (reference reader.py:63-69, vectorized, JVM-side):
 
@@ -313,6 +313,15 @@ def project_relation(raw_events, relation_version, typed: bool = False,
         cols.append(
             (F.col("new_cats").getItem(i) == "u").alias(f"u_{name}")
         )
+        if with_old_keys and name in key_set:
+            # the before-image key for U events (pgoutput sends a 'K'/'O'
+            # old image when key columns changed — reference
+            # tests/test_reader.py:231-251): lets the pipeline replay a
+            # key-change update as DELETE(old key) + upsert(new key)
+            cols.append(
+                F.when(F.col("op") == "U", F.col("before_vals").getItem(i))
+                .alias(f"__old_{name}")
+            )
     return (
         raw_events.filter(
             (F.col("relation_id") == rv.relation_id)

@@ -146,6 +146,52 @@ def open_tx_carry(frames, open_tx: Optional[dict] = None) -> dict:
     return _carry_from_stats(frames, seg_rows, open_tx)
 
 
+def _explode_key_changes(proj, keys, value_cols, base_cols):
+    """Replay a key-change UPDATE (before-image key ≠ new key) as
+    DELETE(old key) + upsert(new key) — in ONE pass over the decoded
+    events (a conditional 1-or-2-element struct array + inline, no second
+    scan, so the no-key-change common case costs one codegen'd Generate).
+
+    Limitation (documented): a key-change U with a TOAST-'u' cell would
+    need the OLD row's value under serial semantics; sources must send a
+    full new image on key change (PostgreSQL sends the K old image; the
+    new image is full unless columns are TOASTed-unchanged — rare
+    combination, rejected upstream by generator contract).
+
+    Reference parity: the old key rides the 'K'/'O' before image
+    (reference reader.py:263-284, asserted tests/test_reader.py:231-251).
+    """
+    out_cols = list(base_cols)
+    for c in list(keys) + list(value_cols):
+        out_cols += [f"`{c}`", f"u_{c}"]
+
+    def struct_of(fields: dict) -> str:
+        parts = []
+        for c in out_cols:
+            name = c.strip("`")
+            parts.append(f"'{name}', {fields.get(name, c)}")
+        return f"named_struct({', '.join(parts)})"
+
+    main = struct_of({})
+    del_fields = {"op": "'D'"}
+    for k in keys:
+        del_fields[k] = f"__old_{k}"
+        del_fields[f"u_{k}"] = "false"
+    for v in value_cols:
+        del_fields[v] = "CAST(NULL AS STRING)"
+        del_fields[f"u_{v}"] = "false"
+    old_del = struct_of(del_fields)
+    key_changed = " OR ".join(
+        f"(__old_{k} IS DISTINCT FROM `{k}`)" for k in keys
+    )
+    has_old = " OR ".join(f"__old_{k} IS NOT NULL" for k in keys)
+    kc = f"(op = 'U' AND ({has_old}) AND ({key_changed}))"
+    return proj.selectExpr(
+        f"inline(CASE WHEN {kc} THEN array({main}, {old_del}) "
+        f"ELSE array({main}) END)"
+    )
+
+
 def apply_frames_batch(
     tables: Union[LakeTable, Dict[int, LakeTable]],
     frames,
@@ -294,13 +340,18 @@ def apply_frames_batch(
             keys, value_cols = table_cols[rid]
             parts = []
             for rv in registry.versions(rid):
-                p_df = decode_op.project_relation(raw, rv)
+                p_df = decode_op.project_relation(raw, rv, with_old_keys=True)
                 sel = list(base_cols)
                 for c in list(keys) + value_cols:
                     if c in rv.column_names:
                         sel += [f"`{c}`", f"u_{c}"]
                     else:
                         sel += [f"CAST(NULL AS STRING) AS `{c}`", f"false AS u_{c}"]
+                for k in keys:
+                    sel.append(
+                        f"__old_{k}" if k in rv.column_names
+                        else f"CAST(NULL AS STRING) AS __old_{k}"
+                    )
                 parts.append(p_df.selectExpr(*sel))
             proj = parts[0]
             for extra in parts[1:]:
@@ -309,6 +360,7 @@ def apply_frames_batch(
             truncated = rid in t_lsn_by_rid
             if truncated:
                 proj = proj.filter(F.col("lsn") > t_lsn_by_rid[rid])
+            proj = _explode_key_changes(proj, keys, value_cols, base_cols)
             changes = lww_changes_flat(proj, keys, value_cols, salt_buckets=salt_buckets)
             m = merge_into(
                 tbl, changes, watermark_lsn, truncate=truncated,

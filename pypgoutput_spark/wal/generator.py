@@ -78,6 +78,11 @@ class GenParams:
     txns_per_segment: int = 25
     content_repeat_max: int = 6
     n_relations: int = 1         # ops fan out over RELATION_ID + (0..n-1)
+    #: % of U ops that CHANGE the key (repo,path): the wire carries a 'K'
+    #: before-image with the OLD key (reference test_reader.py:231-251);
+    #: replay = delete old key + upsert new key. Key-change updates always
+    #: carry a full new image (no TOAST-'u') — see pipeline docstring.
+    key_change_pct: int = 0
 
     @property
     def n_ops(self) -> int:
@@ -182,7 +187,32 @@ def event_exprs(p: GenParams, dialect: str) -> dict:
         f"1 + ({h_clen} % {p.content_repeat_max}))"
     )
     h_toast = d.h(seed, q(":toast:"), i_s)
-    content_unchanged = f"(({op}) = 'U' AND {h_toast} % 100 < {p.toast_pct})"
+
+    if p.key_change_pct > 0:
+        h_kc = d.h(seed, q(":kc:"), i_s)
+        key_change = f"(({op}) = 'U' AND {h_kc} % 100 < {p.key_change_pct})"
+        # old key: a different deterministic (repo, path) pick
+        h_orepo = d.h(seed, q(":orepo:"), i_s)
+        h_opath = d.h(seed, q(":opath:"), i_s)
+        old_repo_idx = f"({h_orepo} % {p.n_repos})"
+        old_repo = f"concat('repo-', lpad({d.s(old_repo_idx)}, 5, '0'))"
+        old_path_idx = f"({h_opath} % {p.n_paths})"
+        h_olang = d.h(seed, q(":olang:"), i_s)
+        old_ext = (
+            f"CASE ({h_olang} % 5) WHEN 0 THEN '.py' WHEN 1 THEN '.java' "
+            f"WHEN 2 THEN '.scala' WHEN 3 THEN '.sql' ELSE '.txt' END"
+        )
+        old_path = f"concat('src/f', lpad({d.s(old_path_idx)}, 4, '0'), {old_ext})"
+        old_repo = f"CASE WHEN {key_change} THEN {old_repo} END"
+        old_path = f"CASE WHEN {key_change} THEN {old_path} END"
+        # key-change updates always send a full new image (no TOAST-'u')
+        content_unchanged = (
+            f"(({op}) = 'U' AND NOT {key_change} AND {h_toast} % 100 < {p.toast_pct})"
+        )
+    else:
+        old_repo = "CAST(NULL AS " + ("STRING" if dialect == "spark" else "VARCHAR") + ")"
+        old_path = "CAST(NULL AS " + ("STRING" if dialect == "spark" else "VARCHAR") + ")"
+        content_unchanged = f"(({op}) = 'U' AND {h_toast} % 100 < {p.toast_pct})"
 
     if p.n_relations > 1:
         h_rel = d.h(seed, q(":rel:"), i_s)
@@ -204,6 +234,8 @@ def event_exprs(p: GenParams, dialect: str) -> dict:
         "lang": lang,
         "content": content,
         "content_unchanged": content_unchanged,
+        "old_repo": old_repo,
+        "old_path": old_path,
     }
 
 
@@ -271,12 +303,13 @@ def _encode_stream_pandas(batches: Iterator, p: GenParams) -> Iterator:
         payloads: List[bytes] = []
         mtypes: List[str] = []
         ap, am = payloads.append, mtypes.append
-        for kind, lsn, cts, xid, rel, op, repo, path, commit, lang, content, unch in zip(
+        for kind, lsn, cts, xid, rel, op, repo, path, commit, lang, content, unch, orepo, opath in zip(
             pdf["kind"].tolist(), pdf["lsn"].tolist(), pdf["commit_ts_us"].tolist(),
             pdf["xid"].tolist(), pdf["rel"].tolist(), pdf["op"].tolist(),
             pdf["repo"].tolist(),
             pdf["path"].tolist(), pdf["commit"].tolist(), pdf["lang"].tolist(),
             pdf["content"].tolist(), pdf["content_unchanged"].tolist(),
+            pdf["old_repo"].tolist(), pdf["old_path"].tolist(),
         ):
             if kind == "B":
                 ap(B_PFX + pk_bc(lsn, cts, xid))
@@ -290,7 +323,14 @@ def _encode_stream_pandas(batches: Iterator, p: GenParams) -> Iterator:
                     + (t_cell(lang) if lang is not None else b"n")
                     + (b"u" if (op == "U" and unch) else t_cell(content))
                 )
-                ap((I_HDRS[rel] if op == "I" else U_HDRS[rel]) + cells)
+                if op == "U" and orepo is not None:
+                    # key-change update: 'K' before-image with the OLD key
+                    # (pgoutput sends it when key columns changed; reference
+                    # asserts the old key at tests/test_reader.py:231-251)
+                    old = b"K\x00\x05" + t_cell(orepo) + t_cell(opath) + b"nnn"
+                    ap(b"U" + rid_bes[rel] + old + b"N\x00\x05" + cells)
+                else:
+                    ap((I_HDRS[rel] if op == "I" else U_HDRS[rel]) + cells)
                 am(op)
             elif op == "D":
                 ap(D_MIDS[rel] + t_cell(repo) + t_cell(path) + b"nnn")
@@ -358,6 +398,8 @@ def spark_frames_df(spark, p: GenParams, n_partitions: int = 0, include_relation
             f"CASE WHEN kind = 'O' THEN {ex['lang']} END AS lang",
             f"CASE WHEN kind = 'O' THEN {ex['content']} END AS content",
             f"CASE WHEN kind = 'O' THEN {ex['content_unchanged']} ELSE false END AS content_unchanged",
+            f"CASE WHEN kind = 'O' THEN {ex['old_repo']} END AS old_repo",
+            f"CASE WHEN kind = 'O' THEN {ex['old_path']} END AS old_path",
         )
     )
     frames = slots.mapInPandas(lambda it: _encode_stream_pandas(it, p), schema=FRAMES_SCHEMA)
@@ -420,6 +462,16 @@ eff AS (
   SELECT ev.* FROM ev LEFT JOIN cut ON ev.rel = cut.rel
   WHERE ev.lsn > coalesce(cut.tlsn, -1) AND ev.op <> 'T'
 ),
+-- a key-change U replays as DELETE(old key) + upsert(new key)
+eff2 AS (
+  SELECT rel, lsn, op, repo, path, "commit", lang, content, content_unchanged FROM eff
+  UNION ALL
+  SELECT rel, lsn, 'D' AS op, old_repo AS repo, old_path AS path,
+    CAST(NULL AS VARCHAR) AS "commit", CAST(NULL AS VARCHAR) AS lang,
+    CAST(NULL AS VARCHAR) AS content, false AS content_unchanged
+  FROM eff
+  WHERE old_repo IS NOT NULL AND (old_repo <> repo OR old_path <> path)
+),
 lww AS (
   SELECT rel, repo, path,
     max_by(op, lsn) AS final_op,
@@ -427,7 +479,7 @@ lww AS (
     max_by({{'v': lang}}, lsn) FILTER (WHERE op <> 'D') AS lang_s,
     max_by({{'v': CASE WHEN op = 'D' THEN NULL ELSE content END}}, lsn)
       FILTER (WHERE op = 'D' OR NOT content_unchanged) AS content_s
-  FROM eff
+  FROM eff2
   GROUP BY rel, repo, path
 )
 SELECT {rel_out}repo, path, commit_s.v AS "commit", lang_s.v AS lang, content_s.v AS content{sha}

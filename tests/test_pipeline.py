@@ -145,6 +145,26 @@ def test_e2e_with_truncates(spark, tmp_path):
     _assert_table_matches_oracle(spark, table, p)
 
 
+def test_e2e_key_change_updates(spark, tmp_path):
+    """UPDATEs that change the key (repo,path): the 'K' before-image key
+    must be deleted and the new key upserted (reference emits the old key
+    in the before image, tests/test_reader.py:231-251; serial replay =
+    delete old + insert new)."""
+    p = gen.GenParams(n_txns=100, ops_per_txn=6, n_repos=30, n_paths=20,
+                      toast_pct=30, txns_per_segment=10, key_change_pct=25)
+    table = _mk_table(spark, tmp_path)
+    frames = gen.spark_frames_df(spark, p)
+    # sanity: the stream really carries K old images on U frames
+    from pypgoutput_spark.operators import decode as dop
+    k_updates = (
+        dop.decode_frames_raw(frames)
+        .filter("op = 'U' AND before_kind = 'K'").count()
+    )
+    assert k_updates > 0
+    pipeline.run_ingest(spark, frames, table, n_batches=2)
+    _assert_table_matches_oracle(spark, table, p)
+
+
 def test_e2e_salted_lww(spark, tmp_path):
     table = _mk_table(spark, tmp_path)
     frames = gen.spark_frames_df(spark, P_BASE)

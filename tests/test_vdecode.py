@@ -43,13 +43,16 @@ def _assert_same(vec: pd.DataFrame, loop: pd.DataFrame):
 
 def test_vectorized_equals_loop_generated_stream(spark):
     p = gen.GenParams(n_txns=60, ops_per_txn=6, toast_pct=30,
-                      truncate_every=15, txns_per_segment=10, n_relations=2)
+                      truncate_every=15, txns_per_segment=10, n_relations=2,
+                      key_change_pct=20)
     frames = gen.spark_frames_df(spark, p)
     vec, loop = _decode_both(spark, frames)
     _assert_same(vec, loop)
-    # sanity: the stream exercised T fan-out and both relations
+    # sanity: the stream exercised T fan-out, both relations, and
+    # U-with-old-image (key-change) frames
     assert (vec["op"] == "T").any()
     assert vec["relation_id"].nunique() == 2
+    assert (vec["before_kind"] == "K").sum() > 0
 
 
 def test_vectorized_equals_loop_edge_grammar(spark):

@@ -40,13 +40,17 @@ from typing import Iterator, Optional
 from pypgoutput_spark.plans.registry import RelationRegistry, plain_lookup
 from pypgoutput_spark.wal import codec
 
-#: kernel output (primitive columns only — see module docstring)
+#: kernel output (primitive columns only — see module docstring).
+#: ``new_u_mask``: bit i set ⇔ new-tuple cell i is TOAST-unchanged ('u');
+#: a NULL cell with bit clear is a true NULL ('n'). The bitmask replaces a
+#: per-cell category string array — measurably less Arrow transfer and a
+#: codegen'd bit test instead of an array index downstream. Hard limit:
+#: 64 columns per relation (kernels raise beyond it).
 RAW_SCHEMA = (
     "lsn BIGINT, op STRING, relation_id INT, xid BIGINT, begin_lsn BIGINT, "
     "commit_ts_us BIGINT, schema_version INT, before_kind STRING, "
-    "before_cats ARRAY<STRING>, before_vals ARRAY<STRING>, "
-    "new_cats ARRAY<STRING>, new_vals ARRAY<STRING>, segment BIGINT, "
-    "error STRING"
+    "before_vals ARRAY<STRING>, new_vals ARRAY<STRING>, "
+    "new_u_mask BIGINT, segment BIGINT, error STRING"
 )
 
 # NB: plain functions (not pre-bound Struct methods) — the kernel closure
@@ -64,30 +68,34 @@ def _unpack_begin(b, pos):
 
 
 def _parse_tuple(b: bytes, pos: int):
-    """TupleData at pos → (cats, vals, end_pos). 'n'/'u' cells → None val
+    """TupleData at pos → (u_mask, vals, end_pos). 'n'/'u' cells → None
+    val; bit i of u_mask set ⇔ cell i is unchanged-TOAST
     (reference decoders.py:96-128 grammar)."""
     (n_cols,) = _unpack_i16(b, pos)
     pos += 2
-    cats: list = []
+    if n_cols > 64:
+        raise ValueError(
+            f"{n_cols} columns exceeds the 64-column u-mask limit "
+            "(widen new_u_mask to an array of masks for wider relations)"
+        )
+    u_mask = 0
     vals: list = []
-    for _ in range(n_cols):
+    for i in range(n_cols):
         c = b[pos]
         pos += 1
         if c == 116:  # 't'
             (ln,) = _unpack_i32(b, pos)
             pos += 4
-            cats.append("t")
             vals.append(b[pos : pos + ln].decode("utf-8"))
             pos += ln
         elif c == 110:  # 'n'
-            cats.append("n")
             vals.append(None)
         elif c == 117:  # 'u'
-            cats.append("u")
+            u_mask |= 1 << i
             vals.append(None)
         else:
             raise ValueError(f"bad TupleData category byte {chr(c)!r} at {pos - 1}")
-    return cats, vals, pos
+    return u_mask, vals, pos
 
 
 def _make_kernel(registry_plain: dict, strict: bool = True,
@@ -105,16 +113,16 @@ def _make_kernel(registry_plain: dict, strict: bool = True,
         open_tx: dict = dict(init_tx) if init_tx else {}
         cols = (
             "lsn", "op", "relation_id", "xid", "begin_lsn", "commit_ts_us",
-            "schema_version", "before_kind", "before_cats", "before_vals",
-            "new_cats", "new_vals", "segment", "error",
+            "schema_version", "before_kind", "before_vals",
+            "new_vals", "new_u_mask", "segment", "error",
         )
         for pdf in batches:
             out = {k: [] for k in cols}
             a_lsn, a_op, a_rid = out["lsn"].append, out["op"].append, out["relation_id"].append
             a_xid, a_blsn, a_cts = out["xid"].append, out["begin_lsn"].append, out["commit_ts_us"].append
             a_ver, a_bk = out["schema_version"].append, out["before_kind"].append
-            a_bc, a_bv = out["before_cats"].append, out["before_vals"].append
-            a_nc, a_nv = out["new_cats"].append, out["new_vals"].append
+            a_bv = out["before_vals"].append
+            a_nv, a_num = out["new_vals"].append, out["new_u_mask"].append
             a_seg = out["segment"].append
             a_err = out["error"].append
 
@@ -125,7 +133,7 @@ def _make_kernel(registry_plain: dict, strict: bool = True,
                 a_lsn(int(lsn)); a_op("E"); a_rid(None)
                 a_xid(None); a_blsn(None); a_cts(None)
                 a_ver(None); a_bk(None)
-                a_bc(None); a_bv(None); a_nc(None); a_nv(None)
+                a_bv(None); a_nv(None); a_num(None)
                 a_seg(int(seg)); a_err(f"{type(exc).__name__}: {exc}")
 
             for seg, lsn, payload in zip(
@@ -155,7 +163,7 @@ def _make_kernel(registry_plain: dict, strict: bool = True,
                         a_blsn(tx[1] if tx else None)
                         a_cts(tx[2] if tx else None)
                         a_ver(looked[0] if looked else None)
-                        a_bk(None); a_bc(None); a_bv(None); a_nc(None); a_nv(None)
+                        a_bk(None); a_bv(None); a_nv(None); a_num(None)
                         a_seg(int(seg)); a_err(None)
                     continue
 
@@ -170,12 +178,12 @@ def _make_kernel(registry_plain: dict, strict: bool = True,
                     continue
                 version = looked[0]
                 bk = None
-                b_cats = b_vals = n_cats = n_vals = None
+                b_vals = n_vals = n_mask = None
 
                 if t == 73:  # 'I'
                     if b[5] != 78:  # 'N'
                         raise ValueError("Insert expects 'N' tuple marker")
-                    n_cats, n_vals, _ = _parse_tuple(b, 6)
+                    n_mask, n_vals, _ = _parse_tuple(b, 6)
                     op = "I"
                 elif t == 85:  # 'U' — K/O optional old image, then mandatory N
                     pos = 5
@@ -183,14 +191,14 @@ def _make_kernel(registry_plain: dict, strict: bool = True,
                     pos += 1
                     if marker in (75, 79):  # 'K' / 'O'
                         bk = chr(marker)
-                        b_cats, b_vals, pos = _parse_tuple(b, pos)
+                        _b_mask, b_vals, pos = _parse_tuple(b, pos)
                         marker = b[pos]
                         pos += 1
                     if marker != 78:
                         raise ValueError(
                             f"Update missing 'N' new-tuple marker, got {chr(marker)!r}"
                         )
-                    n_cats, n_vals, _ = _parse_tuple(b, pos)
+                    n_mask, n_vals, _ = _parse_tuple(b, pos)
                     op = "U"
                 elif t == 68:  # 'D' — K or O required
                     marker = b[5]
@@ -199,7 +207,7 @@ def _make_kernel(registry_plain: dict, strict: bool = True,
                             f"Delete tuple kind must be 'K' or 'O', got {chr(marker)!r}"
                         )
                     bk = chr(marker)
-                    b_cats, b_vals, _ = _parse_tuple(b, 6)
+                    _b_mask, b_vals, _ = _parse_tuple(b, 6)
                     op = "D"
                 else:
                     raise ValueError(f"unknown pgoutput message type byte {chr(t)!r}")
@@ -210,7 +218,7 @@ def _make_kernel(registry_plain: dict, strict: bool = True,
                 a_blsn(tx[1] if tx else None)
                 a_cts(tx[2] if tx else None)
                 a_ver(version); a_bk(bk)
-                a_bc(b_cats); a_bv(b_vals); a_nc(n_cats); a_nv(n_vals)
+                a_bv(b_vals); a_nv(n_vals); a_num(n_mask)
                 a_seg(int(seg)); a_err(None)
               except Exception as exc:  # noqa: BLE001
                 if strict:
@@ -310,8 +318,11 @@ def project_relation(raw_events, relation_version, typed: bool = False,
             else:
                 c = c.cast(spark_types[name])
         cols.append(c.alias(name))
+        # TOAST-unchanged flag: one codegen'd bit test on the u-mask
         cols.append(
-            (F.col("new_cats").getItem(i) == "u").alias(f"u_{name}")
+            (F.coalesce(
+                F.shiftright(F.col("new_u_mask"), i).bitwiseAND(F.lit(1)), F.lit(0)
+            ) == 1).alias(f"u_{name}")
         )
         if with_old_keys and name in key_set:
             # the before-image key for U events (pgoutput sends a 'K'/'O'
@@ -378,10 +389,11 @@ def decode_frames(frames_df, registry: Optional[RelationRegistry] = None,
         .withColumn(
             "after_unchanged",
             F.when(
-                F.col("new_cats").isNotNull(),
+                F.col("new_vals").isNotNull(),
                 F.expr(
-                    "transform(filter(arrays_zip(col_names, new_cats), "
-                    "x -> x.new_cats = 'u'), x -> x.col_names)"
+                    "transform(filter(sequence(0, size(col_names) - 1), "
+                    "i -> ((shiftright(new_u_mask, i) & 1) = 1)), "
+                    "i -> col_names[i])"
                 ),
             ),
         )
@@ -389,5 +401,5 @@ def decode_frames(frames_df, registry: Optional[RelationRegistry] = None,
             "commit_ts",
             F.timestamp_micros(F.col("commit_ts_us") + F.lit(codec.PG_EPOCH_UNIX_US)),
         )
-        .drop("before_cats", "before_vals", "new_cats", "new_vals", "col_names")
+        .drop("before_vals", "new_vals", "new_u_mask", "col_names")
     )

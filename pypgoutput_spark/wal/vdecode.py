@@ -51,10 +51,9 @@ RAW_PA_SCHEMA = pa.schema(
         ("commit_ts_us", pa.int64()),
         ("schema_version", pa.int32()),
         ("before_kind", pa.string()),
-        ("before_cats", pa.list_(pa.string())),
         ("before_vals", pa.list_(pa.string())),
-        ("new_cats", pa.list_(pa.string())),
         ("new_vals", pa.list_(pa.string())),
+        ("new_u_mask", pa.int64()),
         ("segment", pa.int64()),
         ("error", pa.string()),
     ]
@@ -120,13 +119,25 @@ def _parse_tuples(data: np.ndarray, starts: np.ndarray):
 
 
 def _tuple_lists(data: np.ndarray, cat_m, vstart, vlen, ncols, valid=None):
-    """(cats list<string>, vals list<string>) Arrow arrays, row-major,
-    via one contiguous gather — no per-cell Python objects.
+    """(vals list<string> Arrow array, u_mask int64 ndarray), row-major,
+    via one contiguous gather — no per-cell Python objects. Bit i of
+    u_mask ⇔ cell i is TOAST-unchanged ('u').
 
     ``valid``: optional per-row boolean mask; False rows become NULL
     lists (their ncols must be 0 so offsets don't advance).
     """
     n, max_c = cat_m.shape
+    if max_c > 64:
+        raise ValueError(
+            f"{max_c} columns exceeds the 64-column u-mask limit "
+            "(widen new_u_mask to an array of masks for wider relations)"
+        )
+    u_mask = (
+        ((cat_m == _u).astype(np.int64)
+         * (np.int64(1) << np.arange(max_c, dtype=np.int64))).sum(axis=1)
+        if max_c
+        else np.zeros(n, dtype=np.int64)
+    )
 
     def _as_list(values: pa.Array) -> pa.Array:
         offsets = np.concatenate([[0], np.cumsum(ncols)]).astype(np.int32)
@@ -140,22 +151,13 @@ def _tuple_lists(data: np.ndarray, cat_m, vstart, vlen, ncols, valid=None):
         )
 
     if n == 0 or max_c == 0:
-        empty = _as_list(pa.array([], type=pa.string()))
-        return empty, empty
+        return _as_list(pa.array([], type=pa.string())), u_mask
     cell_mask = np.arange(max_c) < ncols[:, None]
     flat = cell_mask.ravel()
     cats_flat = cat_m.ravel()[flat]
     starts_flat = vstart.ravel()[flat]
     lens_flat = vlen.ravel()[flat]
     n_cells = cats_flat.size
-
-    # cats: one 1-byte string per cell
-    cat_values = pa.StringArray.from_buffers(
-        n_cells,
-        pa.py_buffer(np.arange(n_cells + 1, dtype=np.int32)),
-        pa.py_buffer(np.ascontiguousarray(cats_flat)),
-    )
-    cats_arr = _as_list(cat_values)
 
     # vals: gather all 't' bytes into one contiguous buffer
     out_off = np.zeros(n_cells + 1, dtype=np.int64)
@@ -176,8 +178,7 @@ def _tuple_lists(data: np.ndarray, cat_m, vstart, vlen, ncols, valid=None):
         pa.py_buffer(validity),
         null_count=int(is_null.sum()),
     )
-    vals_arr = _as_list(val_values)
-    return cats_arr, vals_arr
+    return _as_list(val_values), u_mask
 
 
 def _null_list(n: int) -> pa.Array:
@@ -289,7 +290,7 @@ def make_kernel(registry_plain: dict, init_tx: Optional[dict] = None):
                     raise ValueError("Insert expects 'N' tuple marker")
                 rid = _be(data, st + 1, 4)
                 cat_m, vs, vl, nc, _pos = _parse_tuples(data, st + 6)
-                cats, vals = _tuple_lists(data, cat_m, vs, vl, nc)
+                vals, u_mask = _tuple_lists(data, cat_m, vs, vl, nc)
                 xid_a, blsn_a, cts_a = tx_cols(sel)
                 m = rows.size
                 yield pa.RecordBatch.from_arrays(
@@ -297,8 +298,9 @@ def make_kernel(registry_plain: dict, init_tx: Optional[dict] = None):
                         pa.array(lsn[rows]), _const_str("I", m),
                         pa.array(rid, type=pa.int32()), xid_a, blsn_a, cts_a,
                         pa.array(_schema_versions(registry_plain, rid, lsn[rows])),
-                        pa.nulls(m, pa.string()), _null_list(m), _null_list(m),
-                        cats, vals, pa.array(seg[rows]), pa.nulls(m, pa.string()),
+                        pa.nulls(m, pa.string()), _null_list(m),
+                        vals, pa.array(u_mask), pa.array(seg[rows]),
+                        pa.nulls(m, pa.string()),
                     ],
                     schema=RAW_PA_SCHEMA,
                 )
@@ -319,7 +321,7 @@ def make_kernel(registry_plain: dict, init_tx: Optional[dict] = None):
                 m = rows.size
                 new_start = st + 6  # rows without old image: N at +5
                 bk = pa.nulls(m, pa.string())
-                b_cats, b_vals = _null_list(m), _null_list(m)
+                b_vals = _null_list(m)
                 if has_old.any():
                     o_rows = np.nonzero(has_old)[0]
                     cat_o, vs_o, vl_o, nc_o, end_o = _parse_tuples(
@@ -335,7 +337,7 @@ def make_kernel(registry_plain: dict, init_tx: Optional[dict] = None):
                     full_nc = np.zeros(m, dtype=np.int64)
                     full_cat[o_rows], full_vs[o_rows] = cat_o, vs_o
                     full_vl[o_rows], full_nc[o_rows] = vl_o, nc_o
-                    b_cats, b_vals = _tuple_lists(
+                    b_vals, _b_mask = _tuple_lists(
                         data, full_cat, full_vs, full_vl, full_nc, valid=has_old
                     )
                     bk_np = np.where(marker == _K, _K, _OLD_O).astype(np.uint8)
@@ -350,14 +352,14 @@ def make_kernel(registry_plain: dict, init_tx: Optional[dict] = None):
                     new_start[o_rows] = end_o + 1
                     new_start[~has_old] += 6
                 cat_m, vs, vl, nc, _pos = _parse_tuples(data, new_start)
-                cats, vals = _tuple_lists(data, cat_m, vs, vl, nc)
+                vals, u_mask = _tuple_lists(data, cat_m, vs, vl, nc)
                 xid_a, blsn_a, cts_a = tx_cols(sel)
                 yield pa.RecordBatch.from_arrays(
                     [
                         pa.array(lsn[rows]), _const_str("U", m),
                         pa.array(rid, type=pa.int32()), xid_a, blsn_a, cts_a,
                         pa.array(_schema_versions(registry_plain, rid, lsn[rows])),
-                        bk, b_cats, b_vals, cats, vals,
+                        bk, b_vals, vals, pa.array(u_mask),
                         pa.array(seg[rows]), pa.nulls(m, pa.string()),
                     ],
                     schema=RAW_PA_SCHEMA,
@@ -378,7 +380,7 @@ def make_kernel(registry_plain: dict, init_tx: Optional[dict] = None):
                     )
                 m = rows.size
                 cat_m, vs, vl, nc, _pos = _parse_tuples(data, st + 6)
-                cats, vals = _tuple_lists(data, cat_m, vs, vl, nc)
+                b_vals, _b_mask = _tuple_lists(data, cat_m, vs, vl, nc)
                 bk = pa.StringArray.from_buffers(
                     m,
                     pa.py_buffer(np.arange(m + 1, dtype=np.int32)),
@@ -390,7 +392,7 @@ def make_kernel(registry_plain: dict, init_tx: Optional[dict] = None):
                         pa.array(lsn[rows]), _const_str("D", m),
                         pa.array(rid, type=pa.int32()), xid_a, blsn_a, cts_a,
                         pa.array(_schema_versions(registry_plain, rid, lsn[rows])),
-                        bk, cats, vals, _null_list(m), _null_list(m),
+                        bk, b_vals, _null_list(m), pa.nulls(m, pa.int64()),
                         pa.array(seg[rows]), pa.nulls(m, pa.string()),
                     ],
                     schema=RAW_PA_SCHEMA,
@@ -435,8 +437,8 @@ def make_kernel(registry_plain: dict, init_tx: Optional[dict] = None):
                             pa.array(out["begin_lsn"], type=pa.int64()),
                             pa.array(out["commit_ts_us"], type=pa.int64()),
                             pa.array(out["schema_version"], type=pa.int32()),
-                            pa.nulls(m, pa.string()), _null_list(m), _null_list(m),
-                            _null_list(m), _null_list(m),
+                            pa.nulls(m, pa.string()), _null_list(m),
+                            _null_list(m), pa.nulls(m, pa.int64()),
                             pa.array(out["segment"], type=pa.int64()),
                             pa.nulls(m, pa.string()),
                         ],

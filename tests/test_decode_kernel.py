@@ -35,7 +35,8 @@ def test_kernel_happy_path_tx_stamping():
     assert df["op"].tolist() == ["I", "U", "D"]
     assert df["xid"].tolist() == [99, 99, 99]
     assert df["begin_lsn"].tolist() == [10, 10, 10]
-    assert df["new_cats"].tolist()[1] == ["t", "u"]
+    # TOAST-'u' bitmask: cell 1 of the update is unchanged → bit 1 set
+    assert df["new_u_mask"].tolist()[:2] == [0, 2]
     assert df["before_kind"].tolist() == [None, None, "K"]
     assert df["error"].isna().all()
 

@@ -19,8 +19,8 @@ from pypgoutput_spark.wal import generator as gen
 
 def _decode_both(spark, frames, registry=None, open_tx=None):
     cols = ["lsn", "op", "relation_id", "xid", "begin_lsn", "commit_ts_us",
-            "schema_version", "before_kind", "before_cats", "before_vals",
-            "new_cats", "new_vals", "segment"]
+            "schema_version", "before_kind", "before_vals",
+            "new_vals", "new_u_mask", "segment"]
     reg = registry or RelationRegistry.from_frames(frames)
     vec = (
         decode_op.decode_frames_raw(frames, reg, open_tx=open_tx, vectorized=True)
@@ -35,9 +35,18 @@ def _decode_both(spark, frames, registry=None, open_tx=None):
 
 def _assert_same(vec: pd.DataFrame, loop: pd.DataFrame):
     assert len(vec) == len(loop) and len(vec) > 0
+
+    def norm(x):
+        if x is None:
+            return None
+        if isinstance(x, float) and x != x:  # NaN (nullable numeric)
+            return None
+        if not isinstance(x, str) and hasattr(x, "__len__"):
+            return list(x)
+        return x
+
     for c in vec.columns:
         a, b = vec[c].tolist(), loop[c].tolist()
-        norm = lambda x: None if x is None else (list(x) if isinstance(x, (list, tuple)) or hasattr(x, "__len__") and not isinstance(x, str) else x)  # noqa: E731
         assert [norm(x) for x in a] == [norm(x) for x in b], f"column {c} differs"
 
 

@@ -1,10 +1,17 @@
-"""The vectorized decode stage: binary WAL frames → typed change events.
+"""The decode stage: binary WAL frames → typed change events.
 
 Spark-first re-expression of the reference's serial transform pipeline
 (reference reader.py:174-331 ``transform_raw``): instead of one Python
 generator pulling one message at a time through a pipe, the frame
 DataFrame is hash-partitioned by WAL segment, sorted by LSN within
-partitions, and decoded by an Arrow-batched ``mapInPandas`` kernel.
+partitions, and decoded by an Arrow-batched kernel. Two kernels share
+the RAW output contract:
+
+  - the **vectorized** hot path (``wal.vdecode``, mapInArrow + numpy
+    offset tables, ~750k frames/s/core) used for strict decode;
+  - the **loop** kernel below (mapInPandas, struct.unpack per message)
+    used when ``strict=False`` — per-message error isolation for the
+    dead-letter (op='E') quarantine path.
 
 Design for throughput:
 

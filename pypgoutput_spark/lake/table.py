@@ -1,4 +1,5 @@
-"""LakeTable: a minimal snapshot-versioned, hash-bucketed lake table.
+"""LakeTable: a minimal snapshot-versioned, hash-bucketed, merge-on-read
+lake table.
 
 The north rule targets Iceberg ``MERGE INTO``; this sandbox ships no
 Iceberg/Delta jars, so the same design is implemented directly on parquet
@@ -6,15 +7,30 @@ with the properties the rule actually needs:
 
   - **Hash-bucket layout**: rows are bucketed by
     ``pmod(xxhash64(key_cols), n_buckets)`` (Iceberg ``bucket(N, key)``
-    analog). A merge rewrites only buckets touched by the change set —
-    the copy-on-write unit — so merge cost scales with the change set,
-    not the table. Bucket pruning happens at the file level (each commit
-    writes one directory per touched bucket).
+    analog). Every file belongs to exactly one bucket, so key-scoped
+    reads and merges prune at the file level.
+  - **Merge-on-read deltas** (the 100 TB write path): an incremental
+    merge APPENDS the batch's LWW-collapsed change set as per-bucket
+    *delta* files — write cost ∝ change-set size, never ∝ table size.
+    Readers resolve base ∪ deltas with the same associative
+    ``max_by(..., lsn) FILTER (carrier)`` aggregate the in-batch LWW
+    uses (operators/lww.py): base rows participate at ``lsn = -1``, so a
+    column with no delta information falls through to the stored value —
+    TOAST-'u' preservation and delete-reset semantics hold across
+    commits exactly as they do within a batch. Buckets with no deltas
+    are read as plain scans (no aggregate, no shuffle); only dirty
+    buckets pay resolution, and compaction keeps that fraction bounded.
+  - **Compaction**: when a bucket's delta bytes pass a ratio of its base
+    (or its delta-commit count passes a bound), the bucket is rewritten
+    as resolved base and its deltas dropped — an independent, idempotent
+    commit that never gates ingest (the async-compactor analog; here it
+    runs synchronously after the delta commit when triggered).
   - **Atomic snapshot commits**: a snapshot JSON lists, per bucket, the
-    data directories that constitute it, plus the schema and the
-    ``watermark_lsn``. Publishing = atomic rename of the CURRENT pointer.
-    Readers resolve CURRENT → snapshot → exact file set; a crashed writer
-    leaves only unreferenced staging files (never a torn table).
+    base and delta directories that constitute it, plus the schema and
+    the ``watermark_lsn``. Publishing = atomic rename of the CURRENT
+    pointer. Readers resolve CURRENT → snapshot → exact file set; a
+    crashed writer leaves only unreferenced staging files (never a torn
+    table).
   - **Exactly-once**: ``watermark_lsn`` (the applied-through LSN, the
     analog of the reference's ``send_feedback(flush_lsn)`` ack protocol,
     reference reader.py:374-390) commits in the *same* atomic snapshot as
@@ -24,11 +40,13 @@ with the properties the rule actually needs:
     fills missing columns with NULL and prunes dropped ones); retypes
     rewrite (rare DDL).
   - **Lineage/metrics**: every snapshot embeds the batch's applied /
-    deleted / skipped counters and per-bucket file provenance.
+    deleted / skipped counters and per-bucket file provenance, plus
+    per-bucket byte accounting (``bucket_bytes`` / ``delta_bytes``) so
+    the compaction policy never re-lists the filesystem.
 
 At 100 TB scale, ``n_buckets`` is sized so a bucket ≈ a few GB; the
-listing in a snapshot stays in the thousands of entries, and the merge
-join shuffles only touched buckets.
+listing in a snapshot stays in the thousands of entries, deltas shuffle
+only change-set bytes, and resolution touches only dirty buckets.
 """
 
 from __future__ import annotations
@@ -47,6 +65,18 @@ CURRENT = "CURRENT"
 
 def _bucket_col(key_cols: Sequence[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets))
+
+
+def _du(dirs: Sequence[str]) -> int:
+    total = 0
+    for d in dirs:
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:  # pragma: no cover
+                    pass
+    return total
 
 
 class LakeTable:
@@ -80,6 +110,9 @@ class LakeTable:
             "key_cols": list(key_cols),
             "n_buckets": n_buckets,
             "buckets": {},
+            "deltas": {},
+            "bucket_bytes": {},
+            "delta_bytes": {},
             "watermark_lsn": -1,
             "parent": None,
             "props": props or {},
@@ -114,29 +147,100 @@ class LakeTable:
 
     def schema_ddl(self, snap: Optional[dict] = None) -> str:
         snap = snap or self.snapshot()
-        return ", ".join(f"{n} {t}" for n, t in snap["schema"])
+        return ", ".join(f"`{n}` {t}" for n, t in snap["schema"])
+
+    def delta_schema_ddl(self, snap: Optional[dict] = None) -> str:
+        """Schema of delta files: typed keys + final_op + max_lsn + one
+        ``r_<col> STRUCT<v: STRING>`` per value column (NULL struct =
+        no information, fall through to older deltas / base)."""
+        snap = snap or self.snapshot()
+        keys = snap["key_cols"]
+        parts = [f"`{n}` {t}" for n, t in snap["schema"] if n in keys]
+        parts += ["final_op STRING", "max_lsn BIGINT"]
+        parts += [
+            f"`r_{n}` STRUCT<v: STRING>" for n, _ in snap["schema"] if n not in keys
+        ]
+        return ", ".join(parts)
 
     # ------------------------------------------------------------------ read
 
     def read(self, version: Optional[int] = None, buckets: Optional[Sequence[int]] = None):
         """DataFrame of the table state at a snapshot (default: current).
 
-        ``buckets`` restricts the scan to the given hash buckets —
-        file-level pruning, the workhorse of merge (only touched buckets
-        are ever read).
+        Buckets without deltas are plain scans. Dirty buckets resolve
+        base ∪ deltas with the LWW read aggregate (see module
+        docstring); ``buckets`` restricts the scan (file-level pruning).
         """
         snap = self.snapshot(version)
-        sel: Dict[str, List[str]] = snap["buckets"]
+        base: Dict[str, List[str]] = snap["buckets"]
+        deltas: Dict[str, List[str]] = snap.get("deltas", {})
         if buckets is not None:
-            keys = {str(b) for b in buckets}
-            sel = {b: dirs for b, dirs in sel.items() if b in keys}
-        dirs = [d for dd in sel.values() for d in dd]
+            keep = {str(b) for b in buckets}
+            base = {b: dd for b, dd in base.items() if b in keep}
+            deltas = {b: dd for b, dd in deltas.items() if b in keep}
         ddl = self.schema_ddl(snap)
-        if not dirs:
+        clean_dirs = [d for b, dd in base.items() if b not in deltas for d in dd]
+        dirty_base_dirs = [d for b in deltas for d in base.get(b, [])]
+        delta_dirs = [d for dd in deltas.values() for d in dd]
+        parts = []
+        if clean_dirs:
+            # explicit schema: evolution-safe (missing columns → NULL,
+            # dropped columns pruned at the parquet reader)
+            parts.append(self.spark.read.schema(ddl).parquet(*clean_dirs))
+        if delta_dirs:
+            parts.append(self._resolve(snap, dirty_base_dirs, delta_dirs))
+        if not parts:
             return self.spark.createDataFrame([], schema=ddl)
-        # explicit schema: evolution-safe (missing columns → NULL, dropped
-        # columns pruned at the parquet reader)
-        return self.spark.read.schema(ddl).parquet(*dirs)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _resolve(self, snap: dict, base_dirs: List[str], delta_dirs: List[str]):
+        """LWW-resolve dirty buckets: base rows at lsn=-1 ∪ delta rows at
+        their commit max_lsn; per column, the newest row that *carries*
+        information wins (a delta with a value, a D reset, or the base);
+        keys whose newest row is a D drop out. The aggregate is
+        associative (partial map-side combine), and base/delta files of
+        one bucket are co-bucketed, so at scale the exchange moves only
+        dirty-bucket rows."""
+        keys = snap["key_cols"]
+        col_types = dict(snap["schema"])
+        value_cols = [n for n, _ in snap["schema"] if n not in keys]
+        ddl = self.schema_ddl(snap)
+
+        sel_base = [f"`{k}`" for k in keys] + ["'B' AS __op", "CAST(-1 AS BIGINT) AS __lsn"]
+        sel_base += [f"`{c}` AS `__v_{c}`" for c in value_cols]
+        sel_base += [f"true AS `__has_{c}`" for c in value_cols]
+        if base_dirs:
+            base = self.spark.read.schema(ddl).parquet(*base_dirs).selectExpr(*sel_base)
+        else:
+            base = None
+
+        delta_raw = self.spark.read.schema(self.delta_schema_ddl(snap)).parquet(*delta_dirs)
+        sel_delta = [f"`{k}`" for k in keys] + ["final_op AS __op", "max_lsn AS __lsn"]
+        sel_delta += [
+            f"CASE WHEN final_op = 'D' THEN CAST(NULL AS {col_types[c]}) "
+            f"ELSE CAST(`r_{c}`.v AS {col_types[c]}) END AS `__v_{c}`"
+            for c in value_cols
+        ]
+        sel_delta += [
+            f"(final_op = 'D' OR `r_{c}` IS NOT NULL) AS `__has_{c}`"
+            for c in value_cols
+        ]
+        delta = delta_raw.selectExpr(*sel_delta)
+        allrows = delta if base is None else base.unionByName(delta)
+
+        aggs = ["max_by(__op, __lsn) AS __final_op"] + [
+            f"max_by(`__v_{c}`, __lsn) FILTER (WHERE `__has_{c}`) AS `{c}`"
+            for c in value_cols
+        ]
+        resolved = (
+            allrows.groupBy(*[F.col(k) for k in keys])
+            .agg(*[F.expr(a) for a in aggs])
+            .filter("__final_op <> 'D'")
+        )
+        return resolved.select(*[F.col(n) for n, _ in snap["schema"]])
 
     # ----------------------------------------------------------------- write
 
@@ -174,22 +278,50 @@ class LakeTable:
         metrics: Optional[dict] = None,
         schema: Optional[Sequence[Tuple[str, str]]] = None,
         truncate: bool = False,
+        delta_buckets: Optional[Dict[str, List[str]]] = None,
     ) -> int:
-        """Publish a new snapshot: touched buckets point at new dirs,
-        untouched buckets carry over (unless ``truncate``)."""
+        """Publish a new snapshot.
+
+        ``new_buckets`` replace the base of the buckets they name;
+        ``replaced_buckets`` have their base dropped and their deltas
+        cleared (a replaced base is fully resolved — COW rewrite or
+        compaction); ``delta_buckets`` APPEND merge-on-read delta dirs;
+        ``truncate`` drops everything first. Untouched buckets carry over.
+        """
         prev = self.snapshot()
         version = prev["version"] + 1
-        buckets: Dict[str, List[str]] = {} if truncate else dict(prev["buckets"])
+        if truncate:
+            buckets: Dict[str, List[str]] = {}
+            deltas: Dict[str, List[str]] = {}
+            bucket_bytes: Dict[str, int] = {}
+            delta_bytes: Dict[str, int] = {}
+        else:
+            buckets = dict(prev["buckets"])
+            deltas = {b: list(dd) for b, dd in prev.get("deltas", {}).items()}
+            bucket_bytes = dict(prev.get("bucket_bytes", {}))
+            delta_bytes = dict(prev.get("delta_bytes", {}))
         for b in replaced_buckets:
             buckets.pop(str(b), None)
+            deltas.pop(str(b), None)
+            bucket_bytes.pop(str(b), None)
+            delta_bytes.pop(str(b), None)
         for b, dirs in new_buckets.items():
             buckets[str(b)] = dirs
+            deltas.pop(str(b), None)
+            bucket_bytes[str(b)] = _du(dirs)
+            delta_bytes.pop(str(b), None)
+        for b, dirs in (delta_buckets or {}).items():
+            deltas.setdefault(str(b), []).extend(dirs)
+            delta_bytes[str(b)] = delta_bytes.get(str(b), 0) + _du(dirs)
         snap = {
             "version": version,
             "schema": [list(c) for c in (schema or prev["schema"])],
             "key_cols": prev["key_cols"],
             "n_buckets": prev["n_buckets"],
             "buckets": buckets,
+            "deltas": deltas,
+            "bucket_bytes": bucket_bytes,
+            "delta_bytes": delta_bytes,
             "watermark_lsn": prev["watermark_lsn"] if watermark_lsn is None else watermark_lsn,
             "parent": prev["version"],
             "props": prev["props"],
@@ -199,6 +331,51 @@ class LakeTable:
         _write_json(os.path.join(self.snap_dir, f"v{version:08d}.json"), snap)
         _atomic_write(os.path.join(self.meta_dir, CURRENT), str(version))
         return version
+
+    # ------------------------------------------------------------ compaction
+
+    def buckets_to_compact(
+        self,
+        compact_ratio: float = 0.25,
+        min_compact_bytes: int = 8 << 20,
+        max_delta_commits: int = 32,
+    ) -> List[int]:
+        """Buckets whose deltas warrant folding into the base: delta bytes
+        pass ``compact_ratio`` of base AND an absolute floor (tiny deltas
+        never trigger a base rewrite), OR the delta-commit count passes
+        ``max_delta_commits`` (bounds snapshot listing growth)."""
+        snap = self.snapshot()
+        out = []
+        for b, dirs in snap.get("deltas", {}).items():
+            dbytes = snap.get("delta_bytes", {}).get(b, 0)
+            bbytes = snap.get("bucket_bytes", {}).get(b, 0)
+            if (dbytes > max(compact_ratio * bbytes, min_compact_bytes)
+                    or len(dirs) > max_delta_commits):
+                out.append(int(b))
+        return sorted(out)
+
+    def compact(self, buckets: Optional[Sequence[int]] = None,
+                extra_metrics: Optional[dict] = None) -> Optional[int]:
+        """Rewrite the given dirty buckets (default: all dirty) as resolved
+        base and drop their deltas. Idempotent and watermark-neutral — a
+        crash leaves only unreferenced staging files."""
+        snap = self.snapshot()
+        dirty = [int(b) for b in snap.get("deltas", {})]
+        if buckets is not None:
+            want = set(int(b) for b in buckets)
+            dirty = [b for b in dirty if b in want]
+        if not dirty:
+            return None
+        resolved = self.read(buckets=dirty)
+        staged = self.write_buckets(self.with_bucket(resolved), snap["version"] + 1)
+        # carry forward checkpoint state the ingest pipeline persists in the
+        # batch commit's metrics (open-transaction carry) — compaction is
+        # watermark-neutral and must be checkpoint-neutral too
+        carried = {
+            k: snap["metrics"][k] for k in ("open_tx",) if k in snap.get("metrics", {})
+        }
+        metrics = {"compaction": {"buckets": dirty}, **carried, **(extra_metrics or {})}
+        return self.commit(staged, replaced_buckets=dirty, metrics=metrics)
 
     # ----------------------------------------------------------- maintenance
 
@@ -224,13 +401,14 @@ class LakeTable:
             names = [n for n, _ in schema]
         if not needs_rewrite:
             return self.commit({}, [], schema=schema)
-        # retype: rewrite every bucket with a cast (rare DDL path)
+        # retype: rewrite every bucket (resolving deltas) with a cast
         old = self.read()
         cast = old.select(
             *[F.col(n).cast(t).alias(n) for n, t in schema]
         )
         staged = self.write_buckets(self.with_bucket(cast).select("*"), self.current_version() + 1)
-        return self.commit(staged, [int(b) for b in self.snapshot()["buckets"]], schema=schema)
+        all_buckets = set(self.snapshot()["buckets"]) | set(self.snapshot().get("deltas", {}))
+        return self.commit(staged, [int(b) for b in all_buckets], schema=schema)
 
 
 def _write_json(path: str, obj: dict) -> None:

@@ -1,32 +1,38 @@
 """MERGE of an LWW-collapsed change set into a LakeTable.
 
 The MERGE INTO analog (north rule): given one effective change per key
-(output of :func:`pypgoutput_spark.operators.lww.lww_changes`), rewrite
-only the hash buckets the change set touches:
+(output of :func:`pypgoutput_spark.operators.lww.lww_changes`), apply
 
     WHEN MATCHED AND final_op = 'D'  THEN DELETE
     WHEN MATCHED                     THEN UPDATE SET c = coalesce-with-target
     WHEN NOT MATCHED AND op <> 'D'   THEN INSERT
 
-Join strategy — deliberately *not* a full-outer join (full outer cannot
-broadcast; it would shuffle the whole touched-target side even for a tiny
-change set). Instead three broadcast-friendly pieces:
+**Merge-on-read (default)** — the 100 TB shape: the change set is
+bucketed by the table's key hash and APPENDED as per-bucket delta files
+in one atomic snapshot commit. No target read, no join, no base
+rewrite: merge cost ∝ change-set size regardless of table size (a
+copy-on-write merge rewrites every *touched* bucket, and a uniformly
+hashed change set touches ALL buckets — write amplification ∝ table
+size). Readers resolve base ∪ deltas with the same associative
+``max_by FILTER (carrier)`` aggregate the in-batch LWW uses — so the
+column-level TOAST fallback ("NULL struct = keep the stored value")
+that copy-on-write resolved with an inner join at write time resolves
+by falling through to the base row at read time, with identical
+semantics. Compaction (lake.table.LakeTable.compact) folds deltas into
+the base when a bucket's delta/base byte ratio or delta-commit count
+passes a bound, keeping read amplification bounded.
 
-    kept    = target  LEFT ANTI  changes      (rows untouched by the batch)
-    old     = target  INNER      changes      (old values for TOAST fallback)
-    upserts = changes LEFT OUTER old          (resolve each column)
-    result  = kept UNION upserts
+**Copy-on-write (``mode="cow"``)** is kept for read-heavy tables whose
+batches touch few buckets: three broadcast-friendly joins (kept = target
+LEFT ANTI changes; old = target INNER changes for the TOAST fallback;
+upserts = changes LEFT OUTER old) rewrite only touched buckets —
+deliberately *not* a full-outer join, which cannot broadcast.
 
-When the change set is small (the common CDC case) Spark broadcasts it in
-all three joins — the target's touched buckets stream through map-side
-joins with zero shuffle of table data. When it is large, AQE falls back
-to shuffled joins and splits skewed partitions. Either way only *touched*
-buckets are read and rewritten (file-level pruning via the snapshot).
-
-Exactly-once: the batch's ``watermark_lsn`` commits atomically with the
-data; re-applying a batch at or below the table watermark is a no-op
-(idempotent replay — the distributed analog of the reference's
-``send_feedback(flush_lsn)`` ack, reference reader.py:374-390).
+Exactly-once (both modes): the batch's ``watermark_lsn`` commits
+atomically with the data; re-applying a batch at or below the table
+watermark is a no-op (idempotent replay — the distributed analog of the
+reference's ``send_feedback(flush_lsn)`` ack, reference
+reader.py:374-390).
 """
 
 from __future__ import annotations
@@ -43,7 +49,9 @@ def merge_into(
     changes,
     watermark_lsn: int,
     truncate: bool = False,
+    mode: str = "auto",
     broadcast_threshold: int = 150_000,
+    auto_compact: bool = True,
     extra_metrics: Optional[dict] = None,
 ) -> dict:
     """Apply an LWW change set. Returns the batch metrics dict.
@@ -52,6 +60,9 @@ def merge_into(
     structs per value column (NULL struct = keep target value).
     ``truncate``: the batch contained a Truncate — the merge replaces the
     table's full content with the post-truncate upserts.
+    ``mode``: ``auto`` (initial load / truncate → single-pass base write;
+    incremental → merge-on-read delta append), or ``cow`` to force the
+    copy-on-write join+rewrite path for incremental batches.
     """
     snap = table.snapshot()
     if watermark_lsn <= snap["watermark_lsn"]:
@@ -72,7 +83,7 @@ def merge_into(
         {k: F.col(k).cast(col_types[k]) for k in keys}
     )
 
-    if truncate or not snap["buckets"]:
+    if truncate or not (snap["buckets"] or snap.get("deltas")):
         # initial load / full replace: the target contributes nothing, so
         # the whole merge is ONE pass — no change-set cache, no joins;
         # op counts ride the same write job via observed metrics
@@ -96,7 +107,7 @@ def merge_into(
             "change_keys": int(got["n"]),
             "buckets_touched": len(staged),
             "truncated": truncate,
-            "broadcast": False,
+            "mode": "replace",
             **(extra_metrics or {}),
         }
         version = table.commit(
@@ -110,6 +121,63 @@ def merge_into(
         metrics["skipped"] = False
         return metrics
 
+    if mode == "cow":
+        return _merge_cow(
+            table, changes, watermark_lsn, snap, keys, value_cols, col_types,
+            broadcast_threshold, extra_metrics,
+        )
+
+    # ---- merge-on-read (default incremental path) -----------------------
+    # one Spark job: bucket the LWW change set and append it as per-bucket
+    # delta files; op counts ride the write job as observed metrics
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = changes.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("final_op") == "D", 1)).alias("d"),
+    )
+    delta = observed.select(
+        *keys, "final_op", "max_lsn",
+        *[F.col(f"r_{c}").alias(f"r_{c}") for c in value_cols],
+    )
+    staged = table.write_buckets(table.with_bucket(delta), snap["version"] + 1)
+    got = obs.get
+    n_changes = int(got["n"])
+    metrics = {
+        "upserts": int(got["n"] - got["d"]),
+        "deletes": int(got["d"]),
+        "change_keys": n_changes,
+        "buckets_touched": len(staged),
+        "truncated": False,
+        "mode": "mor",
+        **(extra_metrics or {}),
+    }
+    version = table.commit(
+        {}, [], watermark_lsn=watermark_lsn, metrics=metrics,
+        delta_buckets=staged,
+    )
+    metrics["version"] = version
+    metrics["skipped"] = False
+    if auto_compact and staged:
+        due = table.buckets_to_compact()
+        if due:
+            cv = table.compact(due)
+            if cv is not None:
+                metrics["compacted_buckets"] = due
+                metrics["version"] = cv
+    return metrics
+
+
+def _merge_cow(
+    table: LakeTable, changes, watermark_lsn: int, snap: dict,
+    keys: Sequence[str], value_cols, col_types: dict,
+    broadcast_threshold: int, extra_metrics: Optional[dict],
+) -> dict:
+    """Copy-on-write incremental merge: join + rewrite of touched buckets
+    (reads resolve any outstanding deltas, so the rewritten base is
+    fully resolved and the commit clears those buckets' deltas)."""
     ch = table.with_bucket(changes)
     ch.cache()
     try:
@@ -124,13 +192,13 @@ def merge_into(
         touched = sorted(touched_set)
         n_changes = sum(op_counts.values())
 
-        if n_changes == 0 and not truncate:
+        if n_changes == 0:
             # nothing to apply for this table in this batch (common in
             # multi-relation routing): advance the watermark with a
             # metadata-only commit — no scan, no write job
             metrics = {
                 "upserts": 0, "deletes": 0, "change_keys": 0,
-                "buckets_touched": 0, "truncated": False, "broadcast": True,
+                "buckets_touched": 0, "truncated": False, "mode": "cow",
                 **(extra_metrics or {}),
             }
             version = table.commit(
@@ -143,11 +211,7 @@ def merge_into(
         small = n_changes <= broadcast_threshold
         b = (lambda df: F.broadcast(df)) if small else (lambda df: df)
 
-        target = (
-            table.read(buckets=touched)
-            if not truncate
-            else table.read(buckets=[])
-        )
+        target = table.read(buckets=touched)
 
         kept = target.join(b(ch.select(*keys)), on=list(keys), how="left_anti")
 
@@ -182,7 +246,8 @@ def merge_into(
             "deletes": int(op_counts.get("D", 0)),
             "change_keys": int(n_changes),
             "buckets_touched": len(touched),
-            "truncated": truncate,
+            "truncated": False,
+            "mode": "cow",
             "broadcast": small,
             **(extra_metrics or {}),
         }
@@ -191,7 +256,6 @@ def merge_into(
             replaced_buckets=touched,
             watermark_lsn=watermark_lsn,
             metrics=metrics,
-            truncate=truncate,
         )
         metrics["version"] = version
         metrics["skipped"] = False

@@ -218,6 +218,10 @@ def apply_frames_batch(
     table_map: Dict[int, LakeTable] = {relation_id: tables} if single else dict(tables)
 
     # ---- batch stats: one metadata-only scan, grouped by segment --------
+    # (Truncate LSNs ride along as a collect_list over the lsn column, so
+    # the rare T/B payload lookup below can prune by lsn — frames files
+    # are LSN-sorted, so row-group stats skip everything else — instead
+    # of re-reading the whole payload column on an mtype-only filter)
     b_pred, c_pred, t_pred = (_mtype_pred(frames, x) for x in "BCT")
     seg_rows = (
         frames.groupBy("segment")
@@ -227,7 +231,7 @@ def apply_frames_batch(
             F.count("*").alias("n"),
             F.max(F.when(b_pred, F.col("lsn"))).alias("b_lsn"),
             F.max(F.when(c_pred, F.col("lsn"))).alias("c_lsn"),
-            F.max(F.when(t_pred, F.col("lsn"))).alias("t_lsn"),
+            F.collect_list(F.when(t_pred, F.col("lsn"))).alias("t_lsns"),
         )
         .collect()
     )
@@ -247,17 +251,40 @@ def apply_frames_batch(
         "n_frames": int(sum(r["n"] for r in seg_rows)),
     }
 
-    # ---- per-relation truncate barriers (relation-scoped, not global):
-    # parse the rare 'T' cohort driver-side for its relation-id lists
+    # ---- ONE fused auxiliary lookup for the rare payload-carrying frames:
+    # Truncate payloads (relation-id lists) + the open transactions' Begin
+    # payloads. Both cohorts are identified by exact LSN from the stats
+    # scan, so the filter prunes at the parquet row-group level and the
+    # whole thing is a single tiny job (zero jobs in the common case).
+    carry: Dict[int, tuple] = dict(open_tx or {})
+    for r in seg_rows:
+        if r["b_lsn"] is not None or r["c_lsn"] is not None:
+            carry.pop(int(r["segment"]), None)
+    open_b_lsns = [
+        r["b_lsn"]
+        for r in seg_rows
+        if r["b_lsn"] is not None
+        and (r["c_lsn"] is None or r["b_lsn"] > r["c_lsn"])
+    ]
+    t_all_lsns = [lsn for r in seg_rows for lsn in (r["t_lsns"] or [])]
     t_lsn_by_rid: Dict[int, int] = {}
-    if any(r["t_lsn"] is not None for r in seg_rows):
-        for row in frames.filter(t_pred).select("lsn", "payload").collect():
-            decoded = _codec.decode_message(bytes(row["payload"]))
-            for rid in decoded["relation_ids"]:
-                t_lsn_by_rid[rid] = max(t_lsn_by_rid.get(rid, -1), row["lsn"])
-
-    # ---- open-transaction carry-out (B seen, no C by batch end) ---------
-    carry = _carry_from_stats(frames, seg_rows, open_tx)
+    if t_all_lsns or open_b_lsns:
+        aux = (
+            frames.filter(
+                F.col("lsn").isin([*t_all_lsns, *open_b_lsns]) & (t_pred | b_pred)
+            )
+            .select("segment", "lsn", "payload")
+            .collect()
+        )
+        for row in aux:
+            payload = bytes(row["payload"])
+            if payload[0:1] == b"T":
+                decoded = _codec.decode_message(payload)
+                for rid in decoded["relation_ids"]:
+                    t_lsn_by_rid[rid] = max(t_lsn_by_rid.get(rid, -1), row["lsn"])
+            elif row["lsn"] in open_b_lsns:
+                m = _codec.decode_message(payload)
+                carry[int(row["segment"])] = (m["xid"], int(row["lsn"]), m["commit_ts_us"])
 
     # ---- pre-decode filter: drop DML made dead by a later same-relation
     # truncate (relation id read JVM-side from the payload header)
@@ -309,6 +336,33 @@ def apply_frames_batch(
         eff_frames, registry, strict=strict, clustered=clustered, open_tx=open_tx
     )
 
+    # events for relations with a registered schema but no managed table
+    # are dropped by project_relation's relation_id filter — count them
+    # as an observed metric riding the merge job (never silently lost,
+    # and never an extra action)
+    from pyspark.sql import Observation
+
+    unmanaged_rids = [r for r in registry.relation_ids() if r not in table_map]
+    obs_unmanaged = None
+    if unmanaged_rids:
+        obs_unmanaged = Observation()
+        raw = raw.observe(
+            obs_unmanaged,
+            *[
+                F.count(F.when(F.col("relation_id") == r, 1)).alias(f"r{r}")
+                for r in unmanaged_rids
+            ],
+        )
+    # dead-letter count: with a quarantine dir we must know the count
+    # before deciding to write, so it is an explicit (cache-materializing)
+    # action; without one it rides the merge job as an observed metric
+    obs_dead = None
+    if not strict and not quarantine_dir:
+        obs_dead = Observation()
+        raw = raw.observe(
+            obs_dead, F.count(F.when(F.col("op") == "E", 1)).alias("dead")
+        )
+
     # stage the decode output when >1 consumer would re-run the Python
     # kernel (multiple relations / schema versions), or when dead-letter
     # rows must be counted/quarantined (strict=False)
@@ -317,14 +371,14 @@ def apply_frames_batch(
     try:
         if staged:
             raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
-            if not strict:
+            if not strict and quarantine_dir:
                 dead = raw.filter(F.col("op") == "E")
                 dead_letters = dead.count()  # also materializes the cache
-                if dead_letters and quarantine_dir:
+                if dead_letters:
                     dead.select("segment", "lsn", "error").write.mode(
                         "append"
                     ).parquet(quarantine_dir)
-            else:
+            elif n_projections > 1:
                 raw.count()  # materialize once before fan-out
 
         out: dict = {
@@ -371,6 +425,22 @@ def apply_frames_batch(
                 },
             )
             out["relations"][rid] = m
+        # observations resolve only if some job actually ran over `raw`
+        # (all-skipped batches never execute the decode — .get would block)
+        ran_any = any(not m.get("skipped") for m in out["relations"].values())
+        if not ran_any:
+            obs_dead = obs_unmanaged = None
+        if obs_dead is not None:
+            dead_letters = int(obs_dead.get["dead"])
+            out["dead_letters"] = dead_letters
+            for m in out["relations"].values():
+                if not m.get("skipped"):
+                    m["dead_letters"] = dead_letters
+        if obs_unmanaged is not None:
+            got = obs_unmanaged.get
+            out["unmanaged_relations"] = {
+                r: int(got[f"r{r}"]) for r in unmanaged_rids if int(got[f"r{r}"])
+            }
         if single:
             # back-compat: single-table callers see the merge metrics at
             # the top level (upserts/deletes/buckets_touched/...)

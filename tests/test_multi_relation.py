@@ -213,3 +213,24 @@ def test_strict_raises_on_unknown_relation(spark, tmp_path):
     )
     with pytest.raises(Exception, match="no Relation message"):
         decode_op.decode_frames_raw(stray, reg).collect()
+
+
+def test_unmanaged_relation_counted_not_silent(spark, tmp_path):
+    """A relation present in the stream (with an 'R' schema) but with no
+    managed table is dropped from the merge — but its event count is
+    surfaced in the batch metrics (ADVICE r2: never silently lost)."""
+    p = gen.GenParams(n_txns=8, ops_per_txn=4, n_relations=2, txns_per_segment=4)
+    frames = gen.spark_frames_df(spark, p)
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"),
+        schema=[(c, "string") for c in gen.ALL_COLUMNS],
+        key_cols=list(gen.KEY_COLUMNS), n_buckets=4,
+    )
+    # manage only relation 0; relation 1's events must be counted
+    metrics = pipeline.apply_frames_batch(
+        {gen.RELATION_ID: table}, frames
+    )
+    assert not metrics["skipped"]
+    unmanaged = metrics.get("unmanaged_relations", {})
+    assert gen.RELATION_ID + 1 in unmanaged
+    assert unmanaged[gen.RELATION_ID + 1] > 0

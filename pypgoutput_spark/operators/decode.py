@@ -8,10 +8,13 @@ partitions, and decoded by an Arrow-batched kernel. Two kernels share
 the RAW output contract:
 
   - the **vectorized** hot path (``wal.vdecode``, mapInArrow + numpy
-    offset tables, ~750k frames/s/core) used for strict decode;
-  - the **loop** kernel below (mapInPandas, struct.unpack per message)
-    used when ``strict=False`` — per-message error isolation for the
-    dead-letter (op='E') quarantine path.
+    offset tables, ~750k frames/s/core) used for strict decode AND,
+    optimistically, for ``strict=False``: each Arrow batch tries the
+    vectorized kernel first and only failing batches re-decode through
+    the loop kernel — clean streams never pay for quarantine capability;
+  - the **loop** kernel below (struct.unpack per message) — the
+    per-message error-isolation unit behind the dead-letter (op='E')
+    quarantine path, and the ``vectorized=False`` fallback.
 
 Design for throughput:
 
@@ -105,135 +108,180 @@ def _parse_tuple(b: bytes, pos: int):
     return u_mask, vals, pos
 
 
+def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool):
+    """Per-message loop decode of ONE pandas batch; mutates ``open_tx``
+    (segment -> (xid, begin_lsn, commit_ts_us)). Returns a dict of RAW
+    column lists, or None when the batch emitted nothing. The per-message
+    try/except is the dead-letter (op='E') isolation unit."""
+    cols = (
+        "lsn", "op", "relation_id", "xid", "begin_lsn", "commit_ts_us",
+        "schema_version", "before_kind", "before_vals",
+        "new_vals", "new_u_mask", "segment", "error",
+    )
+    out = {k: [] for k in cols}
+    a_lsn, a_op, a_rid = out["lsn"].append, out["op"].append, out["relation_id"].append
+    a_xid, a_blsn, a_cts = out["xid"].append, out["begin_lsn"].append, out["commit_ts_us"].append
+    a_ver, a_bk = out["schema_version"].append, out["before_kind"].append
+    a_bv = out["before_vals"].append
+    a_nv, a_num = out["new_vals"].append, out["new_u_mask"].append
+    a_seg = out["segment"].append
+    a_err = out["error"].append
+
+    def emit_dead_letter(seg, lsn, exc):
+        """Quarantine row for a corrupt/undecodable frame (op='E'):
+        the distributed alternative to the reference's
+        tear-down-on-error (reader.py:326-331)."""
+        a_lsn(int(lsn)); a_op("E"); a_rid(None)
+        a_xid(None); a_blsn(None); a_cts(None)
+        a_ver(None); a_bk(None)
+        a_bv(None); a_nv(None); a_num(None)
+        a_seg(int(seg)); a_err(f"{type(exc).__name__}: {exc}")
+
+    for seg, lsn, payload in zip(
+        pdf["segment"].values, pdf["lsn"].values, pdf["payload"].values
+    ):
+      try:
+        b = bytes(payload)
+        t = b[0]
+        if t == 66:  # 'B'
+            blsn, cts, xid = _unpack_begin(b, 1)
+            open_tx[seg] = (xid, int(lsn), cts)
+            continue
+        if t == 67:  # 'C'
+            open_tx.pop(seg, None)
+            continue
+        if t in (82, 79, 89):  # 'R' (driver-side), 'O', 'Y' (reference stubs)
+            continue
+
+        if t == 84:  # 'T' truncate: fan out per relation (reader.py:307-320)
+            (n_rel,) = _unpack_i32(b, 1)
+            tx = open_tx.get(seg)
+            for k in range(n_rel):
+                (rid,) = _unpack_i32(b, 6 + 4 * k)
+                looked = plain_lookup(registry_plain, rid, int(lsn))
+                a_lsn(int(lsn)); a_op("T"); a_rid(rid)
+                a_xid(tx[0] if tx else None)
+                a_blsn(tx[1] if tx else None)
+                a_cts(tx[2] if tx else None)
+                a_ver(looked[0] if looked else None)
+                a_bk(None); a_bv(None); a_nv(None); a_num(None)
+                a_seg(int(seg)); a_err(None)
+            continue
+
+        (rid,) = _unpack_i32(b, 1)
+        looked = plain_lookup(registry_plain, rid, int(lsn))
+        if looked is None:
+            if strict:
+                raise ValueError(
+                    f"no Relation message seen for relation_id={rid} at "
+                    f"lsn={lsn} (stream must carry 'R' before DML)"
+                )
+            continue
+        version = looked[0]
+        bk = None
+        b_vals = n_vals = n_mask = None
+
+        if t == 73:  # 'I'
+            if b[5] != 78:  # 'N'
+                raise ValueError("Insert expects 'N' tuple marker")
+            n_mask, n_vals, _ = _parse_tuple(b, 6)
+            op = "I"
+        elif t == 85:  # 'U' — K/O optional old image, then mandatory N
+            pos = 5
+            marker = b[pos]
+            pos += 1
+            if marker in (75, 79):  # 'K' / 'O'
+                bk = chr(marker)
+                _b_mask, b_vals, pos = _parse_tuple(b, pos)
+                marker = b[pos]
+                pos += 1
+            if marker != 78:
+                raise ValueError(
+                    f"Update missing 'N' new-tuple marker, got {chr(marker)!r}"
+                )
+            n_mask, n_vals, _ = _parse_tuple(b, pos)
+            op = "U"
+        elif t == 68:  # 'D' — K or O required
+            marker = b[5]
+            if marker not in (75, 79):
+                raise ValueError(
+                    f"Delete tuple kind must be 'K' or 'O', got {chr(marker)!r}"
+                )
+            bk = chr(marker)
+            _b_mask, b_vals, _ = _parse_tuple(b, 6)
+            op = "D"
+        else:
+            raise ValueError(f"unknown pgoutput message type byte {chr(t)!r}")
+
+        tx = open_tx.get(seg)
+        a_lsn(int(lsn)); a_op(op); a_rid(rid)
+        a_xid(tx[0] if tx else None)
+        a_blsn(tx[1] if tx else None)
+        a_cts(tx[2] if tx else None)
+        a_ver(version); a_bk(bk)
+        a_bv(b_vals); a_nv(n_vals); a_num(n_mask)
+        a_seg(int(seg)); a_err(None)
+      except Exception as exc:  # noqa: BLE001
+        if strict:
+            raise
+        emit_dead_letter(seg, lsn, exc)
+
+    return out if out["lsn"] else None
+
+
 def _make_kernel(registry_plain: dict, strict: bool = True,
                  init_tx: Optional[dict] = None):
-    """``init_tx``: open-transaction state carried in from a previous
-    micro-batch whose cut fell inside a transaction (B seen, no C yet) —
-    the distributed analog of the reference's in-memory
-    ``transaction_metadata`` surviving arbitrary message boundaries
-    (reference reader.py:182-193). Keyed by segment."""
+    """mapInPandas loop kernel. ``init_tx``: open-transaction state
+    carried in from a previous micro-batch whose cut fell inside a
+    transaction (B seen, no C yet) — the distributed analog of the
+    reference's in-memory ``transaction_metadata`` surviving arbitrary
+    message boundaries (reference reader.py:182-193). Keyed by segment."""
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        # segment -> (xid, begin_lsn, commit_ts_us); seeded with carry-in
         open_tx: dict = dict(init_tx) if init_tx else {}
-        cols = (
-            "lsn", "op", "relation_id", "xid", "begin_lsn", "commit_ts_us",
-            "schema_version", "before_kind", "before_vals",
-            "new_vals", "new_u_mask", "segment", "error",
-        )
         for pdf in batches:
-            out = {k: [] for k in cols}
-            a_lsn, a_op, a_rid = out["lsn"].append, out["op"].append, out["relation_id"].append
-            a_xid, a_blsn, a_cts = out["xid"].append, out["begin_lsn"].append, out["commit_ts_us"].append
-            a_ver, a_bk = out["schema_version"].append, out["before_kind"].append
-            a_bv = out["before_vals"].append
-            a_nv, a_num = out["new_vals"].append, out["new_u_mask"].append
-            a_seg = out["segment"].append
-            a_err = out["error"].append
-
-            def emit_dead_letter(seg, lsn, exc):
-                """Quarantine row for a corrupt/undecodable frame (op='E'):
-                the distributed alternative to the reference's
-                tear-down-on-error (reader.py:326-331)."""
-                a_lsn(int(lsn)); a_op("E"); a_rid(None)
-                a_xid(None); a_blsn(None); a_cts(None)
-                a_ver(None); a_bk(None)
-                a_bv(None); a_nv(None); a_num(None)
-                a_seg(int(seg)); a_err(f"{type(exc).__name__}: {exc}")
-
-            for seg, lsn, payload in zip(
-                pdf["segment"].values, pdf["lsn"].values, pdf["payload"].values
-            ):
-              try:
-                b = bytes(payload)
-                t = b[0]
-                if t == 66:  # 'B'
-                    blsn, cts, xid = _unpack_begin(b, 1)
-                    open_tx[seg] = (xid, int(lsn), cts)
-                    continue
-                if t == 67:  # 'C'
-                    open_tx.pop(seg, None)
-                    continue
-                if t in (82, 79, 89):  # 'R' (driver-side), 'O', 'Y' (reference stubs)
-                    continue
-
-                if t == 84:  # 'T' truncate: fan out per relation (reader.py:307-320)
-                    (n_rel,) = _unpack_i32(b, 1)
-                    tx = open_tx.get(seg)
-                    for k in range(n_rel):
-                        (rid,) = _unpack_i32(b, 6 + 4 * k)
-                        looked = plain_lookup(registry_plain, rid, int(lsn))
-                        a_lsn(int(lsn)); a_op("T"); a_rid(rid)
-                        a_xid(tx[0] if tx else None)
-                        a_blsn(tx[1] if tx else None)
-                        a_cts(tx[2] if tx else None)
-                        a_ver(looked[0] if looked else None)
-                        a_bk(None); a_bv(None); a_nv(None); a_num(None)
-                        a_seg(int(seg)); a_err(None)
-                    continue
-
-                (rid,) = _unpack_i32(b, 1)
-                looked = plain_lookup(registry_plain, rid, int(lsn))
-                if looked is None:
-                    if strict:
-                        raise ValueError(
-                            f"no Relation message seen for relation_id={rid} at "
-                            f"lsn={lsn} (stream must carry 'R' before DML)"
-                        )
-                    continue
-                version = looked[0]
-                bk = None
-                b_vals = n_vals = n_mask = None
-
-                if t == 73:  # 'I'
-                    if b[5] != 78:  # 'N'
-                        raise ValueError("Insert expects 'N' tuple marker")
-                    n_mask, n_vals, _ = _parse_tuple(b, 6)
-                    op = "I"
-                elif t == 85:  # 'U' — K/O optional old image, then mandatory N
-                    pos = 5
-                    marker = b[pos]
-                    pos += 1
-                    if marker in (75, 79):  # 'K' / 'O'
-                        bk = chr(marker)
-                        _b_mask, b_vals, pos = _parse_tuple(b, pos)
-                        marker = b[pos]
-                        pos += 1
-                    if marker != 78:
-                        raise ValueError(
-                            f"Update missing 'N' new-tuple marker, got {chr(marker)!r}"
-                        )
-                    n_mask, n_vals, _ = _parse_tuple(b, pos)
-                    op = "U"
-                elif t == 68:  # 'D' — K or O required
-                    marker = b[5]
-                    if marker not in (75, 79):
-                        raise ValueError(
-                            f"Delete tuple kind must be 'K' or 'O', got {chr(marker)!r}"
-                        )
-                    bk = chr(marker)
-                    _b_mask, b_vals, _ = _parse_tuple(b, 6)
-                    op = "D"
-                else:
-                    raise ValueError(f"unknown pgoutput message type byte {chr(t)!r}")
-
-                tx = open_tx.get(seg)
-                a_lsn(int(lsn)); a_op(op); a_rid(rid)
-                a_xid(tx[0] if tx else None)
-                a_blsn(tx[1] if tx else None)
-                a_cts(tx[2] if tx else None)
-                a_ver(version); a_bk(bk)
-                a_bv(b_vals); a_nv(n_vals); a_num(n_mask)
-                a_seg(int(seg)); a_err(None)
-              except Exception as exc:  # noqa: BLE001
-                if strict:
-                    raise
-                emit_dead_letter(seg, lsn, exc)
-
-            if out["lsn"]:  # empty pandas frames break Arrow type inference
+            out = _loop_decode_pdf(pdf, open_tx, registry_plain, strict)
+            if out:  # empty pandas frames break Arrow type inference
                 yield pd.DataFrame(out)
+
+    return kernel
+
+
+def _make_optimistic_kernel(registry_plain: dict, init_tx: Optional[dict] = None):
+    """strict=False HOT path: decode each Arrow batch with the vectorized
+    kernel and fall back to the per-message loop kernel (dead-letter
+    op='E' isolation) only for batches that fail — clean streams pay
+    nothing for quarantine capability. Open-transaction carry stays
+    exact: the vectorized attempt runs on a COPY of the carry state that
+    is committed only on success; a failed batch re-decodes from the
+    pre-batch state through the loop kernel, which updates it directly."""
+    import pyarrow as pa
+
+    from pypgoutput_spark.wal import vdecode
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pandas as pd
+
+        open_tx: dict = dict(init_tx) if init_tx else {}
+        for rb in batches:
+            tx_try = dict(open_tx)
+            try:
+                outs = list(vdecode.process_batch(rb, tx_try, registry_plain))
+            except Exception:  # noqa: BLE001 — any decode error isolates per message below
+                out = _loop_decode_pdf(
+                    rb.to_pandas(), open_tx, registry_plain, strict=False
+                )
+                if out:
+                    yield pa.RecordBatch.from_pandas(
+                        pd.DataFrame(out), schema=vdecode.RAW_PA_SCHEMA,
+                        preserve_index=False,
+                    )
+                continue
+            open_tx.clear()
+            open_tx.update(tx_try)
+            yield from outs
 
     return kernel
 
@@ -262,16 +310,23 @@ def decode_frames_raw(frames_df, registry: Optional[RelationRegistry] = None,
         partitioned = frames_df.sortWithinPartitions("segment", "lsn")
     else:
         partitioned = frames_df.repartition("segment").sortWithinPartitions("segment", "lsn")
-    # the Arrow-native numpy kernel (wal.vdecode) is the hot path; the
-    # per-message loop kernel keeps the dead-letter (op='E') path where
-    # per-row error isolation is the point
+    # the Arrow-native numpy kernel (wal.vdecode) is the hot path for BOTH
+    # modes: strict maps it directly; strict=False runs it optimistically
+    # per Arrow batch and falls back to the per-message loop kernel (the
+    # dead-letter op='E' isolation unit) only for batches that fail, so
+    # quarantine capability costs nothing on clean streams.
+    # ``vectorized=False`` forces the loop kernel everywhere.
     if vectorized is None:
-        vectorized = strict
+        vectorized = True
     if vectorized and strict:
         from pypgoutput_spark.wal import vdecode
 
         return partitioned.mapInArrow(
             vdecode.make_kernel(plain, init_tx=open_tx), schema=RAW_SCHEMA
+        )
+    if vectorized:
+        return partitioned.mapInArrow(
+            _make_optimistic_kernel(plain, init_tx=open_tx), schema=RAW_SCHEMA
         )
     return partitioned.mapInPandas(
         _make_kernel(plain, strict, init_tx=open_tx), schema=RAW_SCHEMA

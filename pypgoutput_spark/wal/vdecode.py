@@ -25,9 +25,12 @@ never creates a per-row Python object. Per Arrow batch:
 
 Grammar parity targets are identical to ``wal.codec`` (reference
 decoders.py:131-413): big-endian signed ints, TupleData n/u/t categories,
-Update K/O/N state machine, Delete K/O required, Begin xid as Int32.
-Used for strict decode only — the loop kernel keeps the dead-letter
-(op='E') path, where per-message error isolation is the point.
+Update K/O/N state machine, Delete K/O required, Begin xid as Int32 —
+plus fail-fast bounds validation (per-message end-cursor checks), since
+the wavefront indexes one concatenated batch buffer. Strict decode maps
+``make_kernel`` directly; strict=False wraps ``process_batch``
+optimistically and falls back to the loop kernel per failing batch
+(operators.decode._make_optimistic_kernel).
 """
 
 from __future__ import annotations
@@ -104,6 +107,8 @@ def _parse_tuples(data: np.ndarray, starts: np.ndarray):
         t_rows = active[is_t]
         if t_rows.size:
             lens = _be(data, pos[t_rows] + 1, 4)
+            if (lens < 0).any():
+                raise ValueError("negative TupleData cell length (corrupt frame)")
             vstart[t_rows, j] = pos[t_rows] + 5
             vlen[t_rows, j] = lens
             pos[t_rows] += 5 + lens
@@ -185,6 +190,21 @@ def _null_list(n: int) -> pa.Array:
     return pa.nulls(n, pa.list_(pa.string()))
 
 
+def _check_ends(pos: np.ndarray, offs: np.ndarray, rows: np.ndarray, what: str):
+    """Per-message overrun check: the wavefront indexes one concatenated
+    buffer, so a corrupt cell length that stays inside the *batch* buffer
+    would silently read the neighboring message's bytes. Mirror the loop
+    kernel's fail-fast contract by validating each tuple's end cursor
+    against its own message end (offs[i+1])."""
+    over = pos > offs[rows + 1]
+    if over.any():
+        i = int(np.nonzero(over)[0][0])
+        raise ValueError(
+            f"{what} TupleData overruns its message "
+            f"(end {int(pos[i])} > frame end {int(offs[rows[i] + 1])}) — corrupt frame"
+        )
+
+
 def _schema_versions(plain: dict, rids: np.ndarray, lsns: np.ndarray) -> np.ndarray:
     """Vectorized plain_lookup: schema version in effect per event."""
     out = np.zeros(rids.size, dtype=np.int32)
@@ -204,245 +224,259 @@ def _schema_versions(plain: dict, rids: np.ndarray, lsns: np.ndarray) -> np.ndar
 
 
 def make_kernel(registry_plain: dict, init_tx: Optional[dict] = None):
-    """mapInArrow kernel: frames RecordBatches → RAW event RecordBatches."""
+    """mapInArrow kernel: frames RecordBatches -> RAW event RecordBatches."""
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         open_tx: dict = dict(init_tx) if init_tx else {}
         for rb in batches:
-            pay = rb.column(rb.schema.get_field_index("payload"))
-            if isinstance(pay, pa.ChunkedArray):  # pragma: no cover
-                pay = pay.combine_chunks()
-            bufs = pay.buffers()
-            # arrow binary layout: [validity, offsets(int32), data]
-            offs = np.frombuffer(bufs[1], dtype=np.int32)[
-                pay.offset : pay.offset + len(pay) + 1
-            ].astype(np.int64)
-            data = np.frombuffer(bufs[2], dtype=np.uint8)
-            seg = rb.column(rb.schema.get_field_index("segment")).to_numpy()
-            lsn = rb.column(rb.schema.get_field_index("lsn")).to_numpy()
-            n = len(pay)
-            if n == 0:
-                continue
-            starts = offs[:-1]
-            first = data[starts]
-
-            known = np.isin(first, [_B, _C, _I, _U, _D, _T, _R, _O, _Y])
-            if not known.all():
-                i = int(np.nonzero(~known)[0][0])
-                raise ValueError(
-                    f"unknown pgoutput message type byte {chr(first[i])!r} at lsn={lsn[i]}"
-                )
-
-            # ---- transaction scoping: vectorized B/C scan ----------------
-            idx = np.arange(n, dtype=np.int64)
-            is_b, is_c = first == _B, first == _C
-            last_b = np.maximum.accumulate(np.where(is_b, idx, -1))
-            last_c = np.maximum.accumulate(np.where(is_c, idx, -1))
-            lb = np.clip(last_b, 0, None)
-            in_open = (last_b >= 0) & (last_b > last_c) & (seg[lb] == seg)
-            has_activity = (
-                (np.maximum(last_b, last_c) >= 0)
-                & (seg[np.clip(np.maximum(last_b, last_c), 0, None)] == seg)
-            )
-            b_rows = idx[is_b]
-            xid_at = np.zeros(n, dtype=np.int64)
-            cts_at = np.zeros(n, dtype=np.int64)
-            if b_rows.size:
-                xid_at[b_rows] = _be(data, starts[b_rows] + 17, 4)
-                cts_at[b_rows] = _be(data, starts[b_rows] + 9, 8)
-            ev_xid = np.where(in_open, xid_at[lb], 0)
-            ev_blsn = np.where(in_open, lsn[lb], 0)
-            ev_cts = np.where(in_open, cts_at[lb], 0)
-            ev_has_tx = in_open.copy()
-            # rows before any same-segment B/C: carried-in open transaction
-            need_carry = ~has_activity
-            if need_carry.any() and open_tx:
-                for s in np.unique(seg[need_carry]):
-                    tx = open_tx.get(int(s))
-                    if tx is not None:
-                        rows = need_carry & (seg == s)
-                        ev_xid[rows], ev_blsn[rows], ev_cts[rows] = tx
-                        ev_has_tx[rows] = True
-            # carry-out: per segment, final open state (segments are
-            # contiguous within the sorted partition)
-            useg, first_i = np.unique(seg, return_index=True)
-            last_i = np.concatenate([first_i[1:], [n]]) - 1
-            for s, li in zip(useg, last_i):
-                if in_open[li]:
-                    open_tx[int(s)] = (
-                        int(xid_at[lb[li]]), int(lsn[lb[li]]), int(cts_at[lb[li]])
-                    )
-                elif has_activity[li]:
-                    open_tx.pop(int(s), None)
-
-            def tx_cols(sel: np.ndarray):
-                has = ev_has_tx[sel]
-                mk = lambda v: pa.array(v[sel], type=pa.int64(), mask=~has)  # noqa: E731
-                return mk(ev_xid), mk(ev_blsn), mk(ev_cts)
-
-            # ---- Insert cohort ------------------------------------------
-            sel = first == _I
-            if sel.any():
-                rows = idx[sel]
-                st = starts[rows]
-                marker = data[st + 5]
-                if (marker != _N).any():
-                    raise ValueError("Insert expects 'N' tuple marker")
-                rid = _be(data, st + 1, 4)
-                cat_m, vs, vl, nc, _pos = _parse_tuples(data, st + 6)
-                vals, u_mask = _tuple_lists(data, cat_m, vs, vl, nc)
-                xid_a, blsn_a, cts_a = tx_cols(sel)
-                m = rows.size
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(lsn[rows]), _const_str("I", m),
-                        pa.array(rid, type=pa.int32()), xid_a, blsn_a, cts_a,
-                        pa.array(_schema_versions(registry_plain, rid, lsn[rows])),
-                        pa.nulls(m, pa.string()), _null_list(m),
-                        vals, pa.array(u_mask), pa.array(seg[rows]),
-                        pa.nulls(m, pa.string()),
-                    ],
-                    schema=RAW_PA_SCHEMA,
-                )
-
-            # ---- Update cohort (optional K/O old image, then N) ----------
-            sel = first == _U
-            if sel.any():
-                rows = idx[sel]
-                st = starts[rows]
-                rid = _be(data, st + 1, 4)
-                marker = data[st + 5]
-                has_old = (marker == _K) | (marker == _OLD_O)
-                if ((marker != _N) & ~has_old).any():
-                    bad = rows[(marker != _N) & ~has_old][0]
-                    raise ValueError(
-                        f"Update missing 'N' new-tuple marker at lsn={lsn[bad]}"
-                    )
-                m = rows.size
-                new_start = st + 6  # rows without old image: N at +5
-                bk = pa.nulls(m, pa.string())
-                b_vals = _null_list(m)
-                if has_old.any():
-                    o_rows = np.nonzero(has_old)[0]
-                    cat_o, vs_o, vl_o, nc_o, end_o = _parse_tuples(
-                        data, st[o_rows] + 6
-                    )
-                    if (data[end_o] != _N).any():
-                        raise ValueError("Update missing 'N' after old image")
-                    # scatter old-image lists back to full cohort positions;
-                    # rows without old image stay ncols=0 + NULL validity
-                    full_cat = np.zeros((m, cat_o.shape[1]), dtype=np.uint8)
-                    full_vs = np.zeros((m, cat_o.shape[1]), dtype=np.int64)
-                    full_vl = np.zeros((m, cat_o.shape[1]), dtype=np.int64)
-                    full_nc = np.zeros(m, dtype=np.int64)
-                    full_cat[o_rows], full_vs[o_rows] = cat_o, vs_o
-                    full_vl[o_rows], full_nc[o_rows] = vl_o, nc_o
-                    b_vals, _b_mask = _tuple_lists(
-                        data, full_cat, full_vs, full_vl, full_nc, valid=has_old
-                    )
-                    bk_np = np.where(marker == _K, _K, _OLD_O).astype(np.uint8)
-                    bk = pa.StringArray.from_buffers(
-                        m,
-                        pa.py_buffer(np.arange(m + 1, dtype=np.int32)),
-                        pa.py_buffer(bk_np),
-                        pa.py_buffer(np.packbits(has_old, bitorder="little")),
-                        null_count=int((~has_old).sum()),
-                    )
-                    new_start = st.copy()
-                    new_start[o_rows] = end_o + 1
-                    new_start[~has_old] += 6
-                cat_m, vs, vl, nc, _pos = _parse_tuples(data, new_start)
-                vals, u_mask = _tuple_lists(data, cat_m, vs, vl, nc)
-                xid_a, blsn_a, cts_a = tx_cols(sel)
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(lsn[rows]), _const_str("U", m),
-                        pa.array(rid, type=pa.int32()), xid_a, blsn_a, cts_a,
-                        pa.array(_schema_versions(registry_plain, rid, lsn[rows])),
-                        bk, b_vals, vals, pa.array(u_mask),
-                        pa.array(seg[rows]), pa.nulls(m, pa.string()),
-                    ],
-                    schema=RAW_PA_SCHEMA,
-                )
-
-            # ---- Delete cohort (K or O old image required) ---------------
-            sel = first == _D
-            if sel.any():
-                rows = idx[sel]
-                st = starts[rows]
-                rid = _be(data, st + 1, 4)
-                marker = data[st + 5]
-                bad = (marker != _K) & (marker != _OLD_O)
-                if bad.any():
-                    raise ValueError(
-                        f"Delete tuple kind must be 'K' or 'O', got "
-                        f"{chr(marker[np.nonzero(bad)[0][0]])!r}"
-                    )
-                m = rows.size
-                cat_m, vs, vl, nc, _pos = _parse_tuples(data, st + 6)
-                b_vals, _b_mask = _tuple_lists(data, cat_m, vs, vl, nc)
-                bk = pa.StringArray.from_buffers(
-                    m,
-                    pa.py_buffer(np.arange(m + 1, dtype=np.int32)),
-                    pa.py_buffer(marker.astype(np.uint8)),
-                )
-                xid_a, blsn_a, cts_a = tx_cols(sel)
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(lsn[rows]), _const_str("D", m),
-                        pa.array(rid, type=pa.int32()), xid_a, blsn_a, cts_a,
-                        pa.array(_schema_versions(registry_plain, rid, lsn[rows])),
-                        bk, b_vals, _null_list(m), pa.nulls(m, pa.int64()),
-                        pa.array(seg[rows]), pa.nulls(m, pa.string()),
-                    ],
-                    schema=RAW_PA_SCHEMA,
-                )
-
-            # ---- Truncate cohort: rare → scalar decode + fan-out ---------
-            sel = first == _T
-            if sel.any():
-                rows = idx[sel]
-                out = {
-                    "lsn": [], "op": [], "relation_id": [], "xid": [],
-                    "begin_lsn": [], "commit_ts_us": [], "schema_version": [],
-                    "segment": [],
-                }
-                for r in rows:
-                    payload = bytes(data[offs[r] : offs[r + 1]])
-                    decoded = _codec.decode_message(payload)
-                    for t_rid in decoded["relation_ids"]:
-                        versions = registry_plain.get(t_rid)
-                        out["lsn"].append(int(lsn[r]))
-                        out["op"].append("T")
-                        out["relation_id"].append(t_rid)
-                        out["xid"].append(int(ev_xid[r]) if ev_has_tx[r] else None)
-                        out["begin_lsn"].append(int(ev_blsn[r]) if ev_has_tx[r] else None)
-                        out["commit_ts_us"].append(int(ev_cts[r]) if ev_has_tx[r] else None)
-                        ver = None
-                        if versions:
-                            pos = bisect.bisect_right(
-                                [v[0] for v in versions], int(lsn[r])
-                            ) - 1
-                            ver = versions[max(pos, 0)][1]
-                        out["schema_version"].append(ver)
-                        out["segment"].append(int(seg[r]))
-                m = len(out["lsn"])
-                if m:
-                    yield pa.RecordBatch.from_arrays(
-                        [
-                            pa.array(out["lsn"], type=pa.int64()),
-                            pa.array(out["op"], type=pa.string()),
-                            pa.array(out["relation_id"], type=pa.int32()),
-                            pa.array(out["xid"], type=pa.int64()),
-                            pa.array(out["begin_lsn"], type=pa.int64()),
-                            pa.array(out["commit_ts_us"], type=pa.int64()),
-                            pa.array(out["schema_version"], type=pa.int32()),
-                            pa.nulls(m, pa.string()), _null_list(m),
-                            _null_list(m), pa.nulls(m, pa.int64()),
-                            pa.array(out["segment"], type=pa.int64()),
-                            pa.nulls(m, pa.string()),
-                        ],
-                        schema=RAW_PA_SCHEMA,
-                    )
+            yield from process_batch(rb, open_tx, registry_plain)
 
     return kernel
+
+
+def process_batch(rb: pa.RecordBatch, open_tx: dict,
+                  registry_plain: dict) -> Iterator[pa.RecordBatch]:
+    """Vectorized decode of ONE Arrow batch; mutates ``open_tx`` (the
+    per-segment open-transaction carry). The strict=False optimistic
+    wrapper (operators.decode) calls this with a COPY of the carry state,
+    committing it only when the whole batch decodes cleanly, and falls
+    back to the per-message loop kernel on error."""
+    pay = rb.column(rb.schema.get_field_index("payload"))
+    if isinstance(pay, pa.ChunkedArray):  # pragma: no cover
+        pay = pay.combine_chunks()
+    bufs = pay.buffers()
+    # arrow binary layout: [validity, offsets(int32), data]
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[
+        pay.offset : pay.offset + len(pay) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    seg = rb.column(rb.schema.get_field_index("segment")).to_numpy()
+    lsn = rb.column(rb.schema.get_field_index("lsn")).to_numpy()
+    n = len(pay)
+    if n == 0:
+        return
+    starts = offs[:-1]
+    first = data[starts]
+
+    known = np.isin(first, [_B, _C, _I, _U, _D, _T, _R, _O, _Y])
+    if not known.all():
+        i = int(np.nonzero(~known)[0][0])
+        raise ValueError(
+            f"unknown pgoutput message type byte {chr(first[i])!r} at lsn={lsn[i]}"
+        )
+
+    # ---- transaction scoping: vectorized B/C scan ----------------
+    idx = np.arange(n, dtype=np.int64)
+    is_b, is_c = first == _B, first == _C
+    last_b = np.maximum.accumulate(np.where(is_b, idx, -1))
+    last_c = np.maximum.accumulate(np.where(is_c, idx, -1))
+    lb = np.clip(last_b, 0, None)
+    in_open = (last_b >= 0) & (last_b > last_c) & (seg[lb] == seg)
+    has_activity = (
+        (np.maximum(last_b, last_c) >= 0)
+        & (seg[np.clip(np.maximum(last_b, last_c), 0, None)] == seg)
+    )
+    b_rows = idx[is_b]
+    xid_at = np.zeros(n, dtype=np.int64)
+    cts_at = np.zeros(n, dtype=np.int64)
+    if b_rows.size:
+        xid_at[b_rows] = _be(data, starts[b_rows] + 17, 4)
+        cts_at[b_rows] = _be(data, starts[b_rows] + 9, 8)
+    ev_xid = np.where(in_open, xid_at[lb], 0)
+    ev_blsn = np.where(in_open, lsn[lb], 0)
+    ev_cts = np.where(in_open, cts_at[lb], 0)
+    ev_has_tx = in_open.copy()
+    # rows before any same-segment B/C: carried-in open transaction
+    need_carry = ~has_activity
+    if need_carry.any() and open_tx:
+        for s in np.unique(seg[need_carry]):
+            tx = open_tx.get(int(s))
+            if tx is not None:
+                rows = need_carry & (seg == s)
+                ev_xid[rows], ev_blsn[rows], ev_cts[rows] = tx
+                ev_has_tx[rows] = True
+    # carry-out: per segment, final open state (segments are
+    # contiguous within the sorted partition)
+    useg, first_i = np.unique(seg, return_index=True)
+    last_i = np.concatenate([first_i[1:], [n]]) - 1
+    for s, li in zip(useg, last_i):
+        if in_open[li]:
+            open_tx[int(s)] = (
+                int(xid_at[lb[li]]), int(lsn[lb[li]]), int(cts_at[lb[li]])
+            )
+        elif has_activity[li]:
+            open_tx.pop(int(s), None)
+
+    def tx_cols(sel: np.ndarray):
+        has = ev_has_tx[sel]
+        mk = lambda v: pa.array(v[sel], type=pa.int64(), mask=~has)  # noqa: E731
+        return mk(ev_xid), mk(ev_blsn), mk(ev_cts)
+
+    # ---- Insert cohort ------------------------------------------
+    sel = first == _I
+    if sel.any():
+        rows = idx[sel]
+        st = starts[rows]
+        marker = data[st + 5]
+        if (marker != _N).any():
+            raise ValueError("Insert expects 'N' tuple marker")
+        rid = _be(data, st + 1, 4)
+        cat_m, vs, vl, nc, _pos = _parse_tuples(data, st + 6)
+        _check_ends(_pos, offs, rows, "Insert")
+        vals, u_mask = _tuple_lists(data, cat_m, vs, vl, nc)
+        xid_a, blsn_a, cts_a = tx_cols(sel)
+        m = rows.size
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(lsn[rows]), _const_str("I", m),
+                pa.array(rid, type=pa.int32()), xid_a, blsn_a, cts_a,
+                pa.array(_schema_versions(registry_plain, rid, lsn[rows])),
+                pa.nulls(m, pa.string()), _null_list(m),
+                vals, pa.array(u_mask), pa.array(seg[rows]),
+                pa.nulls(m, pa.string()),
+            ],
+            schema=RAW_PA_SCHEMA,
+        )
+
+    # ---- Update cohort (optional K/O old image, then N) ----------
+    sel = first == _U
+    if sel.any():
+        rows = idx[sel]
+        st = starts[rows]
+        rid = _be(data, st + 1, 4)
+        marker = data[st + 5]
+        has_old = (marker == _K) | (marker == _OLD_O)
+        if ((marker != _N) & ~has_old).any():
+            bad = rows[(marker != _N) & ~has_old][0]
+            raise ValueError(
+                f"Update missing 'N' new-tuple marker at lsn={lsn[bad]}"
+            )
+        m = rows.size
+        new_start = st + 6  # rows without old image: N at +5
+        bk = pa.nulls(m, pa.string())
+        b_vals = _null_list(m)
+        if has_old.any():
+            o_rows = np.nonzero(has_old)[0]
+            cat_o, vs_o, vl_o, nc_o, end_o = _parse_tuples(
+                data, st[o_rows] + 6
+            )
+            if (data[end_o] != _N).any():
+                raise ValueError("Update missing 'N' after old image")
+            # scatter old-image lists back to full cohort positions;
+            # rows without old image stay ncols=0 + NULL validity
+            full_cat = np.zeros((m, cat_o.shape[1]), dtype=np.uint8)
+            full_vs = np.zeros((m, cat_o.shape[1]), dtype=np.int64)
+            full_vl = np.zeros((m, cat_o.shape[1]), dtype=np.int64)
+            full_nc = np.zeros(m, dtype=np.int64)
+            full_cat[o_rows], full_vs[o_rows] = cat_o, vs_o
+            full_vl[o_rows], full_nc[o_rows] = vl_o, nc_o
+            b_vals, _b_mask = _tuple_lists(
+                data, full_cat, full_vs, full_vl, full_nc, valid=has_old
+            )
+            bk_np = np.where(marker == _K, _K, _OLD_O).astype(np.uint8)
+            bk = pa.StringArray.from_buffers(
+                m,
+                pa.py_buffer(np.arange(m + 1, dtype=np.int32)),
+                pa.py_buffer(bk_np),
+                pa.py_buffer(np.packbits(has_old, bitorder="little")),
+                null_count=int((~has_old).sum()),
+            )
+            new_start = st.copy()
+            new_start[o_rows] = end_o + 1
+            new_start[~has_old] += 6
+        cat_m, vs, vl, nc, _pos = _parse_tuples(data, new_start)
+        _check_ends(_pos, offs, rows, "Update")
+        vals, u_mask = _tuple_lists(data, cat_m, vs, vl, nc)
+        xid_a, blsn_a, cts_a = tx_cols(sel)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(lsn[rows]), _const_str("U", m),
+                pa.array(rid, type=pa.int32()), xid_a, blsn_a, cts_a,
+                pa.array(_schema_versions(registry_plain, rid, lsn[rows])),
+                bk, b_vals, vals, pa.array(u_mask),
+                pa.array(seg[rows]), pa.nulls(m, pa.string()),
+            ],
+            schema=RAW_PA_SCHEMA,
+        )
+
+    # ---- Delete cohort (K or O old image required) ---------------
+    sel = first == _D
+    if sel.any():
+        rows = idx[sel]
+        st = starts[rows]
+        rid = _be(data, st + 1, 4)
+        marker = data[st + 5]
+        bad = (marker != _K) & (marker != _OLD_O)
+        if bad.any():
+            raise ValueError(
+                f"Delete tuple kind must be 'K' or 'O', got "
+                f"{chr(marker[np.nonzero(bad)[0][0]])!r}"
+            )
+        m = rows.size
+        cat_m, vs, vl, nc, _pos = _parse_tuples(data, st + 6)
+        _check_ends(_pos, offs, rows, "Delete")
+        b_vals, _b_mask = _tuple_lists(data, cat_m, vs, vl, nc)
+        bk = pa.StringArray.from_buffers(
+            m,
+            pa.py_buffer(np.arange(m + 1, dtype=np.int32)),
+            pa.py_buffer(marker.astype(np.uint8)),
+        )
+        xid_a, blsn_a, cts_a = tx_cols(sel)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(lsn[rows]), _const_str("D", m),
+                pa.array(rid, type=pa.int32()), xid_a, blsn_a, cts_a,
+                pa.array(_schema_versions(registry_plain, rid, lsn[rows])),
+                bk, b_vals, _null_list(m), pa.nulls(m, pa.int64()),
+                pa.array(seg[rows]), pa.nulls(m, pa.string()),
+            ],
+            schema=RAW_PA_SCHEMA,
+        )
+
+    # ---- Truncate cohort: rare → scalar decode + fan-out ---------
+    sel = first == _T
+    if sel.any():
+        rows = idx[sel]
+        out = {
+            "lsn": [], "op": [], "relation_id": [], "xid": [],
+            "begin_lsn": [], "commit_ts_us": [], "schema_version": [],
+            "segment": [],
+        }
+        for r in rows:
+            payload = bytes(data[offs[r] : offs[r + 1]])
+            decoded = _codec.decode_message(payload)
+            for t_rid in decoded["relation_ids"]:
+                versions = registry_plain.get(t_rid)
+                out["lsn"].append(int(lsn[r]))
+                out["op"].append("T")
+                out["relation_id"].append(t_rid)
+                out["xid"].append(int(ev_xid[r]) if ev_has_tx[r] else None)
+                out["begin_lsn"].append(int(ev_blsn[r]) if ev_has_tx[r] else None)
+                out["commit_ts_us"].append(int(ev_cts[r]) if ev_has_tx[r] else None)
+                ver = None
+                if versions:
+                    pos = bisect.bisect_right(
+                        [v[0] for v in versions], int(lsn[r])
+                    ) - 1
+                    ver = versions[max(pos, 0)][1]
+                out["schema_version"].append(ver)
+                out["segment"].append(int(seg[r]))
+        m = len(out["lsn"])
+        if m:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["lsn"], type=pa.int64()),
+                    pa.array(out["op"], type=pa.string()),
+                    pa.array(out["relation_id"], type=pa.int32()),
+                    pa.array(out["xid"], type=pa.int64()),
+                    pa.array(out["begin_lsn"], type=pa.int64()),
+                    pa.array(out["commit_ts_us"], type=pa.int64()),
+                    pa.array(out["schema_version"], type=pa.int32()),
+                    pa.nulls(m, pa.string()), _null_list(m),
+                    _null_list(m), pa.nulls(m, pa.int64()),
+                    pa.array(out["segment"], type=pa.int64()),
+                    pa.nulls(m, pa.string()),
+                ],
+                schema=RAW_PA_SCHEMA,
+            )
+

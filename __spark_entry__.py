@@ -54,7 +54,8 @@ P_KEYCHANGE = _gen.GenParams(
 )
 
 
-def _run_cdc_pipeline(spark: SparkSession, p: _gen.GenParams) -> DataFrame:
+def _run_cdc_pipeline(spark: SparkSession, p: _gen.GenParams,
+                      kc_toast_passes: int = 0) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="pypgoutput_spark_lake_")
     table = LakeTable.create(
         spark, f"{tmp}/lake",
@@ -62,7 +63,8 @@ def _run_cdc_pipeline(spark: SparkSession, p: _gen.GenParams) -> DataFrame:
         key_cols=list(_gen.KEY_COLUMNS), n_buckets=8,
     )
     frames = _gen.spark_frames_df(spark, p)
-    _pipeline.run_ingest(spark, frames, table, n_batches=3)
+    _pipeline.run_ingest(spark, frames, table, n_batches=3,
+                         kc_toast_passes=kc_toast_passes)
     return table.read().selectExpr(
         "repo", "path", "`commit`", "lang", "content",
         "sha2(content, 256) AS content_sha",
@@ -122,8 +124,12 @@ def q_cdc_multi_relation_final_state(spark: SparkSession, sf_dir: str) -> DataFr
 def q_cdc_keychange_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-change updates: the 'K' before-image key is deleted and the
     new key upserted (reference old-key assertion,
-    tests/test_reader.py:231-251; serial replay semantics)."""
-    return _run_cdc_pipeline(spark, P_KEYCHANGE)
+    tests/test_reader.py:231-251; serial replay semantics). The stream
+    includes key-change updates whose new image ALSO carries an
+    unchanged-TOAST content cell — resolved from the old key's chain /
+    stored row by operators.kc_toast (bounded passes; the oracle replays
+    the same algorithm in SQL)."""
+    return _run_cdc_pipeline(spark, P_KEYCHANGE, kc_toast_passes=4)
 
 
 def q_cdc_decoded_events_split(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -146,21 +146,24 @@ def open_tx_carry(frames, open_tx: Optional[dict] = None) -> dict:
     return _carry_from_stats(frames, seg_rows, open_tx)
 
 
-def _explode_key_changes(proj, keys, value_cols, base_cols):
+def _explode_key_changes(proj, keys, value_cols, base_cols, guard_kc_toast=False):
     """Replay a key-change UPDATE (before-image key ≠ new key) as
     DELETE(old key) + upsert(new key) — in ONE pass over the decoded
     events (a conditional 1-or-2-element struct array + inline, no second
     scan, so the no-key-change common case costs one codegen'd Generate).
 
-    Limitation (documented): a key-change U with a TOAST-'u' cell would
-    need the OLD row's value under serial semantics; sources must send a
-    full new image on key change (PostgreSQL sends the K old image; the
-    new image is full unless columns are TOASTed-unchanged — rare
-    combination, rejected upstream by generator contract).
+    A key-change U carrying a TOAST-'u' cell needs the OLD key's value
+    under serial semantics: with ``kc_toast_passes > 0`` the pipeline
+    resolves it upstream (operators.kc_toast); with resolution disabled,
+    ``guard_kc_toast`` raises at runtime instead of merging NULLs
+    (ADVICE r2 — the contract is enforced on real data, not only by the
+    in-repo generator).
 
     Reference parity: the old key rides the 'K'/'O' before image
     (reference reader.py:263-284, asserted tests/test_reader.py:231-251).
     """
+    from pypgoutput_spark.operators.kc_toast import kc_pred
+
     out_cols = list(base_cols)
     for c in list(keys) + list(value_cols):
         out_cols += [f"`{c}`", f"u_{c}"]
@@ -186,6 +189,16 @@ def _explode_key_changes(proj, keys, value_cols, base_cols):
     )
     has_old = " OR ".join(f"__old_{k} IS NOT NULL" for k in keys)
     kc = f"(op = 'U' AND ({has_old}) AND ({key_changed}))"
+    if guard_kc_toast:
+        bad = kc_pred(keys, value_cols)
+        proj = proj.withColumn(
+            "op",
+            F.expr(
+                f"CASE WHEN {bad} THEN raise_error(concat('key-change UPDATE "
+                f"with unchanged-TOAST cell at lsn=', CAST(lsn AS STRING), "
+                f" ' requires kc_toast_passes > 0')) ELSE op END"
+            ),
+        )
     return proj.selectExpr(
         f"inline(CASE WHEN {kc} THEN array({main}, {old_del}) "
         f"ELSE array({main}) END)"
@@ -202,9 +215,17 @@ def apply_frames_batch(
     clustered: bool = False,
     open_tx: Optional[dict] = None,
     quarantine_dir: Optional[str] = None,
+    kc_toast_passes: int = 0,
 ) -> dict:
     """One micro-batch: frames → decode once → route per relation →
     LWW → merge each table. Returns metrics (incl. ``open_tx`` carry-out).
+
+    ``kc_toast_passes``: >0 enables bounded-pass resolution of key-change
+    UPDATEs carrying unchanged-TOAST cells (operators.kc_toast) — the
+    decode output is then staged so the resolver's extra plan subtrees
+    scan the cache instead of re-running the Python kernel. 0 (default)
+    keeps the lighter plan and raises at runtime if the combination
+    appears.
 
     Batch stats (watermark candidate, per-segment transaction bounds)
     come from the frame *metadata* columns — a scan that prunes the
@@ -364,9 +385,10 @@ def apply_frames_batch(
         )
 
     # stage the decode output when >1 consumer would re-run the Python
-    # kernel (multiple relations / schema versions), or when dead-letter
-    # rows must be counted/quarantined (strict=False)
-    staged = n_projections > 1 or not strict
+    # kernel (multiple relations / schema versions / kc-toast resolver
+    # subtrees), or when dead-letter rows must be counted/quarantined
+    # (strict=False)
+    staged = n_projections > 1 or not strict or kc_toast_passes > 0
     dead_letters = 0
     try:
         if staged:
@@ -414,7 +436,17 @@ def apply_frames_batch(
             truncated = rid in t_lsn_by_rid
             if truncated:
                 proj = proj.filter(F.col("lsn") > t_lsn_by_rid[rid])
-            proj = _explode_key_changes(proj, keys, value_cols, base_cols)
+            if kc_toast_passes > 0:
+                from pypgoutput_spark.operators.kc_toast import resolve_kc_toast
+
+                proj = resolve_kc_toast(
+                    proj, None if truncated else tbl, keys, value_cols,
+                    passes=kc_toast_passes,
+                )
+            proj = _explode_key_changes(
+                proj, keys, value_cols, base_cols,
+                guard_kc_toast=kc_toast_passes == 0,
+            )
             changes = lww_changes_flat(proj, keys, value_cols, salt_buckets=salt_buckets)
             m = merge_into(
                 tbl, changes, watermark_lsn, truncate=truncated,
@@ -463,6 +495,7 @@ def run_ingest(
     split: str = "segment",
     on_batch: Optional[Callable[[dict], None]] = None,
     quarantine_dir: Optional[str] = None,
+    kc_toast_passes: int = 0,
 ) -> List[dict]:
     """Replay a frames DataFrame into the table(s) in ``n_batches``
     micro-batches. ``split='segment'`` cuts on WAL-segment boundaries;
@@ -520,6 +553,7 @@ def run_ingest(
             tables, batch_frames, registry, relation_id,
             salt_buckets=salt_buckets, strict=strict, clustered=clustered,
             open_tx=open_tx, quarantine_dir=quarantine_dir,
+            kc_toast_passes=kc_toast_passes,
         )
         open_tx = metrics.get("open_tx", {})
         out.append(metrics)
@@ -538,6 +572,7 @@ def stream_ingest(
     trigger: Optional[dict] = None,
     quarantine_dir: Optional[str] = None,
     on_batch: Optional[Callable[[dict], None]] = None,
+    kc_toast_passes: int = 0,
 ):
     """Structured-Streaming variant: parquet frame files → foreachBatch merge.
 
@@ -589,6 +624,7 @@ def stream_ingest(
         m = apply_frames_batch(
             table_map, eff, registry, relation_id, strict=False,
             open_tx=state["open_tx"], quarantine_dir=quarantine_dir,
+            kc_toast_passes=kc_toast_passes,
         )
         state["open_tx"] = m.get("open_tx", {})
         m["late_frames"] = state.get("late_frames", 0)

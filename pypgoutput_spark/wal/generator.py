@@ -80,8 +80,12 @@ class GenParams:
     n_relations: int = 1         # ops fan out over RELATION_ID + (0..n-1)
     #: % of U ops that CHANGE the key (repo,path): the wire carries a 'K'
     #: before-image with the OLD key (reference test_reader.py:231-251);
-    #: replay = delete old key + upsert new key. Key-change updates always
-    #: carry a full new image (no TOAST-'u') — see pipeline docstring.
+    #: replay = delete old key + upsert new key. The toast draw is
+    #: independent, so key-change updates can ALSO carry an
+    #: unchanged-TOAST content cell — real pgoutput emits that
+    #: combination; the pipeline resolves it with kc_toast_passes > 0
+    #: (operators.kc_toast) and the oracle replays the same bounded-pass
+    #: algorithm (see duckdb_final_state_sql).
     key_change_pct: int = 0
 
     @property
@@ -205,9 +209,11 @@ def event_exprs(p: GenParams, dialect: str) -> dict:
         old_path = f"concat('src/f', lpad({d.s(old_path_idx)}, 4, '0'), {old_ext})"
         old_repo = f"CASE WHEN {key_change} THEN {old_repo} END"
         old_path = f"CASE WHEN {key_change} THEN {old_path} END"
-        # key-change updates always send a full new image (no TOAST-'u')
+        # the toast draw is INDEPENDENT of the key-change draw: key-change
+        # updates can carry an unchanged-TOAST content cell (real pgoutput
+        # behavior; serial semantics take the OLD key's value)
         content_unchanged = (
-            f"(({op}) = 'U' AND NOT {key_change} AND {h_toast} % 100 < {p.toast_pct})"
+            f"(({op}) = 'U' AND {h_toast} % 100 < {p.toast_pct})"
         )
     else:
         old_repo = "CAST(NULL AS " + ("STRING" if dialect == "spark" else "VARCHAR") + ")"
@@ -432,8 +438,75 @@ def spark_frames_df(spark, p: GenParams, n_partitions: int = 0, include_relation
 # ---------------------------------------------------------------------------
 
 
+def _kc_toast_resolution_ctes(p: GenParams, passes: int):
+    """CTE chain replaying operators.kc_toast's bounded-pass resolution
+    of key-change UPDATEs with unchanged-TOAST content in pure SQL over
+    the full stream (no stored fallback — the oracle replays from an
+    empty table, so every chain is in-stream). Returns (cte_sql_fragment,
+    effective_events_cte_name)."""
+    if p.key_change_pct <= 0:
+        return "", "eff"
+    kc = ("op = 'U' AND old_repo IS NOT NULL AND "
+          "(old_repo <> repo OR old_path <> path)")
+    ctes = [f"""
+pen_0 AS MATERIALIZED (
+  SELECT rel, lsn AS p_lsn, old_repo, old_path FROM eff
+  WHERE {kc} AND content_unchanged
+),
+car_0 AS MATERIALIZED (
+  SELECT rel AS k_rel, repo AS k_repo, path AS k_path, lsn,
+         CASE WHEN op = 'D' THEN NULL ELSE content END AS v,
+         (op = 'D' OR NOT content_unchanged) AS has,
+         ({kc} AND content_unchanged) AS pend
+  FROM eff
+  UNION ALL
+  SELECT rel, old_repo, old_path, lsn, CAST(NULL AS VARCHAR), true, false
+  FROM eff WHERE {kc}
+)"""]
+    for i in range(1, passes + 1):
+        j = i - 1
+        ctes.append(f"""
+win_{i} AS MATERIALIZED (
+  SELECT p.p_lsn,
+         max_by({{'v': c.v, 'pend': c.pend}}, c.lsn)
+           FILTER (WHERE c.has OR c.pend) AS w
+  FROM pen_{j} p LEFT JOIN car_{j} c
+    ON c.k_rel = p.rel AND c.k_repo = p.old_repo AND c.k_path = p.old_path
+   AND c.lsn < p.p_lsn
+  GROUP BY p.p_lsn
+),
+res_{i} AS MATERIALIZED (
+  SELECT p_lsn, w.v AS rv, (w IS NULL OR NOT w.pend) AS done FROM win_{i}
+),
+pen_{i} AS MATERIALIZED (
+  SELECT p.* FROM pen_{j} p JOIN res_{i} r ON p.p_lsn = r.p_lsn WHERE NOT r.done
+),
+car_{i} AS MATERIALIZED (
+  SELECT c.k_rel, c.k_repo, c.k_path, c.lsn,
+         CASE WHEN r.p_lsn IS NOT NULL AND c.pend THEN r.rv ELSE c.v END AS v,
+         (c.has OR (r.p_lsn IS NOT NULL AND c.pend)) AS has,
+         (c.pend AND r.p_lsn IS NULL) AS pend
+  FROM car_{j} c
+  LEFT JOIN (SELECT p_lsn, rv FROM res_{i} WHERE done) r ON c.lsn = r.p_lsn
+)""")
+    fx_union = "\n  UNION ALL ".join(
+        f"SELECT p_lsn, rv FROM res_{i} WHERE done" for i in range(1, passes + 1)
+    )
+    ctes.append(f"""
+fx AS MATERIALIZED ({fx_union}),
+eff_fx AS MATERIALIZED (
+  SELECT eff.rel, eff.lsn, eff.op, eff.repo, eff.path, eff."commit", eff.lang,
+         CASE WHEN f.p_lsn IS NOT NULL THEN f.rv ELSE eff.content END AS content,
+         (eff.content_unchanged AND f.p_lsn IS NULL) AS content_unchanged,
+         eff.old_repo, eff.old_path
+  FROM eff LEFT JOIN fx f ON eff.lsn = f.p_lsn
+)""")
+    return ",".join(ctes) + ",", "eff_fx"
+
+
 def duckdb_final_state_sql(
-    p: GenParams, with_sha: bool = True, with_relation: bool = False
+    p: GenParams, with_sha: bool = True, with_relation: bool = False,
+    kc_toast_passes: int = 8,
 ) -> str:
     """DuckDB SQL computing the expected final table state after replaying
     the full stream with serial reference semantics (apply each event in
@@ -455,21 +528,22 @@ def duckdb_final_state_sql(
     events = duckdb_events_sql(p)
     sha = ", sha256(content) AS content_sha" if with_sha else ""
     rel_out = f"{RELATION_ID} + rel AS relation_id, " if with_relation else ""
+    kc_ctes, eff_name = _kc_toast_resolution_ctes(p, kc_toast_passes)
     return f"""
 WITH ev AS ({events}),
 cut AS (SELECT rel, coalesce(max(lsn), -1) AS tlsn FROM ev WHERE op = 'T' GROUP BY rel),
-eff AS (
+eff AS MATERIALIZED (
   SELECT ev.* FROM ev LEFT JOIN cut ON ev.rel = cut.rel
   WHERE ev.lsn > coalesce(cut.tlsn, -1) AND ev.op <> 'T'
-),
+),{kc_ctes}
 -- a key-change U replays as DELETE(old key) + upsert(new key)
 eff2 AS (
-  SELECT rel, lsn, op, repo, path, "commit", lang, content, content_unchanged FROM eff
+  SELECT rel, lsn, op, repo, path, "commit", lang, content, content_unchanged FROM {eff_name}
   UNION ALL
   SELECT rel, lsn, 'D' AS op, old_repo AS repo, old_path AS path,
     CAST(NULL AS VARCHAR) AS "commit", CAST(NULL AS VARCHAR) AS lang,
     CAST(NULL AS VARCHAR) AS content, false AS content_unchanged
-  FROM eff
+  FROM {eff_name}
   WHERE old_repo IS NOT NULL AND (old_repo <> repo OR old_path <> path)
 ),
 lww AS (

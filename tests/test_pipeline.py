@@ -161,7 +161,9 @@ def test_e2e_key_change_updates(spark, tmp_path):
         .filter("op = 'U' AND before_kind = 'K'").count()
     )
     assert k_updates > 0
-    pipeline.run_ingest(spark, frames, table, n_batches=2)
+    # the independent toast draw means some key-changes carry
+    # unchanged-TOAST content → enable the bounded-pass resolver
+    pipeline.run_ingest(spark, frames, table, n_batches=2, kc_toast_passes=4)
     _assert_table_matches_oracle(spark, table, p)
 
 

@@ -51,16 +51,18 @@ from pypgoutput_spark.plans.registry import RelationRegistry, plain_lookup
 from pypgoutput_spark.wal import codec
 
 #: kernel output (primitive columns only — see module docstring).
-#: ``new_u_mask``: bit i set ⇔ new-tuple cell i is TOAST-unchanged ('u');
-#: a NULL cell with bit clear is a true NULL ('n'). The bitmask replaces a
-#: per-cell category string array — measurably less Arrow transfer and a
-#: codegen'd bit test instead of an array index downstream. Hard limit:
-#: 64 columns per relation (kernels raise beyond it).
+#: ``new_u_masks``: an array of 64-bit mask words, word i>>6 bit i&63 set
+#: ⇔ new-tuple cell i is TOAST-unchanged ('u'); a NULL cell with the bit
+#: clear is a true NULL ('n'). The bitmask words replace a per-cell
+#: category string array — measurably less Arrow transfer and a codegen'd
+#: bit test instead of an array index downstream — and the array form
+#: covers any relation width (PostgreSQL permits up to 1600 columns;
+#: common relations use exactly one word).
 RAW_SCHEMA = (
     "lsn BIGINT, op STRING, relation_id INT, xid BIGINT, begin_lsn BIGINT, "
     "commit_ts_us BIGINT, schema_version INT, before_kind STRING, "
     "before_vals ARRAY<STRING>, new_vals ARRAY<STRING>, "
-    "new_u_mask BIGINT, segment BIGINT, error STRING"
+    "new_u_masks ARRAY<BIGINT>, segment BIGINT, error STRING"
 )
 
 # NB: plain functions (not pre-bound Struct methods) — the kernel closure
@@ -78,17 +80,12 @@ def _unpack_begin(b, pos):
 
 
 def _parse_tuple(b: bytes, pos: int):
-    """TupleData at pos → (u_mask, vals, end_pos). 'n'/'u' cells → None
-    val; bit i of u_mask set ⇔ cell i is unchanged-TOAST
-    (reference decoders.py:96-128 grammar)."""
+    """TupleData at pos → (u_mask_words, vals, end_pos). 'n'/'u' cells →
+    None val; word i>>6 bit i&63 of the mask list set ⇔ cell i is
+    unchanged-TOAST (reference decoders.py:96-128 grammar; any width)."""
     (n_cols,) = _unpack_i16(b, pos)
     pos += 2
-    if n_cols > 64:
-        raise ValueError(
-            f"{n_cols} columns exceeds the 64-column u-mask limit "
-            "(widen new_u_mask to an array of masks for wider relations)"
-        )
-    u_mask = 0
+    words = [0] * ((n_cols + 63) >> 6)
     vals: list = []
     for i in range(n_cols):
         c = b[pos]
@@ -101,11 +98,13 @@ def _parse_tuple(b: bytes, pos: int):
         elif c == 110:  # 'n'
             vals.append(None)
         elif c == 117:  # 'u'
-            u_mask |= 1 << i
+            words[i >> 6] |= 1 << (i & 63)
             vals.append(None)
         else:
             raise ValueError(f"bad TupleData category byte {chr(c)!r} at {pos - 1}")
-    return u_mask, vals, pos
+    # two's-complement into signed int64 (Arrow BIGINT): bit 63 set → negative
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    return words, vals, pos
 
 
 def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool):
@@ -116,14 +115,14 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool):
     cols = (
         "lsn", "op", "relation_id", "xid", "begin_lsn", "commit_ts_us",
         "schema_version", "before_kind", "before_vals",
-        "new_vals", "new_u_mask", "segment", "error",
+        "new_vals", "new_u_masks", "segment", "error",
     )
     out = {k: [] for k in cols}
     a_lsn, a_op, a_rid = out["lsn"].append, out["op"].append, out["relation_id"].append
     a_xid, a_blsn, a_cts = out["xid"].append, out["begin_lsn"].append, out["commit_ts_us"].append
     a_ver, a_bk = out["schema_version"].append, out["before_kind"].append
     a_bv = out["before_vals"].append
-    a_nv, a_num = out["new_vals"].append, out["new_u_mask"].append
+    a_nv, a_num = out["new_vals"].append, out["new_u_masks"].append
     a_seg = out["segment"].append
     a_err = out["error"].append
 
@@ -380,10 +379,14 @@ def project_relation(raw_events, relation_version, typed: bool = False,
             else:
                 c = c.cast(spark_types[name])
         cols.append(c.alias(name))
-        # TOAST-unchanged flag: one codegen'd bit test on the u-mask
+        # TOAST-unchanged flag: one codegen'd bit test on the u-mask word
+        # (arithmetic shift preserves bit k of two's-complement words)
         cols.append(
             (F.coalesce(
-                F.shiftright(F.col("new_u_mask"), i).bitwiseAND(F.lit(1)), F.lit(0)
+                F.shiftright(
+                    F.element_at(F.col("new_u_masks"), i // 64 + 1), i % 64
+                ).bitwiseAND(F.lit(1)),
+                F.lit(0),
             ) == 1).alias(f"u_{name}")
         )
         if with_old_keys and name in key_set:
@@ -454,7 +457,8 @@ def decode_frames(frames_df, registry: Optional[RelationRegistry] = None,
                 F.col("new_vals").isNotNull(),
                 F.expr(
                     "transform(filter(sequence(0, size(col_names) - 1), "
-                    "i -> ((shiftright(new_u_mask, i) & 1) = 1)), "
+                    "i -> ((shiftright(element_at(new_u_masks, "
+                    "CAST(i DIV 64 AS INT) + 1), CAST(i % 64 AS INT)) & 1) = 1)), "
                     "i -> col_names[i])"
                 ),
             ),
@@ -463,5 +467,5 @@ def decode_frames(frames_df, registry: Optional[RelationRegistry] = None,
             "commit_ts",
             F.timestamp_micros(F.col("commit_ts_us") + F.lit(codec.PG_EPOCH_UNIX_US)),
         )
-        .drop("before_vals", "new_vals", "new_u_mask", "col_names")
+        .drop("before_vals", "new_vals", "new_u_masks", "col_names")
     )

@@ -56,7 +56,7 @@ RAW_PA_SCHEMA = pa.schema(
         ("before_kind", pa.string()),
         ("before_vals", pa.list_(pa.string())),
         ("new_vals", pa.list_(pa.string())),
-        ("new_u_mask", pa.int64()),
+        ("new_u_masks", pa.list_(pa.int64())),
         ("segment", pa.int64()),
         ("error", pa.string()),
     ]
@@ -124,25 +124,16 @@ def _parse_tuples(data: np.ndarray, starts: np.ndarray):
 
 
 def _tuple_lists(data: np.ndarray, cat_m, vstart, vlen, ncols, valid=None):
-    """(vals list<string> Arrow array, u_mask int64 ndarray), row-major,
-    via one contiguous gather — no per-cell Python objects. Bit i of
-    u_mask ⇔ cell i is TOAST-unchanged ('u').
+    """(vals list<string> Arrow array, u_masks list<int64> Arrow array),
+    row-major, via one contiguous gather — no per-cell Python objects.
+    Mask word i>>6 bit i&63 ⇔ cell i is TOAST-unchanged ('u'); the word
+    array covers any relation width (one word for ≤64 columns).
 
     ``valid``: optional per-row boolean mask; False rows become NULL
     lists (their ncols must be 0 so offsets don't advance).
     """
     n, max_c = cat_m.shape
-    if max_c > 64:
-        raise ValueError(
-            f"{max_c} columns exceeds the 64-column u-mask limit "
-            "(widen new_u_mask to an array of masks for wider relations)"
-        )
-    u_mask = (
-        ((cat_m == _u).astype(np.int64)
-         * (np.int64(1) << np.arange(max_c, dtype=np.int64))).sum(axis=1)
-        if max_c
-        else np.zeros(n, dtype=np.int64)
-    )
+    u_masks = _mask_words(cat_m, ncols, valid)
 
     def _as_list(values: pa.Array) -> pa.Array:
         offsets = np.concatenate([[0], np.cumsum(ncols)]).astype(np.int32)
@@ -156,7 +147,7 @@ def _tuple_lists(data: np.ndarray, cat_m, vstart, vlen, ncols, valid=None):
         )
 
     if n == 0 or max_c == 0:
-        return _as_list(pa.array([], type=pa.string())), u_mask
+        return _as_list(pa.array([], type=pa.string())), u_masks
     cell_mask = np.arange(max_c) < ncols[:, None]
     flat = cell_mask.ravel()
     cats_flat = cat_m.ravel()[flat]
@@ -183,11 +174,45 @@ def _tuple_lists(data: np.ndarray, cat_m, vstart, vlen, ncols, valid=None):
         pa.py_buffer(validity),
         null_count=int(is_null.sum()),
     )
-    return _as_list(val_values), u_mask
+    return _as_list(val_values), u_masks
 
 
 def _null_list(n: int) -> pa.Array:
     return pa.nulls(n, pa.list_(pa.string()))
+
+
+def _null_masks(n: int) -> pa.Array:
+    return pa.nulls(n, pa.list_(pa.int64()))
+
+
+def _mask_words(cat_m: np.ndarray, ncols: np.ndarray, valid=None) -> pa.Array:
+    """TOAST-'u' bits as a list<int64> of 64-bit words per row (vectorized:
+    pad to whole words, weight-sum per word, gather each row's
+    ceil(ncols/64) words). Signed view keeps Arrow BIGINT exact."""
+    n, max_c = cat_m.shape
+    wpr = (ncols + 63) // 64 if n else np.zeros(0, dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(wpr)]).astype(np.int32)
+    if n == 0 or max_c == 0:
+        flat = np.empty(0, dtype=np.int64)
+    else:
+        n_words = (max_c + 63) // 64
+        bits = np.zeros((n, n_words * 64), dtype=np.uint64)
+        bits[:, :max_c] = cat_m == _u
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        words = (bits.reshape(n, n_words, 64) * weights).sum(
+            axis=2, dtype=np.uint64
+        )
+        sel = np.arange(n_words) < wpr[:, None]
+        flat = np.ascontiguousarray(words.ravel()[sel.ravel()]).view(np.int64)
+    values = pa.array(flat, type=pa.int64())
+    if valid is None:
+        return pa.ListArray.from_arrays(pa.array(offsets), values)
+    validity = np.packbits(valid, bitorder="little")
+    return pa.Array.from_buffers(
+        pa.list_(pa.int64()), n,
+        [pa.py_buffer(validity), pa.py_buffer(offsets)],
+        null_count=int((~valid).sum()), children=[values],
+    )
 
 
 def _check_ends(pos: np.ndarray, offs: np.ndarray, rows: np.ndarray, what: str):
@@ -332,7 +357,7 @@ def process_batch(rb: pa.RecordBatch, open_tx: dict,
                 pa.array(rid, type=pa.int32()), xid_a, blsn_a, cts_a,
                 pa.array(_schema_versions(registry_plain, rid, lsn[rows])),
                 pa.nulls(m, pa.string()), _null_list(m),
-                vals, pa.array(u_mask), pa.array(seg[rows]),
+                vals, u_mask, pa.array(seg[rows]),
                 pa.nulls(m, pa.string()),
             ],
             schema=RAW_PA_SCHEMA,
@@ -393,7 +418,7 @@ def process_batch(rb: pa.RecordBatch, open_tx: dict,
                 pa.array(lsn[rows]), _const_str("U", m),
                 pa.array(rid, type=pa.int32()), xid_a, blsn_a, cts_a,
                 pa.array(_schema_versions(registry_plain, rid, lsn[rows])),
-                bk, b_vals, vals, pa.array(u_mask),
+                bk, b_vals, vals, u_mask,
                 pa.array(seg[rows]), pa.nulls(m, pa.string()),
             ],
             schema=RAW_PA_SCHEMA,
@@ -427,7 +452,7 @@ def process_batch(rb: pa.RecordBatch, open_tx: dict,
                 pa.array(lsn[rows]), _const_str("D", m),
                 pa.array(rid, type=pa.int32()), xid_a, blsn_a, cts_a,
                 pa.array(_schema_versions(registry_plain, rid, lsn[rows])),
-                bk, b_vals, _null_list(m), pa.nulls(m, pa.int64()),
+                bk, b_vals, _null_list(m), _null_masks(m),
                 pa.array(seg[rows]), pa.nulls(m, pa.string()),
             ],
             schema=RAW_PA_SCHEMA,
@@ -473,7 +498,7 @@ def process_batch(rb: pa.RecordBatch, open_tx: dict,
                     pa.array(out["commit_ts_us"], type=pa.int64()),
                     pa.array(out["schema_version"], type=pa.int32()),
                     pa.nulls(m, pa.string()), _null_list(m),
-                    _null_list(m), pa.nulls(m, pa.int64()),
+                    _null_list(m), _null_masks(m),
                     pa.array(out["segment"], type=pa.int64()),
                     pa.nulls(m, pa.string()),
                 ],

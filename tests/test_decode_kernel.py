@@ -35,8 +35,8 @@ def test_kernel_happy_path_tx_stamping():
     assert df["op"].tolist() == ["I", "U", "D"]
     assert df["xid"].tolist() == [99, 99, 99]
     assert df["begin_lsn"].tolist() == [10, 10, 10]
-    # TOAST-'u' bitmask: cell 1 of the update is unchanged → bit 1 set
-    assert df["new_u_mask"].tolist()[:2] == [0, 2]
+    # TOAST-'u' bitmask words: cell 1 of the update is unchanged → bit 1
+    assert [list(w) for w in df["new_u_masks"].tolist()[:2]] == [[0], [2]]
     assert df["before_kind"].tolist() == [None, None, "K"]
     assert df["error"].isna().all()
 
@@ -104,7 +104,8 @@ def test_optimistic_clean_batch_matches_loop():
     want = _run(frames)
     assert got["op"].tolist() == want["op"].tolist()
     assert got["xid"].tolist() == want["xid"].tolist()
-    assert got["new_u_mask"].fillna(-1).tolist() == want["new_u_mask"].fillna(-1).tolist()
+    norm = lambda col: [None if w is None else list(w) for w in col.tolist()]  # noqa: E731
+    assert norm(got["new_u_masks"]) == norm(want["new_u_masks"])
 
 
 def test_optimistic_corrupt_batch_falls_back_to_dead_letters():
@@ -164,7 +165,7 @@ def test_strict_false_plans_vectorized(spark):
     frames = gen.spark_frames_df(spark, gen.GenParams(n_txns=4, ops_per_txn=3))
     raw = decode_op.decode_frames_raw(frames, strict=False)
     plan = raw._jdf.queryExecution().executedPlan().toString()
-    # the decode node (the one emitting new_u_mask) is Arrow-native; the
+    # the decode node (the one emitting new_u_masks) is Arrow-native; the
     # only MapInPandas allowed in this plan is the test generator's encoder
-    decode_line = next(l for l in plan.splitlines() if "new_u_mask" in l)
+    decode_line = next(l for l in plan.splitlines() if "new_u_masks" in l)
     assert "MapInArrow" in decode_line, plan[:2000]

@@ -20,7 +20,7 @@ from pypgoutput_spark.wal import generator as gen
 def _decode_both(spark, frames, registry=None, open_tx=None):
     cols = ["lsn", "op", "relation_id", "xid", "begin_lsn", "commit_ts_us",
             "schema_version", "before_kind", "before_vals",
-            "new_vals", "new_u_mask", "segment"]
+            "new_vals", "new_u_masks", "segment"]
     reg = registry or RelationRegistry.from_frames(frames)
     vec = (
         decode_op.decode_frames_raw(frames, reg, open_tx=open_tx, vectorized=True)

@@ -602,7 +602,18 @@ def stream_ingest(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(frames_dir)
     )
+    # RESTART SAFETY (ADVICE r2): seed the registry from a static read of
+    # the whole frame directory. On a checkpoint restart the stream never
+    # redelivers already-processed files, so the original 'R' frames would
+    # otherwise be lost and DML-only batches silently skipped
+    # (reason=no-relation) while the file-source checkpoint advanced. The
+    # static read is an mtype-pushed scan collecting only the tiny R
+    # cohort; per-batch merge_frames below still picks up mid-stream DDL.
     registry = RelationRegistry()
+    try:
+        registry.merge_frames(spark.read.schema(FRAMES_SCHEMA).parquet(frames_dir))
+    except Exception:  # noqa: BLE001 — empty/not-yet-created dir: stream-seeded
+        pass
     state = {"open_tx": stored_open_tx(table_map)}
 
     def _apply(batch_df, batch_id: int) -> None:

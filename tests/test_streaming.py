@@ -244,3 +244,44 @@ def test_project_relation_jsonb_variant(spark):
     ).collect()}
     assert rows[1]["a"] == 5 and rows[1]["c"] == "x" and rows[1]["second"] == 2
     assert rows[2]["bad_json"] is True  # malformed json → NULL, not a crash
+
+
+def test_stream_restart_without_r_redelivery(spark, tmp_path):
+    """Checkpoint restart: the file source never redelivers processed
+    files, so the 'R' frames are gone from the stream — the registry must
+    be seeded from a static read of frames_dir or DML-only batches are
+    silently dropped while the checkpoint advances (ADVICE r2, high)."""
+    p = gen.GenParams(n_txns=30, ops_per_txn=5, toast_pct=25, txns_per_segment=10)
+    frames_dir = str(tmp_path / "frames")
+    ckpt = str(tmp_path / "ckpt")
+    frames = gen.spark_frames_df(spark, p)
+    frames.filter("segment < 2").coalesce(1).write.mode("append").parquet(frames_dir)
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"),
+        schema=[(c, "string") for c in gen.ALL_COLUMNS],
+        key_cols=list(gen.KEY_COLUMNS), n_buckets=8,
+    )
+    q = pipeline.stream_ingest(spark, frames_dir, table, ckpt)
+    q.awaitTermination(300)
+    wm1 = table.watermark_lsn
+    assert wm1 > 0
+
+    # stream stopped; MORE DML-only files land (no R frames in them)
+    frames.filter("segment >= 2").coalesce(1).write.mode("append").parquet(frames_dir)
+    # fresh stream_ingest call, same checkpoint → only the new files replay
+    batches = []
+    q2 = pipeline.stream_ingest(
+        spark, frames_dir, table, ckpt, on_batch=batches.append
+    )
+    q2.awaitTermination(300)
+    assert table.watermark_lsn > wm1, "post-restart DML must merge"
+    assert any(not m.get("skipped") for m in batches)
+    got = (
+        table.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(gen.duckdb_final_state_sql(p, with_sha=False))
+        .df().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got[want.columns.tolist()].equals(want)

@@ -102,6 +102,11 @@ class Dialect:
         fn = "array_distinct" if self.name == "spark" else "list_distinct"
         return f"{fn}({arr})"
 
+    def xor(self, a: str, b: str) -> str:
+        if self.name == "spark":
+            return f"({a} ^ {b})"
+        return f"xor({a}, {b})"
+
     def shiftr(self, a: str, b: str) -> str:
         if self.name == "spark":
             return f"shiftright({a}, {b})"

@@ -406,6 +406,23 @@ def project_relation(raw_events, relation_version, typed: bool = False,
     )
 
 
+def project_relation_typed(raw_events, relation_version, table=None,
+                           json_as_variant=None, with_old_keys: bool = False):
+    """Typed projection honoring LakeTable properties: ``json_as_variant``
+    defaults to the table's ``props["json_as_variant"]`` and, absent a
+    table/prop, to True — the reference parses json columns by default
+    (reference reader.py:93-94, asserted tests/test_reader.py:203,223).
+    Pass ``json_as_variant=False`` (or set the table prop) to keep
+    json/jsonb as wire text."""
+    if json_as_variant is None:
+        props = table.snapshot().get("props", {}) if table is not None else {}
+        json_as_variant = bool(props.get("json_as_variant", True))
+    return project_relation(
+        raw_events, relation_version, typed=True,
+        json_as_variant=json_as_variant, with_old_keys=with_old_keys,
+    )
+
+
 def decode_frames(frames_df, registry: Optional[RelationRegistry] = None,
                   strict: bool = True, open_tx: Optional[dict] = None):
     """frames (segment, lsn, payload) → canonical change events.

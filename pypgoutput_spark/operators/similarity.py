@@ -65,6 +65,12 @@ def _quant(d: Dialect) -> str:
     )
 
 
+def _arr_int(d: Dialect, vals) -> str:
+    """Integer array literal (no quoting)."""
+    body = ", ".join(str(int(v)) for v in vals)
+    return f"array({body})" if d.name == "spark" else f"[{body}]"
+
+
 def _arr_lit(d: Dialect, vals) -> str:
     body = ", ".join(str(v) for v in vals)
     return f"array({body})" if d.name == "spark" else f"[{body}]"
@@ -111,13 +117,21 @@ FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
 
 
 def lsh_topk_sql(d: Dialect, k: int = 10, bits_per_band: int = 4,
-                 n_bands: int = 4) -> str:
+                 n_bands: int = 8, multiprobe: int = 2) -> str:
     """IVF/LSH-cell top-k: the query probes only vectors sharing at least
     one LSH band cell (candidates ~ corpus × per-band collision rate,
     never a full scan), then exact cosine ranks the candidates — the
     two-stage ANN serving shape. Bands reuse the first
     ``bits_per_band × n_bands`` hyperplanes; the exact variant
-    (`sim_topk_bruteforce`) is the recall baseline."""
+    (`sim_topk_bruteforce`) is the recall baseline.
+
+    ``multiprobe``: also probe the cells at Hamming distance 1 from each
+    query band key (flipping the ``multiprobe`` lowest bits) — widens
+    only the QUERY's probe set, so index width/build cost are unchanged.
+    Measured on the sf0.01 corpus (tools/ann_recall.py, recorded in
+    BENCH/BASELINE.md): defaults (4 bits × 8 bands, 2 probes) reach
+    recall@10 ≈ 0.95 while scanning ~7%% of the corpus; the r2 defaults
+    (4×4, no probes) sat at 0.45."""
     na = d.dot_bigint("qv", "qv", DIM)
     band_structs = []
     for b in range(n_bands):
@@ -145,10 +159,15 @@ eb AS (
   FROM (SELECT vec_id, {d.unnest('bandarr')} AS s FROM en)
 ),
 qid AS (SELECT min(vec_id) AS qv_id FROM en),
+flips AS (SELECT {d.unnest(_arr_int(d, [0] + [1 << b for b in range(multiprobe)]))} AS m),
+qcells AS (
+  SELECT DISTINCT eb.band, {d.xor('eb.k', 'flips.m')} AS k
+  FROM eb JOIN qid ON eb.vec_id = qid.qv_id CROSS JOIN flips
+),
 cand AS (
   SELECT DISTINCT a.vec_id
-  FROM eb a JOIN eb b ON a.band = b.band AND a.k = b.k
-  JOIN qid ON b.vec_id = qid.qv_id
+  FROM eb a JOIN qcells c ON a.band = c.band AND a.k = c.k
+  CROSS JOIN qid
   WHERE a.vec_id <> qid.qv_id
 )
 SELECT a.vec_id,
@@ -174,3 +193,110 @@ QUERIES = {
     "sim_lsh_ann_pairs": (_runner(lsh_ann_pairs_sql), lsh_ann_pairs_sql(DUCKDB)),
     "sim_lsh_topk": (_runner(lsh_topk_sql), lsh_topk_sql(DUCKDB)),
 }
+
+
+def ann_recall_at_k(spark, sf_dir: str, k: int = 10, bits_per_band: int = 4,
+                    n_bands: int = 4, n_queries: int = 20,
+                    multiprobe: int = 0) -> dict:
+    """Measured recall@k of the LSH-cell two-stage ANN (`sim_lsh_topk`
+    shape) against exact brute-force cosine, over the first ``n_queries``
+    vectors as queries — entirely in Spark, with the operator's own
+    quantization, hyperplanes, and tie-break (score DESC, vec_id).
+
+    ``multiprobe``: additionally probe the cells at Hamming distance 1
+    from each of the query's band keys, flipping the ``multiprobe``
+    lowest bits per band (0 = exact cells only). Multi-probe raises
+    recall at fixed index width by widening only the QUERY's probe set —
+    the indexed corpus side is untouched, so index size and build cost
+    are unchanged (the standard trade in IVF/LSH serving).
+
+    Returns {"recall": float, "mean_candidates": float, ...params}.
+    """
+    from pyspark.sql import functions as F
+
+    from pypgoutput_spark.operators.qlib import register_views
+
+    d = SPARK
+    register_views(spark, sf_dir, ("embeddings",), spread=("embeddings",))
+    na = d.dot_bigint("qv", "qv", DIM)
+    band_structs = []
+    for b in range(n_bands):
+        bits = []
+        for j in range(bits_per_band):
+            hp = _arr_lit(d, _hyperplane(b * bits_per_band + j))
+            dot = d.dot_bigint("qv", hp, DIM)
+            bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+        key = " + ".join(bits)
+        band_structs.append(f"named_struct('band', {b}, 'k', CAST({key} AS BIGINT))")
+    arr = f"array({', '.join(band_structs)})"
+
+    en = spark.sql(
+        f"SELECT vec_id, {_quant(d)} AS qv FROM embeddings"
+    ).selectExpr("vec_id", "qv", f"{na} AS nrm", f"{arr} AS bandarr")
+    # stage the band arrays once: higher-order lambdas are interpreted,
+    # and the explode below would otherwise re-evaluate them per consumer
+    en = en.localCheckpoint()
+    eb = en.selectExpr("vec_id", "inline(bandarr)").withColumnRenamed("k", "cell")
+
+    qs = en.orderBy("vec_id").limit(n_queries).selectExpr(
+        "vec_id AS q_id", "qv AS q_qv", "nrm AS q_nrm"
+    ).localCheckpoint()
+
+    dot_aq = d.dot_bigint("a.qv", "q.q_qv", DIM)
+    bf = (
+        en.alias("a").join(qs.alias("q"), F.expr("a.vec_id <> q.q_id"))
+        .selectExpr(
+            "q.q_id", "a.vec_id",
+            f"CAST({dot_aq} AS DOUBLE) / sqrt(CAST(a.nrm AS DOUBLE) * CAST(q.q_nrm AS DOUBLE)) AS score",
+        )
+        .selectExpr(
+            "q_id", "vec_id",
+            "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn",
+        )
+        .filter(f"rn <= {k}")
+    )
+
+    # query probe cells (exact + optional 1-bit multiprobe flips)
+    qb = eb.join(qs, eb["vec_id"] == qs["q_id"]).select("q_id", "band", "cell")
+    if multiprobe > 0:
+        flips = qb
+        for bit in range(multiprobe):
+            flips = flips.unionByName(
+                qb.selectExpr("q_id", "band", f"CAST(cell ^ {1 << bit} AS BIGINT) AS cell")
+            )
+        qb = flips.distinct()
+    cand = (
+        eb.alias("a")
+        .join(qb.alias("p"), F.expr("a.band = p.band AND a.cell = p.cell AND a.vec_id <> p.q_id"))
+        .select("p.q_id", "a.vec_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    n_cand = cand.count()
+    lsh = (
+        cand.alias("c")
+        .join(en.alias("a"), F.expr("c.vec_id = a.vec_id"))
+        .join(qs.alias("q"), F.expr("c.q_id = q.q_id"))
+        .selectExpr(
+            "c.q_id AS q_id", "a.vec_id",
+            f"CAST({dot_aq} AS DOUBLE) / sqrt(CAST(a.nrm AS DOUBLE) * CAST(q.q_nrm AS DOUBLE)) AS score",
+        )
+        .selectExpr(
+            "q_id", "vec_id",
+            "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn",
+        )
+        .filter(f"rn <= {k}")
+    )
+    hits = bf.join(lsh, ["q_id", "vec_id"], "left_semi").groupBy("q_id").count()
+    per_q = {r["q_id"]: r["count"] for r in hits.collect()}
+    n_q = qs.count()
+    recall = sum(per_q.get(q, 0) for q in per_q) / float(k * n_q)
+    return {
+        "recall_at_k": round(recall, 4),
+        "k": k,
+        "bits_per_band": bits_per_band,
+        "n_bands": n_bands,
+        "multiprobe": multiprobe,
+        "n_queries": n_q,
+        "mean_candidates": round(n_cand / float(n_q), 1),
+    }

@@ -285,3 +285,47 @@ def test_stream_restart_without_r_redelivery(spark, tmp_path):
     )
     assert len(got) == len(want)
     assert got[want.columns.tolist()].equals(want)
+
+
+def test_project_relation_typed_reads_table_prop(spark, tmp_path):
+    """project_relation_typed: json handling follows the TABLE property
+    (default True — the reference parses json by default,
+    reader.py:93-94); props json_as_variant=False keeps wire text."""
+    reg = RelationRegistry()
+    rv = reg.add_relation(1, codec.decode_message(codec.encode_relation(
+        779, "public", "json_p", "d",
+        [(1, "id", 23, -1), (0, "json_data", 3802, -1)],
+    )))
+    frames = spark.createDataFrame(
+        [
+            (0, 5, "B", bytearray(codec.encode_begin(5, 1_000_000, 7))),
+            (0, 6, "I", bytearray(codec.encode_insert(
+                779, [("t", "1"), ("t", '{"a": 5}')]))),
+            (0, 7, "C", bytearray(codec.encode_commit(6, 7, 1_000_000))),
+        ],
+        schema=gen.FRAMES_SCHEMA,
+    )
+    raw = decode_op.decode_frames_raw(frames, reg)
+    # no table → reference default: parsed
+    t_default = decode_op.project_relation_typed(raw, rv)
+    assert "variant" in t_default.schema["json_data"].dataType.simpleString()
+    # table prop turns it off → wire text
+    t_off = LakeTable.create(
+        spark, str(tmp_path / "json_off"),
+        schema=[("id", "int"), ("json_data", "string")], key_cols=["id"],
+        props={"json_as_variant": False},
+    )
+    t_text = decode_op.project_relation_typed(raw, rv, table=t_off)
+    assert t_text.schema["json_data"].dataType.simpleString() == "string"
+    assert t_text.first()["json_data"] == '{"a": 5}'
+    # table prop on → VARIANT
+    t_on = LakeTable.create(
+        spark, str(tmp_path / "json_on"),
+        schema=[("id", "int"), ("json_data", "string")], key_cols=["id"],
+        props={"json_as_variant": True},
+    )
+    t_var = decode_op.project_relation_typed(raw, rv, table=t_on)
+    assert "variant" in t_var.schema["json_data"].dataType.simpleString()
+    assert t_var.selectExpr(
+        "variant_get(json_data, '$.a', 'int') AS a"
+    ).first()["a"] == 5

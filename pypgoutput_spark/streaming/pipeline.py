@@ -216,9 +216,18 @@ def apply_frames_batch(
     open_tx: Optional[dict] = None,
     quarantine_dir: Optional[str] = None,
     kc_toast_passes: int = 0,
+    late_wm: Optional[int] = None,
+    registry_merge: bool = False,
 ) -> dict:
     """One micro-batch: frames → decode once → route per relation →
     LWW → merge each table. Returns metrics (incl. ``open_tx`` carry-out).
+
+    ``late_wm``: when set (≥ 0), frames at or below it are *late replays*
+    under the monotone-delivery contract — they are counted per batch
+    (``late_frames`` metric) inside the same metadata stats scan the
+    batch already pays, excluded from every stat and from the decode, and
+    never cost an extra job. The caller quarantines them if it wants the
+    rows themselves (rare; only when the count is non-zero).
 
     ``kc_toast_passes``: >0 enables bounded-pass resolution of key-change
     UPDATEs carrying unchanged-TOAST cells (operators.kc_toast) — the
@@ -244,22 +253,38 @@ def apply_frames_batch(
     # are LSN-sorted, so row-group stats skip everything else — instead
     # of re-reading the whole payload column on an mtype-only filter)
     b_pred, c_pred, t_pred = (_mtype_pred(frames, x) for x in "BCT")
+    r_pred = _mtype_pred(frames, "R")
+    # late-replay gate: R frames are schema (exempt); everything else at
+    # or below late_wm is excluded from stats/decode but counted here
+    gated = late_wm is not None and late_wm >= 0
+    live = (F.col("lsn") > late_wm) if gated else F.lit(True)
     seg_rows = (
         frames.groupBy("segment")
         .agg(
-            F.max("lsn").alias("max_lsn"),
-            F.min("lsn").alias("min_lsn"),
-            F.count("*").alias("n"),
-            F.max(F.when(b_pred, F.col("lsn"))).alias("b_lsn"),
-            F.max(F.when(c_pred, F.col("lsn"))).alias("c_lsn"),
-            F.collect_list(F.when(t_pred, F.col("lsn"))).alias("t_lsns"),
+            F.max(F.when(live, F.col("lsn"))).alias("max_lsn"),
+            F.min(F.when(live, F.col("lsn"))).alias("min_lsn"),
+            F.count(F.when(live, 1)).alias("n"),
+            F.count(F.when(~live & ~r_pred, 1)).alias("n_late"),
+            F.max(F.when(b_pred & live, F.col("lsn"))).alias("b_lsn"),
+            F.max(F.when(c_pred & live, F.col("lsn"))).alias("c_lsn"),
+            F.collect_list(F.when(t_pred & live, F.col("lsn"))).alias("t_lsns"),
+            F.count(F.when(r_pred, 1)).alias("n_r"),
         )
         .collect()
     )
+    late_frames = int(sum(r["n_late"] for r in seg_rows))
+    # mid-stream DDL: merge the batch's R cohort into the caller's registry
+    # — but only when the stats scan saw R frames, so the common DML-only
+    # batch never pays the extra scan (streaming passes registry_merge=True
+    # instead of running its own unconditional merge_frames job per batch)
+    if registry_merge and registry is not None and any(r["n_r"] for r in seg_rows):
+        registry.merge_frames(frames)
+    seg_rows = [r for r in seg_rows if r["n"]]
     if not seg_rows:
         return {
             "skipped": True, "reason": "empty",
             "open_tx": dict(open_tx or {}),
+            "late_frames": late_frames,
             "watermark_lsn": max(t.watermark_lsn for t in table_map.values()),
         }
     watermark_lsn = max(r["max_lsn"] for r in seg_rows)
@@ -310,17 +335,19 @@ def apply_frames_batch(
     # ---- pre-decode filter: drop DML made dead by a later same-relation
     # truncate (relation id read JVM-side from the payload header)
     eff_frames = frames
+    if gated:
+        eff_frames = frames.filter((F.col("lsn") > late_wm) | r_pred)
     if t_lsn_by_rid:
         cases = " ".join(
             f"WHEN {rid} THEN lsn > {tl}" for rid, tl in t_lsn_by_rid.items()
         )
         keep_dml = f"CASE {_RID_EXPR} {cases} ELSE true END"
         if "mtype" in frames.columns:
-            eff_frames = frames.filter(
+            eff_frames = eff_frames.filter(
                 ~F.col("mtype").isin("I", "U", "D") | F.expr(keep_dml)
             )
         else:
-            eff_frames = frames.filter(
+            eff_frames = eff_frames.filter(
                 F.expr("substring(payload, 1, 1) NOT IN (X'49', X'55', X'44')")
                 | F.expr(keep_dml)
             )
@@ -337,6 +364,7 @@ def apply_frames_batch(
         return {
             "skipped": True, "reason": "no-relation",
             "open_tx": carry,
+            "late_frames": late_frames,
             "watermark_lsn": max(t.watermark_lsn for t in table_map.values()),
         }
 
@@ -384,11 +412,17 @@ def apply_frames_batch(
             obs_dead, F.count(F.when(F.col("op") == "E", 1)).alias("dead")
         )
 
-    # stage the decode output when >1 consumer would re-run the Python
-    # kernel (multiple relations / schema versions / kc-toast resolver
-    # subtrees), or when dead-letter rows must be counted/quarantined
-    # (strict=False)
-    staged = n_projections > 1 or not strict or kc_toast_passes > 0
+    # stage the decode output when >1 action would re-run the Python
+    # kernel: multiple relations / schema versions / kc-toast resolver
+    # subtrees, or a quarantine dir (dead rows must be counted BEFORE
+    # deciding to write them). Plain strict=False with no quarantine dir
+    # counts dead letters as an observation riding the single merge job —
+    # no second action, so no cache
+    staged = (
+        n_projections > 1
+        or (not strict and quarantine_dir is not None)
+        or kc_toast_passes > 0
+    )
     dead_letters = 0
     try:
         if staged:
@@ -408,6 +442,7 @@ def apply_frames_batch(
             "watermark_lsn": watermark_lsn,
             "open_tx": carry,
             "dead_letters": int(dead_letters),
+            "late_frames": late_frames,
             "lineage": lineage,
             "relations": {},
         }
@@ -573,8 +608,17 @@ def stream_ingest(
     quarantine_dir: Optional[str] = None,
     on_batch: Optional[Callable[[dict], None]] = None,
     kc_toast_passes: int = 0,
+    clustered: bool = False,
 ):
     """Structured-Streaming variant: parquet frame files → foreachBatch merge.
+
+    ``clustered=True`` declares that each frame FILE contains only whole
+    WAL segments (true for a receiver that rolls files on segment
+    boundaries, and for segment-chunked materializers) AND that files are
+    small enough that the source does not split them
+    (``spark.sql.files.maxPartitionBytes``) — the decode then skips the
+    per-batch repartition-by-segment shuffle entirely (see
+    ``decode_frames_raw``). Leave False for arbitrary file layouts.
 
     The lake commit is idempotent on watermark_lsn, so together with the
     stream checkpoint this is exactly-once end-to-end. Returns the
@@ -617,26 +661,27 @@ def stream_ingest(
     state = {"open_tx": stored_open_tx(table_map)}
 
     def _apply(batch_df, batch_id: int) -> None:
-        # merge this micro-batch's R cohort into the registry (stream-driven
-        # schema evolution; R frames are tiny and exempt from the watermark)
-        registry.merge_frames(batch_df)
+        # mid-stream R frames merge into the registry inside
+        # apply_frames_batch (registry_merge=True), gated on the R-count
+        # that rides its metadata stats scan — DML-only batches pay no
+        # extra job for schema-evolution readiness
         wm = min(t.watermark_lsn for t in table_map.values())
-        eff = batch_df
-        if wm >= 0:
-            late = batch_df.filter(
-                (F.col("lsn") <= wm) & ~_mtype_pred(batch_df, "R")
-            )
-            n_late = late.count()
-            if n_late:
-                state["late_frames"] = state.get("late_frames", 0) + n_late
-                if quarantine_dir:
-                    late.write.mode("append").parquet(quarantine_dir + "/late_frames")
-            eff = batch_df.filter(F.col("lsn") > wm)
+        # late-replay frames (lsn ≤ watermark, non-R) are counted inside
+        # apply_frames_batch's metadata stats scan — zero extra jobs; the
+        # quarantine write below runs only when the count is non-zero
         m = apply_frames_batch(
-            table_map, eff, registry, relation_id, strict=False,
-            open_tx=state["open_tx"], quarantine_dir=quarantine_dir,
-            kc_toast_passes=kc_toast_passes,
+            table_map, batch_df, registry, relation_id, strict=False,
+            clustered=clustered, open_tx=state["open_tx"],
+            quarantine_dir=quarantine_dir, kc_toast_passes=kc_toast_passes,
+            late_wm=wm, registry_merge=True,
         )
+        n_late = m.get("late_frames", 0)
+        if n_late:
+            state["late_frames"] = state.get("late_frames", 0) + n_late
+            if quarantine_dir:
+                batch_df.filter(
+                    (F.col("lsn") <= wm) & ~_mtype_pred(batch_df, "R")
+                ).write.mode("append").parquet(quarantine_dir + "/late_frames")
         state["open_tx"] = m.get("open_tx", {})
         m["late_frames"] = state.get("late_frames", 0)
         if on_batch:

@@ -329,3 +329,41 @@ def test_project_relation_typed_reads_table_prop(spark, tmp_path):
     assert t_var.selectExpr(
         "variant_get(json_data, '$.a', 'int') AS a"
     ).first()["a"] == 5
+
+
+def test_stream_ingest_clustered_no_shuffle(spark, tmp_path):
+    """clustered=True (segment-aligned frame files) produces the same
+    final state as the default path while skipping the per-batch
+    repartition-by-segment shuffle, and late-replay counting rides the
+    stats scan (no extra job) — the streaming hot-path configuration
+    measured in tools/bench_streaming.py."""
+    p = gen.GenParams(n_txns=60, ops_per_txn=6, toast_pct=30, txns_per_segment=10)
+    frames_dir = str(tmp_path / "frames")
+    frames = gen.spark_frames_df(spark, p)
+    # one file per 2-segment chunk → every file holds whole segments
+    for seg_lo in range(0, 6, 2):
+        (
+            frames.filter(f"segment >= {seg_lo} AND segment < {seg_lo + 2}")
+            .coalesce(1).write.mode("append").parquet(frames_dir)
+        )
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"),
+        schema=[(c, "string") for c in gen.ALL_COLUMNS],
+        key_cols=list(gen.KEY_COLUMNS), n_buckets=8,
+    )
+    seen = []
+    q = pipeline.stream_ingest(
+        spark, frames_dir, table, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, clustered=True,
+        on_batch=lambda m: seen.append(m),
+    )
+    q.awaitTermination(300)
+    assert len(seen) >= 3 and all(not m.get("skipped") for m in seen)
+    assert all(m["late_frames"] == 0 for m in seen)
+    got = table.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    want = (
+        duckdb.sql(gen.duckdb_final_state_sql(p, with_sha=False))
+        .df().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got[want.columns.tolist()].equals(want)

@@ -169,3 +169,28 @@ def test_strict_false_plans_vectorized(spark):
     # only MapInPandas allowed in this plan is the test generator's encoder
     decode_line = next(l for l in plan.splitlines() if "new_u_masks" in l)
     assert "MapInArrow" in decode_line, plan[:2000]
+
+
+def test_clustered_decode_plans_no_shuffle(spark):
+    """clustered=True must decode with ZERO Exchange below the kernel
+    (local sort only — parallelism = input partitions); the default path
+    has exactly the one repartition-by-segment Exchange. Guards the
+    streaming/batch hot-path property measured in tools/bench_streaming.py."""
+    from pypgoutput_spark.operators import decode as decode_op
+    from pypgoutput_spark.wal import generator as gen
+
+    frames = gen.spark_frames_df(spark, gen.GenParams(n_txns=4, ops_per_txn=3))
+    # materialize so the generator's own plan nodes don't appear below
+    frames = spark.createDataFrame(frames.collect(), schema=frames.schema)
+
+    plan_clustered = (
+        decode_op.decode_frames_raw(frames, clustered=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan_clustered, plan_clustered[:2000]
+
+    plan_default = (
+        decode_op.decode_frames_raw(frames, clustered=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan_default.count("Exchange") == 1, plan_default[:2000]

@@ -130,6 +130,7 @@ BENCH_QUERIES = (
     "sim_topk_bruteforce",
     "sim_lsh_ann_pairs",
     "sim_lsh_topk",
+    "sim_ivf_topk",
     "mm_payload_meta",
     "mm_frame_sample",
     "cdc_events_latest_by_user",

@@ -124,6 +124,17 @@ class Dialect:
             f"i -> {a}[i] * {b}[i])) AS BIGINT)"
         )
 
+    def array_agg_ordered(self, val: str, pos: str) -> str:
+        """Aggregate ``val`` into an array ordered by ``pos`` — order-
+        deterministic in both engines (Spark's collect_list alone is not:
+        it keeps arrival order, so sort (pos, val) structs after)."""
+        if self.name == "spark":
+            return (
+                f"transform(array_sort(collect_list(named_struct("
+                f"'p', {pos}, 'v', {val}))), s -> s.v)"
+            )
+        return f"list({val} ORDER BY {pos})"
+
     def sequence(self, lo: str, hi: str) -> str:
         """Inclusive integer sequence as array (empty when hi < lo)."""
         if self.name == "spark":

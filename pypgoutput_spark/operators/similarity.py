@@ -180,6 +180,126 @@ LIMIT {k}
 """.strip()
 
 
+#: IVF defaults: 16 deterministic centroids, query probes its 4 nearest
+N_CENTROIDS = 16
+N_PROBES = 4
+
+
+def _ivf_cells_ctes(d: Dialect, n_centroids: int) -> str:
+    """Shared CTE prefix: quantize → seed centroids → ONE integer-exact
+    Lloyd refinement → assign every vector to its nearest centroid (its
+    IVF cell).
+
+    Scale shape (IVF-Flat, the FAISS/Milvus coarse quantizer): the
+    centroid table is ``n_centroids`` rows — a broadcast; assignment is a
+    cross join against the broadcast followed by two map-side-combining
+    aggregates on vec_id (max score, then min c_id among ties — window
+    free, so no n×C shuffle sort). Seeding is deterministic (md5-ordered
+    sample of the corpus — the oracle picks the identical set); the
+    Lloyd step recomputes each centroid as the element-wise mean of its
+    assigned vectors — exactly the distributed k-means iteration
+    (explode positions → map-side-combining sum/count per (cell, dim) →
+    rebuild the array) — lifting recall ~10%% relative at equal probe
+    fraction (measured sf0.01, BENCH/BASELINE.md). Determinism across
+    engines: sums/counts are exact BIGINTs, the mean is
+    floor(exact-double division) (both engines correctly round the
+    division of exactly-representable ints, unlike their integer-div
+    operators which disagree on negative floor-vs-trunc), scores are
+    single IEEE divides of exact dot products, and score ties resolve to
+    the smallest centroid id.
+    """
+    na = d.dot_bigint("qv", "qv", DIM)
+    dot_es = d.dot_bigint("en.qv", "seed.cv", DIM)
+    dot_ec = d.dot_bigint("en.qv", "cent.cv", DIM)
+    dot_cc = d.dot_bigint("cv", "cv", DIM)
+    positions = d.unnest(d.sequence("0", str(DIM - 1)))
+    cell_val = d.array_get("en.qv", "p.pos + 1")
+    rebuild = d.array_agg_ordered("val", "pos")
+    return f"""
+e AS (SELECT vec_id, {_quant(d)} AS qv FROM embeddings),
+en AS (SELECT vec_id, qv, {na} AS nrm FROM e),
+seed AS (
+  SELECT vec_id AS c_id, qv AS cv, nrm AS cnrm
+  FROM en ORDER BY {d.md5_int(d.s('vec_id'))}, vec_id LIMIT {n_centroids}
+),
+s0 AS (
+  SELECT en.vec_id, seed.c_id,
+    CAST({dot_es} AS DOUBLE) / sqrt(CAST(seed.cnrm AS DOUBLE)) AS score
+  FROM en CROSS JOIN seed
+),
+b0 AS (SELECT vec_id, max(score) AS ms FROM s0 GROUP BY vec_id),
+a0 AS (
+  SELECT s.vec_id, min(s.c_id) AS c_id
+  FROM s0 s JOIN b0 b ON s.vec_id = b.vec_id AND s.score = b.ms
+  GROUP BY s.vec_id
+),
+lng AS (
+  SELECT a0.c_id, p.pos, {cell_val} AS val
+  FROM a0 JOIN en ON a0.vec_id = en.vec_id
+  CROSS JOIN (SELECT {positions} AS pos) p
+),
+upd AS (
+  SELECT c_id, pos,
+    CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS val
+  FROM lng GROUP BY c_id, pos
+),
+centl AS (SELECT c_id, {rebuild} AS cv FROM upd GROUP BY c_id),
+cent AS (SELECT c_id, cv, {dot_cc} AS cnrm FROM centl),
+scored AS (
+  SELECT en.vec_id, cent.c_id,
+    CAST({dot_ec} AS DOUBLE) / sqrt(CAST(cent.cnrm AS DOUBLE)) AS score
+  FROM en CROSS JOIN cent
+),
+best AS (SELECT vec_id, max(score) AS ms FROM scored GROUP BY vec_id),
+cells AS (
+  SELECT s.vec_id, min(s.c_id) AS c_id
+  FROM scored s JOIN best b ON s.vec_id = b.vec_id AND s.score = b.ms
+  GROUP BY s.vec_id
+)""".strip()
+
+
+def ivf_cells_sql(d: Dialect, n_centroids: int = N_CENTROIDS) -> str:
+    """IVF cell assignment: every vector labeled with its nearest
+    deterministic centroid. The build side of `sim_ivf_topk`."""
+    return f"""
+WITH {_ivf_cells_ctes(d, n_centroids)}
+SELECT vec_id, c_id FROM cells
+""".strip()
+
+
+def ivf_topk_sql(d: Dialect, k: int = 10, n_centroids: int = N_CENTROIDS,
+                 n_probes: int = N_PROBES, q_offset: int = 0) -> str:
+    """IVF-Flat top-k: the query ranks only the vectors assigned to its
+    ``n_probes`` nearest cells — the second ANN family next to the
+    LSH-cell path (`sim_lsh_topk`); exact cosine then ranks candidates.
+    Candidates ≈ corpus × n_probes / n_centroids regardless of corpus
+    size; at scale the cells table is partitioned by c_id so a probe
+    reads only its cells' partitions. ``q_offset`` picks the
+    (q_offset+1)-th smallest vec_id as the query (recall measurement
+    loops it; 0 = the CORRECTNESS entry)."""
+    dot_aq = d.dot_bigint("a.qv", "q.qv", DIM)
+    return f"""
+WITH {_ivf_cells_ctes(d, n_centroids)},
+qid AS (SELECT vec_id AS q_id FROM en ORDER BY vec_id LIMIT 1 OFFSET {q_offset}),
+qprobe AS (
+  SELECT s.c_id FROM scored s JOIN qid ON s.vec_id = qid.q_id
+  ORDER BY s.score DESC, s.c_id LIMIT {n_probes}
+),
+cand AS (
+  SELECT DISTINCT cells.vec_id
+  FROM cells JOIN qprobe ON cells.c_id = qprobe.c_id
+  CROSS JOIN qid WHERE cells.vec_id <> qid.q_id
+)
+SELECT a.vec_id,
+  CAST({dot_aq} AS DOUBLE) / sqrt(CAST(a.nrm AS DOUBLE) * CAST(q.nrm AS DOUBLE)) AS score
+FROM cand c
+JOIN en a ON c.vec_id = a.vec_id
+JOIN en q ON q.vec_id = (SELECT q_id FROM qid)
+ORDER BY score DESC, a.vec_id
+LIMIT {k}
+""".strip()
+
+
 def _runner(sql_builder):
     def run(spark, sf_dir: str):
         return run_sql(spark, sf_dir, sql_builder(SPARK), tables=("embeddings",), spread=("embeddings",))
@@ -192,7 +312,65 @@ QUERIES = {
     "sim_lsh_buckets": (_runner(lsh_buckets_sql), lsh_buckets_sql(DUCKDB)),
     "sim_lsh_ann_pairs": (_runner(lsh_ann_pairs_sql), lsh_ann_pairs_sql(DUCKDB)),
     "sim_lsh_topk": (_runner(lsh_topk_sql), lsh_topk_sql(DUCKDB)),
+    "sim_ivf_cells": (_runner(ivf_cells_sql), ivf_cells_sql(DUCKDB)),
+    "sim_ivf_topk": (_runner(ivf_topk_sql), ivf_topk_sql(DUCKDB)),
 }
+
+
+def ivf_recall_at_k(sf_dir: str, k: int = 10, n_centroids: int = N_CENTROIDS,
+                    n_probes: int = N_PROBES, n_queries: int = 20) -> dict:
+    """Measured recall@k of `sim_ivf_topk` against exact brute-force
+    cosine, looping the query selector over the ``n_queries`` smallest
+    vec_ids. Runs the operator's own SQL through DuckDB — representative
+    for the Spark plan because the CORRECTNESS gate hash-verifies both
+    dialects produce identical rows for the same SQL builders.
+
+    Returns {"recall_at_k", "mean_candidates", "corpus", ...params}.
+    """
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    corpus = con.sql("SELECT count(*) FROM embeddings").fetchall()[0][0]
+    d = DUCKDB
+    recalls, cands = [], []
+    for off in range(n_queries):
+        bf_sql = topk_bruteforce_sql(d, k).replace(
+            "q AS (SELECT qv FROM e WHERE vec_id = (SELECT min(vec_id) FROM e))",
+            f"q AS (SELECT qv FROM e ORDER BY vec_id LIMIT 1 OFFSET {off})",
+        ).replace(
+            "WHERE a.vec_id <> (SELECT min(vec_id) FROM e)",
+            f"WHERE a.vec_id <> (SELECT vec_id FROM e ORDER BY vec_id LIMIT 1 OFFSET {off})",
+        )
+        gt = {r[0] for r in con.sql(bf_sql).fetchall()}
+        got = {
+            r[0]
+            for r in con.sql(
+                ivf_topk_sql(d, k, n_centroids, n_probes, q_offset=off)
+            ).fetchall()
+        }
+        recalls.append(len(got & gt) / float(k))
+        cand_sql = f"""
+WITH {_ivf_cells_ctes(d, n_centroids)},
+qid AS (SELECT vec_id AS q_id FROM en ORDER BY vec_id LIMIT 1 OFFSET {off}),
+qprobe AS (
+  SELECT s.c_id FROM scored s JOIN qid ON s.vec_id = qid.q_id
+  ORDER BY s.score DESC, s.c_id LIMIT {n_probes}
+)
+SELECT count(*) FROM cells JOIN qprobe ON cells.c_id = qprobe.c_id"""
+        cands.append(con.sql(cand_sql).fetchall()[0][0])
+    return {
+        "recall_at_k": round(sum(recalls) / len(recalls), 4),
+        "k": k,
+        "n_centroids": n_centroids,
+        "n_probes": n_probes,
+        "n_queries": n_queries,
+        "corpus": corpus,
+        "mean_candidates": round(sum(cands) / float(len(cands)), 1),
+    }
 
 
 def ann_recall_at_k(spark, sf_dir: str, k: int = 10, bits_per_band: int = 4,

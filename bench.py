@@ -121,6 +121,7 @@ BENCH_QUERIES = (
     "cdc_pipeline_final_state",
     "text_fingerprint",
     "text_quality_score",
+    "corpus_training_ready",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh_pairs",
     "dedup_lsh_verified_pairs",

@@ -111,6 +111,60 @@ WHERE n_chars > 0
 """.strip()
 
 
+def corpus_training_ready_sql(d: Dialect) -> str:
+    """The end-to-end training-data gate as ONE query: quality filter →
+    language ID → exact content dedup (keep the smallest doc_id per
+    content fingerprint) → the training-ready manifest.
+
+    This is the composition a 100 TB pre-training pipeline runs nightly;
+    at scale it is scan → narrow per-row maps (all four text operators
+    fuse into one codegen stage over one pass of ``text``) → ONE shuffle
+    (the fingerprint group) → a co-partitioned self-join on the same key
+    (no second exchange: the min-id table comes out of the groupBy
+    already hash-partitioned by fingerprint).
+    """
+    return f"""
+WITH q AS ({quality_score_sql(d)}),
+l AS ({lang_id_sql(d)}),
+fp AS ({fingerprint_sql(d)}),
+gated AS (
+  SELECT q.doc_id, l.lang_pred, q.n_tokens, q.quality_score, fp.fingerprint
+  FROM q
+  JOIN l ON q.doc_id = l.doc_id
+  JOIN fp ON q.doc_id = fp.doc_id
+  WHERE q.quality_score >= 2
+),
+keep AS (SELECT fingerprint, min(doc_id) AS keep_id FROM gated GROUP BY fingerprint)
+SELECT g.doc_id, g.lang_pred, g.n_tokens, g.quality_score, g.fingerprint
+FROM gated g
+JOIN keep k ON g.fingerprint = k.fingerprint AND g.doc_id = k.keep_id
+""".strip()
+
+
+def corpus_stats_sql(d: Dialect) -> str:
+    """Per-(source, lang) corpus accounting: docs, token volume, distinct
+    content fingerprints (the exact-dup rate) — one map-side-combining
+    groupBy over the per-row maps (count(DISTINCT) is Spark's standard
+    two-phase expand). Sums are CAST to BIGINT in-dialect (DuckDB would
+    otherwise widen to HUGEINT and break the schema match)."""
+    return f"""
+WITH t AS ({token_count_sql(d)}),
+fp AS ({fingerprint_sql(d)}),
+j AS (
+  SELECT doc.source, doc.lang, t.n_tokens_ws, t.n_chars_calc, fp.fingerprint
+  FROM documents doc
+  JOIN t ON doc.doc_id = t.doc_id
+  JOIN fp ON doc.doc_id = fp.doc_id
+)
+SELECT source, lang,
+  count(*) AS n_docs,
+  CAST(sum(n_tokens_ws) AS BIGINT) AS total_tokens,
+  CAST(sum(n_chars_calc) AS BIGINT) AS total_chars,
+  count(DISTINCT fingerprint) AS n_unique_contents
+FROM j GROUP BY source, lang
+""".strip()
+
+
 # ---- Spark runners (one per queries() entry) --------------------------------
 
 
@@ -130,9 +184,19 @@ def q_fingerprint(spark, sf_dir: str):
     return run_sql(spark, sf_dir, fingerprint_sql(SPARK), tables=("documents",), spread=("documents",))
 
 
+def q_corpus_training_ready(spark, sf_dir: str):
+    return run_sql(spark, sf_dir, corpus_training_ready_sql(SPARK), tables=("documents",), spread=("documents",))
+
+
+def q_corpus_stats(spark, sf_dir: str):
+    return run_sql(spark, sf_dir, corpus_stats_sql(SPARK), tables=("documents",), spread=("documents",))
+
+
 QUERIES = {
     "text_token_count": (q_token_count, token_count_sql(DUCKDB)),
     "text_quality_score": (q_quality_score, quality_score_sql(DUCKDB)),
     "text_lang_id": (q_lang_id, lang_id_sql(DUCKDB)),
     "text_fingerprint": (q_fingerprint, fingerprint_sql(DUCKDB)),
+    "corpus_training_ready": (q_corpus_training_ready, corpus_training_ready_sql(DUCKDB)),
+    "corpus_stats": (q_corpus_stats, corpus_stats_sql(DUCKDB)),
 }

@@ -367,3 +367,47 @@ def test_stream_ingest_clustered_no_shuffle(spark, tmp_path):
     )
     assert len(got) == len(want)
     assert got[want.columns.tolist()].equals(want)
+
+
+def test_stream_mixed_late_and_new_file(spark, tmp_path):
+    """A violating file that STRADDLES the watermark (replayed frames from
+    an applied segment + genuinely new frames) applies only the new rows:
+    late rows are counted + quarantined per row, new rows merge, and the
+    final state equals a clean full replay (the late_wm gating excludes
+    late frames from every batch stat — watermark, truncate cohort, B/C
+    transaction bounds — not just from the merge)."""
+    p = gen.GenParams(n_txns=40, ops_per_txn=5, toast_pct=25, txns_per_segment=10)
+    frames_dir = str(tmp_path / "frames")
+    frames = gen.spark_frames_df(spark, p)
+    frames.filter("segment < 2").coalesce(1).write.mode("append").parquet(frames_dir)
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"),
+        schema=[(c, "string") for c in gen.ALL_COLUMNS],
+        key_cols=list(gen.KEY_COLUMNS), n_buckets=8,
+    )
+    ckpt = str(tmp_path / "ckpt")
+    qdir = str(tmp_path / "quarantine")
+    q = pipeline.stream_ingest(spark, frames_dir, table, ckpt, quarantine_dir=qdir)
+    q.awaitTermination(300)
+
+    # one file mixing segment-1 replays (≤ watermark) with new segment-2+
+    n_replay = frames.filter("segment = 1 AND mtype <> 'R'").count()
+    frames.filter("(segment = 1 AND mtype <> 'R') OR segment >= 2").coalesce(
+        1
+    ).write.mode("append").parquet(frames_dir)
+    seen = []
+    q2 = pipeline.stream_ingest(
+        spark, frames_dir, table, ckpt, quarantine_dir=qdir,
+        on_batch=lambda m: seen.append(m),
+    )
+    q2.awaitTermination(300)
+    assert seen and seen[-1]["late_frames"] == n_replay
+    late = spark.read.parquet(qdir + "/late_frames")
+    assert late.count() == n_replay
+    got = table.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    want = (
+        duckdb.sql(gen.duckdb_final_state_sql(p, with_sha=False))
+        .df().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got[want.columns.tolist()].equals(want)

@@ -377,7 +377,184 @@ class LakeTable:
         metrics = {"compaction": {"buckets": dirty}, **carried, **(extra_metrics or {})}
         return self.commit(staged, replaced_buckets=dirty, metrics=metrics)
 
-    # ----------------------------------------------------------- maintenance
+    # ------------------------------------------------------- change data feed
+
+    def delta_dirs_added(self, version: int) -> Dict[str, List[str]]:
+        """Per-bucket delta directories first referenced at ``version``
+        (snapshot delta lists are cumulative; the diff against the parent
+        is exactly the batch's appended change set)."""
+        snap = self.snapshot(version)
+        parent = snap.get("parent")
+        prev = self.snapshot(parent) if parent is not None else {"deltas": {}}
+        out: Dict[str, List[str]] = {}
+        for b, dirs in snap.get("deltas", {}).items():
+            seen = set(prev.get("deltas", {}).get(b, []))
+            added = [d for d in dirs if d not in seen]
+            if added:
+                out[b] = added
+        return out
+
+    def changes(self, since_version: int, until_version: Optional[int] = None):
+        """Change-data-feed read: the row-level changes committed in
+        ``(since_version, until_version]`` — CDC in, CDF out, so
+        downstream consumers ingest incrementally instead of re-scanning
+        the table (Delta CDF / Iceberg changelog analog).
+
+        Columns: key cols, ``final_op`` ('I'/'U' upsert, 'D' delete),
+        ``max_lsn``, ``_commit_version``, and per value column the new
+        value plus ``upd_<col>`` (False = the commit carried no
+        information for that column — e.g. an unchanged TOAST cell — so
+        the prior value still stands; for 'D' rows values are NULL).
+
+        Covered commits: merge-on-read delta commits (exact change set,
+        zero extra cost — the delta files ARE the feed), truncates and
+        initial loads (every row of the new base as an upsert at the
+        commit watermark). Compaction / metadata-only commits contribute
+        no rows. Copy-on-write incremental commits are not
+        change-tracked (the rewritten bucket mixes changed and carried
+        rows) and raise — ingest with the default ``mode='mor'`` to get
+        a feed.
+        """
+        until = self.current_version() if until_version is None else until_version
+        snap = self.snapshot(until)
+        keys = snap["key_cols"]
+        col_types = dict(snap["schema"])
+        value_cols = [n for n, _ in snap["schema"] if n not in keys]
+
+        def _flatten_delta(df, version: int):
+            sel = [f"`{k}`" for k in keys] + ["final_op", "max_lsn"]
+            sel += [
+                f"CASE WHEN final_op = 'D' THEN CAST(NULL AS {col_types[c]}) "
+                f"ELSE CAST(`r_{c}`.v AS {col_types[c]}) END AS `{c}`"
+                for c in value_cols
+            ]
+            sel += [f"(`r_{c}` IS NOT NULL) AS `upd_{c}`" for c in value_cols]
+            return df.selectExpr(*sel).withColumn("_commit_version", F.lit(version))
+
+        parts = []
+        for v in range(since_version + 1, until + 1):
+            s = self.snapshot(v)
+            added = self.delta_dirs_added(v)
+            if added:
+                dirs = [d for dd in added.values() for d in dd]
+                parts.append(
+                    _flatten_delta(
+                        self.spark.read.schema(self.delta_schema_ddl(s)).parquet(*dirs), v
+                    )
+                )
+                continue
+            parent = s.get("parent")
+            prev = self.snapshot(parent) if parent is not None else {"buckets": {}}
+            new_base = {
+                b: dirs for b, dirs in s["buckets"].items()
+                if dirs != prev.get("buckets", {}).get(b)
+            }
+            if not new_base:
+                continue  # metadata-only commit (watermark / schema add-drop)
+            if "compaction" in s.get("metrics", {}):
+                continue  # rewrite of already-fed changes
+            if not (s.get("metrics", {}).get("truncated") or not prev.get("buckets")):
+                raise ValueError(
+                    f"version {v} rewrote base buckets outside truncate/initial-load "
+                    "(copy-on-write merge?) — not change-tracked; ingest with "
+                    "mode='mor' for a change feed"
+                )
+            base = self.spark.read.schema(self.schema_ddl(s)).parquet(
+                *[d for dd in new_base.values() for d in dd]
+            )
+            sel = [f"`{k}`" for k in keys]
+            sel += ["'U' AS final_op", f"CAST({s['watermark_lsn']} AS BIGINT) AS max_lsn"]
+            sel += [f"`{c}`" for c in value_cols]
+            sel += [f"true AS `upd_{c}`" for c in value_cols]
+            parts.append(base.selectExpr(*sel).withColumn("_commit_version", F.lit(v)))
+        if not parts:
+            ddl = ", ".join(
+                [f"`{n}` {t}" for n, t in snap["schema"] if n in keys]
+                + ["final_op STRING", "max_lsn BIGINT"]
+                + [f"`{n}` {t}" for n, t in snap["schema"] if n not in keys]
+                + [f"`upd_{n}` BOOLEAN" for n, _ in snap["schema"] if n not in keys]
+                + ["`_commit_version` INT"]
+            )
+            return self.spark.createDataFrame([], schema=ddl)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ------------------------------------------------------------ maintenance
+
+    def expire_snapshots(
+        self, keep_last: int = 10, orphan_grace_sec: float = 3600.0
+    ) -> dict:
+        """Expire old snapshots and garbage-collect unreferenced data
+        directories (Iceberg ``expireSnapshots`` + orphan-file cleanup).
+
+        Keeps the newest ``keep_last`` snapshots (time travel over those
+        is preserved; older versions stop being readable). Data dirs are
+        deleted only when referenced by NO kept snapshot; a dir
+        referenced by nothing at all (a crashed writer's staging) is
+        deleted only once older than ``orphan_grace_sec`` so a
+        concurrent in-flight commit is never clobbered. Without
+        expiration, every MOR delta and COW rewrite accumulates forever
+        — at 100 TB this is the difference between bounded and unbounded
+        storage.
+
+        Returns {"expired": [versions], "deleted_dirs": n, "freed_bytes": n}.
+        """
+        import shutil
+
+        current = self.current_version()
+        cutoff = current - keep_last + 1
+        all_versions = sorted(
+            int(name[1:9]) for name in os.listdir(self.snap_dir)
+            if name.startswith("v") and name.endswith(".json")
+        )
+        keep = [v for v in all_versions if v >= cutoff or v == current]
+        expired = [v for v in all_versions if v not in keep]
+        if not expired:
+            return {"expired": [], "deleted_dirs": 0, "freed_bytes": 0}
+
+        def _refs(versions) -> set:
+            out = set()
+            for v in versions:
+                s = self.snapshot(v)
+                for dd in s["buckets"].values():
+                    out.update(os.path.normpath(d) for d in dd)
+                for dd in s.get("deltas", {}).values():
+                    out.update(os.path.normpath(d) for d in dd)
+            return out
+
+        kept_refs = _refs(keep)
+        expired_refs = _refs(expired) - kept_refs
+        # walk data/commit-*/ at bucket-dir granularity (the unit snapshots
+        # reference); an unreferenced bucket dir outside any expired
+        # snapshot is an orphan — age-gated
+        now = time.time()
+        deleted_dirs = 0
+        freed = 0
+        data_root = os.path.join(self.path, "data")
+        for commit_name in list(os.listdir(data_root)):
+            commit_dir = os.path.join(data_root, commit_name)
+            if not os.path.isdir(commit_dir):
+                continue
+            for bucket_name in list(os.listdir(commit_dir)):
+                bdir = os.path.normpath(os.path.join(commit_dir, bucket_name))
+                if not os.path.isdir(bdir) or bdir in kept_refs:
+                    continue
+                if bdir not in expired_refs:
+                    try:
+                        if now - os.path.getmtime(bdir) < orphan_grace_sec:
+                            continue
+                    except OSError:  # pragma: no cover
+                        continue
+                freed += _du([bdir])
+                shutil.rmtree(bdir, ignore_errors=True)
+                deleted_dirs += 1
+            if not os.listdir(commit_dir):
+                shutil.rmtree(commit_dir, ignore_errors=True)
+        for v in expired:
+            os.remove(os.path.join(self.snap_dir, f"v{v:08d}.json"))
+        return {"expired": expired, "deleted_dirs": deleted_dirs, "freed_bytes": freed}
 
     def with_bucket(self, df):
         snap = self.snapshot()

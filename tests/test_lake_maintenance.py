@@ -127,3 +127,50 @@ def test_expire_snapshots_gc(spark, tmp_path):
         t.snapshot(old_version)
     assert t.expire_snapshots(keep_last=1)["expired"] == []
     assert len(out2["expired"]) + len(out["expired"]) == n_versions - 1
+
+
+def test_changes_feed_reconstructs_cdc_pipeline_state(spark, tmp_path):
+    """CDF over the REAL pipeline: ingest a generated WAL stream (initial
+    load + 2 incremental MOR batches, TOAST-'u' cells included), then
+    replay `changes(0)` key-by-key respecting the carrier flags — the
+    reconstruction must equal the serial DuckDB oracle's final state."""
+    import duckdb
+
+    from pypgoutput_spark.streaming import pipeline
+    from pypgoutput_spark.wal import generator as gen
+
+    p = gen.GenParams(n_txns=45, ops_per_txn=6, toast_pct=30, txns_per_segment=5)
+    frames = gen.spark_frames_df(spark, p)
+    table = LakeTable.create(
+        spark, str(tmp_path / "cdc_lake"),
+        schema=[(c, "string") for c in gen.ALL_COLUMNS],
+        key_cols=list(gen.KEY_COLUMNS), n_buckets=8,
+    )
+    pipeline.run_ingest(spark, frames, table, n_batches=3)
+
+    value_cols = [c for c in gen.ALL_COLUMNS if c not in gen.KEY_COLUMNS]
+    state: dict = {}
+    rows = table.changes(0).collect()
+    for r in sorted(rows, key=lambda r: (r["_commit_version"], r["max_lsn"])):
+        key = tuple(r[k] for k in gen.KEY_COLUMNS)
+        if r["final_op"] == "D":
+            state.pop(key, None)
+            continue
+        old = state.get(key, tuple([None] * len(value_cols)))
+        state[key] = tuple(
+            r[c] if r[f"upd_{c}"] else old[i] for i, c in enumerate(value_cols)
+        )
+    want = duckdb.sql(gen.duckdb_final_state_sql(p, with_sha=False)).df()
+    want_state = {
+        tuple(row[k] for k in gen.KEY_COLUMNS): tuple(row[c] for c in value_cols)
+        for _, row in want.iterrows()
+    }
+
+    def _norm(d):
+        return {
+            k: tuple(None if v is None or (isinstance(v, float)) else v for v in vs)
+            for k, vs in d.items()
+        }
+
+    assert len(state) == len(want_state)
+    assert _norm(state) == _norm(want_state)

@@ -111,57 +111,105 @@ WHERE n_chars > 0
 """.strip()
 
 
+def _quality_exprs(d: Dialect) -> dict:
+    """The per-row expressions the component queries are built from —
+    shared with the corpus composites so the formulas cannot drift."""
+    toks = d.split_ws("text")
+    stop = d.array_lit(STOPWORDS)
+    hits = d.array_len(d.array_filter(toks, f"x -> {d.array_contains(stop, 'x')}"))
+    n_tok = d.array_len(toks)
+    chars = d.array_transform(
+        d.sequence("1", "length(text)"), "i -> ascii(substr(text, i, 1))"
+    )
+    fold = d.fold(
+        chars, "CAST(0 AS BIGINT)", "(acc, x) -> (acc * 31 + x) % 1000000007"
+    )
+    lang_scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = d.array_lit(markers)
+        lang_scores[lang] = d.array_len(
+            d.array_filter(toks, f"x -> {d.array_contains(arr, 'x')}")
+        )
+    return {
+        "n_tok": n_tok,
+        "quality": (
+            f"(CASE WHEN {n_tok} >= 10 THEN 1 ELSE 0 END"
+            f" + CASE WHEN {hits} > 0 THEN 1 ELSE 0 END"
+            f" + CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 1 ELSE 0 END)"
+        ),
+        "fingerprint": fold,
+        "lang_scores": lang_scores,
+    }
+
+
 def corpus_training_ready_sql(d: Dialect) -> str:
     """The end-to-end training-data gate as ONE query: quality filter →
     language ID → exact content dedup (keep the smallest doc_id per
     content fingerprint) → the training-ready manifest.
 
-    This is the composition a 100 TB pre-training pipeline runs nightly;
-    at scale it is scan → narrow per-row maps (all four text operators
-    fuse into one codegen stage over one pass of ``text``) → ONE shuffle
-    (the fingerprint group) → a co-partitioned self-join on the same key
-    (no second exchange: the min-id table comes out of the groupBy
-    already hash-partitioned by fingerprint).
+    This is the composition a 100 TB pre-training pipeline runs nightly.
+    All inputs are per-row, so the plan is ONE pass over ``text`` (no
+    self-joins on doc_id — every expression computes in the same codegen
+    stage as the scan) → ONE shuffle: the keep-smallest-doc_id rule is a
+    ``min_by(col, doc_id)`` group on fingerprint (deterministic — doc_id
+    is unique), partial-combining map-side, so the char-fold fingerprint
+    is computed exactly once per row and no join or second scan exists.
     """
+    e = _quality_exprs(d)
+    s = e["lang_scores"]
     return f"""
-WITH q AS ({quality_score_sql(d)}),
-l AS ({lang_id_sql(d)}),
-fp AS ({fingerprint_sql(d)}),
-gated AS (
-  SELECT q.doc_id, l.lang_pred, q.n_tokens, q.quality_score, fp.fingerprint
-  FROM q
-  JOIN l ON q.doc_id = l.doc_id
-  JOIN fp ON q.doc_id = fp.doc_id
-  WHERE q.quality_score >= 2
+WITH x AS (
+  SELECT doc_id,
+    {e['n_tok']} AS n_tokens,
+    {e['quality']} AS quality_score,
+    {e['fingerprint']} AS fingerprint,
+    {s['en']} AS s_en, {s['de']} AS s_de, {s['es']} AS s_es, {s['fr']} AS s_fr
+  FROM documents
+  WHERE n_chars > 0 AND {e['n_tok']} > 0
 ),
-keep AS (SELECT fingerprint, min(doc_id) AS keep_id FROM gated GROUP BY fingerprint)
-SELECT g.doc_id, g.lang_pred, g.n_tokens, g.quality_score, g.fingerprint
-FROM gated g
-JOIN keep k ON g.fingerprint = k.fingerprint AND g.doc_id = k.keep_id
+gated AS (
+  SELECT doc_id, n_tokens, quality_score, fingerprint,
+    CASE
+      WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+      WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+      WHEN s_es >= s_fr THEN 'es'
+      ELSE 'fr'
+    END AS lang_pred
+  FROM x WHERE quality_score >= 2
+)
+SELECT min(doc_id) AS doc_id,
+  min_by(lang_pred, doc_id) AS lang_pred,
+  min_by(n_tokens, doc_id) AS n_tokens,
+  min_by(quality_score, doc_id) AS quality_score,
+  fingerprint
+FROM gated GROUP BY fingerprint
 """.strip()
 
 
 def corpus_stats_sql(d: Dialect) -> str:
     """Per-(source, lang) corpus accounting: docs, token volume, distinct
-    content fingerprints (the exact-dup rate) — one map-side-combining
-    groupBy over the per-row maps (count(DISTINCT) is Spark's standard
-    two-phase expand). Sums are CAST to BIGINT in-dialect (DuckDB would
-    otherwise widen to HUGEINT and break the schema match)."""
+    content fingerprints (the exact-dup rate) — ONE pass over ``text``
+    (all inputs per-row, no joins) into one map-side-combining groupBy
+    (count(DISTINCT) is Spark's standard two-phase expand). Sums are
+    CAST to BIGINT in-dialect (DuckDB would otherwise widen to HUGEINT
+    and break the schema match)."""
+    e = _quality_exprs(d)
+    toks = d.split_ws("text")
     return f"""
-WITH t AS ({token_count_sql(d)}),
-fp AS ({fingerprint_sql(d)}),
-j AS (
-  SELECT doc.source, doc.lang, t.n_tokens_ws, t.n_chars_calc, fp.fingerprint
-  FROM documents doc
-  JOIN t ON doc.doc_id = t.doc_id
-  JOIN fp ON doc.doc_id = fp.doc_id
+WITH x AS (
+  SELECT source, lang,
+    {d.array_len(toks)} AS n_tokens_ws,
+    length(text) AS n_chars_calc,
+    {e['fingerprint']} AS fingerprint
+  FROM documents
+  WHERE n_chars > 0
 )
 SELECT source, lang,
   count(*) AS n_docs,
   CAST(sum(n_tokens_ws) AS BIGINT) AS total_tokens,
   CAST(sum(n_chars_calc) AS BIGINT) AS total_chars,
   count(DISTINCT fingerprint) AS n_unique_contents
-FROM j GROUP BY source, lang
+FROM x GROUP BY source, lang
 """.strip()
 
 

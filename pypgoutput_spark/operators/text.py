@@ -28,6 +28,40 @@ LANG_MARKERS = {
 _BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
+def _quality_exprs(d: Dialect) -> dict:
+    """The per-row expressions the component queries are built from —
+    shared with the corpus composites so the formulas cannot drift."""
+    toks = d.split_ws("text")
+    stop = d.array_lit(STOPWORDS)
+    hits = d.array_len(d.array_filter(toks, f"x -> {d.array_contains(stop, 'x')}"))
+    n_tok = d.array_len(toks)
+    chars = d.array_transform(
+        d.sequence("1", "length(text)"), "i -> ascii(substr(text, i, 1))"
+    )
+    fold = d.fold(
+        chars, "CAST(0 AS BIGINT)", "(acc, x) -> (acc * 31 + x) % 1000000007"
+    )
+    lang_scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = d.array_lit(markers)
+        lang_scores[lang] = d.array_len(
+            d.array_filter(toks, f"x -> {d.array_contains(arr, 'x')}")
+        )
+    return {
+        "toks": toks,
+        "n_tok": n_tok,
+        "hits": hits,
+        "quality": (
+            f"(CASE WHEN {n_tok} >= 10 THEN 1 ELSE 0 END"
+            f" + CASE WHEN {hits} > 0 THEN 1 ELSE 0 END"
+            f" + CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 1 ELSE 0 END)"
+        ),
+        "fingerprint": fold,
+        "lang_scores": lang_scores,
+    }
+
+
+
 def token_count_sql(d: Dialect) -> str:
     toks = d.split_ws("text")
     return f"""
@@ -41,10 +75,8 @@ WHERE n_chars > 0
 
 
 def quality_score_sql(d: Dialect) -> str:
-    toks = d.split_ws("text")
-    stop = d.array_lit(STOPWORDS)
-    hits = d.array_len(d.array_filter(toks, f"x -> {d.array_contains(stop, 'x')}"))
-    n_tok = d.array_len(toks)
+    e = _quality_exprs(d)
+    n_tok, hits = e["n_tok"], e["hits"]
     n_punct = d.regexp_count("text", "[.,;:!?]")
     # ratios are single IEEE divisions of exact integers → deterministic
     return f"""
@@ -55,22 +87,14 @@ SELECT doc_id,
   CAST({n_punct} AS DOUBLE) / length(text) AS punct_ratio,
   CAST({hits} AS DOUBLE) / {n_tok} AS stopword_ratio,
   CAST(length(text) AS DOUBLE) / {n_tok} AS avg_token_len,
-  (CASE WHEN {n_tok} >= 10 THEN 1 ELSE 0 END
-   + CASE WHEN {hits} > 0 THEN 1 ELSE 0 END
-   + CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 1 ELSE 0 END) AS quality_score
+  {e['quality']} AS quality_score
 FROM documents
 WHERE n_chars > 0 AND {n_tok} > 0
 """.strip()
 
 
 def lang_id_sql(d: Dialect) -> str:
-    toks = d.split_ws("text")
-    scores = {}
-    for lang, markers in LANG_MARKERS.items():
-        arr = d.array_lit(markers)
-        scores[lang] = d.array_len(
-            d.array_filter(toks, f"x -> {d.array_contains(arr, 'x')}")
-        )
+    scores = _quality_exprs(d)["lang_scores"]
     return f"""
 WITH scored AS (
   SELECT doc_id, lang AS lang_true,
@@ -96,50 +120,12 @@ def fingerprint_sql(d: Dialect) -> str:
     content fingerprint; identical across engines because every step is
     exact integer arithmetic.
     """
-    chars = d.array_transform(
-        d.sequence("1", "length(text)"), "i -> ascii(substr(text, i, 1))"
-    )
-    fold = d.fold(
-        chars,
-        "CAST(0 AS BIGINT)",
-        "(acc, x) -> (acc * 31 + x) % 1000000007",
-    )
+    fold = _quality_exprs(d)["fingerprint"]
     return f"""
 SELECT doc_id, length(text) AS n, {fold} AS fingerprint
 FROM documents
 WHERE n_chars > 0
 """.strip()
-
-
-def _quality_exprs(d: Dialect) -> dict:
-    """The per-row expressions the component queries are built from —
-    shared with the corpus composites so the formulas cannot drift."""
-    toks = d.split_ws("text")
-    stop = d.array_lit(STOPWORDS)
-    hits = d.array_len(d.array_filter(toks, f"x -> {d.array_contains(stop, 'x')}"))
-    n_tok = d.array_len(toks)
-    chars = d.array_transform(
-        d.sequence("1", "length(text)"), "i -> ascii(substr(text, i, 1))"
-    )
-    fold = d.fold(
-        chars, "CAST(0 AS BIGINT)", "(acc, x) -> (acc * 31 + x) % 1000000007"
-    )
-    lang_scores = {}
-    for lang, markers in LANG_MARKERS.items():
-        arr = d.array_lit(markers)
-        lang_scores[lang] = d.array_len(
-            d.array_filter(toks, f"x -> {d.array_contains(arr, 'x')}")
-        )
-    return {
-        "n_tok": n_tok,
-        "quality": (
-            f"(CASE WHEN {n_tok} >= 10 THEN 1 ELSE 0 END"
-            f" + CASE WHEN {hits} > 0 THEN 1 ELSE 0 END"
-            f" + CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 1 ELSE 0 END)"
-        ),
-        "fingerprint": fold,
-        "lang_scores": lang_scores,
-    }
 
 
 def corpus_training_ready_sql(d: Dialect) -> str:

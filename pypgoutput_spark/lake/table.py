@@ -433,8 +433,15 @@ class LakeTable:
 
         parts = []
         for v in range(since_version + 1, until + 1):
-            s = self.snapshot(v)
-            added = self.delta_dirs_added(v)
+            try:
+                s = self.snapshot(v)
+                added = self.delta_dirs_added(v)
+            except FileNotFoundError as exc:
+                raise ValueError(
+                    f"change feed needs snapshots ({since_version}, {until}] but "
+                    f"version {v} (or its parent) is expired — retain enough "
+                    "history (expire_snapshots keep_last) for the slowest consumer"
+                ) from exc
             if added:
                 dirs = [d for dd in added.values() for d in dd]
                 parts.append(

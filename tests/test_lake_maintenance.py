@@ -174,3 +174,19 @@ def test_changes_feed_reconstructs_cdc_pipeline_state(spark, tmp_path):
 
     assert len(state) == len(want_state)
     assert _norm(state) == _norm(want_state)
+
+
+def test_changes_after_expiration_is_explicit(spark, tmp_path):
+    """A consumer asking for a feed range whose snapshots were expired
+    gets a clear retention error, not a stray file-not-found."""
+    t = _mk(spark, tmp_path)
+    merge_into(t, _changes(spark, [
+        ("k1", "I", 10, ("v", "a1"), ("v", "b1")),
+    ]), watermark_lsn=10)
+    merge_into(t, _changes(spark, [
+        ("k1", "U", 20, ("v", "a1x"), None),
+    ]), watermark_lsn=20, auto_compact=False)
+    t.compact()
+    t.expire_snapshots(keep_last=1, orphan_grace_sec=0.0)
+    with pytest.raises(ValueError, match="expired"):
+        t.changes(0).collect()

@@ -518,8 +518,8 @@ class LakeTable:
         )
         keep = [v for v in all_versions if v >= cutoff or v == current]
         expired = [v for v in all_versions if v not in keep]
-        if not expired:
-            return {"expired": [], "deleted_dirs": 0, "freed_bytes": 0}
+        # the orphan sweep below runs even with nothing to expire — a
+        # vacuum call after a crashed writer must still reclaim staging
 
         def _refs(versions) -> set:
             out = set()

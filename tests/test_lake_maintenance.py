@@ -190,3 +190,29 @@ def test_changes_after_expiration_is_explicit(spark, tmp_path):
     t.expire_snapshots(keep_last=1, orphan_grace_sec=0.0)
     with pytest.raises(ValueError, match="expired"):
         t.changes(0).collect()
+
+
+def test_expire_grace_protects_inflight_staging(spark, tmp_path):
+    """An unreferenced staging dir with a fresh mtime (a concurrent
+    writer's in-flight commit) survives expiration until the grace
+    window passes; with grace 0 it is reclaimed as an orphan."""
+    import os
+
+    t = _mk(spark, tmp_path)
+    merge_into(t, _changes(spark, [
+        ("k1", "I", 10, ("v", "a1"), ("v", "b1")),
+    ]), watermark_lsn=10)
+    merge_into(t, _changes(spark, [
+        ("k1", "U", 20, ("v", "a1x"), None),
+    ]), watermark_lsn=20, auto_compact=False)
+
+    fake = os.path.join(t.path, "data", "commit-inflight-deadbeef", "_bucket=0")
+    os.makedirs(fake)
+    with open(os.path.join(fake, "part-0.parquet"), "wb") as f:
+        f.write(b"x" * 128)
+
+    out = t.expire_snapshots(keep_last=1, orphan_grace_sec=3600.0)
+    assert out["expired"] and os.path.isdir(fake)   # fresh orphan kept
+
+    out = t.expire_snapshots(keep_last=1, orphan_grace_sec=0.0)
+    assert not os.path.isdir(fake)                  # grace elapsed → reclaimed

@@ -13,24 +13,35 @@ with the properties the rule actually needs:
     merge APPENDS the batch's LWW-collapsed change set as per-bucket
     *delta* files — write cost ∝ change-set size, never ∝ table size.
     Readers resolve base ∪ deltas with the same associative
-    ``max_by(..., lsn) FILTER (carrier)`` aggregate the in-batch LWW
-    uses (operators/lww.py): base rows participate at ``lsn = -1``, so a
+    ``max_by(..., lsn) FILTER (carrier)`` rule the in-batch LWW uses
+    (operators/lww.py): base rows participate at ``lsn = -1``, so a
     column with no delta information falls through to the stored value —
     TOAST-'u' preservation and delete-reset semantics hold across
     commits exactly as they do within a batch. Buckets with no deltas
-    are read as plain scans (no aggregate, no shuffle); only dirty
-    buckets pay resolution, and compaction keeps that fraction bounded.
+    are read as plain scans (no aggregate, no shuffle); dirty buckets
+    resolve **locally, with zero exchange**: each bucket's base ∪ delta
+    files are already co-bucketed on disk, so the reader narrows them
+    into one task (`coalesce(1)`) and resolves with an Arrow kernel
+    (`mapInArrow`) — no shuffle of base rows, parallelism = dirty-bucket
+    count (set ``props["resolve"] = "shuffle"`` for the hash-aggregate
+    plan instead).
   - **Compaction**: when a bucket's delta bytes pass a ratio of its base
     (or its delta-commit count passes a bound), the bucket is rewritten
-    as resolved base and its deltas dropped — an independent, idempotent
-    commit that never gates ingest (the async-compactor analog; here it
-    runs synchronously after the delta commit when triggered).
+    as resolved base and the *folded* deltas dropped. Compaction is an
+    independent, idempotent, watermark-neutral commit and never gates
+    ingest: ``schedule_compact`` runs it on a maintenance thread while
+    ingest keeps committing (Spark schedules jobs from both threads
+    concurrently); the commit folds only the delta dirs it resolved, so
+    deltas appended *while it ran* survive, and an optimistic base-dir
+    check aborts it cleanly (`CommitConflict`) if a truncate/rewrite
+    landed in between.
   - **Atomic snapshot commits**: a snapshot JSON lists, per bucket, the
     base and delta directories that constitute it, plus the schema and
     the ``watermark_lsn``. Publishing = atomic rename of the CURRENT
-    pointer. Readers resolve CURRENT → snapshot → exact file set; a
-    crashed writer leaves only unreferenced staging files (never a torn
-    table).
+    pointer under a commit file-lock (the object-store analog is a
+    conditional PUT). Readers resolve CURRENT → snapshot → exact file
+    set; a crashed writer leaves only unreferenced staging files (never
+    a torn table).
   - **Exactly-once**: ``watermark_lsn`` (the applied-through LSN, the
     analog of the reference's ``send_feedback(flush_lsn)`` ack protocol,
     reference reader.py:374-390) commits in the *same* atomic snapshot as
@@ -40,9 +51,13 @@ with the properties the rule actually needs:
     fills missing columns with NULL and prunes dropped ones); retypes
     rewrite (rare DDL).
   - **Lineage/metrics**: every snapshot embeds the batch's applied /
-    deleted / skipped counters and per-bucket file provenance, plus
-    per-bucket byte accounting (``bucket_bytes`` / ``delta_bytes``) so
-    the compaction policy never re-lists the filesystem.
+    deleted / skipped counters and per-bucket file provenance. Byte
+    accounting is **manifest-carried**: the writer records each staged
+    directory's size at write time (``dir_bytes``, the Iceberg
+    manifest-entry ``file_size_in_bytes`` analog), snapshots carry the
+    map forward, and the commit path never lists the filesystem — on an
+    object store, per-commit tree listing is the classic metadata
+    bottleneck.
 
 At 100 TB scale, ``n_buckets`` is sized so a bucket ≈ a few GB; the
 listing in a snapshot stays in the thousands of entries, deltas shuffle
@@ -54,29 +69,128 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import threading
 import time
 import uuid
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 from pyspark.sql import functions as F
 
 CURRENT = "CURRENT"
 
 
+class CommitConflict(RuntimeError):
+    """An optimistic commit (compaction) lost a race with a conflicting
+    commit (truncate / base rewrite of the same buckets). The staged
+    files are unreferenced; retrying against the new snapshot is safe."""
+
+
 def _bucket_col(key_cols: Sequence[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets))
 
 
-def _du(dirs: Sequence[str]) -> int:
+def _scan_bytes(d: str) -> int:
+    """Size of one staged directory (flat file listing — used only for
+    directories whose size is not manifest-carried: fresh writes in
+    ``write_buckets`` and unreferenced orphans in GC)."""
     total = 0
-    for d in dirs:
-        for root, _dirs, files in os.walk(d):
-            for f in files:
+    try:
+        with os.scandir(d) as it:
+            for e in it:
                 try:
-                    total += os.path.getsize(os.path.join(root, f))
+                    if e.is_file():
+                        total += e.stat().st_size
+                    elif e.is_dir():
+                        total += _scan_bytes(e.path)
                 except OSError:  # pragma: no cover
                     pass
+    except OSError:  # pragma: no cover
+        pass
     return total
+
+
+def _maybe_crash(point: str) -> None:
+    """Fault-injection hook for the crash-consistency soak
+    (tests/test_crash_resume.py): die hard — no cleanup, no atexit, the
+    SIGKILL analog — when the environment names this point. Format:
+    ``PYPGOUT_CRASH_POINT=<point>:<nth>`` (1-based occurrence count,
+    per process)."""
+    spec = os.environ.get("PYPGOUT_CRASH_POINT")
+    if not spec:
+        return
+    name, _, nth = spec.partition(":")
+    if name != point:
+        return
+    _CRASH_COUNTS[point] = _CRASH_COUNTS.get(point, 0) + 1
+    if _CRASH_COUNTS[point] >= int(nth or "1"):
+        os._exit(137)
+
+
+_CRASH_COUNTS: Dict[str, int] = {}
+
+
+def _resolve_kernel(keys: Sequence[str], value_cols: Sequence[str], out_ddl_names):
+    """Arrow kernel for exchange-free MOR resolution: the input iterator
+    holds ONE bucket's base ∪ delta rows (co-bucketed files narrowed
+    into a single task), so every key's full history is local. Applies
+    the LWW read rule per key — final_op = op at max lsn; per column,
+    value at the max lsn whose row *carries* that column — then drops
+    keys whose final op is 'D'. Pure positional gathers (`take`), so
+    every column type round-trips exactly (no pandas dtype coercion).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(batches):
+        batches = [b for b in batches if b.num_rows]
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches)
+        n = tbl.num_rows
+        # composite group code per key tuple (dictionary codes: exact
+        # equality for any type, vectorized)
+        g = None
+        for k in keys:
+            enc = pc.dictionary_encode(tbl[k].combine_chunks())
+            codes = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+            g = codes if g is None else g * (int(codes.max()) + 2) + codes
+        lsn = tbl["__lsn"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((lsn, g))
+        g_s = g[order]
+        starts = np.flatnonzero(np.r_[True, g_s[1:] != g_s[:-1]])
+        ends = np.r_[starts[1:], n]
+        final_rows = order[ends - 1]  # max-lsn row per key
+        ops = tbl["__op"].combine_chunks()
+        keep = pc.not_equal(ops.take(pa.array(final_rows)), "D").to_numpy(
+            zero_copy_only=False
+        ).astype(bool)
+        final_rows = final_rows[keep]
+        if not len(final_rows):
+            return
+        pos = np.arange(n, dtype=np.int64)
+        out_arrays = []
+        for name in out_ddl_names:
+            if name in keys:
+                out_arrays.append(tbl[name].combine_chunks().take(pa.array(final_rows)))
+                continue
+            m = pc.fill_null(tbl[f"__has_{name}"].combine_chunks(), False).to_numpy(
+                zero_copy_only=False
+            ).astype(bool)
+            cand = np.where(m[order], pos, -1)
+            w = np.maximum.reduceat(cand, starts)[keep]  # winner pos or -1
+            valid = w >= 0
+            rows = order[np.where(valid, w, 0)]
+            taken = tbl[f"__v_{name}"].combine_chunks().take(pa.array(rows))
+            if not valid.all():
+                taken = pc.if_else(pa.array(valid), taken, pa.scalar(None, taken.type))
+            out_arrays.append(taken)
+        yield pa.RecordBatch.from_arrays(
+            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_arrays],
+            names=list(out_ddl_names),
+        )
+
+    return fn
 
 
 class LakeTable:
@@ -87,6 +201,9 @@ class LakeTable:
         self.snap_dir = os.path.join(self.meta_dir, "snapshots")
         if not os.path.exists(os.path.join(self.meta_dir, CURRENT)):
             raise FileNotFoundError(f"not a LakeTable (no _meta/CURRENT): {path}")
+        self._maintenance = None  # lazy single-thread compactor
+        self._pending_compaction = None
+        self._sched_lock = threading.Lock()
 
     # ------------------------------------------------------------------ setup
 
@@ -113,6 +230,7 @@ class LakeTable:
             "deltas": {},
             "bucket_bytes": {},
             "delta_bytes": {},
+            "dir_bytes": {},
             "watermark_lsn": -1,
             "parent": None,
             "props": props or {},
@@ -164,12 +282,17 @@ class LakeTable:
 
     # ------------------------------------------------------------------ read
 
-    def read(self, version: Optional[int] = None, buckets: Optional[Sequence[int]] = None):
+    def read(self, version: Optional[int] = None, buckets: Optional[Sequence[int]] = None,
+             resolve: Optional[str] = None):
         """DataFrame of the table state at a snapshot (default: current).
 
         Buckets without deltas are plain scans. Dirty buckets resolve
-        base ∪ deltas with the LWW read aggregate (see module
-        docstring); ``buckets`` restricts the scan (file-level pruning).
+        base ∪ deltas with the LWW read rule; ``buckets`` restricts the
+        scan (file-level pruning). ``resolve``: ``"local"`` (default;
+        zero-exchange per-bucket Arrow kernel) or ``"shuffle"`` (hash
+        aggregate — exchanges dirty-bucket rows; useful when single
+        buckets outgrow one task's memory before compaction catches up).
+        Overridable per table via ``props["resolve"]``.
         """
         snap = self.snapshot(version)
         base: Dict[str, List[str]] = snap["buckets"]
@@ -180,15 +303,19 @@ class LakeTable:
             deltas = {b: dd for b, dd in deltas.items() if b in keep}
         ddl = self.schema_ddl(snap)
         clean_dirs = [d for b, dd in base.items() if b not in deltas for d in dd]
-        dirty_base_dirs = [d for b in deltas for d in base.get(b, [])]
-        delta_dirs = [d for dd in deltas.values() for d in dd]
         parts = []
         if clean_dirs:
             # explicit schema: evolution-safe (missing columns → NULL,
             # dropped columns pruned at the parquet reader)
             parts.append(self.spark.read.schema(ddl).parquet(*clean_dirs))
-        if delta_dirs:
-            parts.append(self._resolve(snap, dirty_base_dirs, delta_dirs))
+        if deltas:
+            mode = resolve or snap.get("props", {}).get("resolve", "local")
+            if mode == "shuffle":
+                dirty_base_dirs = [d for b in deltas for d in base.get(b, [])]
+                delta_dirs = [d for dd in deltas.values() for d in dd]
+                parts.append(self._resolve_shuffle(snap, dirty_base_dirs, delta_dirs))
+            else:
+                parts.append(self._resolve_local(snap, base, deltas))
         if not parts:
             return self.spark.createDataFrame([], schema=ddl)
         out = parts[0]
@@ -196,14 +323,9 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
-    def _resolve(self, snap: dict, base_dirs: List[str], delta_dirs: List[str]):
-        """LWW-resolve dirty buckets: base rows at lsn=-1 ∪ delta rows at
-        their commit max_lsn; per column, the newest row that *carries*
-        information wins (a delta with a value, a D reset, or the base);
-        keys whose newest row is a D drop out. The aggregate is
-        associative (partial map-side combine), and base/delta files of
-        one bucket are co-bucketed, so at scale the exchange moves only
-        dirty-bucket rows."""
+    def _dirty_union(self, snap: dict, base_dirs: List[str], delta_dirs: List[str]):
+        """base rows (lsn = -1, all columns carried) ∪ delta rows (their
+        commit max_lsn, carrier = struct present or a 'D' reset), typed."""
         keys = snap["key_cols"]
         col_types = dict(snap["schema"])
         value_cols = [n for n, _ in snap["schema"] if n not in keys]
@@ -212,10 +334,6 @@ class LakeTable:
         sel_base = [f"`{k}`" for k in keys] + ["'B' AS __op", "CAST(-1 AS BIGINT) AS __lsn"]
         sel_base += [f"`{c}` AS `__v_{c}`" for c in value_cols]
         sel_base += [f"true AS `__has_{c}`" for c in value_cols]
-        if base_dirs:
-            base = self.spark.read.schema(ddl).parquet(*base_dirs).selectExpr(*sel_base)
-        else:
-            base = None
 
         delta_raw = self.spark.read.schema(self.delta_schema_ddl(snap)).parquet(*delta_dirs)
         sel_delta = [f"`{k}`" for k in keys] + ["final_op AS __op", "max_lsn AS __lsn"]
@@ -229,8 +347,43 @@ class LakeTable:
             for c in value_cols
         ]
         delta = delta_raw.selectExpr(*sel_delta)
-        allrows = delta if base is None else base.unionByName(delta)
+        if not base_dirs:
+            return delta
+        base = self.spark.read.schema(ddl).parquet(*base_dirs).selectExpr(*sel_base)
+        return base.unionByName(delta)
 
+    def _resolve_local(self, snap: dict, base: Dict[str, List[str]],
+                       deltas: Dict[str, List[str]]):
+        """Exchange-free resolution: per dirty bucket, narrow that
+        bucket's (already co-bucketed) base ∪ delta files into ONE task
+        (`coalesce(1)` — a narrow dependency, not a shuffle) and resolve
+        with the Arrow kernel. No Exchange anywhere in the plan
+        (asserted by tests/test_mor.py); the data never crosses the
+        network, which at 100 TB beats re-hashing every dirty-bucket
+        base row. Parallelism = dirty-bucket count — size ``n_buckets``
+        so a bucket fits one task (the same contract compaction already
+        imposes). At catalog scale, the per-bucket plan union would be
+        replaced by a bucketed-table definition; the kernel is
+        unchanged."""
+        keys = snap["key_cols"]
+        value_cols = [n for n, _ in snap["schema"] if n not in keys]
+        names = [n for n, _ in snap["schema"]]
+        kern = _resolve_kernel(keys, value_cols, names)
+        out = None
+        for b, ddirs in deltas.items():
+            u = self._dirty_union(snap, base.get(b, []), ddirs).coalesce(1)
+            resolved = u.mapInArrow(kern, self.schema_ddl(snap))
+            out = resolved if out is None else out.unionByName(resolved)
+        return out
+
+    def _resolve_shuffle(self, snap: dict, base_dirs: List[str], delta_dirs: List[str]):
+        """Hash-aggregate resolution (one exchange over dirty-bucket
+        rows): ``max_by(value, lsn) FILTER (carrier)`` per column — the
+        associative partial-combining form. Kept for buckets too large
+        for single-task local resolution."""
+        keys = snap["key_cols"]
+        value_cols = [n for n, _ in snap["schema"] if n not in keys]
+        allrows = self._dirty_union(snap, base_dirs, delta_dirs)
         aggs = ["max_by(__op, __lsn) AS __final_op"] + [
             f"max_by(`__v_{c}`, __lsn) FILTER (WHERE `__has_{c}`) AS `{c}`"
             for c in value_cols
@@ -247,9 +400,11 @@ class LakeTable:
     def _stage_dir(self, version: int) -> str:
         return os.path.join(self.path, "data", f"commit-{version:08d}-{uuid.uuid4().hex[:8]}")
 
-    def write_buckets(self, df, version: int) -> Dict[str, List[str]]:
+    def write_buckets(self, df, version: int) -> Tuple[Dict[str, List[str]], Dict[str, int]]:
         """Write rows (must carry ``_bucket``) as one directory per bucket;
-        returns {bucket: [dir]} for the snapshot.
+        returns ({bucket: [dir]}, {dir: bytes}) for the snapshot — the
+        writer records sizes at write time (manifest-entry analog), so
+        the commit path never lists the filesystem.
 
         One shuffle co-locates each bucket's rows (one file per bucket,
         not #partitions × #buckets fragments); the dynamic-partition
@@ -264,11 +419,14 @@ class LakeTable:
             .parquet(stage)
         )
         out: Dict[str, List[str]] = {}
+        dir_bytes: Dict[str, int] = {}
         if os.path.exists(stage):
             for name in os.listdir(stage):
                 if name.startswith("_bucket="):
-                    out[name.split("=", 1)[1]] = [os.path.join(stage, name)]
-        return out
+                    d = os.path.join(stage, name)
+                    out[name.split("=", 1)[1]] = [d]
+                    dir_bytes[d] = _scan_bytes(d)
+        return out, dir_bytes
 
     def commit(
         self,
@@ -279,57 +437,106 @@ class LakeTable:
         schema: Optional[Sequence[Tuple[str, str]]] = None,
         truncate: bool = False,
         delta_buckets: Optional[Dict[str, List[str]]] = None,
+        dir_bytes: Optional[Dict[str, int]] = None,
+        folded_deltas: Optional[Dict[str, List[str]]] = None,
+        expected_base: Optional[Dict[str, List[str]]] = None,
+        carry_metrics: Sequence[str] = (),
     ) -> int:
-        """Publish a new snapshot.
+        """Publish a new snapshot (atomic, serialized by a commit lock —
+        ingest and maintenance threads/processes interleave safely).
 
         ``new_buckets`` replace the base of the buckets they name;
         ``replaced_buckets`` have their base dropped and their deltas
-        cleared (a replaced base is fully resolved — COW rewrite or
-        compaction); ``delta_buckets`` APPEND merge-on-read delta dirs;
-        ``truncate`` drops everything first. Untouched buckets carry over.
+        cleared (a replaced base is fully resolved — COW rewrite);
+        ``delta_buckets`` APPEND merge-on-read delta dirs; ``truncate``
+        drops everything first. Untouched buckets carry over.
+
+        Compaction-specific parameters: ``folded_deltas`` names the
+        exact delta dirs the new base resolved — only those are removed
+        from the bucket's delta list, so deltas appended concurrently
+        survive; ``expected_base`` is the base the compactor resolved
+        against — if the head no longer matches (truncate / COW rewrite
+        raced in), the commit raises :class:`CommitConflict` and leaves
+        only unreferenced staging. ``carry_metrics`` copies those keys
+        from the head snapshot's metrics when absent (checkpoint state
+        such as ``open_tx`` must come from the HEAD at publish time,
+        not from the snapshot the compactor started from).
+
+        ``dir_bytes``: sizes of the newly referenced dirs, as returned
+        by :meth:`write_buckets`; carried in the snapshot so no commit
+        or policy decision ever lists the filesystem.
         """
-        prev = self.snapshot()
-        version = prev["version"] + 1
-        if truncate:
-            buckets: Dict[str, List[str]] = {}
-            deltas: Dict[str, List[str]] = {}
-            bucket_bytes: Dict[str, int] = {}
-            delta_bytes: Dict[str, int] = {}
-        else:
-            buckets = dict(prev["buckets"])
-            deltas = {b: list(dd) for b, dd in prev.get("deltas", {}).items()}
-            bucket_bytes = dict(prev.get("bucket_bytes", {}))
-            delta_bytes = dict(prev.get("delta_bytes", {}))
-        for b in replaced_buckets:
-            buckets.pop(str(b), None)
-            deltas.pop(str(b), None)
-            bucket_bytes.pop(str(b), None)
-            delta_bytes.pop(str(b), None)
-        for b, dirs in new_buckets.items():
-            buckets[str(b)] = dirs
-            deltas.pop(str(b), None)
-            bucket_bytes[str(b)] = _du(dirs)
-            delta_bytes.pop(str(b), None)
-        for b, dirs in (delta_buckets or {}).items():
-            deltas.setdefault(str(b), []).extend(dirs)
-            delta_bytes[str(b)] = delta_bytes.get(str(b), 0) + _du(dirs)
-        snap = {
-            "version": version,
-            "schema": [list(c) for c in (schema or prev["schema"])],
-            "key_cols": prev["key_cols"],
-            "n_buckets": prev["n_buckets"],
-            "buckets": buckets,
-            "deltas": deltas,
-            "bucket_bytes": bucket_bytes,
-            "delta_bytes": delta_bytes,
-            "watermark_lsn": prev["watermark_lsn"] if watermark_lsn is None else watermark_lsn,
-            "parent": prev["version"],
-            "props": prev["props"],
-            "metrics": metrics or {},
-            "created_at": time.time(),
-        }
-        _write_json(os.path.join(self.snap_dir, f"v{version:08d}.json"), snap)
-        _atomic_write(os.path.join(self.meta_dir, CURRENT), str(version))
+        _maybe_crash("pre_snapshot")
+        with _commit_lock(self.meta_dir):
+            prev = self.snapshot()
+            version = prev["version"] + 1
+            all_dir_bytes = dict(prev.get("dir_bytes", {}))
+            all_dir_bytes.update(dir_bytes or {})
+            if truncate:
+                buckets: Dict[str, List[str]] = {}
+                deltas: Dict[str, List[str]] = {}
+            else:
+                buckets = dict(prev["buckets"])
+                deltas = {b: list(dd) for b, dd in prev.get("deltas", {}).items()}
+            if folded_deltas:
+                for b, folded in folded_deltas.items():
+                    head_base = prev["buckets"].get(b, [])
+                    if expected_base is not None and head_base != expected_base.get(b, []):
+                        raise CommitConflict(
+                            f"bucket {b}: base changed since compaction began "
+                            f"(expected {expected_base.get(b)}, head {head_base})"
+                        )
+                    remaining = [d for d in deltas.get(b, []) if d not in set(folded)]
+                    if remaining:
+                        deltas[b] = remaining
+                    else:
+                        deltas.pop(b, None)
+            for b in replaced_buckets:
+                buckets.pop(str(b), None)
+                deltas.pop(str(b), None)
+            for b, dirs in new_buckets.items():
+                buckets[str(b)] = dirs
+                if not folded_deltas:
+                    deltas.pop(str(b), None)
+            for b, dirs in (delta_buckets or {}).items():
+                deltas.setdefault(str(b), []).extend(dirs)
+            # prune emptied buckets (compaction of an all-deleted bucket)
+            buckets = {b: dd for b, dd in buckets.items() if dd or b in deltas}
+            # derive byte maps from the manifest-carried dir sizes; drop
+            # entries for dirs no longer referenced anywhere
+            referenced = {d for dd in buckets.values() for d in dd}
+            referenced |= {d for dd in deltas.values() for d in dd}
+            all_dir_bytes = {d: s for d, s in all_dir_bytes.items() if d in referenced}
+            bucket_bytes = {
+                b: sum(all_dir_bytes.get(d, 0) for d in dd) for b, dd in buckets.items()
+            }
+            delta_bytes = {
+                b: sum(all_dir_bytes.get(d, 0) for d in dd) for b, dd in deltas.items()
+            }
+            out_metrics = dict(metrics or {})
+            for k in carry_metrics:
+                if k not in out_metrics and k in prev.get("metrics", {}):
+                    out_metrics[k] = prev["metrics"][k]
+            snap = {
+                "version": version,
+                "schema": [list(c) for c in (schema or prev["schema"])],
+                "key_cols": prev["key_cols"],
+                "n_buckets": prev["n_buckets"],
+                "buckets": buckets,
+                "deltas": deltas,
+                "bucket_bytes": bucket_bytes,
+                "delta_bytes": delta_bytes,
+                "dir_bytes": all_dir_bytes,
+                "watermark_lsn": prev["watermark_lsn"] if watermark_lsn is None else watermark_lsn,
+                "parent": prev["version"],
+                "props": prev["props"],
+                "metrics": out_metrics,
+                "created_at": time.time(),
+            }
+            _write_json(os.path.join(self.snap_dir, f"v{version:08d}.json"), snap)
+            _maybe_crash("pre_publish")
+            _atomic_write(os.path.join(self.meta_dir, CURRENT), str(version))
+        _maybe_crash("post_publish")
         return version
 
     # ------------------------------------------------------------ compaction
@@ -343,7 +550,8 @@ class LakeTable:
         """Buckets whose deltas warrant folding into the base: delta bytes
         pass ``compact_ratio`` of base AND an absolute floor (tiny deltas
         never trigger a base rewrite), OR the delta-commit count passes
-        ``max_delta_commits`` (bounds snapshot listing growth)."""
+        ``max_delta_commits`` (bounds snapshot listing growth). Decided
+        entirely from manifest-carried byte maps — no filesystem access."""
         snap = self.snapshot()
         out = []
         for b, dirs in snap.get("deltas", {}).items():
@@ -357,25 +565,70 @@ class LakeTable:
     def compact(self, buckets: Optional[Sequence[int]] = None,
                 extra_metrics: Optional[dict] = None) -> Optional[int]:
         """Rewrite the given dirty buckets (default: all dirty) as resolved
-        base and drop their deltas. Idempotent and watermark-neutral — a
-        crash leaves only unreferenced staging files."""
+        base and drop the deltas that were folded in. Idempotent,
+        watermark-neutral, and safe to run CONCURRENTLY with ingest: the
+        snapshot is pinned at start, the commit folds only the delta
+        dirs it resolved (later appends survive), and a conflicting base
+        rewrite aborts with :class:`CommitConflict` — a crash or abort
+        leaves only unreferenced staging files."""
         snap = self.snapshot()
+        ver = snap["version"]
         dirty = [int(b) for b in snap.get("deltas", {})]
         if buckets is not None:
             want = set(int(b) for b in buckets)
             dirty = [b for b in dirty if b in want]
         if not dirty:
             return None
-        resolved = self.read(buckets=dirty)
-        staged = self.write_buckets(self.with_bucket(resolved), snap["version"] + 1)
-        # carry forward checkpoint state the ingest pipeline persists in the
-        # batch commit's metrics (open-transaction carry) — compaction is
-        # watermark-neutral and must be checkpoint-neutral too
-        carried = {
-            k: snap["metrics"][k] for k in ("open_tx",) if k in snap.get("metrics", {})
-        }
-        metrics = {"compaction": {"buckets": dirty}, **carried, **(extra_metrics or {})}
-        return self.commit(staged, replaced_buckets=dirty, metrics=metrics)
+        resolved = self.read(version=ver, buckets=dirty)
+        staged, dbytes = self.write_buckets(self.with_bucket(resolved), ver + 1)
+        for b in dirty:  # bucket resolved to empty: base must drop, but
+            staged.setdefault(str(b), [])  # concurrent delta appends survive
+        folded = {str(b): list(snap["deltas"][str(b)]) for b in dirty}
+        expected = {str(b): list(snap["buckets"].get(str(b), [])) for b in dirty}
+        metrics = {"compaction": {"buckets": dirty}, **(extra_metrics or {})}
+        return self.commit(
+            staged, replaced_buckets=[], metrics=metrics, dir_bytes=dbytes,
+            folded_deltas=folded, expected_base=expected,
+            # checkpoint state the ingest pipeline persists in batch
+            # commits (open-transaction carry) is copied from the HEAD
+            # at publish time — compaction is watermark-neutral and must
+            # be checkpoint-neutral too
+            carry_metrics=("open_tx",),
+        )
+
+    def schedule_compact(self, buckets: Optional[Sequence[int]] = None):
+        """Run :meth:`compact` on the table's maintenance thread (the
+        async-compactor analog): ingest latency never pays for the
+        bucket rewrite — Spark runs both threads' jobs concurrently. At
+        most one compaction is in flight per table; a lost race
+        (:class:`CommitConflict`) is swallowed — the trigger policy
+        re-fires on a later batch. Returns the Future."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with self._sched_lock:
+            if self._pending_compaction is not None and not self._pending_compaction.done():
+                return self._pending_compaction
+            if self._maintenance is None:
+                self._maintenance = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="lake-compact"
+                )
+            self._pending_compaction = self._maintenance.submit(
+                self._compact_swallow_conflict, buckets
+            )
+            return self._pending_compaction
+
+    def _compact_swallow_conflict(self, buckets):
+        try:
+            return self.compact(buckets)
+        except CommitConflict:
+            return None
+
+    def wait_maintenance(self):
+        """Block until any scheduled compaction finishes (tests, orderly
+        shutdown). Returns its result (version or None)."""
+        with self._sched_lock:
+            f = self._pending_compaction
+        return f.result() if f is not None else None
 
     # ------------------------------------------------------- change data feed
 
@@ -400,26 +653,41 @@ class LakeTable:
         downstream consumers ingest incrementally instead of re-scanning
         the table (Delta CDF / Iceberg changelog analog).
 
-        Columns: key cols, ``final_op`` ('I'/'U' upsert, 'D' delete),
-        ``max_lsn``, ``_commit_version``, and per value column the new
-        value plus ``upd_<col>`` (False = the commit carried no
-        information for that column — e.g. an unchanged TOAST cell — so
-        the prior value still stands; for 'D' rows values are NULL).
+        Columns: key cols, ``final_op`` ('I'/'U' upsert, 'D' delete,
+        'T' truncate marker), ``max_lsn``, ``_commit_version``, and per
+        value column the new value plus ``upd_<col>`` (False = the
+        commit carried no information for that column — e.g. an
+        unchanged TOAST cell — so the prior value still stands; for 'D'
+        rows values are NULL).
+
+        A truncate commit emits one 'T' marker row (NULL keys,
+        ``max_lsn = -1`` so it orders before the commit's re-inserts):
+        consumers MUST reset their state for this table when they see it
+        — per-key deletes are not emitted (the pre-truncate key set may
+        be arbitrarily large; the marker is the Delta CDF "truncate is
+        not row-tracked" / Iceberg "replace" analog, at O(1) cost).
 
         Covered commits: merge-on-read delta commits (exact change set,
         zero extra cost — the delta files ARE the feed), truncates and
-        initial loads (every row of the new base as an upsert at the
-        commit watermark). Compaction / metadata-only commits contribute
-        no rows. Copy-on-write incremental commits are not
-        change-tracked (the rewritten bucket mixes changed and carried
-        rows) and raise — ingest with the default ``mode='mor'`` to get
-        a feed.
+        initial loads. Compaction and schema-change commits (including
+        retype rewrites, which change no row logically) contribute no
+        rows; delta files written before a mid-range column add are read
+        through the *until* snapshot's delta schema — parquet name-based
+        resolution yields NULL for the missing ``r_<col>`` struct, i.e.
+        ``upd_<col> = false``, which is exactly "no information".
+        Copy-on-write incremental commits are not change-tracked (the
+        rewritten bucket mixes changed and carried rows) and raise —
+        ingest with the default ``mode='mor'`` to get a feed.
         """
         until = self.current_version() if until_version is None else until_version
         snap = self.snapshot(until)
         keys = snap["key_cols"]
         col_types = dict(snap["schema"])
         value_cols = [n for n, _ in snap["schema"] if n not in keys]
+        # all delta files in the range are read through the UNTIL
+        # snapshot's delta schema (ADVICE r3): columns added inside the
+        # range resolve to NULL structs in older files — "no information"
+        delta_ddl = self.delta_schema_ddl(snap)
 
         def _flatten_delta(df, version: int):
             sel = [f"`{k}`" for k in keys] + ["final_op", "max_lsn"]
@@ -430,6 +698,16 @@ class LakeTable:
             ]
             sel += [f"(`r_{c}` IS NOT NULL) AS `upd_{c}`" for c in value_cols]
             return df.selectExpr(*sel).withColumn("_commit_version", F.lit(version))
+
+        def _truncate_marker(version: int):
+            sel = [f"CAST(NULL AS {col_types[k]}) AS `{k}`" for k in keys]
+            sel += ["'T' AS final_op", "CAST(-1 AS BIGINT) AS max_lsn"]
+            sel += [f"CAST(NULL AS {col_types[c]}) AS `{c}`" for c in value_cols]
+            sel += [f"false AS `upd_{c}`" for c in value_cols]
+            return (
+                self.spark.range(1).selectExpr(*sel)
+                .withColumn("_commit_version", F.lit(version))
+            )
 
         parts = []
         for v in range(since_version + 1, until + 1):
@@ -446,12 +724,15 @@ class LakeTable:
                 dirs = [d for dd in added.values() for d in dd]
                 parts.append(
                     _flatten_delta(
-                        self.spark.read.schema(self.delta_schema_ddl(s)).parquet(*dirs), v
+                        self.spark.read.schema(delta_ddl).parquet(*dirs), v
                     )
                 )
                 continue
             parent = s.get("parent")
             prev = self.snapshot(parent) if parent is not None else {"buckets": {}}
+            truncated = bool(s.get("metrics", {}).get("truncated"))
+            if truncated and prev.get("buckets"):
+                parts.append(_truncate_marker(v))
             new_base = {
                 b: dirs for b, dirs in s["buckets"].items()
                 if dirs != prev.get("buckets", {}).get(b)
@@ -460,19 +741,34 @@ class LakeTable:
                 continue  # metadata-only commit (watermark / schema add-drop)
             if "compaction" in s.get("metrics", {}):
                 continue  # rewrite of already-fed changes
-            if not (s.get("metrics", {}).get("truncated") or not prev.get("buckets")):
+            if s.get("schema") != prev.get("schema"):
+                continue  # retype rewrite: every base file rewritten, no
+                # row changed logically (ADVICE r3)
+            if not (truncated or not prev.get("buckets")):
                 raise ValueError(
                     f"version {v} rewrote base buckets outside truncate/initial-load "
                     "(copy-on-write merge?) — not change-tracked; ingest with "
                     "mode='mor' for a change feed"
                 )
+            # read with the COMMIT snapshot's own schema (a retype later in
+            # the range would make the raw read mismatch), then project to
+            # the until schema: added-later columns → NULL / upd=false,
+            # retyped columns → cast
+            s_types = dict(s["schema"])
             base = self.spark.read.schema(self.schema_ddl(s)).parquet(
                 *[d for dd in new_base.values() for d in dd]
             )
-            sel = [f"`{k}`" for k in keys]
+            sel = [f"CAST(`{k}` AS {col_types[k]}) AS `{k}`" for k in keys]
             sel += ["'U' AS final_op", f"CAST({s['watermark_lsn']} AS BIGINT) AS max_lsn"]
-            sel += [f"`{c}`" for c in value_cols]
-            sel += [f"true AS `upd_{c}`" for c in value_cols]
+            sel += [
+                f"CAST(`{c}` AS {col_types[c]}) AS `{c}`" if c in s_types
+                else f"CAST(NULL AS {col_types[c]}) AS `{c}`"
+                for c in value_cols
+            ]
+            sel += [
+                f"{'true' if c in s_types else 'false'} AS `upd_{c}`"
+                for c in value_cols
+            ]
             parts.append(base.selectExpr(*sel).withColumn("_commit_version", F.lit(v)))
         if not parts:
             ddl = ", ".join(
@@ -506,6 +802,13 @@ class LakeTable:
         — at 100 TB this is the difference between bounded and unbounded
         storage.
 
+        Freed-byte accounting is manifest-driven (snapshot ``dir_bytes``);
+        only true orphans — dirs no manifest ever recorded — are sized by
+        listing. The sweep itself lists ``data/`` two levels deep: that
+        IS the orphan-discovery cost (orphans are by definition in no
+        manifest) and is the one intentional listing in the maintenance
+        path; it never runs per commit.
+
         Returns {"expired": [versions], "deleted_dirs": n, "freed_bytes": n}.
         """
         import shutil
@@ -521,18 +824,23 @@ class LakeTable:
         # the orphan sweep below runs even with nothing to expire — a
         # vacuum call after a crashed writer must still reclaim staging
 
-        def _refs(versions) -> set:
+        def _refs(versions) -> Tuple[set, Dict[str, int]]:
             out = set()
+            sizes: Dict[str, int] = {}
             for v in versions:
                 s = self.snapshot(v)
                 for dd in s["buckets"].values():
                     out.update(os.path.normpath(d) for d in dd)
                 for dd in s.get("deltas", {}).values():
                     out.update(os.path.normpath(d) for d in dd)
-            return out
+                for d, sz in s.get("dir_bytes", {}).items():
+                    sizes[os.path.normpath(d)] = sz
+            return out, sizes
 
-        kept_refs = _refs(keep)
-        expired_refs = _refs(expired) - kept_refs
+        kept_refs, kept_sizes = _refs(keep)
+        expired_refs, expired_sizes = _refs(expired)
+        expired_refs -= kept_refs
+        known_sizes = {**expired_sizes, **kept_sizes}
         # walk data/commit-*/ at bucket-dir granularity (the unit snapshots
         # reference); an unreferenced bucket dir outside any expired
         # snapshot is an orphan — age-gated
@@ -544,6 +852,7 @@ class LakeTable:
             commit_dir = os.path.join(data_root, commit_name)
             if not os.path.isdir(commit_dir):
                 continue
+            deleted_here = False
             for bucket_name in list(os.listdir(commit_dir)):
                 bdir = os.path.normpath(os.path.join(commit_dir, bucket_name))
                 if not os.path.isdir(bdir) or bdir in kept_refs:
@@ -554,11 +863,24 @@ class LakeTable:
                             continue
                     except OSError:  # pragma: no cover
                         continue
-                freed += _du([bdir])
+                freed += known_sizes.get(bdir, 0) or _scan_bytes(bdir)
                 shutil.rmtree(bdir, ignore_errors=True)
                 deleted_dirs += 1
-            if not os.listdir(commit_dir):
-                shutil.rmtree(commit_dir, ignore_errors=True)
+                deleted_here = True
+            # a commit dir holding only writer marker files (_SUCCESS) is
+            # empty for sweep purposes (ADVICE r3) — collapse it once its
+            # bucket dirs are gone; age-gate untouched dirs so an
+            # in-flight writer's staging root survives the sweep
+            remaining = os.listdir(commit_dir)
+            if not any(
+                os.path.isdir(os.path.join(commit_dir, x)) for x in remaining
+            ):
+                try:
+                    aged = now - os.path.getmtime(commit_dir) >= orphan_grace_sec
+                except OSError:  # pragma: no cover
+                    aged = False
+                if deleted_here or aged or not remaining:
+                    shutil.rmtree(commit_dir, ignore_errors=True)
         for v in expired:
             os.remove(os.path.join(self.snap_dir, f"v{v:08d}.json"))
         return {"expired": expired, "deleted_dirs": deleted_dirs, "freed_bytes": freed}
@@ -590,9 +912,37 @@ class LakeTable:
         cast = old.select(
             *[F.col(n).cast(t).alias(n) for n, t in schema]
         )
-        staged = self.write_buckets(self.with_bucket(cast).select("*"), self.current_version() + 1)
+        staged, dbytes = self.write_buckets(
+            self.with_bucket(cast).select("*"), self.current_version() + 1
+        )
         all_buckets = set(self.snapshot()["buckets"]) | set(self.snapshot().get("deltas", {}))
-        return self.commit(staged, [int(b) for b in all_buckets], schema=schema)
+        return self.commit(
+            staged, [int(b) for b in all_buckets], schema=schema, dir_bytes=dbytes
+        )
+
+
+class _commit_lock:
+    """Advisory exclusive lock on ``_meta/LOCK`` serializing snapshot
+    publication across threads AND processes (flock is per open-file-
+    description, so two threads of one process also exclude each other).
+    The object-store analog is a conditional PUT of the CURRENT pointer."""
+
+    def __init__(self, meta_dir: str):
+        self.path = os.path.join(meta_dir, "LOCK")
+
+    def __enter__(self):
+        import fcntl
+
+        self.fd = os.open(self.path, os.O_CREAT | os.O_RDWR)
+        fcntl.flock(self.fd, fcntl.LOCK_EX)
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+
+        fcntl.flock(self.fd, fcntl.LOCK_UN)
+        os.close(self.fd)
+        return False
 
 
 def _write_json(path: str, obj: dict) -> None:

@@ -44,6 +44,16 @@ from pyspark.sql import functions as F
 from pypgoutput_spark.lake.table import LakeTable
 
 
+def _obs_get(obs) -> dict:
+    """Observed metrics of the write job; a zero-task write (an empty
+    batch, e.g. a truncate with no following inserts) never fires the
+    observation — that IS zero rows, not an error."""
+    try:
+        return dict(obs.get)
+    except Exception:  # noqa: BLE001 — no tasks ran
+        return {"n": 0, "d": 0}
+
+
 def merge_into(
     table: LakeTable,
     changes,
@@ -63,6 +73,12 @@ def merge_into(
     ``mode``: ``auto`` (initial load / truncate → single-pass base write;
     incremental → merge-on-read delta append), or ``cow`` to force the
     copy-on-write join+rewrite path for incremental batches.
+    ``auto_compact``: ``True`` (default) schedules a triggered compaction
+    on the table's maintenance thread — ingest latency never pays for
+    the bucket rewrite (``metrics["compact_scheduled"]`` records the
+    trigger; ``LakeTable.wait_maintenance`` joins it); ``"sync"`` runs
+    it inline before returning; ``False`` leaves compaction entirely to
+    an external maintenance job.
     """
     snap = table.snapshot()
     if watermark_lsn <= snap["watermark_lsn"]:
@@ -99,8 +115,8 @@ def merge_into(
             *keys,
             *[F.col(f"r_{c}.v").cast(col_types[c]).alias(c) for c in value_cols],
         )
-        staged = table.write_buckets(table.with_bucket(resolved), snap["version"] + 1)
-        got = obs.get
+        staged, dbytes = table.write_buckets(table.with_bucket(resolved), snap["version"] + 1)
+        got = _obs_get(obs)
         metrics = {
             "upserts": int(got["n"] - got["d"]),
             "deletes": int(got["d"]),
@@ -116,6 +132,7 @@ def merge_into(
             watermark_lsn=watermark_lsn,
             metrics=metrics,
             truncate=truncate,
+            dir_bytes=dbytes,
         )
         metrics["version"] = version
         metrics["skipped"] = False
@@ -142,8 +159,8 @@ def merge_into(
         *keys, "final_op", "max_lsn",
         *[F.col(f"r_{c}").alias(f"r_{c}") for c in value_cols],
     )
-    staged = table.write_buckets(table.with_bucket(delta), snap["version"] + 1)
-    got = obs.get
+    staged, dbytes = table.write_buckets(table.with_bucket(delta), snap["version"] + 1)
+    got = _obs_get(obs)
     n_changes = int(got["n"])
     metrics = {
         "upserts": int(got["n"] - got["d"]),
@@ -156,17 +173,23 @@ def merge_into(
     }
     version = table.commit(
         {}, [], watermark_lsn=watermark_lsn, metrics=metrics,
-        delta_buckets=staged,
+        delta_buckets=staged, dir_bytes=dbytes,
     )
     metrics["version"] = version
     metrics["skipped"] = False
     if auto_compact and staged:
         due = table.buckets_to_compact()
         if due:
-            cv = table.compact(due)
-            if cv is not None:
-                metrics["compacted_buckets"] = due
-                metrics["version"] = cv
+            if auto_compact == "sync":
+                cv = table.compact(due)
+                if cv is not None:
+                    metrics["compacted_buckets"] = due
+                    metrics["version"] = cv
+            else:
+                # async-compactor analog: the rewrite runs on the table's
+                # maintenance thread; this batch's latency is unaffected
+                table.schedule_compact(due)
+                metrics["compact_scheduled"] = due
     return metrics
 
 
@@ -238,7 +261,7 @@ def _merge_cow(
         )
 
         result = kept.unionByName(resolved)
-        staged = table.write_buckets(
+        staged, dbytes = table.write_buckets(
             table.with_bucket(result), snap["version"] + 1
         )
         metrics = {
@@ -256,6 +279,7 @@ def _merge_cow(
             replaced_buckets=touched,
             watermark_lsn=watermark_lsn,
             metrics=metrics,
+            dir_bytes=dbytes,
         )
         metrics["version"] = version
         metrics["skipped"] = False

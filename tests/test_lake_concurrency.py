@@ -1,0 +1,343 @@
+"""Round-4 lake semantics: exchange-free MOR resolution, compaction
+decoupled from ingest (fold-only commits, optimistic conflict detection,
+maintenance-thread scheduling), and change-feed hardening (truncate
+markers, schema evolution inside a feed range).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+
+from pypgoutput_spark.lake.table import CommitConflict, LakeTable
+from pypgoutput_spark.operators.merge import merge_into
+from pypgoutput_spark.plans.registry import SchemaAction
+
+
+def _mk(spark, tmp_path, name="lake", n_buckets=4, props=None) -> LakeTable:
+    return LakeTable.create(
+        spark, str(tmp_path / name),
+        schema=[("k", "string"), ("a", "string"), ("b", "string")],
+        key_cols=["k"], n_buckets=n_buckets, props=props,
+    )
+
+
+def _changes(spark, rows):
+    data = [
+        (k, op, lsn,
+         {"v": a[1]} if a is not None else None,
+         {"v": b[1]} if b is not None else None)
+        for k, op, lsn, a, b in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        schema="k STRING, final_op STRING, max_lsn BIGINT, "
+               "r_a STRUCT<v: STRING>, r_b STRUCT<v: STRING>",
+    )
+
+
+def _state(t: LakeTable) -> dict:
+    return {r["k"]: (r["a"], r["b"]) for r in t.read().collect()}
+
+
+def _seed(spark, t, n=12):
+    merge_into(t, _changes(spark, [
+        (f"k{i}", "I", 10 + i, ("v", f"a{i}"), ("v", f"b{i}")) for i in range(n)
+    ]), watermark_lsn=100)
+    merge_into(t, _changes(spark, [
+        ("k1", "U", 200, ("v", "a1x"), None),
+        ("k2", "D", 201, None, None),
+    ]), watermark_lsn=201, auto_compact=False)
+
+
+def test_mor_read_plan_has_no_exchange(spark, tmp_path):
+    """The dirty-bucket read resolves per bucket locally (co-bucketed
+    files → one task → Arrow kernel): ZERO Exchange in the executed
+    plan. The shuffle-aggregate plan stays available via resolve=."""
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    assert t.snapshot()["deltas"], "precondition: dirty buckets"
+
+    df = t.read()  # default: local
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    shuffled = t.read(resolve="shuffle")
+    plan2 = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan2  # the old shape, kept for oversized buckets
+
+    # both resolution strategies agree exactly
+    rows_local = {tuple(r) for r in df.collect()}
+    rows_shuffle = {tuple(r) for r in shuffled.collect()}
+    assert rows_local == rows_shuffle
+    assert _state(t)["k1"] == ("a1x", "b1")
+    assert "k2" not in _state(t)
+
+
+def test_local_resolution_matches_shuffle_on_typed_columns(spark, tmp_path):
+    """The Arrow kernel gathers positionally — typed columns (bigint,
+    timestamp) must round-trip exactly, including NULL-reset and
+    TOAST-carrier fallthrough."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "typed"),
+        schema=[("k", "bigint"), ("n", "bigint"), ("ts", "timestamp"), ("s", "string")],
+        key_cols=["k"], n_buckets=2,
+    )
+
+    def ch(rows):
+        return spark.createDataFrame(
+            [(k, op, lsn,
+              {"v": n} if n is not None else None,
+              {"v": ts} if ts is not None else None,
+              {"v": s} if s is not None else None) for k, op, lsn, n, ts, s in rows],
+            schema="k STRING, final_op STRING, max_lsn BIGINT, "
+                   "r_n STRUCT<v: STRING>, r_ts STRUCT<v: STRING>, r_s STRUCT<v: STRING>",
+        )
+
+    big = str(2**61 + 7)  # beyond float53 — a pandas-coerced path would corrupt it
+    merge_into(t, ch([
+        ("1", "I", 10, big, "2024-01-02 03:04:05.123456", "x"),
+        ("2", "I", 11, "5", "2024-06-01 00:00:00", "y"),
+    ]), watermark_lsn=11)
+    merge_into(t, ch([
+        ("1", "U", 20, None, None, "x2"),     # n, ts TOAST-carried
+        ("2", "U", 21, "6", None, None),
+    ]), watermark_lsn=21, auto_compact=False)
+
+    got = {r["k"]: (r["n"], str(r["ts"]), r["s"]) for r in t.read().collect()}
+    want = {r["k"]: (r["n"], str(r["ts"]), r["s"])
+            for r in t.read(resolve="shuffle").collect()}
+    assert got == want
+    assert got[1] == (2**61 + 7, "2024-01-02 03:04:05.123456", "x2")
+
+
+def test_compaction_folds_only_resolved_deltas(spark, tmp_path):
+    """A delta commit that lands WHILE compaction runs survives the
+    compaction commit (fold-only semantics) — the interleave the async
+    compactor must tolerate."""
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    snap = t.snapshot()
+    dirty = [int(b) for b in snap["deltas"]]
+
+    # compactor: pin snapshot, resolve, stage — exactly LakeTable.compact
+    resolved = t.read(version=snap["version"], buckets=dirty)
+    staged, dbytes = t.write_buckets(t.with_bucket(resolved), snap["version"] + 1)
+    for b in dirty:
+        staged.setdefault(str(b), [])
+    folded = {str(b): list(snap["deltas"][str(b)]) for b in dirty}
+    expected = {str(b): list(snap["buckets"].get(str(b), [])) for b in dirty}
+
+    # ...an ingest batch commits first
+    merge_into(t, _changes(spark, [
+        ("k3", "U", 300, ("v", "a3x"), None),
+        ("k99", "I", 301, ("v", "a99"), ("v", "b99")),
+    ]), watermark_lsn=301, auto_compact=False)
+    wm = t.watermark_lsn
+
+    v = t.commit(staged, [], metrics={"compaction": {"buckets": dirty}},
+                 dir_bytes=dbytes, folded_deltas=folded, expected_base=expected,
+                 carry_metrics=("open_tx",))
+    assert v == t.current_version()
+    assert t.watermark_lsn == wm, "compaction must not move the watermark"
+    # the interleaved batch's deltas survived the fold
+    assert t.snapshot()["deltas"], "concurrent delta appends must survive"
+    s = _state(t)
+    assert s["k3"] == ("a3x", "b3") and s["k99"] == ("a99", "b99")
+    assert s["k1"] == ("a1x", "b1") and "k2" not in s
+    # a second compaction folds the survivors
+    t.compact()
+    assert not t.snapshot()["deltas"]
+    assert _state(t) == s
+
+
+def test_compaction_conflicts_on_interleaved_truncate(spark, tmp_path):
+    """A truncate that lands while compaction runs must abort the
+    compaction commit (optimistic base check) — the staged rewrite would
+    resurrect pre-truncate rows."""
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    snap = t.snapshot()
+    dirty = [int(b) for b in snap["deltas"]]
+    resolved = t.read(version=snap["version"], buckets=dirty)
+    staged, dbytes = t.write_buckets(t.with_bucket(resolved), snap["version"] + 1)
+    folded = {str(b): list(snap["deltas"][str(b)]) for b in dirty}
+    expected = {str(b): list(snap["buckets"].get(str(b), [])) for b in dirty}
+
+    merge_into(t, _changes(spark, [
+        ("t1", "I", 400, ("v", "A"), ("v", "B")),
+    ]), watermark_lsn=400, truncate=True)
+
+    with pytest.raises(CommitConflict):
+        t.commit(staged, [], metrics={"compaction": {"buckets": dirty}},
+                 dir_bytes=dbytes, folded_deltas=folded, expected_base=expected)
+    assert _state(t) == {"t1": ("A", "B")}
+
+
+def test_async_compaction_under_concurrent_ingest(spark, tmp_path):
+    """Ingest commits land while scheduled compactions interleave on the
+    maintenance thread; the final state equals the serial oracle."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    merge_into(t, _changes(spark, [
+        (f"k{i}", "I", i, ("v", f"a{i}"), ("v", f"b{i}")) for i in range(8)
+    ]), watermark_lsn=10)
+
+    stop = threading.Event()
+
+    def hammer():
+        while not stop.is_set():
+            t.schedule_compact()
+            t.wait_maintenance()
+
+    worker = threading.Thread(target=hammer)
+    worker.start()
+    try:
+        for j in range(6):
+            merge_into(t, _changes(spark, [
+                (f"k{i}", "U", 100 + j * 10 + i, ("v", f"a{i}.{j}"), None)
+                for i in range(j % 3, 8, 3)
+            ]), watermark_lsn=100 + j * 10 + 9, auto_compact=False)
+    finally:
+        stop.set()
+        worker.join()
+    t.wait_maintenance()
+
+    # serial oracle
+    state = {f"k{i}": [f"a{i}", f"b{i}"] for i in range(8)}
+    for j in range(6):
+        for i in range(j % 3, 8, 3):
+            state[f"k{i}"][0] = f"a{i}.{j}"
+    assert _state(t) == {k: tuple(v) for k, v in state.items()}
+
+
+def test_compact_empty_bucket_drops_base(spark, tmp_path):
+    """Compaction of a bucket whose every key was deleted drops its base
+    (no stale rows resurrect)."""
+    t = _mk(spark, tmp_path, n_buckets=1)
+    merge_into(t, _changes(spark, [
+        ("k1", "I", 1, ("v", "a"), ("v", "b")),
+    ]), watermark_lsn=1)
+    merge_into(t, _changes(spark, [
+        ("k1", "D", 2, None, None),
+    ]), watermark_lsn=2, auto_compact=False)
+    assert t.compact() is not None
+    snap = t.snapshot()
+    assert not snap["deltas"] and not snap["buckets"]
+    assert _state(t) == {}
+
+
+def test_changes_truncate_marker(spark, tmp_path):
+    """The feed across a truncate emits a 'T' marker (max_lsn=-1, before
+    the re-inserts) so incremental consumers reset state instead of
+    retaining pre-truncate rows; a truncate with no following inserts
+    still emits the marker."""
+    t = _mk(spark, tmp_path)
+    v0 = 0
+    merge_into(t, _changes(spark, [
+        ("k1", "I", 10, ("v", "a1"), ("v", "b1")),
+        ("k2", "I", 11, ("v", "a2"), ("v", "b2")),
+    ]), watermark_lsn=11)
+    merge_into(t, _changes(spark, [
+        ("t1", "I", 20, ("v", "A"), ("v", "B")),
+    ]), watermark_lsn=20, truncate=True)
+
+    feed = t.changes(v0).collect()
+    markers = [r for r in feed if r["final_op"] == "T"]
+    assert len(markers) == 1 and markers[0]["k"] is None
+    assert markers[0]["max_lsn"] == -1
+
+    # consumer replay with reset-on-T reproduces the table
+    state: dict = {}
+    for r in sorted(feed, key=lambda r: (r["_commit_version"], r["max_lsn"])):
+        if r["final_op"] == "T":
+            state.clear()
+        elif r["final_op"] == "D":
+            state.pop(r["k"], None)
+        else:
+            old = state.get(r["k"], (None, None))
+            state[r["k"]] = (r["a"] if r["upd_a"] else old[0],
+                             r["b"] if r["upd_b"] else old[1])
+    assert state == _state(t) == {"t1": ("A", "B")}
+
+    # truncate-to-empty still emits a marker
+    v1 = t.current_version()
+    merge_into(t, _changes(spark, []), watermark_lsn=30, truncate=True)
+    feed2 = t.changes(v1).collect()
+    assert [r["final_op"] for r in feed2] == ["T"]
+
+
+def test_changes_across_schema_add(spark, tmp_path):
+    """Column added INSIDE the feed range (ADVICE r3): older delta files
+    lack r_<newcol>; the feed reads them through the until snapshot's
+    delta schema — upd_<newcol>=false, no AnalysisException."""
+    t = _mk(spark, tmp_path)
+    merge_into(t, _changes(spark, [
+        ("k1", "I", 10, ("v", "a1"), ("v", "b1")),
+    ]), watermark_lsn=10)
+    merge_into(t, _changes(spark, [
+        ("k1", "U", 20, ("v", "a1x"), None),
+    ]), watermark_lsn=20, auto_compact=False)
+    t.evolve_schema([SchemaAction("add", "c", "string")])
+    # post-evolution delta commit carrying the new column
+    wide = spark.createDataFrame(
+        [("k2", "I", 30, {"v": "a2"}, {"v": "b2"}, {"v": "c2"})],
+        schema="k STRING, final_op STRING, max_lsn BIGINT, "
+               "r_a STRUCT<v: STRING>, r_b STRUCT<v: STRING>, r_c STRUCT<v: STRING>",
+    )
+    merge_into(t, wide, watermark_lsn=30, auto_compact=False)
+
+    feed = t.changes(0).collect()
+    k1_upd = next(r for r in feed if r["k"] == "k1" and r["_commit_version"] == 2)
+    assert k1_upd["upd_a"] and not k1_upd["upd_c"] and k1_upd["c"] is None
+    k2 = next(r for r in feed if r["k"] == "k2")
+    assert k2["upd_c"] and k2["c"] == "c2"
+
+
+def test_changes_skips_retype_rewrite(spark, tmp_path):
+    """A retype rewrites every base bucket but changes no row logically —
+    the feed skips it instead of raising the misleading COW error
+    (ADVICE r3)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "rt"),
+        schema=[("k", "string"), ("n", "string")], key_cols=["k"], n_buckets=2,
+    )
+    merge_into(t, spark.createDataFrame(
+        [("k1", "I", 10, {"v": "42"})],
+        schema="k STRING, final_op STRING, max_lsn BIGINT, r_n STRUCT<v: STRING>",
+    ), watermark_lsn=10)
+    t.evolve_schema([SchemaAction("retype", "n", "bigint")])
+    merge_into(t, spark.createDataFrame(
+        [("k2", "I", 20, {"v": "7"})],
+        schema="k STRING, final_op STRING, max_lsn BIGINT, r_n STRUCT<v: STRING>",
+    ), watermark_lsn=20, auto_compact=False)
+
+    feed = t.changes(0).collect()
+    assert {r["k"] for r in feed} == {"k1", "k2"}
+    assert {r["_commit_version"] for r in feed} == {1, 3}
+
+
+def test_expire_collapses_marker_only_commit_dirs(spark, tmp_path):
+    """After GC reclaims every bucket dir of a commit, a leftover
+    _SUCCESS-only skeleton dir is collapsed too (ADVICE r3)."""
+    t = _mk(spark, tmp_path)
+    merge_into(t, _changes(spark, [
+        ("k1", "I", 10, ("v", "a1"), ("v", "b1")),
+    ]), watermark_lsn=10)
+    merge_into(t, _changes(spark, [
+        ("k1", "U", 20, ("v", "a1x"), None),
+    ]), watermark_lsn=20, auto_compact=False)
+    t.compact()
+    t.expire_snapshots(keep_last=1, orphan_grace_sec=0.0)
+    data_root = os.path.join(t.path, "data")
+    leftovers = [
+        d for d in os.listdir(data_root)
+        if os.path.isdir(os.path.join(data_root, d))
+        and not any(
+            os.path.isdir(os.path.join(data_root, d, x))
+            for x in os.listdir(os.path.join(data_root, d))
+        )
+    ]
+    assert leftovers == [], f"marker-only skeletons remain: {leftovers}"
+    assert _state(t)["k1"] == ("a1x", "b1")

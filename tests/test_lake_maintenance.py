@@ -37,8 +37,12 @@ def _changes(spark, rows):
 
 def _apply_feed(state: dict, feed_rows) -> dict:
     """Serial oracle: replay CDF rows (ordered by commit, lsn) onto a
-    {k: (a, b)} state respecting the upd_<col> carrier flags."""
+    {k: (a, b)} state respecting the upd_<col> carrier flags; a 'T'
+    truncate marker resets the state."""
     for r in sorted(feed_rows, key=lambda r: (r["_commit_version"], r["max_lsn"])):
+        if r["final_op"] == "T":
+            state.clear()
+            continue
         if r["final_op"] == "D":
             state.pop(r["k"], None)
             continue
@@ -152,6 +156,9 @@ def test_changes_feed_reconstructs_cdc_pipeline_state(spark, tmp_path):
     state: dict = {}
     rows = table.changes(0).collect()
     for r in sorted(rows, key=lambda r: (r["_commit_version"], r["max_lsn"])):
+        if r["final_op"] == "T":
+            state.clear()
+            continue
         key = tuple(r[k] for k in gen.KEY_COLUMNS)
         if r["final_op"] == "D":
             state.pop(key, None)

@@ -129,11 +129,13 @@ def test_mor_auto_compact_by_commit_count(spark, tmp_path):
         ("k1", "I", 1, ("v", "a"), ("v", "b")),
     ]), watermark_lsn=1)
     # drive many tiny delta commits; the commit-count bound must trigger
-    # compaction through the merge's auto_compact hook
+    # compaction through the merge's auto_compact hook (async by default
+    # — join the maintenance thread before asserting the bound)
     for j in range(40):
         merge_into(t, _changes(spark, [
             ("k1", "U", 10 + j, ("v", f"a{j}"), None),
         ]), watermark_lsn=10 + j)
+    t.wait_maintenance()
     snap = t.snapshot()
     n_dirs = sum(len(dd) for dd in snap.get("deltas", {}).values())
     assert n_dirs <= 33, f"auto-compaction should bound delta dirs, got {n_dirs}"

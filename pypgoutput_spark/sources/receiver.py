@@ -1,0 +1,325 @@
+"""Live WAL source seam: spool → receiver → segment-aligned frame files.
+
+A real deployment of this engine puts one small, dumb process next to
+Postgres: it consumes the replication socket byte stream and lands frames
+in shared storage, acking the flush LSN back to the server — the
+reference's ``consume_stream`` / ``send_feedback`` loop (reference
+reader.py:334-390). The Spark pipeline then tails the landed files
+(``stream_ingest``). This module is that seam, built against the sandbox's
+deterministic generator instead of a socket:
+
+  - **live frame encoding without Spark**: the generator's logical event
+    stream is plain SQL over an index — DuckDB evaluates the identical
+    expressions (``duckdb_events_sql``) and the existing pandas encoder
+    kernel (``wal.generator._encode_stream_pandas``) produces
+    byte-identical frames (pinned by tests/test_receiver_live.py), so an
+    unbounded producer process needs no JVM.
+  - **spool**: the producer appends binary chunk files (length-prefixed
+    frames, tmp-write + atomic rename) — the socket-byte-stream analog. A
+    ``DONE`` marker ends the stream.
+  - **receiver**: tails the spool, groups frames by WAL segment, and
+    lands each COMPLETE segment as one parquet file (atomic rename). One
+    whole segment per file means the Spark side can run
+    ``stream_ingest(clustered=True)`` — the zero-shuffle decode path —
+    and the monotone watermark guard holds. After each landed file it
+    atomically rewrites the **ack file** with the flush LSN (the
+    ``send_feedback(flush_lsn)`` analog): the producer may truncate the
+    spool up to it, and a restarted receiver resumes from the landed
+    segment set (idempotent — a re-parsed chunk whose segments already
+    landed is skipped).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import threading
+import time
+from typing import Dict, Iterator, List, Optional
+
+from pypgoutput_spark.wal import codec
+from pypgoutput_spark.wal.generator import (
+    RELATION_COLUMNS,
+    RELATION_ID,
+    RELATION_NAMES,
+    RELATION_NAMESPACE,
+    GenParams,
+    _encode_stream_pandas,
+    duckdb_events_sql,
+)
+
+#: spool record header: segment, lsn, mtype byte, payload length
+_REC = struct.Struct(">qqBi")
+DONE_MARKER = "DONE"
+
+
+# ---------------------------------------------------------------------------
+# Spark-free frame production (the producer side of the seam)
+# ---------------------------------------------------------------------------
+
+
+def logical_slots_pdf(p: GenParams, txn_lo: int = 0, txn_hi: Optional[int] = None):
+    """Pandas slot table (B / ops / C rows, LSN-ordered) for a txn range —
+    the same layout ``spark_frames_df`` builds with Spark SQL, evaluated
+    through DuckDB. Producer processes call this incrementally."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    txn_hi = p.n_txns if txn_hi is None else min(txn_hi, p.n_txns)
+    ops, stride, tps = p.ops_per_txn, p.lsn_stride, p.txns_per_segment
+    lo_i, hi_i = txn_lo * ops, txn_hi * ops
+    ev = (
+        duckdb.sql(
+            f"SELECT * FROM ({duckdb_events_sql(p)}) WHERE i >= {lo_i} AND i < {hi_i}"
+        )
+        .df()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    i = ev["i"].to_numpy()
+    txn = i // ops
+    o = pd.DataFrame(
+        {
+            "segment": txn // tps,
+            "txn": txn,
+            "kind": "O",
+            "lsn": 10 + txn * stride + (i % ops + 1),
+            "commit_ts_us": txn * 1_000_000,
+            "xid": 1000 + txn,
+            "rel": ev["rel"].to_numpy(),
+            "op": ev["op"],
+            "repo": ev["repo"],
+            "path": ev["path"],
+            "commit": ev["commit"],
+            "lang": ev["lang"],
+            "content": ev["content"],
+            "content_unchanged": ev["content_unchanged"].astype(bool),
+            "old_repo": ev["old_repo"],
+            "old_path": ev["old_path"],
+        }
+    )
+    txns = np.arange(txn_lo, txn_hi)
+
+    def bc(kind: str, slot: int) -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "segment": txns // tps,
+                "txn": txns,
+                "kind": kind,
+                "lsn": 10 + txns * stride + slot,
+                "commit_ts_us": txns * 1_000_000,
+                "xid": 1000 + txns,
+                "rel": 0,
+                "op": None,
+                "repo": None,
+                "path": None,
+                "commit": None,
+                "lang": None,
+                "content": None,
+                "content_unchanged": False,
+                "old_repo": None,
+                "old_path": None,
+            }
+        )
+
+    slots = pd.concat([o, bc("B", 0), bc("C", ops + 1)], ignore_index=True)
+    return slots.sort_values("lsn", kind="stable").reset_index(drop=True)
+
+
+def relation_frames_pdf(p: GenParams):
+    """The R-frame cohort (segment 0, lsn 1+r) — identical to the
+    generator's ``include_relation`` rows."""
+    import pandas as pd
+
+    rows = []
+    for r in range(max(1, p.n_relations)):
+        rows.append(
+            {
+                "segment": 0,
+                "lsn": 1 + r,
+                "mtype": "R",
+                "payload": codec.encode_relation(
+                    RELATION_ID + r,
+                    RELATION_NAMESPACE,
+                    RELATION_NAMES[r] if r < len(RELATION_NAMES) else f"repo_files_{r + 1}",
+                    "d",
+                    RELATION_COLUMNS,
+                ),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def encode_frames_pdf(p: GenParams, txn_lo: int = 0, txn_hi: Optional[int] = None,
+                      include_relation: bool = False):
+    """Binary WAL frames for a txn range, as pandas — the producer's unit
+    of spooling. Byte-identical to ``spark_frames_df`` for the same
+    params (parity pinned by tests)."""
+    import pandas as pd
+
+    slots = logical_slots_pdf(p, txn_lo, txn_hi)
+    frames = pd.concat(list(_encode_stream_pandas(iter([slots]), p)), ignore_index=True)
+    if include_relation:
+        frames = pd.concat([relation_frames_pdf(p), frames], ignore_index=True)
+    return frames
+
+
+# ---------------------------------------------------------------------------
+# spool (producer side)
+# ---------------------------------------------------------------------------
+
+
+class SpoolWriter:
+    """Appends frame chunks to a spool directory: binary length-prefixed
+    records, one file per chunk, tmp-write + atomic rename (a reader
+    never sees a torn chunk). ``finish()`` writes the DONE marker."""
+
+    def __init__(self, spool_dir: str):
+        self.dir = spool_dir
+        os.makedirs(spool_dir, exist_ok=True)
+        self.seq = 0
+
+    def write_chunk(self, frames_pdf) -> str:
+        buf = bytearray()
+        for seg, lsn, mtype, payload in zip(
+            frames_pdf["segment"].tolist(), frames_pdf["lsn"].tolist(),
+            frames_pdf["mtype"].tolist(), frames_pdf["payload"].tolist(),
+        ):
+            payload = bytes(payload)
+            buf += _REC.pack(int(seg), int(lsn), ord(mtype), len(payload))
+            buf += payload
+        final = os.path.join(self.dir, f"chunk-{self.seq:08d}.bin")
+        tmp = final + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(bytes(buf))
+        os.replace(tmp, final)
+        self.seq += 1
+        return final
+
+    def finish(self) -> None:
+        with open(os.path.join(self.dir, DONE_MARKER + ".tmp"), "w") as f:
+            f.write("done")
+        os.replace(
+            os.path.join(self.dir, DONE_MARKER + ".tmp"),
+            os.path.join(self.dir, DONE_MARKER),
+        )
+
+
+def read_spool_chunk(path: str) -> Iterator[tuple]:
+    """Yield (segment, lsn, mtype, payload) records from one chunk file."""
+    with open(path, "rb") as f:
+        data = f.read()
+    off = 0
+    while off < len(data):
+        seg, lsn, mt, plen = _REC.unpack_from(data, off)
+        off += _REC.size
+        yield seg, lsn, chr(mt), data[off:off + plen]
+        off += plen
+
+
+# ---------------------------------------------------------------------------
+# receiver (the consume_stream analog)
+# ---------------------------------------------------------------------------
+
+
+class FrameReceiver:
+    """Tails a spool directory and lands whole WAL segments as parquet
+    frame files in ``frames_dir``, acking the flush LSN after every
+    landed file. Restart-safe: already-landed segments are skipped."""
+
+    def __init__(self, spool_dir: str, frames_dir: str,
+                 ack_path: Optional[str] = None):
+        self.spool_dir = spool_dir
+        self.frames_dir = frames_dir
+        self.ack_path = ack_path or os.path.join(frames_dir, "_ack")
+        os.makedirs(spool_dir, exist_ok=True)  # may start before the producer
+        os.makedirs(frames_dir, exist_ok=True)
+        self._landed = {
+            int(name[4:12])
+            for name in os.listdir(frames_dir)
+            if name.startswith("seg-") and name.endswith(".parquet")
+        }
+        self._consumed_chunks = 0
+        self._buffers: Dict[int, List[tuple]] = {}
+        self.flush_lsn = self._read_ack()
+
+    def _read_ack(self) -> int:
+        try:
+            with open(self.ack_path) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
+
+    def _write_ack(self) -> None:
+        tmp = self.ack_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(self.flush_lsn))
+        os.replace(tmp, self.ack_path)
+
+    def _land_segment(self, seg: int) -> None:
+        rows = self._buffers.pop(seg, [])
+        if seg in self._landed:
+            return  # restart replay of an already-landed segment
+        if not rows:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows.sort(key=lambda r: r[1])
+        tbl = pa.table(
+            {
+                "segment": pa.array([r[0] for r in rows], pa.int64()),
+                "lsn": pa.array([r[1] for r in rows], pa.int64()),
+                "mtype": pa.array([r[2] for r in rows], pa.string()),
+                "payload": pa.array([r[3] for r in rows], pa.binary()),
+            }
+        )
+        final = os.path.join(self.frames_dir, f"seg-{seg:08d}.parquet")
+        tmp = final + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, final)
+        self._landed.add(seg)
+        self.flush_lsn = max(self.flush_lsn, rows[-1][1])
+        self._write_ack()
+
+    def poll_once(self) -> int:
+        """Consume any new spool chunks; land every segment that is
+        complete (a later segment's frames have appeared — the monotone
+        segment contract). Returns the number of files landed."""
+        chunks = sorted(
+            name for name in os.listdir(self.spool_dir)
+            if name.startswith("chunk-") and name.endswith(".bin")
+        )
+        landed = 0
+        for name in chunks[self._consumed_chunks:]:
+            for seg, lsn, mt, payload in read_spool_chunk(
+                os.path.join(self.spool_dir, name)
+            ):
+                open_before = [s for s in self._buffers if s < seg]
+                for s in sorted(open_before):
+                    self._land_segment(s)
+                    landed += 1
+                self._buffers.setdefault(seg, []).append((seg, lsn, mt, payload))
+            self._consumed_chunks += 1
+        return landed
+
+    def finish(self) -> None:
+        """Land any trailing open segments (called at DONE)."""
+        for s in sorted(self._buffers):
+            self._land_segment(s)
+
+    def done(self) -> bool:
+        return os.path.exists(os.path.join(self.spool_dir, DONE_MARKER))
+
+    def run(self, poll_interval: float = 0.05,
+            stop: Optional[threading.Event] = None) -> None:
+        """Tail until the producer writes DONE (or ``stop`` is set)."""
+        while not (stop and stop.is_set()):
+            self.poll_once()
+            if self.done():
+                self.poll_once()
+                self.finish()
+                return
+            time.sleep(poll_interval)
+        self.finish()

@@ -1,0 +1,90 @@
+"""Crash-consistency soak: kill the driver hard at every commit point and
+prove exactly-once on restart.
+
+The exactly-once claim is that the watermark LSN commits atomically with
+the data (lake.table docstring; the reference's send_feedback(flush_lsn)
+ack, reader.py:374-390) and that replays at or below it are no-ops. The
+soak kills a streaming child process (os._exit = SIGKILL analog)
+
+  1. after delta files are staged but BEFORE the snapshot JSON exists,
+  2. after the snapshot JSON exists but BEFORE the CURRENT pointer rename,
+  3. after the snapshot published but BEFORE Spark's checkpoint commit
+     (the batch is redelivered on restart → idempotent watermark skip),
+
+then relaunches until a clean run and asserts the final table equals the
+serial DuckDB oracle, with strictly monotone watermarks across every
+surviving snapshot (no duplicate application, no lost batch).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import duckdb
+
+from pypgoutput_spark.lake.table import LakeTable
+from pypgoutput_spark.wal import generator as gen
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def _run_child(frames_dir, lake_dir, ckpt_dir, crash_point=None, timeout=420):
+    env = dict(os.environ)
+    env.pop("PYPGOUT_CRASH_POINT", None)
+    if crash_point:
+        env["PYPGOUT_CRASH_POINT"] = crash_point
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "crash_child.py"),
+         frames_dir, lake_dir, ckpt_dir],
+        cwd=REPO, env=env, timeout=timeout,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    return proc.returncode
+
+
+def test_crash_resume_exactly_once(spark, tmp_path):
+    p = gen.GenParams(n_txns=40, ops_per_txn=5, toast_pct=30, txns_per_segment=5)
+    frames_dir = str(tmp_path / "frames")
+    # monotone segment-chunked files (one per micro-batch)
+    frames = gen.spark_frames_df(spark, p)
+    for seg in range(8):
+        (
+            frames.filter(f"segment = {seg}")
+            .coalesce(1).write.mode("append").parquet(frames_dir)
+        )
+    lake_dir = str(tmp_path / "lake")
+    ckpt_dir = str(tmp_path / "ckpt")
+
+    # every kill point is a hard exit (137); clean run returns 0
+    assert _run_child(frames_dir, lake_dir, ckpt_dir, "pre_snapshot:2") == 137
+    assert _run_child(frames_dir, lake_dir, ckpt_dir, "pre_publish:1") == 137
+    assert _run_child(frames_dir, lake_dir, ckpt_dir, "post_publish:1") == 137
+    assert _run_child(frames_dir, lake_dir, ckpt_dir) == 0
+
+    table = LakeTable(spark, lake_dir)
+    stride = p.lsn_stride
+    max_lsn = 10 + (p.n_txns - 1) * stride + p.ops_per_txn + 1
+    assert table.watermark_lsn == max_lsn
+
+    got = table.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    want = (
+        duckdb.sql(gen.duckdb_final_state_sql(p, with_sha=False))
+        .df().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got[want.columns.tolist()].equals(want)
+
+    # exactly-once across all surviving snapshots: watermarks strictly
+    # monotone on data commits (a replayed batch never re-commits), and
+    # every applied batch's lineage range is disjoint
+    wms = [s["watermark_lsn"] for s in table.history() if s.get("metrics", {}).get("lineage")]
+    assert wms == sorted(set(wms)), f"non-monotone watermarks: {wms}"
+    ranges = [
+        tuple(s["metrics"]["lineage"]["lsn_range"])
+        for s in table.history() if s.get("metrics", {}).get("lineage")
+    ]
+    flat = sorted(ranges)
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(flat, flat[1:]):
+        assert a_hi < b_lo, f"overlapping applied ranges: {(a_lo, a_hi)} {(b_lo, b_hi)}"

@@ -1,0 +1,147 @@
+"""Receiver seam: live producer → spool → receiver → stream_ingest.
+
+The reference's ``consume_stream`` loop (reader.py:334-390) is a process
+that tails the replication socket, pipes frames onward, and acks the
+flush LSN. These tests pin the sandbox analog end to end: byte parity of
+the Spark-free producer with the Spark generator, spool/receiver
+mechanics (segment-aligned landing, ack, restart), and a genuinely
+concurrent run — producer subprocess, receiver thread, and the Spark
+stream all live at once — matching the serial oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import threading
+import time
+
+import duckdb
+
+from pypgoutput_spark.lake.table import LakeTable
+from pypgoutput_spark.sources.receiver import (
+    FrameReceiver,
+    SpoolWriter,
+    encode_frames_pdf,
+)
+from pypgoutput_spark.streaming import pipeline
+from pypgoutput_spark.wal import generator as gen
+
+
+def test_live_frames_byte_parity(spark):
+    """The DuckDB+pandas producer emits byte-identical frames to the
+    Spark generator — the oracle SQL therefore replays the live stream."""
+    p = gen.GenParams(n_txns=20, ops_per_txn=5, toast_pct=30,
+                      txns_per_segment=5, key_change_pct=10)
+    want = {
+        (r["segment"], r["lsn"]): (r["mtype"], bytes(r["payload"]))
+        for r in gen.spark_frames_df(spark, p).collect()
+    }
+    live = encode_frames_pdf(p, include_relation=True)
+    got = {
+        (int(s), int(l)): (m, bytes(pl))
+        for s, l, m, pl in zip(live["segment"], live["lsn"],
+                               live["mtype"], live["payload"])
+    }
+    assert got == want
+
+
+def test_spool_receiver_roundtrip(tmp_path):
+    """Spool chunks land as whole-segment parquet files; the ack tracks
+    the flush LSN; a restarted receiver re-parses without re-landing."""
+    import pyarrow.parquet as pq
+
+    p = gen.GenParams(n_txns=20, ops_per_txn=4, txns_per_segment=5)
+    spool, frames_dir = str(tmp_path / "spool"), str(tmp_path / "frames")
+    w = SpoolWriter(spool)
+    for lo in range(0, p.n_txns, 7):  # chunks deliberately cross segments
+        w.write_chunk(encode_frames_pdf(p, lo, lo + 7, include_relation=(lo == 0)))
+    w.finish()
+
+    r = FrameReceiver(spool, frames_dir)
+    r.run(poll_interval=0.01)
+    seg_files = sorted(f for f in os.listdir(frames_dir) if f.endswith(".parquet"))
+    assert len(seg_files) == 4  # 20 txns / 5 per segment
+    # whole segments per file, LSN-sorted
+    t0 = pq.read_table(os.path.join(frames_dir, seg_files[0]))
+    assert set(t0["segment"].to_pylist()) == {0}
+    lsns = t0["lsn"].to_pylist()
+    assert lsns == sorted(lsns)
+    # every frame landed exactly once; ack = global max lsn
+    all_frames = sum(
+        pq.read_table(os.path.join(frames_dir, f)).num_rows for f in seg_files
+    )
+    stride = p.lsn_stride
+    expect_max = 10 + (p.n_txns - 1) * stride + p.ops_per_txn + 1
+    assert all_frames == p.n_txns * (p.ops_per_txn + 2) + 1  # + R frame
+    assert r.flush_lsn == expect_max
+    with open(os.path.join(frames_dir, "_ack")) as f:
+        assert int(f.read()) == expect_max
+
+    # restart: chunks re-parse, nothing re-lands (idempotent)
+    r2 = FrameReceiver(spool, frames_dir)
+    r2.run(poll_interval=0.01)
+    assert sorted(
+        f for f in os.listdir(frames_dir) if f.endswith(".parquet")
+    ) == seg_files
+
+
+def test_live_e2e_concurrent(spark, tmp_path):
+    """Producer subprocess, receiver thread, and the Spark stream run
+    CONCURRENTLY; the final table state equals the serial DuckDB oracle.
+    The receiver's whole-segment files enable clustered=True (zero
+    decode shuffle)."""
+    p = gen.GenParams(n_txns=60, ops_per_txn=6, toast_pct=30, txns_per_segment=5)
+    spool = str(tmp_path / "spool")
+    frames_dir = str(tmp_path / "frames")
+    os.makedirs(frames_dir, exist_ok=True)
+
+    producer = subprocess.Popen(
+        [
+            sys.executable, os.path.join(os.path.dirname(__file__), "..", "tools", "live_source.py"),
+            "--spool", spool, "--n-txns", str(p.n_txns),
+            "--ops-per-txn", str(p.ops_per_txn),
+            "--txns-per-segment", str(p.txns_per_segment),
+            "--toast-pct", str(p.toast_pct),
+            "--chunk-txns", "8", "--sleep-ms", "150",
+        ],
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+    )
+    receiver = FrameReceiver(spool, frames_dir)
+    stop = threading.Event()
+    rthread = threading.Thread(target=receiver.run, kwargs={"poll_interval": 0.05, "stop": stop})
+    rthread.start()
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"),
+        schema=[(c, "string") for c in gen.ALL_COLUMNS],
+        key_cols=list(gen.KEY_COLUMNS), n_buckets=8,
+    )
+    q = pipeline.stream_ingest(
+        spark, frames_dir, table, str(tmp_path / "ckpt"),
+        max_files_per_trigger=2, trigger={"processingTime": "1 second"},
+        clustered=True,
+    )
+    stride = p.lsn_stride
+    max_lsn = 10 + (p.n_txns - 1) * stride + p.ops_per_txn + 1
+    try:
+        deadline = time.time() + 240
+        while table.watermark_lsn < max_lsn and time.time() < deadline:
+            time.sleep(1)
+    finally:
+        q.stop()
+        stop.set()
+        rthread.join(timeout=30)
+        producer.wait(timeout=30)
+
+    assert producer.returncode == 0
+    assert receiver.flush_lsn == max_lsn, "receiver acked the full stream"
+    assert table.watermark_lsn == max_lsn, "stream applied through the ack"
+    got = table.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    want = (
+        duckdb.sql(gen.duckdb_final_state_sql(p, with_sha=False))
+        .df().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got[want.columns.tolist()].equals(want)

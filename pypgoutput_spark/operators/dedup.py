@@ -283,19 +283,13 @@ JOIN sizes sb ON i.doc_b = sb.doc_id
 """.strip())
 
 
-def keep_representative_sql(d: Dialect) -> str:
-    """Per-document dedup decision from the two-stage LSH-verified pairs:
-    each doc's representative is the smallest doc_id among itself and its
-    verified near-duplicates; ``keep`` marks cluster representatives.
-
-    Scale note: this is the single-hop contraction (one groupBy over the
-    pair list — O(pairs)); full transitive closure runs the standard
-    large-star/small-star iterations over the same pair table, each
-    iteration this exact shape. Docs without shingles (empty text) are
-    trivially their own representative via the left join.
-    """
+def _dups_ctes(d: Dialect, mat: bool = False) -> str:
+    """Shared CTE suffix (after ``_minhash_cte``): LSH candidates →
+    exact-Jaccard verify → ``dups`` (the verified near-dup edge list).
+    ``mat``: force materialization (DuckDB inlines CTEs per reference —
+    a closure that walks ``dups`` twice would re-run the whole pipeline)."""
+    m = " MATERIALIZED" if (mat and d.name == "duckdb") else ""
     return f"""
-WITH {_minhash_cte(d)},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
@@ -310,13 +304,28 @@ inter AS (
   JOIN sh2 y ON y.doc_id = c.doc_b AND y.shingle_h = x.shingle_h
   GROUP BY c.doc_a, c.doc_b
 ),
-dups AS (
+dups AS{m} (
   SELECT i.doc_a, i.doc_b
   FROM inter i
   JOIN sizes sa ON i.doc_a = sa.doc_id
   JOIN sizes sb ON i.doc_b = sb.doc_id
   WHERE i.n_inter * {JACCARD_DEN} >= (sa.sz + sb.sz - i.n_inter) * {JACCARD_NUM}
-),
+)""".strip()
+
+
+def keep_representative_sql(d: Dialect) -> str:
+    """Per-document dedup decision from the two-stage LSH-verified pairs:
+    each doc's representative is the smallest doc_id among itself and its
+    verified near-duplicates; ``keep`` marks cluster representatives.
+
+    Scale note: this is the single-hop contraction (one groupBy over the
+    pair list — O(pairs)): a chain a–b–c keeps a and c under it. The full
+    transitive closure is ``dedup_connected_components``
+    (:func:`connected_components`, large-star/small-star).
+    """
+    return f"""
+WITH {_minhash_cte(d)},
+{_dups_ctes(d)},
 neigh AS (
   SELECT doc_a AS doc_id, doc_b AS nb FROM dups
   UNION ALL
@@ -330,45 +339,56 @@ FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id
 """.strip()
 
 
-def q_keep_representative(spark, sf_dir: str):
-    """Spark runner: staged shingles/bands (as q_lsh_verified), then the
-    pair→representative contraction."""
-    from pyspark.sql import functions as F
+def _staged_dups_sql(sh_view: str, bands_view: str) -> str:
+    """The verified-dup pair SELECT over staged shingle/band views (the
+    Spark-side twin of ``_dups_ctes``)."""
+    return f"""
+WITH cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM {bands_view} a JOIN {bands_view} b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM {sh_view} GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN {sh_view} x ON x.doc_id = c.doc_a
+  JOIN {sh_view} y ON y.doc_id = c.doc_b AND y.shingle_h = x.shingle_h
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE i.n_inter * {JACCARD_DEN} >= (sa.sz + sb.sz - i.n_inter) * {JACCARD_NUM}
+""".strip()
 
+
+def _verified_dups_df(spark, sf_dir: str, suffix: str):
+    """Stage shingles + bands once and return the verified near-dup pair
+    DataFrame (doc_a, doc_b)."""
     _stage_gram_arrays(spark, sf_dir)
     d = SPARK
     sh = spark.sql(
         f"SELECT DISTINCT doc_id, ({d.md5_int('shingle')} % 2147483647) AS shingle_h "
         f"FROM (SELECT doc_id, {d.unnest('grams')} AS shingle FROM grams_staged)"
     ).localCheckpoint()
-    sh.createOrReplaceTempView("sh_rep_v")
+    sh.createOrReplaceTempView(f"sh_{suffix}_v")
     bands = spark.sql(f"WITH {_mh_cte_from_staged(SPARK)} SELECT * FROM bands")
-    bands.localCheckpoint().createOrReplaceTempView("bands_rep_v")
-    return spark.sql(f"""
-WITH cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands_rep_v a JOIN bands_rep_v b
-    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh_rep_v GROUP BY doc_id),
-inter AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-  FROM cand c
-  JOIN sh_rep_v x ON x.doc_id = c.doc_a
-  JOIN sh_rep_v y ON y.doc_id = c.doc_b AND y.shingle_h = x.shingle_h
-  GROUP BY c.doc_a, c.doc_b
-),
-dups AS (
-  SELECT i.doc_a, i.doc_b
-  FROM inter i
-  JOIN sizes sa ON i.doc_a = sa.doc_id
-  JOIN sizes sb ON i.doc_b = sb.doc_id
-  WHERE i.n_inter * {JACCARD_DEN} >= (sa.sz + sb.sz - i.n_inter) * {JACCARD_NUM}
-),
-neigh AS (
-  SELECT doc_a AS doc_id, doc_b AS nb FROM dups
+    bands.localCheckpoint().createOrReplaceTempView(f"bands_{suffix}_v")
+    return spark.sql(_staged_dups_sql(f"sh_{suffix}_v", f"bands_{suffix}_v"))
+
+
+def q_keep_representative(spark, sf_dir: str):
+    """Spark runner: staged shingles/bands (as q_lsh_verified), then the
+    pair→representative contraction."""
+    dups = _verified_dups_df(spark, sf_dir, "rep").localCheckpoint()
+    dups.createOrReplaceTempView("dups_rep_v")
+    return spark.sql("""
+WITH neigh AS (
+  SELECT doc_a AS doc_id, doc_b AS nb FROM dups_rep_v
   UNION ALL
-  SELECT doc_b AS doc_id, doc_a AS nb FROM dups
+  SELECT doc_b AS doc_id, doc_a AS nb FROM dups_rep_v
 ),
 rep AS (SELECT doc_id, least(doc_id, min(nb)) AS representative FROM neigh GROUP BY doc_id)
 SELECT d.doc_id,
@@ -376,6 +396,118 @@ SELECT d.doc_id,
   (coalesce(r.representative, d.doc_id) = d.doc_id) AS keep
 FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id
 """.strip())
+
+
+def connected_components(edges, u_col: str = "u", v_col: str = "v",
+                         max_iters: int = 25):
+    """Full transitive closure of an undirected edge list by alternating
+    **large-star / small-star** contractions (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — the closure the single-hop
+    ``dedup_keep_representative`` deliberately skips.
+
+    Each round is two rounds of (map-side-combining min aggregate + hash
+    join on node id); no adjacency structure is ever materialized beyond
+    a node's current minimum, and convergence is O(log n) rounds — the
+    100 TB-safe shape (label-propagation-to-fixpoint needs O(diameter)
+    rounds; a chain of near-dup shards makes that unbounded). Driver
+    loop with a per-round ``localCheckpoint`` lineage cut (iterative
+    self-referencing plans otherwise blow up Catalyst analysis time).
+
+    Returns (node BIGINT, component BIGINT) for every node incident to
+    an edge; component = the smallest node id in the component.
+    """
+    from pyspark.sql import functions as F
+
+    e = (
+        edges.selectExpr(
+            f"CAST({u_col} AS BIGINT) AS u", f"CAST({v_col} AS BIGINT) AS v"
+        )
+        .where("u IS NOT NULL AND v IS NOT NULL AND u <> v")
+        .selectExpr("greatest(u, v) AS u", "least(u, v) AS v")
+        .distinct()
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    if not e.take(1):
+        return spark.createDataFrame([], schema="node BIGINT, component BIGINT")
+    sig = None
+    for _ in range(max_iters):
+        # large-star: every neighbor larger than u links to u's minimum
+        sym = e.unionByName(e.selectExpr("v AS u", "u AS v"))
+        lmin = (
+            sym.groupBy("u").agg(F.min("v").alias("mv"))
+            .selectExpr("u", "least(mv, u) AS m")
+        )
+        ls = (
+            sym.join(lmin, "u").where("v > u")
+            .selectExpr("v AS a", "m AS b").where("a <> b").distinct()
+        )
+        # small-star: every smaller-or-equal neighbor links to the minimum
+        dird = ls.selectExpr("greatest(a, b) AS u", "least(a, b) AS v").distinct()
+        smin = dird.groupBy("u").agg(F.min("v").alias("m"))
+        j = dird.join(smin, "u")
+        e = (
+            j.selectExpr("v AS hi", "m AS lo").where("hi <> lo")
+            .unionByName(j.selectExpr("u AS hi", "m AS lo"))
+            .selectExpr("greatest(hi, lo) AS u", "least(hi, lo) AS v")
+            .distinct()
+            .localCheckpoint()
+        )
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),  # overflow-free set signature
+        ).collect()[0]
+        new_sig = (row["n"], row["h"])
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
+    return (
+        e.selectExpr("u AS node", "v AS component")
+        .unionByName(e.selectExpr("v AS node", "v AS component"))
+        .groupBy("node").agg(F.min("component").alias("component"))
+    )
+
+
+def q_connected_components(spark, sf_dir: str):
+    """Spark runner: verified near-dup pairs → large-star/small-star
+    closure → per-document representative with FULL transitivity (a
+    chain a–b–c–d collapses to one representative)."""
+    dups = _verified_dups_df(spark, sf_dir, "cc")
+    comp = connected_components(dups, "doc_a", "doc_b").localCheckpoint()
+    comp.createOrReplaceTempView("cc_labels_v")
+    return spark.sql("""
+SELECT d.doc_id,
+  coalesce(c.component, d.doc_id) AS representative,
+  (coalesce(c.component, d.doc_id) = d.doc_id) AS keep
+FROM documents d LEFT JOIN cc_labels_v c ON d.doc_id = c.node
+""".strip())
+
+
+def connected_components_sql(d: Dialect) -> str:
+    """Oracle: exact reachability closure (recursive CTE, min reachable
+    id = component) over the same verified-dup edge set. The Spark side
+    runs the star contraction instead; both must agree exactly. The
+    recursive walk is oracle-only — at scale reachability pairs are
+    O(n × component size); the star contraction never materializes them.
+    """
+    return f"""
+WITH RECURSIVE {_minhash_cte(d)},
+{_dups_ctes(d, mat=True)},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM dups
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM dups
+),
+reach AS (
+  SELECT doc_id AS a, doc_id AS b FROM documents
+  UNION
+  SELECT r.a, e.v AS b FROM reach r JOIN edges e ON r.b = e.u
+),
+rep AS (SELECT a AS doc_id, min(b) AS representative FROM reach GROUP BY a)
+SELECT doc_id, representative, (representative = doc_id) AS keep FROM rep
+""".strip()
 
 
 def simhash_sql(d: Dialect) -> str:
@@ -670,5 +802,9 @@ QUERIES = {
     "dedup_keep_representative": (
         q_keep_representative,
         keep_representative_sql(DUCKDB),
+    ),
+    "dedup_connected_components": (
+        q_connected_components,
+        connected_components_sql(DUCKDB),
     ),
 }

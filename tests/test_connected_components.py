@@ -1,0 +1,58 @@
+"""Large-star/small-star connected components (full dedup closure)."""
+
+from __future__ import annotations
+
+import random
+
+from pypgoutput_spark.operators.dedup import connected_components
+
+
+def _labels(spark, edges):
+    df = spark.createDataFrame(edges, schema="u BIGINT, v BIGINT")
+    return {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+
+
+def _union_find(edges):
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    return {n: min(m for m in parent if find(m) == find(n)) for n in parent}
+
+
+def test_chain_collapses_to_one_representative(spark):
+    """a–b, b–c, c–d: the single-hop contraction would keep a AND c; the
+    closure collapses the whole chain to min (the round-3 verdict gap)."""
+    got = _labels(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_long_path_converges_logarithmically(spark):
+    """A 64-node path needs full transitivity — O(log n) star rounds,
+    far under the iteration cap (label propagation would need 64)."""
+    edges = [(i, i + 1) for i in range(1, 64)]
+    got = _labels(spark, edges)
+    assert set(got.values()) == {1} and len(got) == 64
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(42)
+    edges = [
+        (rng.randrange(1, 120), rng.randrange(1, 120)) for _ in range(90)
+    ]
+    edges = [(u, v) for u, v in edges if u != v]
+    assert _labels(spark, edges) == _union_find(edges)
+
+
+def test_empty_and_duplicate_edges(spark):
+    assert _labels(spark, []) == {}
+    got = _labels(spark, [(5, 6), (6, 5), (5, 6)])
+    assert got == {5: 5, 6: 5}

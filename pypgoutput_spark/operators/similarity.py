@@ -76,18 +76,23 @@ def _arr_lit(d: Dialect, vals) -> str:
     return f"array({body})" if d.name == "spark" else f"[{body}]"
 
 
-def topk_bruteforce_sql(d: Dialect, k: int = 10) -> str:
+def topk_bruteforce_sql(d: Dialect, k: int = 10, q_offset: int = 0) -> str:
+    """Exact cosine top-k. ``q_offset`` picks the (q_offset+1)-th smallest
+    vec_id as the query vector (recall harnesses loop it; 0 — the
+    CORRECTNESS entry — is the minimum, identical to the historical
+    min(vec_id) form)."""
     dot = d.dot_bigint("a.qv", "q.qv", DIM)
     na = d.dot_bigint("a.qv", "a.qv", DIM)
     nq = d.dot_bigint("q.qv", "q.qv", DIM)
     return f"""
 WITH e AS (SELECT vec_id, {_quant(d)} AS qv FROM embeddings),
-q AS (SELECT qv FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)),
+qid AS (SELECT vec_id AS q_id FROM e ORDER BY vec_id LIMIT 1 OFFSET {q_offset}),
+q AS (SELECT qv FROM e WHERE vec_id = (SELECT q_id FROM qid)),
 scored AS (
   SELECT a.vec_id,
     CAST({dot} AS DOUBLE) / sqrt(CAST({na} AS DOUBLE) * CAST({nq} AS DOUBLE)) AS score
   FROM e a, q
-  WHERE a.vec_id <> (SELECT min(vec_id) FROM e)
+  WHERE a.vec_id <> (SELECT q_id FROM qid)
 )
 SELECT vec_id, score FROM scored
 ORDER BY score DESC, vec_id
@@ -180,15 +185,17 @@ LIMIT {k}
 """.strip()
 
 
-#: IVF defaults: 16 deterministic centroids, query probes its 4 nearest
+#: IVF defaults: 16 deterministic centroids, query probes its 4 nearest,
+#: one Lloyd refinement (the CORRECTNESS-pinned configuration)
 N_CENTROIDS = 16
 N_PROBES = 4
+N_ITERS = 1
 
 
-def _ivf_cells_ctes(d: Dialect, n_centroids: int) -> str:
-    """Shared CTE prefix: quantize → seed centroids → ONE integer-exact
-    Lloyd refinement → assign every vector to its nearest centroid (its
-    IVF cell).
+def _ivf_cells_ctes(d: Dialect, n_centroids: int, n_iters: int = N_ITERS) -> str:
+    """Shared CTE prefix: quantize → seed centroids → ``n_iters``
+    integer-exact Lloyd refinements → assign every vector to its nearest
+    centroid (its IVF cell).
 
     Scale shape (IVF-Flat, the FAISS/Milvus coarse quantizer): the
     centroid table is ``n_centroids`` rows — a broadcast; assignment is a
@@ -209,66 +216,78 @@ def _ivf_cells_ctes(d: Dialect, n_centroids: int) -> str:
     the smallest centroid id.
     """
     na = d.dot_bigint("qv", "qv", DIM)
-    dot_es = d.dot_bigint("en.qv", "seed.cv", DIM)
-    dot_ec = d.dot_bigint("en.qv", "cent.cv", DIM)
     dot_cc = d.dot_bigint("cv", "cv", DIM)
     positions = d.unnest(d.sequence("0", str(DIM - 1)))
     cell_val = d.array_get("en.qv", "p.pos + 1")
     rebuild = d.array_agg_ordered("val", "pos")
-    return f"""
-e AS (SELECT vec_id, {_quant(d)} AS qv FROM embeddings),
-en AS (SELECT vec_id, qv, {na} AS nrm FROM e),
-seed AS (
+    parts = [
+        f"e AS (SELECT vec_id, {_quant(d)} AS qv FROM embeddings)",
+        f"en AS (SELECT vec_id, qv, {na} AS nrm FROM e)",
+        f"""seed AS (
   SELECT vec_id AS c_id, qv AS cv, nrm AS cnrm
   FROM en ORDER BY {d.md5_int(d.s('vec_id'))}, vec_id LIMIT {n_centroids}
-),
-s0 AS (
-  SELECT en.vec_id, seed.c_id,
-    CAST({dot_es} AS DOUBLE) / sqrt(CAST(seed.cnrm AS DOUBLE)) AS score
-  FROM en CROSS JOIN seed
-),
-b0 AS (SELECT vec_id, max(score) AS ms FROM s0 GROUP BY vec_id),
-a0 AS (
+)""",
+        "cent0 AS (SELECT c_id, cv, cnrm FROM seed)",
+    ]
+    for t in range(n_iters):
+        ct = f"cent{t}"
+        dot_t = d.dot_bigint("en.qv", f"{ct}.cv", DIM)
+        parts += [
+            f"""s{t} AS (
+  SELECT en.vec_id, {ct}.c_id,
+    CAST({dot_t} AS DOUBLE) / sqrt(CAST({ct}.cnrm AS DOUBLE)) AS score
+  FROM en CROSS JOIN {ct}
+)""",
+            f"b{t} AS (SELECT vec_id, max(score) AS ms FROM s{t} GROUP BY vec_id)",
+            f"""a{t} AS (
   SELECT s.vec_id, min(s.c_id) AS c_id
-  FROM s0 s JOIN b0 b ON s.vec_id = b.vec_id AND s.score = b.ms
+  FROM s{t} s JOIN b{t} b ON s.vec_id = b.vec_id AND s.score = b.ms
   GROUP BY s.vec_id
-),
-lng AS (
-  SELECT a0.c_id, p.pos, {cell_val} AS val
-  FROM a0 JOIN en ON a0.vec_id = en.vec_id
+)""",
+            f"""lng{t} AS (
+  SELECT a{t}.c_id, p.pos, {cell_val} AS val
+  FROM a{t} JOIN en ON a{t}.vec_id = en.vec_id
   CROSS JOIN (SELECT {positions} AS pos) p
-),
-upd AS (
+)""",
+            f"""upd{t} AS (
   SELECT c_id, pos,
     CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS val
-  FROM lng GROUP BY c_id, pos
-),
-centl AS (SELECT c_id, {rebuild} AS cv FROM upd GROUP BY c_id),
-cent AS (SELECT c_id, cv, {dot_cc} AS cnrm FROM centl),
-scored AS (
-  SELECT en.vec_id, cent.c_id,
-    CAST({dot_ec} AS DOUBLE) / sqrt(CAST(cent.cnrm AS DOUBLE)) AS score
-  FROM en CROSS JOIN cent
-),
-best AS (SELECT vec_id, max(score) AS ms FROM scored GROUP BY vec_id),
-cells AS (
+  FROM lng{t} GROUP BY c_id, pos
+)""",
+            f"centl{t + 1} AS (SELECT c_id, {rebuild} AS cv FROM upd{t} GROUP BY c_id)",
+            f"cent{t + 1} AS (SELECT c_id, cv, {dot_cc} AS cnrm FROM centl{t + 1})",
+        ]
+    cf = f"cent{n_iters}"
+    dot_f = d.dot_bigint("en.qv", f"{cf}.cv", DIM)
+    parts += [
+        f"""scored AS (
+  SELECT en.vec_id, {cf}.c_id,
+    CAST({dot_f} AS DOUBLE) / sqrt(CAST({cf}.cnrm AS DOUBLE)) AS score
+  FROM en CROSS JOIN {cf}
+)""",
+        "best AS (SELECT vec_id, max(score) AS ms FROM scored GROUP BY vec_id)",
+        """cells AS (
   SELECT s.vec_id, min(s.c_id) AS c_id
   FROM scored s JOIN best b ON s.vec_id = b.vec_id AND s.score = b.ms
   GROUP BY s.vec_id
-)""".strip()
+)""",
+    ]
+    return ",\n".join(parts)
 
 
-def ivf_cells_sql(d: Dialect, n_centroids: int = N_CENTROIDS) -> str:
+def ivf_cells_sql(d: Dialect, n_centroids: int = N_CENTROIDS,
+                  n_iters: int = N_ITERS) -> str:
     """IVF cell assignment: every vector labeled with its nearest
     deterministic centroid. The build side of `sim_ivf_topk`."""
     return f"""
-WITH {_ivf_cells_ctes(d, n_centroids)}
+WITH {_ivf_cells_ctes(d, n_centroids, n_iters)}
 SELECT vec_id, c_id FROM cells
 """.strip()
 
 
 def ivf_topk_sql(d: Dialect, k: int = 10, n_centroids: int = N_CENTROIDS,
-                 n_probes: int = N_PROBES, q_offset: int = 0) -> str:
+                 n_probes: int = N_PROBES, q_offset: int = 0,
+                 n_iters: int = N_ITERS) -> str:
     """IVF-Flat top-k: the query ranks only the vectors assigned to its
     ``n_probes`` nearest cells — the second ANN family next to the
     LSH-cell path (`sim_lsh_topk`); exact cosine then ranks candidates.
@@ -279,7 +298,7 @@ def ivf_topk_sql(d: Dialect, k: int = 10, n_centroids: int = N_CENTROIDS,
     loops it; 0 = the CORRECTNESS entry)."""
     dot_aq = d.dot_bigint("a.qv", "q.qv", DIM)
     return f"""
-WITH {_ivf_cells_ctes(d, n_centroids)},
+WITH {_ivf_cells_ctes(d, n_centroids, n_iters)},
 qid AS (SELECT vec_id AS q_id FROM en ORDER BY vec_id LIMIT 1 OFFSET {q_offset}),
 qprobe AS (
   SELECT s.c_id FROM scored s JOIN qid ON s.vec_id = qid.q_id
@@ -317,8 +336,43 @@ QUERIES = {
 }
 
 
+def write_clustered_embeddings(path: str, n: int = 4000, dim: int = DIM,
+                               n_clusters: int = 16, spread: float = 0.06,
+                               seed: int = 7) -> str:
+    """Deterministic Gaussian-mixture embedding fixture: unit-norm cluster
+    centers, per-point noise sigma=``spread``. Written as
+    ``{path}/embeddings.parquet`` in the standard (vec_id, embedding,
+    label) schema, so every ANN harness runs on it unchanged. The
+    driver's synthetic corpus is deliberately near-uniform (no structure
+    for a coarse quantizer to exploit — the IVF recall ceiling there is
+    corpus-limited); this fixture is the clustered regime where IVF's
+    probe pruning actually wins, and BENCH/BASELINE.md records both."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, n_clusters, size=n)
+    x = (centers[assign] + spread * rng.normal(size=(n, dim))).astype(np.float32)
+    os.makedirs(path, exist_ok=True)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(x), pa.list_(pa.float32())),
+            "label": pa.array(assign.astype(np.int32)),
+        }
+    )
+    pq.write_table(tbl, os.path.join(path, "embeddings.parquet"))
+    return path
+
+
 def ivf_recall_at_k(sf_dir: str, k: int = 10, n_centroids: int = N_CENTROIDS,
-                    n_probes: int = N_PROBES, n_queries: int = 20) -> dict:
+                    n_probes: int = N_PROBES, n_queries: int = 20,
+                    n_iters: int = N_ITERS) -> dict:
     """Measured recall@k of `sim_ivf_topk` against exact brute-force
     cosine, looping the query selector over the ``n_queries`` smallest
     vec_ids. Runs the operator's own SQL through DuckDB — representative
@@ -338,23 +392,16 @@ def ivf_recall_at_k(sf_dir: str, k: int = 10, n_centroids: int = N_CENTROIDS,
     d = DUCKDB
     recalls, cands = [], []
     for off in range(n_queries):
-        bf_sql = topk_bruteforce_sql(d, k).replace(
-            "q AS (SELECT qv FROM e WHERE vec_id = (SELECT min(vec_id) FROM e))",
-            f"q AS (SELECT qv FROM e ORDER BY vec_id LIMIT 1 OFFSET {off})",
-        ).replace(
-            "WHERE a.vec_id <> (SELECT min(vec_id) FROM e)",
-            f"WHERE a.vec_id <> (SELECT vec_id FROM e ORDER BY vec_id LIMIT 1 OFFSET {off})",
-        )
-        gt = {r[0] for r in con.sql(bf_sql).fetchall()}
+        gt = {r[0] for r in con.sql(topk_bruteforce_sql(d, k, q_offset=off)).fetchall()}
         got = {
             r[0]
             for r in con.sql(
-                ivf_topk_sql(d, k, n_centroids, n_probes, q_offset=off)
+                ivf_topk_sql(d, k, n_centroids, n_probes, q_offset=off, n_iters=n_iters)
             ).fetchall()
         }
         recalls.append(len(got & gt) / float(k))
         cand_sql = f"""
-WITH {_ivf_cells_ctes(d, n_centroids)},
+WITH {_ivf_cells_ctes(d, n_centroids, n_iters)},
 qid AS (SELECT vec_id AS q_id FROM en ORDER BY vec_id LIMIT 1 OFFSET {off}),
 qprobe AS (
   SELECT s.c_id FROM scored s JOIN qid ON s.vec_id = qid.q_id
@@ -367,6 +414,7 @@ SELECT count(*) FROM cells JOIN qprobe ON cells.c_id = qprobe.c_id"""
         "k": k,
         "n_centroids": n_centroids,
         "n_probes": n_probes,
+        "n_iters": n_iters,
         "n_queries": n_queries,
         "corpus": corpus,
         "mean_candidates": round(sum(cands) / float(len(cands)), 1),

@@ -11,7 +11,31 @@ dialects of the same SQL builders."""
 
 from __future__ import annotations
 
-from pypgoutput_spark.operators.similarity import ivf_recall_at_k
+from pypgoutput_spark.operators.similarity import (
+    ivf_recall_at_k,
+    write_clustered_embeddings,
+)
+
+
+def test_ivf_clustered_corpus_recall(tmp_path):
+    """Where IVF actually wins (round-3 verdict task): on a clustered
+    corpus (deterministic Gaussian mixture) the coarse quantizer captures
+    the structure — recall@10 ≥ 0.9 while scanning ≤ 30% of the corpus."""
+    d = write_clustered_embeddings(str(tmp_path / "clustered"))
+    r = ivf_recall_at_k(d, k=10, n_probes=3, n_queries=10)
+    assert r["recall_at_k"] >= 0.9, r
+    assert r["mean_candidates"] <= 0.3 * r["corpus"], r
+
+
+def test_ivf_lloyd_iterations_lift_recall(tmp_path):
+    """On an overlapping mixture, each distributed Lloyd refinement
+    (explode → map-side-combining sums → rebuild) lifts recall at a
+    FIXED probe budget — the reason n_iters is a parameter."""
+    d = write_clustered_embeddings(str(tmp_path / "hard"), spread=0.25, seed=11)
+    lo = ivf_recall_at_k(d, k=10, n_probes=2, n_queries=10, n_iters=0)
+    hi = ivf_recall_at_k(d, k=10, n_probes=2, n_queries=10, n_iters=3)
+    assert hi["recall_at_k"] > lo["recall_at_k"] + 0.1, (lo, hi)
+    assert hi["mean_candidates"] <= 1.2 * lo["mean_candidates"], (lo, hi)
 
 
 def test_ivf_topk_default_recall_floor():

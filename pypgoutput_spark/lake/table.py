@@ -21,10 +21,12 @@ with the properties the rule actually needs:
     are read as plain scans (no aggregate, no shuffle); dirty buckets
     resolve **locally, with zero exchange**: each bucket's base ∪ delta
     files are already co-bucketed on disk, so the reader narrows them
-    into one task (`coalesce(1)`) and resolves with an Arrow kernel
-    (`mapInArrow`) — no shuffle of base rows, parallelism = dirty-bucket
-    count (set ``props["resolve"] = "shuffle"`` for the hash-aggregate
-    plan instead).
+    into one task (`coalesce(1)` → SinglePartition, which satisfies the
+    aggregate's distribution requirement) and runs the JVM resolution
+    aggregate with no Exchange — base rows never cross the network;
+    parallelism = dirty-bucket count (set ``props["resolve"] =
+    "shuffle"`` for the global hash-aggregate plan when single buckets
+    outgrow one task).
   - **Compaction**: when a bucket's delta bytes pass a ratio of its base
     (or its delta-commit count passes a bound), the bucket is rewritten
     as resolved base and the *folded* deltas dropped. Compaction is an
@@ -72,7 +74,7 @@ import tempfile
 import threading
 import time
 import uuid
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 from pyspark.sql import functions as F
 
@@ -129,68 +131,14 @@ def _maybe_crash(point: str) -> None:
 _CRASH_COUNTS: Dict[str, int] = {}
 
 
-def _resolve_kernel(keys: Sequence[str], value_cols: Sequence[str], out_ddl_names):
-    """Arrow kernel for exchange-free MOR resolution: the input iterator
-    holds ONE bucket's base ∪ delta rows (co-bucketed files narrowed
-    into a single task), so every key's full history is local. Applies
-    the LWW read rule per key — final_op = op at max lsn; per column,
-    value at the max lsn whose row *carries* that column — then drops
-    keys whose final op is 'D'. Pure positional gathers (`take`), so
-    every column type round-trips exactly (no pandas dtype coercion).
-    """
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    def fn(batches):
-        batches = [b for b in batches if b.num_rows]
-        if not batches:
-            return
-        tbl = pa.Table.from_batches(batches)
-        n = tbl.num_rows
-        # composite group code per key tuple (dictionary codes: exact
-        # equality for any type, vectorized)
-        g = None
-        for k in keys:
-            enc = pc.dictionary_encode(tbl[k].combine_chunks())
-            codes = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False).astype(np.int64)
-            g = codes if g is None else g * (int(codes.max()) + 2) + codes
-        lsn = tbl["__lsn"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((lsn, g))
-        g_s = g[order]
-        starts = np.flatnonzero(np.r_[True, g_s[1:] != g_s[:-1]])
-        ends = np.r_[starts[1:], n]
-        final_rows = order[ends - 1]  # max-lsn row per key
-        ops = tbl["__op"].combine_chunks()
-        keep = pc.not_equal(ops.take(pa.array(final_rows)), "D").to_numpy(
-            zero_copy_only=False
-        ).astype(bool)
-        final_rows = final_rows[keep]
-        if not len(final_rows):
-            return
-        pos = np.arange(n, dtype=np.int64)
-        out_arrays = []
-        for name in out_ddl_names:
-            if name in keys:
-                out_arrays.append(tbl[name].combine_chunks().take(pa.array(final_rows)))
-                continue
-            m = pc.fill_null(tbl[f"__has_{name}"].combine_chunks(), False).to_numpy(
-                zero_copy_only=False
-            ).astype(bool)
-            cand = np.where(m[order], pos, -1)
-            w = np.maximum.reduceat(cand, starts)[keep]  # winner pos or -1
-            valid = w >= 0
-            rows = order[np.where(valid, w, 0)]
-            taken = tbl[f"__v_{name}"].combine_chunks().take(pa.array(rows))
-            if not valid.all():
-                taken = pc.if_else(pa.array(valid), taken, pa.scalar(None, taken.type))
-            out_arrays.append(taken)
-        yield pa.RecordBatch.from_arrays(
-            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_arrays],
-            names=list(out_ddl_names),
-        )
-
-    return fn
+def _lww_read_aggs(value_cols: Sequence[str]) -> List[str]:
+    """The LWW read rule as aggregate expressions: final_op = op at max
+    lsn; per column, the newest row that *carries* it wins. Associative
+    (partial map-side combine)."""
+    return ["max_by(__op, __lsn) AS __final_op"] + [
+        f"max_by(`__v_{c}`, __lsn) FILTER (WHERE `__has_{c}`) AS `{c}`"
+        for c in value_cols
+    ]
 
 
 class LakeTable:
@@ -325,11 +273,41 @@ class LakeTable:
 
     def _dirty_union(self, snap: dict, base_dirs: List[str], delta_dirs: List[str]):
         """base rows (lsn = -1, all columns carried) ∪ delta rows (their
-        commit max_lsn, carrier = struct present or a 'D' reset), typed."""
+        commit max_lsn, carrier = struct present or a 'D' reset), typed.
+
+        ONE schema-merged scan covers base and delta files together:
+        parquet name-based resolution yields NULL ``final_op`` for base
+        files (the discriminator) and NULL value columns for delta files
+        — halving the per-bucket reader count and, more importantly,
+        costing one file-index per bucket instead of one per directory
+        (driver-side listing was the dominant cost of the per-bucket
+        read). Falls back to a two-scan union for (pathological) tables
+        whose value columns collide with the delta bookkeeping names."""
         keys = snap["key_cols"]
         col_types = dict(snap["schema"])
         value_cols = [n for n, _ in snap["schema"] if n not in keys]
-        ddl = self.schema_ddl(snap)
+
+        if not any(n in ("final_op", "max_lsn") or n.startswith("r_") for n in col_types):
+            merged = ", ".join(
+                [f"`{n}` {t}" for n, t in snap["schema"]]
+                + ["final_op STRING", "max_lsn BIGINT"]
+                + [f"`r_{c}` STRUCT<v: STRING>" for c in value_cols]
+            )
+            raw = self.spark.read.schema(merged).parquet(*base_dirs, *delta_dirs)
+            sel = [f"`{k}`" for k in keys]
+            sel += ["coalesce(final_op, 'B') AS __op"]
+            sel += ["coalesce(max_lsn, CAST(-1 AS BIGINT)) AS __lsn"]
+            sel += [
+                f"CASE WHEN final_op IS NULL THEN `{c}` "
+                f"WHEN final_op = 'D' THEN CAST(NULL AS {col_types[c]}) "
+                f"ELSE CAST(`r_{c}`.v AS {col_types[c]}) END AS `__v_{c}`"
+                for c in value_cols
+            ]
+            sel += [
+                f"(final_op IS NULL OR final_op = 'D' OR `r_{c}` IS NOT NULL) AS `__has_{c}`"
+                for c in value_cols
+            ]
+            return raw.selectExpr(*sel)
 
         sel_base = [f"`{k}`" for k in keys] + ["'B' AS __op", "CAST(-1 AS BIGINT) AS __lsn"]
         sel_base += [f"`{c}` AS `__v_{c}`" for c in value_cols]
@@ -349,32 +327,47 @@ class LakeTable:
         delta = delta_raw.selectExpr(*sel_delta)
         if not base_dirs:
             return delta
-        base = self.spark.read.schema(ddl).parquet(*base_dirs).selectExpr(*sel_base)
+        base = self.spark.read.schema(self.schema_ddl(snap)).parquet(*base_dirs).selectExpr(*sel_base)
         return base.unionByName(delta)
 
     def _resolve_local(self, snap: dict, base: Dict[str, List[str]],
                        deltas: Dict[str, List[str]]):
         """Exchange-free resolution: per dirty bucket, narrow that
         bucket's (already co-bucketed) base ∪ delta files into ONE task
-        (`coalesce(1)` — a narrow dependency, not a shuffle) and resolve
-        with the Arrow kernel. No Exchange anywhere in the plan
-        (asserted by tests/test_mor.py); the data never crosses the
-        network, which at 100 TB beats re-hashing every dirty-bucket
-        base row. Parallelism = dirty-bucket count — size ``n_buckets``
-        so a bucket fits one task (the same contract compaction already
-        imposes). At catalog scale, the per-bucket plan union would be
-        replaced by a bucketed-table definition; the kernel is
-        unchanged."""
+        with ``coalesce(1)`` — a narrow dependency whose SinglePartition
+        output satisfies the aggregate's clustered-distribution
+        requirement, so Catalyst plans the SAME JVM ``max_by FILTER``
+        aggregate with NO Exchange (asserted by
+        tests/test_lake_concurrency.py). The data never leaves the node
+        that read it, which at 100 TB beats re-hashing every
+        dirty-bucket base row across the network. Parallelism =
+        dirty-bucket count — size ``n_buckets`` so a bucket fits one
+        task (the contract compaction already imposes); at catalog
+        scale the per-bucket plan union would be a bucketed-table
+        definition instead."""
         keys = snap["key_cols"]
         value_cols = [n for n, _ in snap["schema"] if n not in keys]
-        names = [n for n, _ in snap["schema"]]
-        kern = _resolve_kernel(keys, value_cols, names)
+        aggs = [F.expr(a) for a in _lww_read_aggs(value_cols)]
+        cols = [F.col(n) for n, _ in snap["schema"]]
         out = None
         for b, ddirs in deltas.items():
             u = self._dirty_union(snap, base.get(b, []), ddirs).coalesce(1)
-            resolved = u.mapInArrow(kern, self.schema_ddl(snap))
+            resolved = (
+                u.groupBy(*[F.col(k) for k in keys])
+                .agg(*aggs)
+                .filter("__final_op <> 'D'")
+                .select(*cols)
+            )
             out = resolved if out is None else out.unionByName(resolved)
-        return out
+        # Spark plans a Union whose children are ALL SinglePartition as one
+        # task (serializing every bucket); one extra empty multi-partition
+        # child keeps the per-bucket tasks independent — still zero
+        # exchange (tests/test_lake_concurrency.py pins both the plan and
+        # the parallelism, so a Spark upgrade changing this planning shows)
+        empty = self.spark.range(0, 0, 1, 2).selectExpr(
+            *[f"CAST(NULL AS {t}) AS `{n}`" for n, t in snap["schema"]]
+        )
+        return out.unionByName(empty)
 
     def _resolve_shuffle(self, snap: dict, base_dirs: List[str], delta_dirs: List[str]):
         """Hash-aggregate resolution (one exchange over dirty-bucket
@@ -384,10 +377,7 @@ class LakeTable:
         keys = snap["key_cols"]
         value_cols = [n for n, _ in snap["schema"] if n not in keys]
         allrows = self._dirty_union(snap, base_dirs, delta_dirs)
-        aggs = ["max_by(__op, __lsn) AS __final_op"] + [
-            f"max_by(`__v_{c}`, __lsn) FILTER (WHERE `__has_{c}`) AS `{c}`"
-            for c in value_cols
-        ]
+        aggs = _lww_read_aggs(value_cols)
         resolved = (
             allrows.groupBy(*[F.col(k) for k in keys])
             .agg(*[F.expr(a) for a in aggs])

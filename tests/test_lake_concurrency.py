@@ -63,6 +63,11 @@ def test_mor_read_plan_has_no_exchange(spark, tmp_path):
     df = t.read()  # default: local
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+    # one independent task per dirty bucket (a Union of all-SinglePartition
+    # children would collapse to ONE serial task — pinned here)
+    n_dirty = len(t.snapshot()["deltas"])
+    assert df.rdd.getNumPartitions() >= n_dirty >= 2, (
+        df.rdd.getNumPartitions(), n_dirty)
 
     shuffled = t.read(resolve="shuffle")
     plan2 = shuffled._jdf.queryExecution().executedPlan().toString()

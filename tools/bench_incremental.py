@@ -92,10 +92,15 @@ def main() -> None:
             mor_walls.append(round(time.monotonic() - t0, 2))
             assert m["mode"] == "mor", m
 
-        # read path over all accumulated deltas, then compaction cost
+        # read path over all accumulated deltas: default exchange-free
+        # per-bucket resolution vs the shuffle-aggregate plan
         t0 = time.monotonic()
         n_final = table.read().count()
         read_wall = round(time.monotonic() - t0, 2)
+        t0 = time.monotonic()
+        n_shuffle = table.read(resolve="shuffle").count()
+        read_wall_shuffle = round(time.monotonic() - t0, 2)
+        assert n_final == n_shuffle
         t0 = time.monotonic()
         table.compact()
         compact_wall = round(time.monotonic() - t0, 2)
@@ -103,6 +108,25 @@ def main() -> None:
         n_compacted = table.read().count()
         read_after = round(time.monotonic() - t0, 2)
         assert n_final == n_compacted
+
+        # async-compaction window (round-4): keep ingesting while the
+        # maintenance thread folds the accumulating deltas — per-batch
+        # ingest wall must stay flat THROUGH the triggered rewrite
+        async_walls = []
+        for i in range(n_batches):
+            ch = changes_df(spark, batch, rows, salt=50 + i)
+            t0 = time.monotonic()
+            merge_into(table, ch, watermark_lsn=rows + (50 + i + 1) * 1_000_000,
+                       auto_compact=False)
+            async_walls.append(round(time.monotonic() - t0, 2))
+            if i == 1:
+                table.schedule_compact()  # full-table fold starts NOW
+        n_after_async = table.read().count()
+        t0 = time.monotonic()
+        table.wait_maintenance()
+        compact_drain = round(time.monotonic() - t0, 2)
+        # compaction is state-neutral even when it raced the ingest loop
+        assert table.read().count() == n_after_async
 
         cow_walls = []
         for i in range(cow_batches):
@@ -118,8 +142,13 @@ def main() -> None:
             "mor_batch_walls": mor_walls,
             "mor_flatness_last_over_first": round(mor_walls[-1] / mor_walls[0], 2),
             "read_over_deltas_sec": read_wall,
+            "read_over_deltas_shuffle_sec": read_wall_shuffle,
             "compact_sec": compact_wall,
             "read_after_compact_sec": read_after,
+            "async_batch_walls_during_compaction": async_walls,
+            "async_flatness_max_over_median": round(
+                max(async_walls) / sorted(async_walls)[len(async_walls) // 2], 2),
+            "async_compact_drain_sec": compact_drain,
             "cow_batch_walls": cow_walls,
             "cow_over_mor_median": round(
                 sorted(cow_walls)[len(cow_walls) // 2]

@@ -128,6 +128,7 @@ BENCH_QUERIES = (
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_keep_representative",
+    "dedup_connected_components",
     "sim_topk_bruteforce",
     "sim_lsh_ann_pairs",
     "sim_lsh_topk",

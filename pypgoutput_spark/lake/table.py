@@ -431,6 +431,7 @@ class LakeTable:
         folded_deltas: Optional[Dict[str, List[str]]] = None,
         expected_base: Optional[Dict[str, List[str]]] = None,
         carry_metrics: Sequence[str] = (),
+        cdf_buckets: Optional[Dict[str, List[str]]] = None,
     ) -> int:
         """Publish a new snapshot (atomic, serialized by a commit lock —
         ingest and maintenance threads/processes interleave safely).
@@ -455,6 +456,12 @@ class LakeTable:
         ``dir_bytes``: sizes of the newly referenced dirs, as returned
         by :meth:`write_buckets`; carried in the snapshot so no commit
         or policy decision ever lists the filesystem.
+
+        ``cdf_buckets``: feed-only change-set files (delta format) for a
+        commit whose data files cannot serve as the change feed (the
+        copy-on-write rewrite mixes changed and carried rows) — recorded
+        per commit (NOT cumulative), never read by :meth:`read`, only by
+        :meth:`changes`; the Delta CDF ``_change_data`` sidecar analog.
         """
         _maybe_crash("pre_snapshot")
         with _commit_lock(self.meta_dir):
@@ -496,6 +503,7 @@ class LakeTable:
             # entries for dirs no longer referenced anywhere
             referenced = {d for dd in buckets.values() for d in dd}
             referenced |= {d for dd in deltas.values() for d in dd}
+            referenced |= {d for dd in (cdf_buckets or {}).values() for d in dd}
             all_dir_bytes = {d: s for d, s in all_dir_bytes.items() if d in referenced}
             bucket_bytes = {
                 b: sum(all_dir_bytes.get(d, 0) for d in dd) for b, dd in buckets.items()
@@ -514,6 +522,7 @@ class LakeTable:
                 "n_buckets": prev["n_buckets"],
                 "buckets": buckets,
                 "deltas": deltas,
+                "cdf": cdf_buckets or {},
                 "bucket_bytes": bucket_bytes,
                 "delta_bytes": delta_bytes,
                 "dir_bytes": all_dir_bytes,
@@ -658,16 +667,18 @@ class LakeTable:
         not row-tracked" / Iceberg "replace" analog, at O(1) cost).
 
         Covered commits: merge-on-read delta commits (exact change set,
-        zero extra cost — the delta files ARE the feed), truncates and
-        initial loads. Compaction and schema-change commits (including
-        retype rewrites, which change no row logically) contribute no
-        rows; delta files written before a mid-range column add are read
-        through the *until* snapshot's delta schema — parquet name-based
-        resolution yields NULL for the missing ``r_<col>`` struct, i.e.
-        ``upd_<col> = false``, which is exactly "no information".
-        Copy-on-write incremental commits are not change-tracked (the
-        rewritten bucket mixes changed and carried rows) and raise —
-        ingest with the default ``mode='mor'`` to get a feed.
+        zero extra cost — the delta files ARE the feed), copy-on-write
+        commits (from the feed-only sidecar their merge writes — the
+        rewritten buckets mix changed and carried rows, so the change
+        set itself is persisted in delta format alongside), truncates
+        and initial loads. Compaction and schema-change commits
+        (including retype rewrites, which change no row logically)
+        contribute no rows; delta files written before a mid-range
+        column add are read through the *until* snapshot's delta schema
+        — parquet name-based resolution yields NULL for the missing
+        ``r_<col>`` struct, i.e. ``upd_<col> = false``, which is
+        exactly "no information". A base rewrite with neither deltas
+        nor a sidecar (an external rewrite) raises.
         """
         until = self.current_version() if until_version is None else until_version
         snap = self.snapshot(until)
@@ -710,11 +721,17 @@ class LakeTable:
                     f"version {v} (or its parent) is expired — retain enough "
                     "history (expire_snapshots keep_last) for the slowest consumer"
                 ) from exc
-            if added:
-                dirs = [d for dd in added.values() for d in dd]
+            feed_dirs = [d for dd in added.values() for d in dd]
+            if not feed_dirs:
+                # copy-on-write commits feed from their sidecar (same
+                # delta format, written by _merge_cow alongside the
+                # rewrite; the rewritten base mixes changed and carried
+                # rows so it cannot feed)
+                feed_dirs = [d for dd in s.get("cdf", {}).values() for d in dd]
+            if feed_dirs:
                 parts.append(
                     _flatten_delta(
-                        self.spark.read.schema(delta_ddl).parquet(*dirs), v
+                        self.spark.read.schema(delta_ddl).parquet(*feed_dirs), v
                     )
                 )
                 continue
@@ -737,8 +754,8 @@ class LakeTable:
             if not (truncated or not prev.get("buckets")):
                 raise ValueError(
                     f"version {v} rewrote base buckets outside truncate/initial-load "
-                    "(copy-on-write merge?) — not change-tracked; ingest with "
-                    "mode='mor' for a change feed"
+                    "with no change-feed sidecar — not change-tracked (external "
+                    "rewrite? pre-sidecar copy-on-write commit?)"
                 )
             # read with the COMMIT snapshot's own schema (a retype later in
             # the range would make the raw read mismatch), then project to
@@ -822,6 +839,8 @@ class LakeTable:
                 for dd in s["buckets"].values():
                     out.update(os.path.normpath(d) for d in dd)
                 for dd in s.get("deltas", {}).values():
+                    out.update(os.path.normpath(d) for d in dd)
+                for dd in s.get("cdf", {}).values():
                     out.update(os.path.normpath(d) for d in dd)
                 for d, sz in s.get("dir_bytes", {}).items():
                     sizes[os.path.normpath(d)] = sz

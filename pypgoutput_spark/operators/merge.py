@@ -264,6 +264,18 @@ def _merge_cow(
         staged, dbytes = table.write_buckets(
             table.with_bucket(result), snap["version"] + 1
         )
+        # change-feed sidecar: the rewritten buckets mix changed and
+        # carried rows, so the feed comes from the LWW change set itself
+        # (delta format, feed-only — Delta CDF `_change_data` analog);
+        # costs one extra write of change-set size, never table size
+        cdf_staged, cdf_bytes = table.write_buckets(
+            ch.select(
+                *keys, "final_op", "max_lsn",
+                *[f"r_{c}" for c in value_cols], "_bucket",
+            ),
+            snap["version"] + 1,
+        )
+        dbytes = {**dbytes, **cdf_bytes}
         metrics = {
             "upserts": int(op_counts.get("I", 0) + op_counts.get("U", 0)),
             "deletes": int(op_counts.get("D", 0)),
@@ -280,6 +292,7 @@ def _merge_cow(
             watermark_lsn=watermark_lsn,
             metrics=metrics,
             dir_bytes=dbytes,
+            cdf_buckets=cdf_staged,
         )
         metrics["version"] = version
         metrics["skipped"] = False

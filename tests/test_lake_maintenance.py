@@ -92,11 +92,22 @@ def test_changes_feed_mor(spark, tmp_path):
     after = t.changes(v1).collect()
     assert {r["_commit_version"] for r in after} == {v1 + 1, v1 + 2}
 
-    # copy-on-write commits are not change-tracked: explicit error
+    # copy-on-write commits feed from their sidecar (round 4): the U with
+    # an uncarried b keeps its carrier flag through the rewrite
     merge_into(t, _changes(spark, [
         ("k3", "U", 40, ("v", "a3x"), None),
     ]), watermark_lsn=40, mode="cow")
-    with pytest.raises(ValueError, match="mor"):
+    cow_feed = t.changes(v1).collect()
+    k3 = next(r for r in cow_feed if r["k"] == "k3")
+    assert k3["upd_a"] and not k3["upd_b"] and k3["a"] == "a3x"
+    start = {r["k"]: (r["a"], r["b"]) for r in t.read(version=v1).collect()}
+    assert _apply_feed(start, cow_feed) == {
+        r["k"]: (r["a"], r["b"]) for r in t.read().collect()
+    }
+    # a base rewrite with neither deltas nor a sidecar still raises
+    staged, db = t.write_buckets(t.with_bucket(t.read()), t.current_version() + 1)
+    t.commit(staged, replaced_buckets=list(range(4)), dir_bytes=db)
+    with pytest.raises(ValueError, match="not change-tracked"):
         t.changes(v1).collect()
 
 

@@ -53,9 +53,17 @@ P_KEYCHANGE = _gen.GenParams(
     toast_pct=30, txns_per_segment=12, key_change_pct=25,
 )
 
+#: protocol-v2 streamed in-progress transactions (PG14+ streaming=on):
+#: 40% of txns stream as S/DML(xid)/E chunks + Stream Commit; a quarter
+#: of those ABORT — their events must vanish from the final state
+P_STREAMED = _gen.GenParams(
+    n_txns=120, ops_per_txn=8, n_repos=40, n_paths=24,
+    toast_pct=30, txns_per_segment=12, stream_pct=40, stream_abort_pct=25,
+)
+
 
 def _run_cdc_pipeline(spark: SparkSession, p: _gen.GenParams,
-                      kc_toast_passes: int = 0) -> DataFrame:
+                      kc_toast_passes: int = 0, strict: bool = True) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="pypgoutput_spark_lake_")
     table = LakeTable.create(
         spark, f"{tmp}/lake",
@@ -64,7 +72,7 @@ def _run_cdc_pipeline(spark: SparkSession, p: _gen.GenParams,
     )
     frames = _gen.spark_frames_df(spark, p)
     _pipeline.run_ingest(spark, frames, table, n_batches=3,
-                         kc_toast_passes=kc_toast_passes)
+                         kc_toast_passes=kc_toast_passes, strict=strict)
     return table.read().selectExpr(
         "repo", "path", "`commit`", "lang", "content",
         "sha2(content, 256) AS content_sha",
@@ -73,6 +81,15 @@ def _run_cdc_pipeline(spark: SparkSession, p: _gen.GenParams,
 
 def q_cdc_pipeline_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_cdc_pipeline(spark, P_ENTRY)
+
+
+def q_cdc_streamed_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protocol-v2 streamed transactions end-to-end: chunked streams
+    decode through the loop kernel (the optimistic vectorized path
+    falls back per batch), aborted streams vanish, committed streams
+    stamp begin/commit metadata from S/c — final state ≡ the serial
+    oracle with aborted txns excluded."""
+    return _run_cdc_pipeline(spark, P_STREAMED, strict=False)
 
 
 def q_cdc_decoded_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,6 +200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_multi_relation_final_state": q_cdc_multi_relation_final_state,
         "cdc_decoded_events_split": q_cdc_decoded_events_split,
         "cdc_keychange_final_state": q_cdc_keychange_final_state,
+        "cdc_streamed_final_state": q_cdc_streamed_final_state,
     }
     for mod in (_text, _dedup, _similarity, _multimodal, _analytics):
         for name, (fn, _sql) in mod.QUERIES.items():
@@ -200,6 +218,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_decoded_events_split": _cdc_decoded_events_oracle(P_ENTRY),
         "cdc_keychange_final_state": _gen.duckdb_final_state_sql(
             P_KEYCHANGE, with_sha=True
+        ),
+        "cdc_streamed_final_state": _gen.duckdb_final_state_sql(
+            P_STREAMED, with_sha=True
         ),
     }
     for mod in (_text, _dedup, _similarity, _multimodal, _analytics):

@@ -119,6 +119,7 @@ def bench_cdc(spark, sf: float, salt_buckets: int = 0) -> dict:
 
 BENCH_QUERIES = (
     "cdc_pipeline_final_state",
+    "cdc_streamed_final_state",
     "text_fingerprint",
     "text_quality_score",
     "corpus_training_ready",

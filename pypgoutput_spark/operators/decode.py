@@ -79,6 +79,10 @@ def _unpack_begin(b, pos):
     return struct.unpack_from(">qqi", b, pos)  # lsn, ts, xid
 
 
+def _unpack_i64(b, pos):
+    return struct.unpack_from(">q", b, pos)
+
+
 def _parse_tuple(b: bytes, pos: int):
     """TupleData at pos → (u_mask_words, vals, end_pos). 'n'/'u' cells →
     None val; word i>>6 bit i&63 of the mask list set ⇔ cell i is
@@ -107,11 +111,27 @@ def _parse_tuple(b: bytes, pos: int):
     return words, vals, pos
 
 
-def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool):
+def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
+                     streams: Optional[dict] = None):
     """Per-message loop decode of ONE pandas batch; mutates ``open_tx``
-    (segment -> (xid, begin_lsn, commit_ts_us)). Returns a dict of RAW
-    column lists, or None when the batch emitted nothing. The per-message
-    try/except is the dead-letter (op='E') isolation unit."""
+    (segment -> (xid, begin_lsn, commit_ts_us)) and ``streams`` (protocol
+    v2 streamed-transaction state, segment -> [xid, start_lsn, buffered
+    rows, in_block]). Returns a dict of RAW column lists, or None when
+    the batch emitted nothing. The per-message try/except is the
+    dead-letter (op='E') isolation unit.
+
+    Protocol v2 (PG14+ ``streaming = on``): a large in-progress
+    transaction arrives as chunks ``S(xid) DML... E`` (every in-chunk
+    message carries the xid after its type byte), repeated until a
+    Stream Commit 'c' stamps and releases the buffered events or a
+    Stream Abort 'A' discards them — the decoder's required buffering,
+    bounded per segment by the largest in-flight transaction. Streams
+    must COMMIT within the decode partition (segment-aligned batching —
+    ``run_ingest(split='segment')`` and the receiver's whole-segment
+    files guarantee it); a cut inside an open stream raises.
+    """
+    if streams is None:
+        streams = {}
     cols = (
         "lsn", "op", "relation_id", "xid", "begin_lsn", "commit_ts_us",
         "schema_version", "before_kind", "before_vals",
@@ -149,6 +169,55 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool):
         if t == 67:  # 'C'
             open_tx.pop(seg, None)
             continue
+        if t == 83:  # 'S' stream start (v2)
+            (sxid,) = _unpack_i32(b, 1)
+            first = b[5] != 0
+            st = streams.get(seg)
+            if st is not None and st[0] == sxid:
+                st[3] = True  # next chunk of the in-flight stream
+            elif first:
+                if st is not None:
+                    raise ValueError(
+                        f"interleaved streams in one segment not supported "
+                        f"(open xid={st[0]}, new xid={sxid})"
+                    )
+                streams[seg] = [sxid, int(lsn), [], True]
+            else:
+                raise ValueError(
+                    f"stream continuation for unknown xid={sxid} at lsn={lsn}"
+                )
+            continue
+        if t == 69:  # 'E' stream stop (chunk end)
+            st = streams.get(seg)
+            if st is None or not st[3]:
+                raise ValueError(f"Stream Stop outside a stream block at lsn={lsn}")
+            st[3] = False
+            continue
+        if t == 99:  # 'c' stream commit: stamp + release buffered events
+            (sxid,) = _unpack_i32(b, 1)
+            st = streams.pop(seg, None)
+            if st is None or st[0] != sxid:
+                raise ValueError(f"Stream Commit for unknown xid={sxid} at lsn={lsn}")
+            (cts,) = _unpack_i64(b, 22)
+            for e_lsn, e_op, e_rid, e_ver, e_bk, e_bv, e_nv, e_nm in st[2]:
+                a_lsn(e_lsn); a_op(e_op); a_rid(e_rid)
+                a_xid(sxid); a_blsn(st[1]); a_cts(cts)
+                a_ver(e_ver); a_bk(e_bk)
+                a_bv(e_bv); a_nv(e_nv); a_num(e_nm)
+                a_seg(int(seg)); a_err(None)
+            continue
+        if t == 65:  # 'A' stream abort: discard buffered events
+            (sxid,) = _unpack_i32(b, 1)
+            st = streams.pop(seg, None)
+            if st is None or st[0] != sxid:
+                raise ValueError(f"Stream Abort for unknown xid={sxid} at lsn={lsn}")
+            continue
+
+        st = streams.get(seg)
+        in_stream = st is not None and st[3]
+        if in_stream:
+            b = b[0:1] + b[5:]  # strip the in-chunk xid → v1 payload
+
         if t in (82, 79, 89):  # 'R' (driver-side), 'O', 'Y' (reference stubs)
             continue
 
@@ -158,11 +227,15 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool):
             for k in range(n_rel):
                 (rid,) = _unpack_i32(b, 6 + 4 * k)
                 looked = plain_lookup(registry_plain, rid, int(lsn))
+                ver = looked[0] if looked else None
+                if in_stream:
+                    st[2].append((int(lsn), "T", rid, ver, None, None, None, None))
+                    continue
                 a_lsn(int(lsn)); a_op("T"); a_rid(rid)
                 a_xid(tx[0] if tx else None)
                 a_blsn(tx[1] if tx else None)
                 a_cts(tx[2] if tx else None)
-                a_ver(looked[0] if looked else None)
+                a_ver(ver)
                 a_bk(None); a_bv(None); a_nv(None); a_num(None)
                 a_seg(int(seg)); a_err(None)
             continue
@@ -212,6 +285,11 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool):
         else:
             raise ValueError(f"unknown pgoutput message type byte {chr(t)!r}")
 
+        if in_stream:
+            # uncommitted: buffer until the stream's 'c' stamps it (or
+            # its 'A' discards it)
+            st[2].append((int(lsn), op, rid, version, bk, b_vals, n_vals, n_mask))
+            continue
         tx = open_tx.get(seg)
         a_lsn(int(lsn)); a_op(op); a_rid(rid)
         a_xid(tx[0] if tx else None)
@@ -240,10 +318,17 @@ def _make_kernel(registry_plain: dict, strict: bool = True,
         import pandas as pd
 
         open_tx: dict = dict(init_tx) if init_tx else {}
+        streams: dict = {}
         for pdf in batches:
-            out = _loop_decode_pdf(pdf, open_tx, registry_plain, strict)
+            out = _loop_decode_pdf(pdf, open_tx, registry_plain, strict, streams)
             if out:  # empty pandas frames break Arrow type inference
                 yield pd.DataFrame(out)
+        if streams:
+            raise ValueError(
+                f"streamed transaction(s) still open at partition end "
+                f"(xids {[s[0] for s in streams.values()]}): cut batches on "
+                "segment boundaries (split='segment' / whole-segment files)"
+            )
 
     return kernel
 
@@ -264,23 +349,39 @@ def _make_optimistic_kernel(registry_plain: dict, init_tx: Optional[dict] = None
         import pandas as pd
 
         open_tx: dict = dict(init_tx) if init_tx else {}
+        streams: dict = {}
         for rb in batches:
-            tx_try = dict(open_tx)
-            try:
-                outs = list(vdecode.process_batch(rb, tx_try, registry_plain))
-            except Exception:  # noqa: BLE001 — any decode error isolates per message below
-                out = _loop_decode_pdf(
-                    rb.to_pandas(), open_tx, registry_plain, strict=False
+            # an Arrow batch boundary can fall INSIDE an open v2 stream
+            # chunk — the next batch's DML then carries xid prefixes a
+            # vectorized v1 parse would misread as relation ids, so the
+            # loop kernel (which owns the stream state) must keep control
+            # until the stream closes
+            if not streams:
+                tx_try = dict(open_tx)
+                try:
+                    outs = list(vdecode.process_batch(rb, tx_try, registry_plain))
+                except Exception:  # noqa: BLE001 — isolate per message below
+                    pass
+                else:
+                    open_tx.clear()
+                    open_tx.update(tx_try)
+                    yield from outs
+                    continue
+            out = _loop_decode_pdf(
+                rb.to_pandas(), open_tx, registry_plain, strict=False,
+                streams=streams,
+            )
+            if out:
+                yield pa.RecordBatch.from_pandas(
+                    pd.DataFrame(out), schema=vdecode.RAW_PA_SCHEMA,
+                    preserve_index=False,
                 )
-                if out:
-                    yield pa.RecordBatch.from_pandas(
-                        pd.DataFrame(out), schema=vdecode.RAW_PA_SCHEMA,
-                        preserve_index=False,
-                    )
-                continue
-            open_tx.clear()
-            open_tx.update(tx_try)
-            yield from outs
+        if streams:
+            raise ValueError(
+                f"streamed transaction(s) still open at partition end "
+                f"(xids {[s[0] for s in streams.values()]}): cut batches on "
+                "segment boundaries (split='segment' / whole-segment files)"
+            )
 
     return kernel
 

@@ -58,10 +58,27 @@ DONE_MARKER = "DONE"
 # ---------------------------------------------------------------------------
 
 
+def _txn_draw(p: GenParams, tag: str, txn) -> "object":
+    """Replicate the generator's md5 txn draw (`stream_exprs`) in numpy:
+    the 15-hex-digit prefix of md5(seed || tag || txn) as a bigint."""
+    import hashlib
+
+    import numpy as np
+
+    return np.array(
+        [
+            int(hashlib.md5(f"{p.seed}{tag}{t}".encode()).hexdigest()[:15], 16)
+            for t in np.asarray(txn).tolist()
+        ],
+        dtype=np.int64,
+    )
+
+
 def logical_slots_pdf(p: GenParams, txn_lo: int = 0, txn_hi: Optional[int] = None):
-    """Pandas slot table (B / ops / C rows, LSN-ordered) for a txn range —
-    the same layout ``spark_frames_df`` builds with Spark SQL, evaluated
-    through DuckDB. Producer processes call this incrementally."""
+    """Pandas slot table (LSN-ordered) for a txn range — the same layout
+    ``spark_frames_df`` builds with Spark SQL, evaluated through DuckDB;
+    covers protocol-v2 streamed transactions (``stream_pct``) with the
+    identical md5 txn draws. Producer processes call this incrementally."""
     import duckdb
     import numpy as np
     import pandas as pd
@@ -79,6 +96,19 @@ def logical_slots_pdf(p: GenParams, txn_lo: int = 0, txn_hi: Optional[int] = Non
     )
     i = ev["i"].to_numpy()
     txn = i // ops
+
+    def streamed_of(txns):
+        if p.stream_pct <= 0:
+            return np.zeros(len(np.asarray(txns)), dtype=bool)
+        return (_txn_draw(p, ":stream:", txns) % 100) < p.stream_pct
+
+    def aborted_of(txns):
+        if p.stream_pct <= 0:
+            return np.zeros(len(np.asarray(txns)), dtype=bool)
+        return streamed_of(txns) & (
+            (_txn_draw(p, ":abort:", txns) % 100) < p.stream_abort_pct
+        )
+
     o = pd.DataFrame(
         {
             "segment": txn // tps,
@@ -97,19 +127,26 @@ def logical_slots_pdf(p: GenParams, txn_lo: int = 0, txn_hi: Optional[int] = Non
             "content_unchanged": ev["content_unchanged"].astype(bool),
             "old_repo": ev["old_repo"],
             "old_path": ev["old_path"],
+            "streamed": streamed_of(txn),
         }
     )
     txns = np.arange(txn_lo, txn_hi)
+    strm = streamed_of(txns)
+    abrt = aborted_of(txns)
 
-    def bc(kind: str, slot: int) -> "pd.DataFrame":
+    def bc(kind_arr, slot: int, sel=None) -> "pd.DataFrame":
+        tt = txns if sel is None else txns[sel]
+        kk = kind_arr if isinstance(kind_arr, str) else np.asarray(kind_arr)[
+            slice(None) if sel is None else sel
+        ]
         return pd.DataFrame(
             {
-                "segment": txns // tps,
-                "txn": txns,
-                "kind": kind,
-                "lsn": 10 + txns * stride + slot,
-                "commit_ts_us": txns * 1_000_000,
-                "xid": 1000 + txns,
+                "segment": tt // tps,
+                "txn": tt,
+                "kind": kk,
+                "lsn": 10 + tt * stride + slot,
+                "commit_ts_us": tt * 1_000_000,
+                "xid": 1000 + tt,
                 "rel": 0,
                 "op": None,
                 "repo": None,
@@ -120,10 +157,18 @@ def logical_slots_pdf(p: GenParams, txn_lo: int = 0, txn_hi: Optional[int] = Non
                 "content_unchanged": False,
                 "old_repo": None,
                 "old_path": None,
+                "streamed": strm if sel is None else strm[sel],
             }
         )
 
-    slots = pd.concat([o, bc("B", 0), bc("C", ops + 1)], ignore_index=True)
+    parts = [
+        o,
+        bc(np.where(strm, "S", "B"), 0),
+        bc(np.where(strm, "E", "C"), ops + 1),
+    ]
+    if p.stream_pct > 0 and strm.any():
+        parts.append(bc(np.where(abrt, "A", "c"), ops + 2, sel=strm))
+    slots = pd.concat(parts, ignore_index=True)
     return slots.sort_values("lsn", kind="stable").reset_index(drop=True)
 
 

@@ -156,6 +156,43 @@ def encode_truncate(relation_ids: Sequence[int], option_bits: int = 0) -> bytes:
     return b"".join(out)
 
 
+# ---- protocol v2: streamed in-progress transactions -----------------------
+# (PostgreSQL 14+ `streaming = on`: large transactions stream in chunks
+# before commit. Grammar per the published logical-replication message
+# spec: Stream Start 'S', Stream Stop 'E', Stream Commit 'c', Stream
+# Abort 'A'; every message INSIDE a stream block carries an Int32 xid
+# right after the type byte.)
+
+
+def encode_stream_start(xid: int, first_segment: bool = True) -> bytes:
+    return b"S" + _I32.pack(xid) + _I8.pack(1 if first_segment else 0)
+
+
+def encode_stream_stop() -> bytes:
+    return b"E"
+
+
+def encode_stream_commit(xid: int, lsn_commit: int, lsn_end: int,
+                         commit_ts_us: int, flags: int = 0) -> bytes:
+    return (b"c" + _I32.pack(xid) + _I8.pack(flags) + _I64.pack(lsn_commit)
+            + _I64.pack(lsn_end) + _I64.pack(commit_ts_us))
+
+
+def encode_stream_abort(xid: int, subxid: Optional[int] = None) -> bytes:
+    return b"A" + _I32.pack(xid) + _I32.pack(xid if subxid is None else subxid)
+
+
+def add_stream_xid(payload: bytes, xid: int) -> bytes:
+    """Wrap a v1 DML payload as its in-stream v2 form (xid after byte1)."""
+    return payload[0:1] + _I32.pack(xid) + payload[1:]
+
+
+def strip_stream_xid(payload: bytes) -> Tuple[int, bytes]:
+    """In-stream v2 DML payload → (xid, equivalent v1 payload)."""
+    (xid,) = _I32.unpack_from(payload, 1)
+    return xid, payload[0:1] + payload[5:]
+
+
 # ---------------------------------------------------------------------------
 # decoder — single message (spec-shaped dicts; unit-test surface)
 # ---------------------------------------------------------------------------
@@ -288,6 +325,23 @@ def decode_message(payload: bytes) -> dict:
         (option_bits,) = _I8.unpack_from(mv, pos + 4)
         rids = list(struct.unpack_from(f">{n_rel}i", mv, pos + 5))
         return {"msg_type": "T", "option_bits": option_bits, "relation_ids": rids}
+    if t == "S":  # protocol v2: Stream Start
+        (xid,) = _I32.unpack_from(mv, pos)
+        (first,) = _I8.unpack_from(mv, pos + 4)
+        return {"msg_type": "S", "xid": xid, "first_segment": bool(first)}
+    if t == "E":  # Stream Stop (chunk end)
+        return {"msg_type": "E"}
+    if t == "c":  # Stream Commit
+        (xid,) = _I32.unpack_from(mv, pos)
+        (flags,) = _I8.unpack_from(mv, pos + 4)
+        lsn_commit, lsn_end, ts = struct.unpack_from(">qqq", mv, pos + 5)
+        return {
+            "msg_type": "c", "xid": xid, "flags": flags,
+            "lsn_commit": lsn_commit, "lsn_end": lsn_end, "commit_ts_us": ts,
+        }
+    if t == "A":  # Stream Abort
+        xid, subxid = struct.unpack_from(">ii", mv, pos)
+        return {"msg_type": "A", "xid": xid, "subxid": subxid}
     raise ValueError(f"unknown pgoutput message type byte {t!r}")
 
 

@@ -87,6 +87,16 @@ class GenParams:
     #: (operators.kc_toast) and the oracle replays the same bounded-pass
     #: algorithm (see duckdb_final_state_sql).
     key_change_pct: int = 0
+    #: % of txns emitted as protocol-v2 STREAMED transactions (PG14+
+    #: ``streaming = on``): S(xid) + xid-prefixed DML + E, then a Stream
+    #: Commit 'c' — or a Stream Abort 'A' for ``stream_abort_pct`` % of
+    #: them, whose events must vanish from the final state. The generator
+    #: emits one chunk per stream (multi-chunk grammar is pinned by
+    #: tests/test_streamed_tx.py with hand-built frames); commits follow
+    #: their stream immediately, so commit order == LSN order and the
+    #: serial oracle replays by LSN exactly as for v1.
+    stream_pct: int = 0
+    stream_abort_pct: int = 0
 
     @property
     def n_ops(self) -> int:
@@ -94,7 +104,8 @@ class GenParams:
 
     @property
     def lsn_stride(self) -> int:
-        return self.ops_per_txn + 2
+        # streamed txns need slots for E and c/A after the DML run
+        return self.ops_per_txn + (3 if self.stream_pct > 0 else 2)
 
 
 # ---------------------------------------------------------------------------
@@ -226,6 +237,8 @@ def event_exprs(p: GenParams, dialect: str) -> dict:
     else:
         rel = "0"
 
+    streamed, aborted = stream_exprs(p, d, txn)
+
     return {
         "i": "i",
         "txn": txn,
@@ -242,7 +255,23 @@ def event_exprs(p: GenParams, dialect: str) -> dict:
         "content_unchanged": content_unchanged,
         "old_repo": old_repo,
         "old_path": old_path,
+        "streamed": streamed,
+        "aborted": aborted,
     }
+
+
+def stream_exprs(p: GenParams, d: "_Dialect", txn_expr: str):
+    """(streamed, aborted) SQL booleans for a txn expression — txn-level
+    md5 draws shared by the event stream, the frame layout, and the
+    Spark-free live producer (sources.receiver)."""
+    if p.stream_pct <= 0:
+        return "false", "false"
+    seed = f"'{p.seed}'"
+    h_st = d.h(seed, "':stream:'", d.s(txn_expr))
+    streamed = f"({h_st} % 100 < {p.stream_pct})"
+    h_ab = d.h(seed, "':abort:'", d.s(txn_expr))
+    aborted = f"({streamed} AND {h_ab} % 100 < {p.stream_abort_pct})"
+    return streamed, aborted
 
 
 def duckdb_events_sql(p: GenParams) -> str:
@@ -309,13 +338,17 @@ def _encode_stream_pandas(batches: Iterator, p: GenParams) -> Iterator:
         payloads: List[bytes] = []
         mtypes: List[str] = []
         ap, am = payloads.append, mtypes.append
-        for kind, lsn, cts, xid, rel, op, repo, path, commit, lang, content, unch, orepo, opath in zip(
+        streamed_col = (
+            pdf["streamed"].tolist() if "streamed" in pdf.columns
+            else [False] * len(pdf)
+        )
+        for kind, lsn, cts, xid, rel, op, repo, path, commit, lang, content, unch, orepo, opath, strm in zip(
             pdf["kind"].tolist(), pdf["lsn"].tolist(), pdf["commit_ts_us"].tolist(),
             pdf["xid"].tolist(), pdf["rel"].tolist(), pdf["op"].tolist(),
             pdf["repo"].tolist(),
             pdf["path"].tolist(), pdf["commit"].tolist(), pdf["lang"].tolist(),
             pdf["content"].tolist(), pdf["content_unchanged"].tolist(),
-            pdf["old_repo"].tolist(), pdf["old_path"].tolist(),
+            pdf["old_repo"].tolist(), pdf["old_path"].tolist(), streamed_col,
         ):
             if kind == "B":
                 ap(B_PFX + pk_bc(lsn, cts, xid))
@@ -323,7 +356,21 @@ def _encode_stream_pandas(batches: Iterator, p: GenParams) -> Iterator:
             elif kind == "C":
                 ap(b"C" + pk_c(0, lsn - 1, lsn, cts))
                 am("C")
+            elif kind == "S":  # protocol v2 stream start (single chunk)
+                ap(b"S" + pk_i32(xid) + b"\x01")
+                am("S")
+            elif kind == "E":
+                ap(b"E")
+                am("E")
+            elif kind == "c":
+                ap(b"c" + pk_i32(xid) + b"\x00" + struct.pack(">qqq", lsn - 1, lsn, cts))
+                am("c")
+            elif kind == "A":
+                ap(b"A" + pk_i32(xid) + pk_i32(xid))
+                am("A")
             elif op == "I" or op == "U":
+                # in-chunk v2 messages carry the xid after the type byte
+                pfx = pk_i32(xid) if strm else b""
                 cells = (
                     t_cell(repo) + t_cell(path) + t_cell(commit)
                     + (t_cell(lang) if lang is not None else b"n")
@@ -334,15 +381,18 @@ def _encode_stream_pandas(batches: Iterator, p: GenParams) -> Iterator:
                     # (pgoutput sends it when key columns changed; reference
                     # asserts the old key at tests/test_reader.py:231-251)
                     old = b"K\x00\x05" + t_cell(orepo) + t_cell(opath) + b"nnn"
-                    ap(b"U" + rid_bes[rel] + old + b"N\x00\x05" + cells)
+                    ap(b"U" + pfx + rid_bes[rel] + old + b"N\x00\x05" + cells)
                 else:
-                    ap((I_HDRS[rel] if op == "I" else U_HDRS[rel]) + cells)
+                    h = I_HDRS[rel] if op == "I" else U_HDRS[rel]
+                    ap(h[0:1] + pfx + h[1:] + cells)
                 am(op)
             elif op == "D":
-                ap(D_MIDS[rel] + t_cell(repo) + t_cell(path) + b"nnn")
+                pfx = pk_i32(xid) if strm else b""
+                ap(b"D" + pfx + D_MIDS[rel][1:] + t_cell(repo) + t_cell(path) + b"nnn")
                 am("D")
             elif op == "T":
-                ap(T_PAYLOADS[rel])
+                pfx = pk_i32(xid) if strm else b""
+                ap(b"T" + pfx + T_PAYLOADS[rel][1:])
                 am("T")
             else:  # pragma: no cover
                 raise ValueError(f"bad slot kind={kind!r} op={op!r}")
@@ -375,8 +425,21 @@ def spark_frames_df(spark, p: GenParams, n_partitions: int = 0, include_relation
     stride = p.lsn_stride
     ops = p.ops_per_txn
 
-    # segment → txns → slots (slot 0 = Begin, 1..ops = DML, ops+1 = Commit);
+    # segment → txns → slots (slot 0 = Begin/StreamStart, 1..ops = DML,
+    # ops+1 = Commit/StreamStop, [streaming: ops+2 = StreamCommit/Abort]);
     # generated order == LSN order within each partition
+    streamed_e, aborted_e = stream_exprs(p, _Dialect("spark"), "txn")
+    max_slot = ops + 2 if p.stream_pct > 0 else ops + 1
+    kind = (
+        f"CASE WHEN slot = 0 THEN (CASE WHEN {streamed_e} THEN 'S' ELSE 'B' END) "
+        f"WHEN slot = {ops + 1} THEN (CASE WHEN {streamed_e} THEN 'E' ELSE 'C' END) "
+    )
+    if p.stream_pct > 0:
+        kind += (
+            f"WHEN slot = {ops + 2} THEN (CASE WHEN {aborted_e} THEN 'A' "
+            f"WHEN {streamed_e} THEN 'c' ELSE 'X' END) "
+        )
+    kind += "ELSE 'O' END"
     slots = (
         spark.range(0, n_segments, 1, min(n_part, max(1, n_segments)))
         .withColumnRenamed("id", "seg")
@@ -385,17 +448,19 @@ def spark_frames_df(spark, p: GenParams, n_partitions: int = 0, include_relation
             f"explode(sequence(seg * {p.txns_per_segment}, "
             f"least((seg + 1) * {p.txns_per_segment}, {p.n_txns}) - 1)) AS txn",
         )
-        .selectExpr("segment", "txn", f"explode(sequence(0, {ops + 1})) AS slot")
+        .selectExpr("segment", "txn", f"explode(sequence(0, {max_slot})) AS slot")
         .selectExpr(
             "segment", "txn", "slot",
-            f"CASE WHEN slot = 0 THEN 'B' WHEN slot = {ops + 1} THEN 'C' ELSE 'O' END AS kind",
+            f"{kind} AS kind",
             f"CAST(10 + txn * {stride} + slot AS BIGINT) AS lsn",
             "CAST(txn * 1000000 AS BIGINT) AS commit_ts_us",
             "CAST(1000 + txn AS BIGINT) AS xid",
             f"CASE WHEN slot BETWEEN 1 AND {ops} THEN txn * {ops} + slot - 1 END AS i",
+            f"{streamed_e} AS streamed",
         )
+        .filter("kind <> 'X'")
         .selectExpr(
-            "segment", "txn", "kind", "lsn", "commit_ts_us", "xid",
+            "segment", "txn", "kind", "lsn", "commit_ts_us", "xid", "streamed",
             f"CASE WHEN kind = 'O' THEN {ex['rel']} ELSE 0 END AS rel",
             f"CASE WHEN kind = 'O' THEN {ex['op']} END AS op",
             f"CASE WHEN kind = 'O' THEN {ex['repo']} END AS repo",
@@ -529,12 +594,17 @@ def duckdb_final_state_sql(
     sha = ", sha256(content) AS content_sha" if with_sha else ""
     rel_out = f"{RELATION_ID} + rel AS relation_id, " if with_relation else ""
     kc_ctes, eff_name = _kc_toast_resolution_ctes(p, kc_toast_passes)
+    # aborted streamed transactions (protocol v2) never committed — their
+    # events must not exist for any purpose, truncate cuts included
+    ab = " AND NOT ev.aborted" if p.stream_pct > 0 else ""
+    ab_cut = " WHERE NOT aborted" if p.stream_pct > 0 else ""
     return f"""
 WITH ev AS ({events}),
-cut AS (SELECT rel, coalesce(max(lsn), -1) AS tlsn FROM ev WHERE op = 'T' GROUP BY rel),
+cut AS (SELECT rel, coalesce(max(lsn), -1) AS tlsn
+        FROM (SELECT * FROM ev{ab_cut}) WHERE op = 'T' GROUP BY rel),
 eff AS MATERIALIZED (
   SELECT ev.* FROM ev LEFT JOIN cut ON ev.rel = cut.rel
-  WHERE ev.lsn > coalesce(cut.tlsn, -1) AND ev.op <> 'T'
+  WHERE ev.lsn > coalesce(cut.tlsn, -1) AND ev.op <> 'T'{ab}
 ),{kc_ctes}
 -- a key-change U replays as DELETE(old key) + upsert(new key)
 eff2 AS (

@@ -286,8 +286,17 @@ def process_batch(rb: pa.RecordBatch, open_tx: dict,
     known = np.isin(first, [_B, _C, _I, _U, _D, _T, _R, _O, _Y])
     if not known.all():
         i = int(np.nonzero(~known)[0][0])
+        b1 = chr(first[i])
+        if b1 in ("S", "E", "c", "A"):
+            raise ValueError(
+                f"protocol-v2 streamed-transaction message {b1!r} at "
+                f"lsn={lsn[i]}: the vectorized kernel decodes v1 only — "
+                "streamed blocks route through the loop kernel "
+                "(strict=False optimistic fallback does this per batch, "
+                "or pass vectorized=False)"
+            )
         raise ValueError(
-            f"unknown pgoutput message type byte {chr(first[i])!r} at lsn={lsn[i]}"
+            f"unknown pgoutput message type byte {b1!r} at lsn={lsn[i]}"
         )
 
     # ---- transaction scoping: vectorized B/C scan ----------------

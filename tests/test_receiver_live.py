@@ -29,11 +29,19 @@ from pypgoutput_spark.streaming import pipeline
 from pypgoutput_spark.wal import generator as gen
 
 
-def test_live_frames_byte_parity(spark):
+import pytest
+
+
+@pytest.mark.parametrize("p", [
+    gen.GenParams(n_txns=20, ops_per_txn=5, toast_pct=30,
+                  txns_per_segment=5, key_change_pct=10),
+    gen.GenParams(n_txns=20, ops_per_txn=5, toast_pct=25,
+                  txns_per_segment=5, stream_pct=40, stream_abort_pct=30),
+])
+def test_live_frames_byte_parity(spark, p):
     """The DuckDB+pandas producer emits byte-identical frames to the
-    Spark generator — the oracle SQL therefore replays the live stream."""
-    p = gen.GenParams(n_txns=20, ops_per_txn=5, toast_pct=30,
-                      txns_per_segment=5, key_change_pct=10)
+    Spark generator (protocol-v2 streamed txns included) — the oracle
+    SQL therefore replays the live stream."""
     want = {
         (r["segment"], r["lsn"]): (r["mtype"], bytes(r["payload"]))
         for r in gen.spark_frames_df(spark, p).collect()

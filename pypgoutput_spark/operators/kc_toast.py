@@ -41,6 +41,20 @@ from typing import Optional, Sequence
 from pyspark.sql import functions as F
 
 
+def _stage(df):
+    """Materialize with a lineage cut. ``localCheckpoint`` (executor
+    memory/disk) by default; when the session has a RELIABLE checkpoint
+    dir configured (``sc.setCheckpointDir`` — an object-store path in a
+    real deployment), use it instead: the pending cohort is tiny by
+    contract, but executor-memory staging of even tiny state is the
+    wrong durability class at 1000 executors (an executor loss mid-pass
+    would fail the batch)."""
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().checkpointDir().isDefined():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()
+
+
 def kc_pred(keys: Sequence[str], value_cols: Sequence[str]) -> str:
     key_changed = " OR ".join(f"(__old_{k} IS DISTINCT FROM `{k}`)" for k in keys)
     has_old = " OR ".join(f"__old_{k} IS NOT NULL" for k in keys)
@@ -75,7 +89,7 @@ def resolve_kc_toast(proj, table, keys: Sequence[str],
     # staged decode cache) and returns proj untouched; and without the
     # cut, pass i's plan would embed pass i-1's carriers subtree TWICE
     # (directly + via the patch join) — Catalyst analysis time 2^passes.
-    pending = pending.localCheckpoint()
+    pending = _stage(pending)
     if pending.isEmpty():
         return proj
 
@@ -145,7 +159,7 @@ def resolve_kc_toast(proj, table, keys: Sequence[str],
         done = " AND ".join(
             f"(NOT pu_{c} OR w_{c} IS NULL OR NOT w_{c}.pend)" for c in value_cols
         )
-        r = r.withColumn("_done", F.expr(done)).localCheckpoint()
+        r = _stage(r.withColumn("_done", F.expr(done)))
         resolved_parts.append(
             r.filter("_done").selectExpr(
                 "p_lsn",

@@ -158,3 +158,23 @@ def test_plain_keychange_needs_no_passes(spark, tmp_path):
     ])
     pipeline.apply_frames_batch(table, frames)
     assert _state(table) == {("r2", "p2"): ("c2", "B")}
+
+
+def test_stage_uses_reliable_checkpoint_when_configured(spark, tmp_path):
+    """With a reliable checkpoint dir configured (object-store path in a
+    real deployment), resolver staging leaves executor memory — the
+    right durability class at 1000 executors. Runs last-ish: setting the
+    dir is session-global but only switches _stage's mechanism."""
+    from pypgoutput_spark.operators.kc_toast import _stage
+
+    df0 = spark.range(5)
+    staged0 = _stage(df0)
+    assert staged0.count() == 5  # default: localCheckpoint
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    df = spark.range(7)
+    staged = _stage(df)
+    assert staged.count() == 7
+    import os
+
+    assert any(os.scandir(str(tmp_path / "ckpt"))), "reliable checkpoint written"

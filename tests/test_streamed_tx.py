@@ -133,6 +133,45 @@ def test_vectorized_strict_names_streaming(spark):
         decode_op.decode_frames_raw(frames, strict=True).collect()
 
 
+def test_streamed_stream_ingest_matches_oracle(spark, tmp_path):
+    """Structured-Streaming ingest of a v2 stream: segment-chunked files
+    keep every stream block within one micro-batch partition (the
+    documented contract), strict=False routes stream batches through the
+    loop kernel — final state ≡ oracle."""
+    import duckdb
+
+    from pypgoutput_spark.lake.table import LakeTable
+    from pypgoutput_spark.streaming import pipeline
+    from pypgoutput_spark.wal import generator as gen
+
+    p = gen.GenParams(n_txns=40, ops_per_txn=5, toast_pct=25,
+                      txns_per_segment=10, stream_pct=50, stream_abort_pct=30)
+    frames_dir = str(tmp_path / "frames")
+    frames = gen.spark_frames_df(spark, p)
+    for seg in range(4):
+        (
+            frames.filter(f"segment = {seg}")
+            .coalesce(1).write.mode("append").parquet(frames_dir)
+        )
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"),
+        schema=[(c, "string") for c in gen.ALL_COLUMNS],
+        key_cols=list(gen.KEY_COLUMNS), n_buckets=8,
+    )
+    q = pipeline.stream_ingest(
+        spark, frames_dir, table, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, clustered=True,
+    )
+    q.awaitTermination(300)
+    got = table.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    want = (
+        duckdb.sql(gen.duckdb_final_state_sql(p, with_sha=False))
+        .df().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got[want.columns.tolist()].equals(want)
+
+
 def test_streamed_pipeline_matches_oracle(spark, tmp_path):
     """Generator-driven e2e: 40% streamed txns (25% of those abort),
     TOAST cells included, 3 micro-batches with resume semantics — final

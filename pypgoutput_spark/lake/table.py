@@ -483,7 +483,20 @@ class LakeTable:
                             f"bucket {b}: base changed since compaction began "
                             f"(expected {expected_base.get(b)}, head {head_base})"
                         )
-                    remaining = [d for d in deltas.get(b, []) if d not in set(folded)]
+                    head_deltas = deltas.get(b, [])
+                    missing = [d for d in folded if d not in head_deltas]
+                    if missing:
+                        # the folded dirs vanished from head: a truncate /
+                        # COW rewrite / other compaction superseded them —
+                        # publishing the resolved pre-race rows would
+                        # resurrect state (delta-only buckets have an
+                        # empty expected_base on BOTH sides of a truncate,
+                        # so the base check alone cannot catch this)
+                        raise CommitConflict(
+                            f"bucket {b}: folded delta dirs no longer at head "
+                            f"(missing {missing})"
+                        )
+                    remaining = [d for d in head_deltas if d not in set(folded)]
                     if remaining:
                         deltas[b] = remaining
                     else:

@@ -65,6 +65,13 @@ RAW_SCHEMA = (
     "new_u_masks ARRAY<BIGINT>, segment BIGINT, error STRING"
 )
 
+
+class UnsupportedStreamOp(ValueError):
+    """A stream-block construct the engine refuses to decode (currently:
+    Truncate inside a streamed transaction). Deliberately NOT eligible
+    for dead-letter quarantine — silently dropping a truncate corrupts
+    the table, so the batch fails loudly even with strict=False."""
+
 # NB: plain functions (not pre-bound Struct methods) — the kernel closure
 # must stay cloudpickle-able for shipping to executors
 def _unpack_i16(b, pos):
@@ -195,9 +202,13 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
             continue
         if t == 99:  # 'c' stream commit: stamp + release buffered events
             (sxid,) = _unpack_i32(b, 1)
-            st = streams.pop(seg, None)
+            st = streams.get(seg)
             if st is None or st[0] != sxid:
+                # validate BEFORE popping: in non-strict mode a corrupt
+                # commit must dead-letter alone, not take the genuine
+                # open stream's buffered events with it
                 raise ValueError(f"Stream Commit for unknown xid={sxid} at lsn={lsn}")
+            streams.pop(seg)
             (cts,) = _unpack_i64(b, 22)
             for e_lsn, e_op, e_rid, e_ver, e_bk, e_bv, e_nv, e_nm in st[2]:
                 a_lsn(e_lsn); a_op(e_op); a_rid(e_rid)
@@ -208,9 +219,10 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
             continue
         if t == 65:  # 'A' stream abort: discard buffered events
             (sxid,) = _unpack_i32(b, 1)
-            st = streams.pop(seg, None)
-            if st is None or st[0] != sxid:
+            st = streams.get(seg)
+            if st is None or st[0] != sxid:  # validate before popping (as 'c')
                 raise ValueError(f"Stream Abort for unknown xid={sxid} at lsn={lsn}")
+            streams.pop(seg)
             continue
 
         st = streams.get(seg)
@@ -222,15 +234,22 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
             continue
 
         if t == 84:  # 'T' truncate: fan out per relation (reader.py:307-320)
+            if in_stream:
+                # the pipeline's truncate barrier is planned driver-side
+                # from frame METADATA before decode; a truncate whose
+                # commit/abort is only known at stream end cannot honor
+                # that contract — refuse loudly (quarantining it would
+                # silently corrupt the table)
+                raise UnsupportedStreamOp(
+                    f"Truncate inside a streamed transaction at lsn={lsn} "
+                    "is not supported"
+                )
             (n_rel,) = _unpack_i32(b, 1)
             tx = open_tx.get(seg)
             for k in range(n_rel):
                 (rid,) = _unpack_i32(b, 6 + 4 * k)
                 looked = plain_lookup(registry_plain, rid, int(lsn))
                 ver = looked[0] if looked else None
-                if in_stream:
-                    st[2].append((int(lsn), "T", rid, ver, None, None, None, None))
-                    continue
                 a_lsn(int(lsn)); a_op("T"); a_rid(rid)
                 a_xid(tx[0] if tx else None)
                 a_blsn(tx[1] if tx else None)
@@ -299,7 +318,7 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
         a_bv(b_vals); a_nv(n_vals); a_num(n_mask)
         a_seg(int(seg)); a_err(None)
       except Exception as exc:  # noqa: BLE001
-        if strict:
+        if strict or isinstance(exc, UnsupportedStreamOp):
             raise
         emit_dead_letter(seg, lsn, exc)
 

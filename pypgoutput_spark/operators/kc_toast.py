@@ -45,12 +45,20 @@ def _stage(df):
     """Materialize with a lineage cut. ``localCheckpoint`` (executor
     memory/disk) by default; when the session has a RELIABLE checkpoint
     dir configured (``sc.setCheckpointDir`` — an object-store path in a
-    real deployment), use it instead: the pending cohort is tiny by
+    real deployment) AND checkpoint garbage collection enabled
+    (``spark.cleaner.referenceTracking.cleanCheckpoints=true`` — without
+    it every resolver pass of every micro-batch would leak a checkpoint
+    directory forever), use it instead: the pending cohort is tiny by
     contract, but executor-memory staging of even tiny state is the
     wrong durability class at 1000 executors (an executor loss mid-pass
     would fail the batch)."""
     sc = df.sparkSession.sparkContext
-    if sc._jsc.sc().checkpointDir().isDefined():
+    if (
+        sc._jsc.sc().checkpointDir().isDefined()
+        and sc.getConf().get(
+            "spark.cleaner.referenceTracking.cleanCheckpoints", "false"
+        ).lower() == "true"
+    ):
         return df.checkpoint(eager=True)
     return df.localCheckpoint()
 

@@ -285,7 +285,10 @@ class FrameReceiver:
             for name in os.listdir(frames_dir)
             if name.startswith("seg-") and name.endswith(".parquet")
         }
-        self._consumed_chunks = 0
+        # track consumption by SEQUENCE NUMBER, not list position: the
+        # producer may truncate acked chunks (the module contract), which
+        # would shift positional indexing past unread chunks
+        self._consumed_seq = -1
         self._buffers: Dict[int, List[tuple]] = {}
         self.flush_lsn = self._read_ack()
 
@@ -321,7 +324,10 @@ class FrameReceiver:
             }
         )
         final = os.path.join(self.frames_dir, f"seg-{seg:08d}.parquet")
-        tmp = final + ".tmp"
+        # dot-prefixed staging: Spark's file listing ignores hidden
+        # files, so the concurrently tailing stream never sees a
+        # footer-less half-written parquet before the atomic rename
+        tmp = os.path.join(self.frames_dir, f".seg-{seg:08d}.parquet.tmp")
         pq.write_table(tbl, tmp)
         os.replace(tmp, final)
         self._landed.add(seg)
@@ -333,11 +339,14 @@ class FrameReceiver:
         complete (a later segment's frames have appeared — the monotone
         segment contract). Returns the number of files landed."""
         chunks = sorted(
-            name for name in os.listdir(self.spool_dir)
+            (int(name[6:14]), name)
+            for name in os.listdir(self.spool_dir)
             if name.startswith("chunk-") and name.endswith(".bin")
         )
         landed = 0
-        for name in chunks[self._consumed_chunks:]:
+        for seq, name in chunks:
+            if seq <= self._consumed_seq:
+                continue
             for seg, lsn, mt, payload in read_spool_chunk(
                 os.path.join(self.spool_dir, name)
             ):
@@ -346,11 +355,15 @@ class FrameReceiver:
                     self._land_segment(s)
                     landed += 1
                 self._buffers.setdefault(seg, []).append((seg, lsn, mt, payload))
-            self._consumed_chunks += 1
+            self._consumed_seq = seq
         return landed
 
     def finish(self) -> None:
-        """Land any trailing open segments (called at DONE)."""
+        """Land trailing open segments — ONLY valid at DONE (the producer
+        wrote everything). A stopped-early receiver must NOT land its
+        partial buffers: the segment file would be incomplete, and a
+        restarted receiver would skip the segment as already-landed —
+        leaving buffers unlanded keeps the restart replay exact."""
         for s in sorted(self._buffers):
             self._land_segment(s)
 
@@ -359,7 +372,8 @@ class FrameReceiver:
 
     def run(self, poll_interval: float = 0.05,
             stop: Optional[threading.Event] = None) -> None:
-        """Tail until the producer writes DONE (or ``stop`` is set)."""
+        """Tail until the producer writes DONE; ``stop`` exits WITHOUT
+        landing partial segments (restart-safe — see :meth:`finish`)."""
         while not (stop and stop.is_set()):
             self.poll_once()
             if self.done():
@@ -367,4 +381,3 @@ class FrameReceiver:
                 self.finish()
                 return
             time.sleep(poll_interval)
-        self.finish()

@@ -165,9 +165,16 @@ def event_exprs(p: GenParams, dialect: str) -> dict:
         f"WHEN {h_op} % 100 < {p.insert_pct + p.update_pct} THEN 'U' ELSE 'D' END"
     )
     if p.truncate_every > 0:
+        # a truncate inside a STREAMED transaction is refused by the
+        # decoder (its commit/abort is unknown when the driver plans the
+        # truncate barrier) — streamed txns draw plain DML instead
+        t_guard = ""
+        if p.stream_pct > 0:
+            streamed_t, _ = stream_exprs(p, d, txn)
+            t_guard = f" AND NOT {streamed_t}"
         op = (
-            f"CASE WHEN ({txn} % {p.truncate_every}) = 0 AND {op_idx} = 0 "
-            f"THEN 'T' ELSE {op_core} END"
+            f"CASE WHEN ({txn} % {p.truncate_every}) = 0 AND {op_idx} = 0"
+            f"{t_guard} THEN 'T' ELSE {op_core} END"
         )
     else:
         op = op_core
@@ -385,15 +392,20 @@ def _encode_stream_pandas(batches: Iterator, p: GenParams) -> Iterator:
                 else:
                     h = I_HDRS[rel] if op == "I" else U_HDRS[rel]
                     ap(h[0:1] + pfx + h[1:] + cells)
-                am(op)
+                # in-stream frames are mtype-stamped LOWERCASE by the
+                # capture layer: metadata-only driver paths (truncate-cut
+                # planning, relation-id pre-filters) must not read v2
+                # payloads with v1 offsets — lowercase marks them as
+                # stream-interior, decided only at stream commit/abort
+                am(op.lower() if strm else op)
             elif op == "D":
                 pfx = pk_i32(xid) if strm else b""
                 ap(b"D" + pfx + D_MIDS[rel][1:] + t_cell(repo) + t_cell(path) + b"nnn")
-                am("D")
+                am("d" if strm else "D")
             elif op == "T":
                 pfx = pk_i32(xid) if strm else b""
                 ap(b"T" + pfx + T_PAYLOADS[rel][1:])
-                am("T")
+                am("t" if strm else "T")
             else:  # pragma: no cover
                 raise ValueError(f"bad slot kind={kind!r} op={op!r}")
         yield pd.DataFrame(

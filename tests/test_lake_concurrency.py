@@ -54,8 +54,8 @@ def _seed(spark, t, n=12):
 
 def test_mor_read_plan_has_no_exchange(spark, tmp_path):
     """The dirty-bucket read resolves per bucket locally (co-bucketed
-    files → one task → Arrow kernel): ZERO Exchange in the executed
-    plan. The shuffle-aggregate plan stays available via resolve=."""
+    files → one task → JVM aggregate): ZERO Exchange in the executed
+    plan. The global shuffle-aggregate plan stays available via resolve=."""
     t = _mk(spark, tmp_path)
     _seed(spark, t)
     assert t.snapshot()["deltas"], "precondition: dirty buckets"
@@ -82,9 +82,9 @@ def test_mor_read_plan_has_no_exchange(spark, tmp_path):
 
 
 def test_local_resolution_matches_shuffle_on_typed_columns(spark, tmp_path):
-    """The Arrow kernel gathers positionally — typed columns (bigint,
-    timestamp) must round-trip exactly, including NULL-reset and
-    TOAST-carrier fallthrough."""
+    """Typed columns (bigint, timestamp) must round-trip exactly through
+    local resolution, including NULL-reset and TOAST-carrier
+    fallthrough."""
     t = LakeTable.create(
         spark, str(tmp_path / "typed"),
         schema=[("k", "bigint"), ("n", "bigint"), ("ts", "timestamp"), ("s", "string")],
@@ -346,3 +346,39 @@ def test_expire_collapses_marker_only_commit_dirs(spark, tmp_path):
     ]
     assert leftovers == [], f"marker-only skeletons remain: {leftovers}"
     assert _state(t)["k1"] == ("a1x", "b1")
+
+
+def test_compaction_conflicts_on_truncate_of_delta_only_bucket(spark, tmp_path):
+    """A bucket with ONLY delta dirs (no base) has an empty expected_base
+    on both sides of a truncate — the fold commit must still conflict
+    (folded dirs vanished from head), or the compaction would resurrect
+    pre-truncate rows."""
+    t = _mk(spark, tmp_path, n_buckets=2)
+    merge_into(t, _changes(spark, [
+        ("k1", "I", 10, ("v", "a1"), ("v", "b1")),
+    ]), watermark_lsn=10)
+    # incremental inserts spread over both buckets: at least one bucket
+    # now holds deltas with no base
+    merge_into(t, _changes(spark, [
+        (f"n{i}", "I", 20 + i, ("v", f"x{i}"), ("v", f"y{i}")) for i in range(8)
+    ]), watermark_lsn=40, auto_compact=False)
+    snap = t.snapshot()
+    delta_only = [b for b in snap["deltas"] if b not in snap["buckets"]]
+    assert delta_only, "fixture must produce a delta-only bucket"
+
+    dirty = [int(b) for b in snap["deltas"]]
+    resolved = t.read(version=snap["version"], buckets=dirty)
+    staged, dbytes = t.write_buckets(t.with_bucket(resolved), snap["version"] + 1)
+    for b in dirty:
+        staged.setdefault(str(b), [])
+    folded = {str(b): list(snap["deltas"][str(b)]) for b in dirty}
+    expected = {str(b): list(snap["buckets"].get(str(b), [])) for b in dirty}
+
+    merge_into(t, _changes(spark, [
+        ("t1", "I", 100, ("v", "A"), ("v", "B")),
+    ]), watermark_lsn=100, truncate=True)
+
+    with pytest.raises(CommitConflict):
+        t.commit(staged, [], metrics={"compaction": {"buckets": dirty}},
+                 dir_bytes=dbytes, folded_deltas=folded, expected_base=expected)
+    assert _state(t) == {"t1": ("A", "B")}

@@ -153,3 +153,66 @@ def test_live_e2e_concurrent(spark, tmp_path):
     )
     assert len(got) == len(want)
     assert got[want.columns.tolist()].equals(want)
+
+
+def test_receiver_tolerates_spool_truncation(tmp_path):
+    """The producer may delete acked chunks (the module contract); the
+    receiver tracks consumption by chunk SEQUENCE, so truncation never
+    shifts it past unread chunks."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = gen.GenParams(n_txns=20, ops_per_txn=4, txns_per_segment=5)
+    spool, frames_dir = str(tmp_path / "spool"), str(tmp_path / "frames")
+    w = SpoolWriter(spool)
+    for lo in range(0, 12, 4):
+        w.write_chunk(encode_frames_pdf(p, lo, lo + 4, include_relation=(lo == 0)))
+    r = FrameReceiver(spool, frames_dir)
+    r.poll_once()
+    # producer truncates the acked prefix, then appends the rest
+    for name in sorted(os.listdir(spool)):
+        if name in ("chunk-00000000.bin", "chunk-00000001.bin"):
+            os.remove(os.path.join(spool, name))
+    for lo in range(12, p.n_txns, 4):
+        w.write_chunk(encode_frames_pdf(p, lo, lo + 4))
+    w.finish()
+    r.run(poll_interval=0.01)
+    seg_files = sorted(f for f in os.listdir(frames_dir) if f.endswith(".parquet"))
+    assert len(seg_files) == 4
+    total = sum(
+        pq.read_table(os.path.join(frames_dir, f)).num_rows for f in seg_files
+    )
+    assert total == p.n_txns * (p.ops_per_txn + 2) + 1
+
+
+def test_receiver_stop_never_lands_partial_segments(tmp_path):
+    """A stopped-early receiver leaves open segment buffers UNLANDED
+    (landing a partial segment would make the restart skip its replay
+    and lose the tail); a restarted receiver replays it whole."""
+    import os
+    import threading
+
+    import pyarrow.parquet as pq
+
+    p = gen.GenParams(n_txns=10, ops_per_txn=4, txns_per_segment=5)
+    spool, frames_dir = str(tmp_path / "spool"), str(tmp_path / "frames")
+    w = SpoolWriter(spool)
+    # chunk covering segment 0 + HALF of segment 1, no DONE yet
+    w.write_chunk(encode_frames_pdf(p, 0, 7, include_relation=True))
+
+    r = FrameReceiver(spool, frames_dir)
+    stop = threading.Event()
+    stop.set()
+    r.poll_once()
+    r.run(poll_interval=0.01, stop=stop)  # exits immediately, no finish()
+    seg_files = sorted(f for f in os.listdir(frames_dir) if f.endswith(".parquet"))
+    assert seg_files == ["seg-00000000.parquet"], "open segment 1 must NOT land"
+
+    # producer completes; a fresh receiver replays and lands segment 1 whole
+    w.write_chunk(encode_frames_pdf(p, 7, p.n_txns))
+    w.finish()
+    r2 = FrameReceiver(spool, frames_dir)
+    r2.run(poll_interval=0.01)
+    t1 = pq.read_table(os.path.join(frames_dir, "seg-00000001.parquet"))
+    assert t1.num_rows == 5 * (p.ops_per_txn + 2), "segment 1 landed whole"

@@ -201,3 +201,62 @@ def test_streamed_pipeline_matches_oracle(spark, tmp_path):
     )
     assert len(got) == len(want)
     assert got[want.columns.tolist()].equals(want)
+
+
+def test_in_stream_truncate_refused_even_nonstrict(spark):
+    """A Truncate inside a stream block must fail the batch loudly in
+    BOTH modes — quarantining it would silently corrupt the table."""
+    x = 7010
+    rel = codec.encode_relation(
+        RELATION_ID, RELATION_NAMESPACE, RELATION_NAME, "d", RELATION_COLUMNS
+    )
+    rows = [
+        (0, 1, rel),
+        (0, 10, codec.encode_stream_start(x, True)),
+        (0, 11, codec.add_stream_xid(codec.encode_truncate([RELATION_ID]), x)),
+        (0, 12, codec.encode_stream_stop()),
+        (0, 13, codec.encode_stream_commit(x, 12, 13, 0)),
+    ]
+    for strict in (True, False):
+        with pytest.raises(Exception, match="not supported"):
+            decode_op.decode_frames_raw(
+                _mk_frames_df(spark, rows), strict=strict, vectorized=False
+            ).collect()
+
+
+def test_streamed_with_truncates_matches_oracle(spark, tmp_path):
+    """stream_pct + truncate_every together: streamed txns draw plain DML
+    (never truncates), in-stream frames are mtype-stamped lowercase so
+    the driver's truncate-cut metadata path never misparses a v2
+    payload — end-to-end state ≡ oracle."""
+    import duckdb
+
+    from pypgoutput_spark.lake.table import LakeTable
+    from pypgoutput_spark.streaming import pipeline
+    from pypgoutput_spark.wal import generator as gen
+
+    p = gen.GenParams(n_txns=60, ops_per_txn=6, toast_pct=25,
+                      txns_per_segment=6, stream_pct=40, stream_abort_pct=25,
+                      truncate_every=7)
+    frames = gen.spark_frames_df(spark, p)
+    by_mtype = {
+        r["mtype"]: r["count"]
+        for r in frames.groupBy("mtype").count().collect()
+    }
+    assert by_mtype.get("T", 0) > 0, "v1 truncates present"
+    assert "t" not in by_mtype, "no in-stream truncates generated"
+    assert by_mtype.get("i", 0) > 0, "in-stream DML stamped lowercase"
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"),
+        schema=[(c, "string") for c in gen.ALL_COLUMNS],
+        key_cols=list(gen.KEY_COLUMNS), n_buckets=8,
+    )
+    pipeline.run_ingest(spark, frames, table, n_batches=3, strict=False)
+    got = table.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    want = (
+        duckdb.sql(gen.duckdb_final_state_sql(p, with_sha=False))
+        .df().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got[want.columns.tolist()].equals(want)

@@ -305,10 +305,17 @@ def spark_events_df(spark, p: GenParams, n_partitions: int = 0):
 # frame encoding (logical stream -> binary pgoutput WAL frames)
 # ---------------------------------------------------------------------------
 
-#: mtype = the message's first byte (B/C/R/I/U/D/T...), stamped by the frame
-#: receiver at capture time. It lets registry extraction and batch-stats
-#: scans prune the (large) payload column entirely — at 100 TB that's the
-#: difference between a metadata-column scan and a full re-read of the WAL.
+#: mtype = the message's first byte (B/C/R/I/U/D/T, v2 S/E/c/A), stamped by
+#: the frame receiver at capture time. It lets registry extraction and
+#: batch-stats scans prune the (large) payload column entirely — at 100 TB
+#: that's the difference between a metadata-column scan and a full re-read
+#: of the WAL. Messages INSIDE a v2 stream chunk are stamped LOWERCASE
+#: ('i'/'u'/'d'/'t'): their payloads carry an xid after the type byte and
+#: their effect is decided only at stream commit/abort, so metadata-only
+#: driver paths (truncate-cut planning, relation-id pre-filters) must not
+#: treat them as v1 frames. Protocol-v2 streams therefore REQUIRE
+#: mtype-stamped frames (the receiver knows stream state at capture; the
+#: payload-byte fallback predicates cannot tell v2 from v1).
 FRAMES_SCHEMA = "segment BIGINT, lsn BIGINT, mtype STRING, payload BINARY"
 
 

@@ -55,10 +55,14 @@ P_KEYCHANGE = _gen.GenParams(
 
 #: protocol-v2 streamed in-progress transactions (PG14+ streaming=on):
 #: 40% of txns stream as S/DML(xid)/E chunks + Stream Commit; a quarter
-#: of those ABORT — their events must vanish from the final state
+#: of those ABORT — their events must vanish from the final state.
+#: interleave_streams: adjacent streamed txns' chunks INTERLEAVE (the
+#: real busy-walsender shape, r5) — concurrent streams buffer keyed by
+#: (segment, xid) and decode on the vectorized path
 P_STREAMED = _gen.GenParams(
     n_txns=120, ops_per_txn=8, n_repos=40, n_paths=24,
     toast_pct=30, txns_per_segment=12, stream_pct=40, stream_abort_pct=25,
+    interleave_streams=True,
 )
 
 
@@ -84,9 +88,11 @@ def q_cdc_pipeline_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cdc_streamed_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Protocol-v2 streamed transactions end-to-end: chunked streams
-    decode through the loop kernel (the optimistic vectorized path
-    falls back per batch), aborted streams vanish, committed streams
+    """Protocol-v2 streamed transactions end-to-end, chunks of adjacent
+    transactions INTERLEAVED (the real streaming=on walsender shape):
+    streams decode on the VECTORIZED path (r5 — offset-math chunk
+    resolution in wal.vdecode; the loop kernel remains only as the
+    dead-letter fallback), aborted streams vanish, committed streams
     stamp begin/commit metadata from S/c — final state ≡ the serial
     oracle with aborted txns excluded."""
     return _run_cdc_pipeline(spark, P_STREAMED, strict=False)

@@ -9,9 +9,11 @@ the RAW output contract:
 
   - the **vectorized** hot path (``wal.vdecode``, mapInArrow + numpy
     offset tables, ~750k frames/s/core) used for strict decode AND,
-    optimistically, for ``strict=False``: each Arrow batch tries the
-    vectorized kernel first and only failing batches re-decode through
-    the loop kernel — clean streams never pay for quarantine capability;
+    optimistically, for ``strict=False``: each stream-closed group of
+    Arrow batches tries the vectorized kernel first and only failing
+    groups re-decode through the loop kernel — clean streams never pay
+    for quarantine capability. Protocol-v2 streamed transactions decode
+    on this path too (offset-math chunk resolution, see wal.vdecode);
   - the **loop** kernel below (struct.unpack per message) — the
     per-message error-isolation unit behind the dead-letter (op='E')
     quarantine path, and the ``vectorized=False`` fallback.
@@ -66,11 +68,45 @@ RAW_SCHEMA = (
 )
 
 
-class UnsupportedStreamOp(ValueError):
-    """A stream-block construct the engine refuses to decode (currently:
-    Truncate inside a streamed transaction). Deliberately NOT eligible
-    for dead-letter quarantine — silently dropping a truncate corrupts
-    the table, so the batch fails loudly even with strict=False."""
+#: re-exported for API stability — the class itself lives in wal.codec so
+#: the vectorized kernel can raise it without a circular import
+UnsupportedStreamOp = codec.UnsupportedStreamOp
+
+
+class StreamState:
+    """Protocol-v2 streamed-transaction decode state, carried across
+    pandas/Arrow batches within one decode partition.
+
+    ``streams``: (segment, top-level xid) -> [begin_lsn, events,
+    dead_letters]. Keyed by xid so CONCURRENT streamed transactions —
+    which a real PG14+ walsender interleaves routinely with
+    ``streaming = on``; that is the point of the in-chunk xid prefix —
+    buffer independently. ``events`` entries carry the message's own
+    embedded xid (the SUBTRANSACTION xid per the pgoutput v2 grammar;
+    equal to the top-level xid outside savepoints) so a Stream Abort
+    with subxid != xid discards only that subtransaction's changes.
+    ``dead_letters`` buffers quarantine candidates raised INSIDE a
+    stream block: they are emitted only if the stream commits and are
+    discarded with an abort — a dead letter for an event that never
+    logically existed must not survive.
+
+    ``open_chunk``: segment -> top-level xid of the chunk currently
+    open (between 'S' and 'E') in that segment, if any. Chunks never
+    nest, so one slot per segment suffices even with many concurrent
+    streams.
+    """
+
+    __slots__ = ("streams", "open_chunk")
+
+    def __init__(self):
+        self.streams: dict = {}
+        self.open_chunk: dict = {}
+
+    def __bool__(self):
+        return bool(self.streams) or bool(self.open_chunk)
+
+    def open_xids(self):
+        return sorted(x for _, x in self.streams)
 
 # NB: plain functions (not pre-bound Struct methods) — the kernel closure
 # must stay cloudpickle-able for shipping to executors
@@ -119,26 +155,28 @@ def _parse_tuple(b: bytes, pos: int):
 
 
 def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
-                     streams: Optional[dict] = None):
+                     streams: Optional[StreamState] = None):
     """Per-message loop decode of ONE pandas batch; mutates ``open_tx``
-    (segment -> (xid, begin_lsn, commit_ts_us)) and ``streams`` (protocol
-    v2 streamed-transaction state, segment -> [xid, start_lsn, buffered
-    rows, in_block]). Returns a dict of RAW column lists, or None when
-    the batch emitted nothing. The per-message try/except is the
+    (segment -> (xid, begin_lsn, commit_ts_us)) and ``streams`` (a
+    :class:`StreamState`). Returns a dict of RAW column lists, or None
+    when the batch emitted nothing. The per-message try/except is the
     dead-letter (op='E') isolation unit.
 
     Protocol v2 (PG14+ ``streaming = on``): a large in-progress
     transaction arrives as chunks ``S(xid) DML... E`` (every in-chunk
-    message carries the xid after its type byte), repeated until a
-    Stream Commit 'c' stamps and releases the buffered events or a
-    Stream Abort 'A' discards them — the decoder's required buffering,
-    bounded per segment by the largest in-flight transaction. Streams
-    must COMMIT within the decode partition (segment-aligned batching —
-    ``run_ingest(split='segment')`` and the receiver's whole-segment
-    files guarantee it); a cut inside an open stream raises.
+    message carries the subtransaction xid after its type byte),
+    repeated — chunks of DIFFERENT transactions interleaving freely —
+    until a Stream Commit 'c' stamps and releases that xid's buffered
+    events or a Stream Abort 'A' discards them (subxid-scoped when the
+    abort names a subtransaction) — the decoder's required buffering,
+    bounded per segment by the sum of in-flight streamed transactions.
+    Streams must COMMIT within the decode partition (segment-aligned
+    batching — ``run_ingest(split='segment')`` and the receiver's
+    whole-segment files guarantee it); a cut inside an open stream
+    raises.
     """
     if streams is None:
-        streams = {}
+        streams = StreamState()
     cols = (
         "lsn", "op", "relation_id", "xid", "begin_lsn", "commit_ts_us",
         "schema_version", "before_kind", "before_vals",
@@ -153,7 +191,7 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
     a_seg = out["segment"].append
     a_err = out["error"].append
 
-    def emit_dead_letter(seg, lsn, exc):
+    def emit_dead_letter_row(seg, lsn, err: str):
         """Quarantine row for a corrupt/undecodable frame (op='E'):
         the distributed alternative to the reference's
         tear-down-on-error (reader.py:326-331)."""
@@ -161,7 +199,28 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
         a_xid(None); a_blsn(None); a_cts(None)
         a_ver(None); a_bk(None)
         a_bv(None); a_nv(None); a_num(None)
-        a_seg(int(seg)); a_err(f"{type(exc).__name__}: {exc}")
+        a_seg(int(seg)); a_err(err)
+
+    def dead_letter(seg, lsn, b: bytes, exc):
+        """Route a per-message failure: inside an open stream chunk the
+        quarantine row is BUFFERED with the stream (emitted only on
+        Stream Commit, discarded on abort — an aborted transaction's
+        events never logically existed, so neither did their dead
+        letters); outside a chunk it is emitted immediately."""
+        err = f"{type(exc).__name__}: {exc}"
+        top = streams.open_chunk.get(seg)
+        if top is not None:
+            # subxid of the failed frame, when its prefix is readable —
+            # lets a subxid-scoped abort discard exactly its quarantine
+            sub = top
+            if len(b) >= 5:
+                try:
+                    (sub,) = _unpack_i32(b, 1)
+                except Exception:  # noqa: BLE001 — keep top-level attribution
+                    pass
+            streams.streams[(seg, top)][2].append((int(lsn), err, sub))
+        else:
+            emit_dead_letter_row(seg, lsn, err)
 
     for seg, lsn, payload in zip(
         pdf["segment"].values, pdf["lsn"].values, pdf["payload"].values
@@ -179,55 +238,87 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
         if t == 83:  # 'S' stream start (v2)
             (sxid,) = _unpack_i32(b, 1)
             first = b[5] != 0
-            st = streams.get(seg)
-            if st is not None and st[0] == sxid:
-                st[3] = True  # next chunk of the in-flight stream
+            if seg in streams.open_chunk:
+                raise ValueError(
+                    f"nested Stream Start at lsn={lsn} (chunk of "
+                    f"xid={streams.open_chunk[seg]} still open)"
+                )
+            if (seg, sxid) in streams.streams:
+                pass  # next chunk of the in-flight stream
             elif first:
-                if st is not None:
-                    raise ValueError(
-                        f"interleaved streams in one segment not supported "
-                        f"(open xid={st[0]}, new xid={sxid})"
-                    )
-                streams[seg] = [sxid, int(lsn), [], True]
+                streams.streams[(seg, sxid)] = [int(lsn), [], []]
             else:
                 raise ValueError(
                     f"stream continuation for unknown xid={sxid} at lsn={lsn}"
                 )
+            streams.open_chunk[seg] = sxid
             continue
         if t == 69:  # 'E' stream stop (chunk end)
-            st = streams.get(seg)
-            if st is None or not st[3]:
+            if seg not in streams.open_chunk:
                 raise ValueError(f"Stream Stop outside a stream block at lsn={lsn}")
-            st[3] = False
+            del streams.open_chunk[seg]
             continue
         if t == 99:  # 'c' stream commit: stamp + release buffered events
             (sxid,) = _unpack_i32(b, 1)
-            st = streams.get(seg)
-            if st is None or st[0] != sxid:
+            st = streams.streams.get((seg, sxid))
+            if st is None or seg in streams.open_chunk:
                 # validate BEFORE popping: in non-strict mode a corrupt
-                # commit must dead-letter alone, not take the genuine
+                # commit must dead-letter alone, not take a genuine
                 # open stream's buffered events with it
-                raise ValueError(f"Stream Commit for unknown xid={sxid} at lsn={lsn}")
-            streams.pop(seg)
+                raise ValueError(
+                    f"Stream Commit for unknown xid={sxid} at lsn={lsn}"
+                    if st is None else
+                    f"Stream Commit inside an open chunk at lsn={lsn}"
+                )
+            del streams.streams[(seg, sxid)]
             (cts,) = _unpack_i64(b, 22)
-            for e_lsn, e_op, e_rid, e_ver, e_bk, e_bv, e_nv, e_nm in st[2]:
+            for e_lsn, e_op, e_rid, e_ver, e_bk, e_bv, e_nv, e_nm, _sub in st[1]:
                 a_lsn(e_lsn); a_op(e_op); a_rid(e_rid)
-                a_xid(sxid); a_blsn(st[1]); a_cts(cts)
+                a_xid(sxid); a_blsn(st[0]); a_cts(cts)
                 a_ver(e_ver); a_bk(e_bk)
                 a_bv(e_bv); a_nv(e_nv); a_num(e_nm)
                 a_seg(int(seg)); a_err(None)
+            for dl_lsn, dl_err, _sub in st[2]:
+                emit_dead_letter_row(seg, dl_lsn, dl_err)
             continue
         if t == 65:  # 'A' stream abort: discard buffered events
             (sxid,) = _unpack_i32(b, 1)
-            st = streams.get(seg)
-            if st is None or st[0] != sxid:  # validate before popping (as 'c')
-                raise ValueError(f"Stream Abort for unknown xid={sxid} at lsn={lsn}")
-            streams.pop(seg)
+            (sub,) = _unpack_i32(b, 5)
+            st = streams.streams.get((seg, sxid))
+            if st is None or seg in streams.open_chunk:  # validate before popping
+                raise ValueError(
+                    f"Stream Abort for unknown xid={sxid} at lsn={lsn}"
+                    if st is None else
+                    f"Stream Abort inside an open chunk at lsn={lsn}"
+                )
+            if sub == sxid:
+                del streams.streams[(seg, sxid)]  # whole-transaction abort
+            else:
+                # subtransaction abort (pgoutput v2: only the named
+                # subxid's changes roll back — the reason in-chunk
+                # messages carry their SUBtransaction's xid): keep the
+                # stream, drop that subxid's buffered events and their
+                # dead-letter candidates
+                st[1] = [e for e in st[1] if e[8] != sub]
+                st[2] = [d for d in st[2] if d[2] != sub]
             continue
 
-        st = streams.get(seg)
-        in_stream = st is not None and st[3]
+        top_xid = streams.open_chunk.get(seg)
+        in_stream = top_xid is not None
+        sub_xid = None
         if in_stream:
+            (sub_xid,) = _unpack_i32(b, 1)
+            if sub_xid != top_xid and (seg, sub_xid) in streams.streams:
+                # a foreign chunk's message mis-sequenced into this block
+                # would otherwise be silently committed with the WRONG
+                # transaction; a subxid can never collide with another
+                # in-flight top-level xid (PG xids are unique)
+                raise ValueError(
+                    f"in-chunk message carries xid={sub_xid} inside the "
+                    f"chunk of xid={top_xid} at lsn={lsn}, but xid="
+                    f"{sub_xid} is a different open stream (mis-sequenced"
+                    " chunk)"
+                )
             b = b[0:1] + b[5:]  # strip the in-chunk xid → v1 payload
 
         if t in (82, 79, 89):  # 'R' (driver-side), 'O', 'Y' (reference stubs)
@@ -305,9 +396,11 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
             raise ValueError(f"unknown pgoutput message type byte {chr(t)!r}")
 
         if in_stream:
-            # uncommitted: buffer until the stream's 'c' stamps it (or
-            # its 'A' discards it)
-            st[2].append((int(lsn), op, rid, version, bk, b_vals, n_vals, n_mask))
+            # uncommitted: buffer (with the message's subxid) until the
+            # stream's 'c' stamps it or an 'A' discards it
+            streams.streams[(seg, top_xid)][1].append(
+                (int(lsn), op, rid, version, bk, b_vals, n_vals, n_mask, sub_xid)
+            )
             continue
         tx = open_tx.get(seg)
         a_lsn(int(lsn)); a_op(op); a_rid(rid)
@@ -320,7 +413,7 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
       except Exception as exc:  # noqa: BLE001
         if strict or isinstance(exc, UnsupportedStreamOp):
             raise
-        emit_dead_letter(seg, lsn, exc)
+        dead_letter(seg, lsn, bytes(payload), exc)
 
     return out if out["lsn"] else None
 
@@ -337,7 +430,7 @@ def _make_kernel(registry_plain: dict, strict: bool = True,
         import pandas as pd
 
         open_tx: dict = dict(init_tx) if init_tx else {}
-        streams: dict = {}
+        streams = StreamState()
         for pdf in batches:
             out = _loop_decode_pdf(pdf, open_tx, registry_plain, strict, streams)
             if out:  # empty pandas frames break Arrow type inference
@@ -345,21 +438,29 @@ def _make_kernel(registry_plain: dict, strict: bool = True,
         if streams:
             raise ValueError(
                 f"streamed transaction(s) still open at partition end "
-                f"(xids {[s[0] for s in streams.values()]}): cut batches on "
+                f"(xids {streams.open_xids()}): cut batches on "
                 "segment boundaries (split='segment' / whole-segment files)"
             )
 
     return kernel
 
 
-def _make_optimistic_kernel(registry_plain: dict, init_tx: Optional[dict] = None):
-    """strict=False HOT path: decode each Arrow batch with the vectorized
-    kernel and fall back to the per-message loop kernel (dead-letter
-    op='E' isolation) only for batches that fail — clean streams pay
+def _make_optimistic_kernel(registry_plain: dict, init_tx: Optional[dict] = None,
+                            forbid_loop: bool = False):
+    """strict=False HOT path: decode each stream-closed group of Arrow
+    batches with the vectorized kernel (protocol-v2 streams included —
+    ``vdecode._group_stream_batches`` coalesces batches until every
+    stream opened in them closes, passing pure-v1 batches through
+    one-to-one) and fall back to the per-message loop kernel (dead-letter
+    op='E' isolation) only for groups that fail — clean streams pay
     nothing for quarantine capability. Open-transaction carry stays
     exact: the vectorized attempt runs on a COPY of the carry state that
-    is committed only on success; a failed batch re-decodes from the
-    pre-batch state through the loop kernel, which updates it directly."""
+    is committed only on success; a failed group re-decodes from the
+    pre-group state through the loop kernel, which updates it directly.
+
+    ``forbid_loop=True`` (captured at plan time) turns any loop-kernel
+    fallback into a hard failure — the test pin proving the vectorized
+    path carries a given workload end-to-end."""
     import pyarrow as pa
 
     from pypgoutput_spark.wal import vdecode
@@ -368,17 +469,21 @@ def _make_optimistic_kernel(registry_plain: dict, init_tx: Optional[dict] = None
         import pandas as pd
 
         open_tx: dict = dict(init_tx) if init_tx else {}
-        streams: dict = {}
-        for rb in batches:
-            # an Arrow batch boundary can fall INSIDE an open v2 stream
-            # chunk — the next batch's DML then carries xid prefixes a
-            # vectorized v1 parse would misread as relation ids, so the
-            # loop kernel (which owns the stream state) must keep control
-            # until the stream closes
+        streams = StreamState()
+        for group in vdecode._group_stream_batches(batches):
+            # once a fallback leaves loop-kernel stream state open, the
+            # loop kernel must keep control until that state drains —
+            # the vectorized kernel cannot adopt half-buffered streams
             if not streams:
                 tx_try = dict(open_tx)
                 try:
-                    outs = list(vdecode.process_batch(rb, tx_try, registry_plain))
+                    outs = list(
+                        vdecode.process_batch(
+                            vdecode._combine(group), tx_try, registry_plain
+                        )
+                    )
+                except UnsupportedStreamOp:
+                    raise  # never quarantinable — fail the batch loudly
                 except Exception:  # noqa: BLE001 — isolate per message below
                     pass
                 else:
@@ -386,19 +491,24 @@ def _make_optimistic_kernel(registry_plain: dict, init_tx: Optional[dict] = None
                     open_tx.update(tx_try)
                     yield from outs
                     continue
-            out = _loop_decode_pdf(
-                rb.to_pandas(), open_tx, registry_plain, strict=False,
-                streams=streams,
-            )
-            if out:
-                yield pa.RecordBatch.from_pandas(
-                    pd.DataFrame(out), schema=vdecode.RAW_PA_SCHEMA,
-                    preserve_index=False,
+            if forbid_loop:
+                raise AssertionError(
+                    "loop-kernel fallback engaged with forbid_loop=True"
                 )
+            for rb in group:
+                out = _loop_decode_pdf(
+                    rb.to_pandas(), open_tx, registry_plain, strict=False,
+                    streams=streams,
+                )
+                if out:
+                    yield pa.RecordBatch.from_pandas(
+                        pd.DataFrame(out), schema=vdecode.RAW_PA_SCHEMA,
+                        preserve_index=False,
+                    )
         if streams:
             raise ValueError(
                 f"streamed transaction(s) still open at partition end "
-                f"(xids {[s[0] for s in streams.values()]}): cut batches on "
+                f"(xids {streams.open_xids()}): cut batches on "
                 "segment boundaries (split='segment' / whole-segment files)"
             )
 
@@ -408,7 +518,8 @@ def _make_optimistic_kernel(registry_plain: dict, init_tx: Optional[dict] = None
 def decode_frames_raw(frames_df, registry: Optional[RelationRegistry] = None,
                       strict: bool = True, clustered: bool = False,
                       open_tx: Optional[dict] = None,
-                      vectorized: Optional[bool] = None):
+                      vectorized: Optional[bool] = None,
+                      forbid_loop: bool = False):
     """frames → RAW decoded events (positional cell arrays, no maps).
 
     The hot-path form; use :func:`project_relation` for typed columns of
@@ -445,7 +556,10 @@ def decode_frames_raw(frames_df, registry: Optional[RelationRegistry] = None,
         )
     if vectorized:
         return partitioned.mapInArrow(
-            _make_optimistic_kernel(plain, init_tx=open_tx), schema=RAW_SCHEMA
+            _make_optimistic_kernel(
+                plain, init_tx=open_tx, forbid_loop=forbid_loop
+            ),
+            schema=RAW_SCHEMA,
         )
     return partitioned.mapInPandas(
         _make_kernel(plain, strict, init_tx=open_tx), schema=RAW_SCHEMA

@@ -42,6 +42,16 @@ _I16 = struct.Struct(">h")
 _I32 = struct.Struct(">i")
 _I64 = struct.Struct(">q")
 
+
+class UnsupportedStreamOp(ValueError):
+    """A stream-block construct the engine refuses to decode (currently:
+    Truncate inside a streamed transaction — its commit/abort is unknown
+    when the driver plans the truncate barrier). Deliberately NOT
+    eligible for dead-letter quarantine — silently dropping a truncate
+    corrupts the table, so the batch fails loudly even with
+    strict=False. Shared by the loop kernel (operators.decode) and the
+    vectorized kernel (wal.vdecode)."""
+
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------

@@ -90,13 +90,32 @@ class GenParams:
     #: % of txns emitted as protocol-v2 STREAMED transactions (PG14+
     #: ``streaming = on``): S(xid) + xid-prefixed DML + E, then a Stream
     #: Commit 'c' — or a Stream Abort 'A' for ``stream_abort_pct`` % of
-    #: them, whose events must vanish from the final state. The generator
-    #: emits one chunk per stream (multi-chunk grammar is pinned by
-    #: tests/test_streamed_tx.py with hand-built frames); commits follow
-    #: their stream immediately, so commit order == LSN order and the
-    #: serial oracle replays by LSN exactly as for v1.
+    #: them, whose events must vanish from the final state. By default
+    #: one chunk per stream with the commit immediately after; set
+    #: ``interleave_streams`` for multi-chunk interleaved pairs
+    #: (subxid-abort grammar is pinned by tests/test_streamed_tx.py
+    #: with hand-built frames). The serial oracle replays by LSN
+    #: exactly as for v1 in both layouts.
     stream_pct: int = 0
     stream_abort_pct: int = 0
+    #: interleave the CHUNKS of adjacent streamed transactions — the
+    #: shape a real busy PG14+ walsender emits with ``streaming = on``
+    #: (the reason in-chunk messages carry an xid at all). Adjacent
+    #: streamed txns (2k, 2k+1) each split their DML into two chunks
+    #: laid out S1 dml1a E S2 dml2a E S1' dml1b E S2' dml2b E c1 c2
+    #: inside the pair's combined LSN window; unpaired streamed txns
+    #: keep the serial single-chunk layout. Event LSNs are remapped by
+    #: the same closed-form expression on BOTH the frame side and the
+    #: oracle side, so the serial replay-by-LSN oracle still holds.
+    interleave_streams: bool = False
+
+    def __post_init__(self):
+        if self.interleave_streams and self.txns_per_segment % 2:
+            raise ValueError(
+                "interleave_streams requires an even txns_per_segment "
+                "(a chunk pair must not straddle a segment boundary — "
+                "streams must commit within their decode partition)"
+            )
 
     @property
     def n_ops(self) -> int:
@@ -104,6 +123,10 @@ class GenParams:
 
     @property
     def lsn_stride(self) -> int:
+        if self.interleave_streams and self.stream_pct > 0:
+            # a pair's window must fit 2*ops DML + 8 chunk delimiters +
+            # 2 commits: 2*stride >= 2*ops + 10
+            return self.ops_per_txn + 5
         # streamed txns need slots for E and c/A after the DML run
         return self.ops_per_txn + (3 if self.stream_pct > 0 else 2)
 
@@ -157,7 +180,12 @@ def event_exprs(p: GenParams, dialect: str) -> dict:
 
     txn = d.idiv("i", str(p.ops_per_txn))
     op_idx = f"(i % {p.ops_per_txn})"
-    lsn = f"(10 + {txn} * {p.lsn_stride} + 1 + {op_idx})"
+    if p.interleave_streams and p.stream_pct > 0:
+        lsn = _interleave_event_lsn(
+            p, txn, op_idx, interleave_exprs(p, d, txn)
+        )
+    else:
+        lsn = f"(10 + {txn} * {p.lsn_stride} + 1 + {op_idx})"
 
     h_op = d.h(seed, q(":op:"), i_s)
     op_core = (
@@ -281,6 +309,48 @@ def stream_exprs(p: GenParams, d: "_Dialect", txn_expr: str):
     return streamed, aborted
 
 
+def interleave_exprs(p: GenParams, d: "_Dialect", txn_expr: str) -> str:
+    """SQL boolean: is this txn half of an interleaved streamed pair —
+    both members of the adjacent pair (2k, 2k+1) drew ``streamed``.
+    txns_per_segment is even (enforced), so a pair never straddles a
+    segment."""
+    if not (p.interleave_streams and p.stream_pct > 0):
+        return "false"
+    partner = (
+        f"(CASE WHEN ({txn_expr}) % 2 = 0 THEN ({txn_expr}) + 1 "
+        f"ELSE ({txn_expr}) - 1 END)"
+    )
+    streamed_self, _ = stream_exprs(p, d, txn_expr)
+    streamed_partner, _ = stream_exprs(p, d, partner)
+    return (
+        f"({streamed_self} AND {streamed_partner} AND {partner} < {p.n_txns})"
+    )
+
+
+def _interleave_event_lsn(p: GenParams, txn: str, op_idx: str,
+                          interleaved: str) -> str:
+    """Event-LSN expression under chunk interleaving: an interleaved
+    pair's DML splits into halves laid out ``S1 a1 E S2 a2 E S1' b1 E
+    S2' b2 E c1 c2`` inside the pair window ``[10 + 2k*stride, 10 +
+    (2k+2)*stride)``. The identical expression runs in Spark AND DuckDB
+    so the oracle replays the remapped order exactly."""
+    ops, stride = p.ops_per_txn, p.lsn_stride
+    h1 = (ops + 1) // 2  # first-chunk DML count
+    off0 = (
+        f"(CASE WHEN {op_idx} < {h1} THEN 1 + {op_idx} "
+        f"ELSE {h1 + 5} + {op_idx} END)"
+    )
+    off1 = (
+        f"(CASE WHEN {op_idx} < {h1} THEN {h1 + 3} + {op_idx} "
+        f"ELSE {ops + 7} + {op_idx} END)"
+    )
+    return (
+        f"(CASE WHEN {interleaved} THEN 10 + ({txn} - ({txn} % 2)) * {stride}"
+        f" + (CASE WHEN ({txn} % 2) = 0 THEN {off0} ELSE {off1} END) "
+        f"ELSE 10 + {txn} * {stride} + 1 + {op_idx} END)"
+    )
+
+
 def duckdb_events_sql(p: GenParams) -> str:
     """DuckDB query producing the logical event stream (the oracle's input)."""
     ex = event_exprs(p, "duckdb")
@@ -370,8 +440,11 @@ def _encode_stream_pandas(batches: Iterator, p: GenParams) -> Iterator:
             elif kind == "C":
                 ap(b"C" + pk_c(0, lsn - 1, lsn, cts))
                 am("C")
-            elif kind == "S":  # protocol v2 stream start (single chunk)
+            elif kind == "S":  # protocol v2 stream start (first chunk)
                 ap(b"S" + pk_i32(xid) + b"\x01")
+                am("S")
+            elif kind == "s":  # continuation chunk start (first_segment=0)
+                ap(b"S" + pk_i32(xid) + b"\x00")
                 am("S")
             elif kind == "E":
                 ap(b"E")
@@ -445,20 +518,65 @@ def spark_frames_df(spark, p: GenParams, n_partitions: int = 0, include_relation
     ops = p.ops_per_txn
 
     # segment → txns → slots (slot 0 = Begin/StreamStart, 1..ops = DML,
-    # ops+1 = Commit/StreamStop, [streaming: ops+2 = StreamCommit/Abort]);
-    # generated order == LSN order within each partition
-    streamed_e, aborted_e = stream_exprs(p, _Dialect("spark"), "txn")
-    max_slot = ops + 2 if p.stream_pct > 0 else ops + 1
+    # ops+1 = Commit/StreamStop, [streaming: ops+2 = StreamCommit/Abort;
+    # interleaved pairs: ops+2 = continuation StreamStart 's', ops+3 =
+    # second StreamStop, ops+4 = StreamCommit/Abort]); generated order ==
+    # (txn, slot) order — LSN order within a segment after the decode
+    # stage's sortWithinPartitions, which interleaved chunk layouts rely
+    # on (a pair's frames alternate between the two txns' LSN windows)
+    d_spark = _Dialect("spark")
+    streamed_e, aborted_e = stream_exprs(p, d_spark, "txn")
+    il_e = interleave_exprs(p, d_spark, "txn")
+    interleaving = p.interleave_streams and p.stream_pct > 0
+    if interleaving:
+        max_slot = ops + 4
+    else:
+        max_slot = ops + 2 if p.stream_pct > 0 else ops + 1
     kind = (
         f"CASE WHEN slot = 0 THEN (CASE WHEN {streamed_e} THEN 'S' ELSE 'B' END) "
         f"WHEN slot = {ops + 1} THEN (CASE WHEN {streamed_e} THEN 'E' ELSE 'C' END) "
     )
     if p.stream_pct > 0:
         kind += (
-            f"WHEN slot = {ops + 2} THEN (CASE WHEN {aborted_e} THEN 'A' "
+            f"WHEN slot = {ops + 2} THEN (CASE WHEN {il_e} THEN 's' "
+            f"WHEN {aborted_e} THEN 'A' "
             f"WHEN {streamed_e} THEN 'c' ELSE 'X' END) "
         )
+    if interleaving:
+        kind += (
+            f"WHEN slot = {ops + 3} THEN (CASE WHEN {il_e} THEN 'E' ELSE 'X' END) "
+            f"WHEN slot = {ops + 4} THEN (CASE WHEN {il_e} AND {aborted_e} "
+            f"THEN 'A' WHEN {il_e} THEN 'c' ELSE 'X' END) "
+        )
     kind += "ELSE 'O' END"
+
+    if interleaving:
+        h1 = (ops + 1) // 2
+        off_p0 = (
+            f"CASE WHEN slot = 0 THEN 0 "
+            f"WHEN slot <= {ops} THEN (CASE WHEN slot - 1 < {h1} THEN slot "
+            f"ELSE {h1 + 4} + slot END) "
+            f"WHEN slot = {ops + 1} THEN {h1 + 1} "
+            f"WHEN slot = {ops + 2} THEN {2 * h1 + 4} "
+            f"WHEN slot = {ops + 3} THEN {h1 + ops + 5} "
+            f"ELSE {2 * ops + 8} END"
+        )
+        off_p1 = (
+            f"CASE WHEN slot = 0 THEN {h1 + 2} "
+            f"WHEN slot <= {ops} THEN (CASE WHEN slot - 1 < {h1} "
+            f"THEN {h1 + 2} + slot ELSE {ops + 6} + slot END) "
+            f"WHEN slot = {ops + 1} THEN {2 * h1 + 3} "
+            f"WHEN slot = {ops + 2} THEN {h1 + ops + 6} "
+            f"WHEN slot = {ops + 3} THEN {2 * ops + 7} "
+            f"ELSE {2 * ops + 9} END"
+        )
+        lsn_sql = (
+            f"CAST(CASE WHEN {il_e} THEN 10 + (txn - (txn % 2)) * {stride} "
+            f"+ (CASE WHEN txn % 2 = 0 THEN {off_p0} ELSE {off_p1} END) "
+            f"ELSE 10 + txn * {stride} + slot END AS BIGINT)"
+        )
+    else:
+        lsn_sql = f"CAST(10 + txn * {stride} + slot AS BIGINT)"
     slots = (
         spark.range(0, n_segments, 1, min(n_part, max(1, n_segments)))
         .withColumnRenamed("id", "seg")
@@ -471,7 +589,7 @@ def spark_frames_df(spark, p: GenParams, n_partitions: int = 0, include_relation
         .selectExpr(
             "segment", "txn", "slot",
             f"{kind} AS kind",
-            f"CAST(10 + txn * {stride} + slot AS BIGINT) AS lsn",
+            f"{lsn_sql} AS lsn",
             "CAST(txn * 1000000 AS BIGINT) AS commit_ts_us",
             "CAST(1000 + txn AS BIGINT) AS xid",
             f"CASE WHEN slot BETWEEN 1 AND {ops} THEN txn * {ops} + slot - 1 END AS i",

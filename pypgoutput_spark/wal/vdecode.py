@@ -31,6 +31,25 @@ the wavefront indexes one concatenated batch buffer. Strict decode maps
 ``make_kernel`` directly; strict=False wraps ``process_batch``
 optimistically and falls back to the loop kernel per failing batch
 (operators.decode._make_optimistic_kernel).
+
+Protocol v2 (PG14+ ``streaming = on``) decodes VECTORIZED too — at a
+100 TB deployment with streaming on, large transactions are the bulk of
+the bytes, so the stream path must be the fast path:
+
+  - ``_group_stream_batches`` coalesces consecutive Arrow batches until
+    every streamed transaction opened in them has committed or aborted
+    (a cheap first-byte scan per batch; pure-v1 batches pass through
+    untouched, paying nothing). The group bound is the loop kernel's
+    buffering bound: the sum of in-flight streamed transactions.
+  - ``_resolve_streams`` then replaces per-message buffering with offset
+    math over the combined batch: a segment-aware S/E accumulate marks
+    chunk membership, in-chunk DML reads its payload 4 bytes later
+    (the subxid prefix), and sorted-key joins against the S/c/A cohorts
+    stamp each event's top-level xid / begin LSN / commit timestamp,
+    drop aborted transactions (subxid-scoped when the abort names a
+    subtransaction), and validate the chunk grammar — all numpy, no
+    Python per message. The existing wavefront cohort parse then runs
+    unchanged with shifted cursors.
 """
 
 from __future__ import annotations
@@ -64,6 +83,8 @@ RAW_PA_SCHEMA = pa.schema(
 
 _B, _C, _I, _U, _D, _T, _R, _O, _Y = (ord(x) for x in "BCIUDTROY")
 _N, _K, _OLD_O, _t, _n, _u = (ord(x) for x in "NKOtnu")
+#: protocol-v2 stream control bytes (Start / Stop / Commit / Abort)
+_S2, _E2, _c2, _A2 = (ord(x) for x in "SEcA")
 
 
 def _be(data: np.ndarray, starts: np.ndarray, width: int) -> np.ndarray:
@@ -248,24 +269,9 @@ def _schema_versions(plain: dict, rids: np.ndarray, lsns: np.ndarray) -> np.ndar
     return out
 
 
-def make_kernel(registry_plain: dict, init_tx: Optional[dict] = None):
-    """mapInArrow kernel: frames RecordBatches -> RAW event RecordBatches."""
-
-    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        open_tx: dict = dict(init_tx) if init_tx else {}
-        for rb in batches:
-            yield from process_batch(rb, open_tx, registry_plain)
-
-    return kernel
-
-
-def process_batch(rb: pa.RecordBatch, open_tx: dict,
-                  registry_plain: dict) -> Iterator[pa.RecordBatch]:
-    """Vectorized decode of ONE Arrow batch; mutates ``open_tx`` (the
-    per-segment open-transaction carry). The strict=False optimistic
-    wrapper (operators.decode) calls this with a COPY of the carry state,
-    committing it only when the whole batch decodes cleanly, and falls
-    back to the per-message loop kernel on error."""
+def _payload_arrays(rb: pa.RecordBatch):
+    """(data uint8, offs int64[n+1], seg, lsn) zero-copy views of the
+    batch's payload binary column + metadata columns."""
     pay = rb.column(rb.schema.get_field_index("payload"))
     if isinstance(pay, pa.ChunkedArray):  # pragma: no cover
         pay = pay.combine_chunks()
@@ -277,26 +283,304 @@ def process_batch(rb: pa.RecordBatch, open_tx: dict,
     data = np.frombuffer(bufs[2], dtype=np.uint8)
     seg = rb.column(rb.schema.get_field_index("segment")).to_numpy()
     lsn = rb.column(rb.schema.get_field_index("lsn")).to_numpy()
-    n = len(pay)
+    return data, offs, seg, lsn
+
+
+def _skey(seg: np.ndarray, xid: np.ndarray) -> np.ndarray:
+    """(segment, xid) → one sortable int64 key. xid is a PG Int32 masked
+    to its unsigned bits; segment ids are assumed < 2^31 (WAL segment
+    ordinals — a receiver emits them densely from 0)."""
+    return (seg.astype(np.int64) << 32) | (xid & 0xFFFFFFFF)
+
+
+def _quick_scan(rb: pa.RecordBatch):
+    """Cheap pre-pass for stream grouping: (has_v2, opened_keys,
+    closed_keys). ``opened`` = first-chunk Stream Starts, ``closed`` =
+    Stream Commits + whole-transaction Stream Aborts (a subxid abort
+    keeps its stream open). Reads only first bytes + fixed header ints;
+    malformed control frames count as v2-present but neither open nor
+    close — the group decode then fails loudly instead of silently
+    mis-grouping."""
+    if rb.num_rows == 0:
+        return False, (), ()
+    data, offs, seg, _lsn = _payload_arrays(rb)
+    starts = offs[:-1]
+    lens = offs[1:] - starts
+    first = data[starts]
+    is_s = first == _S2
+    has_v2 = bool(
+        is_s.any() or (first == _E2).any()
+        or (first == _c2).any() or (first == _A2).any()
+    )
+    if not has_v2:
+        return False, (), ()
+    opened: list = []
+    s_rows = np.nonzero(is_s & (lens >= 6))[0]
+    if s_rows.size:
+        fr = s_rows[data[starts[s_rows] + 5] != 0]
+        if fr.size:
+            opened = _skey(seg[fr], _be(data, starts[fr] + 1, 4)).tolist()
+    closed: list = []
+    c_rows = np.nonzero((first == _c2) & (lens >= 5))[0]
+    if c_rows.size:
+        closed += _skey(seg[c_rows], _be(data, starts[c_rows] + 1, 4)).tolist()
+    a_rows = np.nonzero((first == _A2) & (lens >= 9))[0]
+    if a_rows.size:
+        axid = _be(data, starts[a_rows] + 1, 4)
+        asub = _be(data, starts[a_rows] + 5, 4)
+        fa = axid == asub
+        if fa.any():
+            closed += _skey(seg[a_rows[fa]], axid[fa]).tolist()
+    return True, opened, closed
+
+
+def _group_stream_batches(batches: Iterator[pa.RecordBatch]):
+    """Yield lists of consecutive batches such that every streamed
+    transaction opened inside a group also closes in it — the unit the
+    vectorized v2 resolution needs. Pure-v1 batches (the overwhelmingly
+    common case) stream through as single-batch groups with only a
+    first-byte scan of cost. Accumulation is bounded by the sum of
+    in-flight streamed transactions, the same bound as the loop
+    kernel's buffering."""
+    pending: list = []
+    open_keys: set = set()
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        has_v2, opened, closed = _quick_scan(rb)
+        if not pending and not has_v2:
+            yield [rb]
+            continue
+        pending.append(rb)
+        open_keys.update(opened)
+        open_keys.difference_update(closed)
+        if not open_keys:
+            yield pending
+            pending = []
+    if pending:
+        xids = sorted({int(k) & 0xFFFFFFFF for k in open_keys})
+        raise ValueError(
+            f"streamed transaction(s) still open at partition end "
+            f"(xids {xids}): cut batches on segment boundaries "
+            "(split='segment' / whole-segment files)"
+        )
+
+
+def _combine(group: list) -> pa.RecordBatch:
+    """One RecordBatch with contiguous buffers from a group of batches
+    (combine_chunks re-materializes each column as a single chunk)."""
+    if len(group) == 1:
+        return group[0]
+    return pa.Table.from_batches(group).combine_chunks().to_batches()[0]
+
+
+def _member(sorted_keys: np.ndarray, query: np.ndarray):
+    """(found boolean mask, clipped positions) of query in sorted_keys."""
+    if sorted_keys.size == 0:
+        return np.zeros(query.size, dtype=bool), np.zeros(query.size, dtype=np.int64)
+    pos = np.searchsorted(sorted_keys, query)
+    posc = np.clip(pos, 0, sorted_keys.size - 1)
+    return sorted_keys[posc] == query, posc
+
+
+def _resolve_streams(data, offs, seg, lsn, first, idx,
+                     ev_xid, ev_blsn, ev_cts, ev_has_tx):
+    """Vectorized protocol-v2 stream resolution over one (coalesced)
+    batch in which every stream closes. Mutates the ``ev_*`` transaction
+    stamp arrays for committed in-chunk DML and returns ``(drop,
+    shift)``: rows to drop (control frames, aborted transactions'
+    events, in-chunk R/O/Y) and the per-row payload cursor shift (4 for
+    in-chunk messages — their subxid prefix — else 0).
+
+    Semantics mirror the loop kernel exactly: chunks delimited by S/E
+    never nest but interleave freely across transactions; every
+    in-chunk message's embedded xid is its SUBtransaction's; Stream
+    Commit stamps (top xid, first-S lsn, commit ts); Stream Abort
+    discards the whole transaction, or only the named subtransaction
+    when subxid != xid; a Truncate inside a chunk is refused loudly.
+    """
+    n = first.size
+    starts = offs[:-1]
+    lens = offs[1:] - starts
+    is_s, is_e = first == _S2, first == _E2
+    is_cm, is_a = first == _c2, first == _A2
+    if (is_s & (lens < 6)).any() or (is_cm & (lens < 30)).any() \
+            or (is_a & (lens < 9)).any():
+        raise ValueError("truncated protocol-v2 stream control frame")
+
+    # ---- chunk membership: segment-aware S/E accumulate --------------
+    last_s = np.maximum.accumulate(np.where(is_s, idx, -1))
+    last_e = np.maximum.accumulate(np.where(is_e, idx, -1))
+    lsc = np.clip(last_s, 0, None)
+    in_chunk = (last_s > last_e) & (last_s >= 0) & (seg[lsc] == seg)
+    # chunk-open state just BEFORE each row (for control-row grammar)
+    prev_s = np.concatenate([[-1], last_s[:-1]])
+    prev_e = np.concatenate([[-1], last_e[:-1]])
+    chunk_before = (prev_s > prev_e) & (prev_s >= 0) \
+        & (seg[np.clip(prev_s, 0, None)] == seg)
+    bad = is_s & chunk_before
+    if bad.any():
+        i = int(np.nonzero(bad)[0][0])
+        raise ValueError(f"nested Stream Start at lsn={lsn[i]}")
+    bad = is_e & ~chunk_before
+    if bad.any():
+        i = int(np.nonzero(bad)[0][0])
+        raise ValueError(f"Stream Stop outside a stream block at lsn={lsn[i]}")
+    bad = (is_cm | is_a) & chunk_before
+    if bad.any():
+        i = int(np.nonzero(bad)[0][0])
+        raise ValueError(
+            f"Stream {'Commit' if is_cm[i] else 'Abort'} inside an open "
+            f"chunk at lsn={lsn[i]}"
+        )
+
+    # ---- stream cohorts: first-S / continuation-S / commit / abort ---
+    s_rows = np.nonzero(is_s)[0]
+    skey_at = np.zeros(n, dtype=np.int64)
+    skey_at[s_rows] = _skey(seg[s_rows], _be(data, starts[s_rows] + 1, 4))
+    s_first = data[starts[s_rows] + 5] != 0
+    fs_rows = s_rows[s_first]
+    fs_keys = skey_at[fs_rows]
+    order = np.argsort(fs_keys)
+    fs_keys_s, fs_rows_s = fs_keys[order], fs_rows[order]
+    fs_lsn_s = lsn[fs_rows_s]
+    if fs_keys_s.size > 1 and (fs_keys_s[1:] == fs_keys_s[:-1]).any():
+        raise ValueError("duplicate first-chunk Stream Start for one xid")
+    cont_rows = s_rows[~s_first]
+    if cont_rows.size:
+        found, pos = _member(fs_keys_s, skey_at[cont_rows])
+        ok = found & (fs_rows_s[pos] < cont_rows)
+        if not ok.all():
+            i = cont_rows[~ok][0]
+            raise ValueError(
+                f"stream continuation for unknown xid="
+                f"{int(skey_at[i]) & 0xFFFFFFFF} at lsn={lsn[i]}"
+            )
+    c_rows = np.nonzero(is_cm)[0]
+    c_keys = _skey(seg[c_rows], _be(data, starts[c_rows] + 1, 4))
+    corder = np.argsort(c_keys)
+    c_keys_s = c_keys[corder]
+    c_cts_s = _be(data, starts[c_rows] + 22, 8)[corder]
+    if c_keys_s.size > 1 and (c_keys_s[1:] == c_keys_s[:-1]).any():
+        raise ValueError("duplicate Stream Commit for one xid")
+    a_rows = np.nonzero(is_a)[0]
+    a_xid = _be(data, starts[a_rows] + 1, 4)
+    a_sub = _be(data, starts[a_rows] + 5, 4)
+    a_keys = _skey(seg[a_rows], a_xid)
+    full_a = a_xid == a_sub
+    fa_keys_s = np.sort(a_keys[full_a])
+    sub_keys_s = np.sort(_skey(seg[a_rows[~full_a]], a_sub[~full_a]))
+    for what, keys, rows_ in (("Commit", c_keys, c_rows), ("Abort", a_keys, a_rows)):
+        if keys.size:
+            found, pos = _member(fs_keys_s, keys)
+            ok = found & (fs_rows_s[pos] < rows_)
+            if not ok.all():
+                i = int(rows_[~ok][0])
+                bad_xid = int(_be(data, starts[[i]] + 1, 4)[0])
+                raise ValueError(
+                    f"Stream {what} for unknown xid={bad_xid} at lsn={lsn[i]}"
+                )
+    both, _ = _member(fa_keys_s, c_keys_s)
+    if both.any():
+        raise ValueError("stream has both a Stream Commit and a full Stream Abort")
+
+    # ---- in-chunk messages: shift, validate, stamp, drop -------------
+    drop = is_s | is_e | is_cm | is_a
+    shift = np.where(in_chunk & ~drop, 4, 0)
+    sr = np.nonzero(in_chunk & ~drop)[0]
+    if sr.size:
+        if (lens[sr] < 5).any():
+            raise ValueError("truncated in-chunk message (no xid prefix)")
+        t_in = first[sr]
+        if (t_in == _T).any():
+            i = sr[t_in == _T][0]
+            raise _codec.UnsupportedStreamOp(
+                f"Truncate inside a streamed transaction at lsn={lsn[i]} "
+                "is not supported"
+            )
+        aux = np.isin(t_in, [_R, _O, _Y])
+        drop[sr[aux]] = True
+        dml = sr[~aux]
+        emb = _be(data, starts[dml] + 1, 4)
+        emb_keys = _skey(seg[dml], emb)
+        top_keys = skey_at[lsc[dml]]
+        foreign = emb_keys != top_keys
+        if foreign.any():
+            # a foreign chunk's message mis-sequenced into this block
+            # would otherwise be silently committed with the WRONG
+            # transaction; a genuine subxid can never collide with
+            # another in-flight top-level xid (PG xids are unique)
+            hit, _ = _member(fs_keys_s, emb_keys[foreign])
+            if hit.any():
+                i = int(dml[foreign][hit][0])
+                raise ValueError(
+                    f"in-chunk message carries xid="
+                    f"{int(_be(data, starts[[i]] + 1, 4)[0])} inside the "
+                    f"chunk of a different open stream at lsn={lsn[i]} "
+                    "(mis-sequenced chunk)"
+                )
+        committed, cpos = _member(c_keys_s, top_keys)
+        full_aborted, _ = _member(fa_keys_s, top_keys)
+        sub_aborted, _ = _member(sub_keys_s, emb_keys)
+        undecided = ~(committed | full_aborted)
+        if undecided.any():
+            i = dml[undecided][0]
+            raise ValueError(
+                f"streamed transaction xid={int(top_keys[undecided][0]) & 0xFFFFFFFF}"
+                f" has neither Stream Commit nor Stream Abort in its group"
+                f" (first open event at lsn={lsn[i]})"
+            )
+        drop_dml = full_aborted | sub_aborted
+        drop[dml[drop_dml]] = True
+        keep = dml[~drop_dml]
+        if keep.size:
+            kk = top_keys[~drop_dml]
+            # back to the signed Int32 reading the loop kernel stamps
+            ev_xid[keep] = (kk & 0xFFFFFFFF).astype(np.uint32).astype(
+                np.int32
+            ).astype(np.int64)
+            _f, bpos = _member(fs_keys_s, kk)
+            ev_blsn[keep] = fs_lsn_s[bpos]
+            ev_cts[keep] = c_cts_s[cpos[~drop_dml]]
+            ev_has_tx[keep] = True
+    return drop, shift
+
+
+def make_kernel(registry_plain: dict, init_tx: Optional[dict] = None):
+    """mapInArrow kernel: frames RecordBatches -> RAW event RecordBatches.
+    Protocol-v2 stream blocks are decoded vectorized: batches are grouped
+    so every stream closes within its group (pure-v1 batches pass through
+    one-to-one), then resolved with offset math — see module docstring."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        open_tx: dict = dict(init_tx) if init_tx else {}
+        for group in _group_stream_batches(batches):
+            yield from process_batch(_combine(group), open_tx, registry_plain)
+
+    return kernel
+
+
+def process_batch(rb: pa.RecordBatch, open_tx: dict,
+                  registry_plain: dict) -> Iterator[pa.RecordBatch]:
+    """Vectorized decode of ONE Arrow batch; mutates ``open_tx`` (the
+    per-segment open-transaction carry). The strict=False optimistic
+    wrapper (operators.decode) calls this with a COPY of the carry state,
+    committing it only when the whole batch decodes cleanly, and falls
+    back to the per-message loop kernel on error."""
+    data, offs, seg, lsn = _payload_arrays(rb)
+    n = rb.num_rows
     if n == 0:
         return
     starts = offs[:-1]
     first = data[starts]
 
-    known = np.isin(first, [_B, _C, _I, _U, _D, _T, _R, _O, _Y])
+    known = np.isin(
+        first, [_B, _C, _I, _U, _D, _T, _R, _O, _Y, _S2, _E2, _c2, _A2]
+    )
     if not known.all():
         i = int(np.nonzero(~known)[0][0])
-        b1 = chr(first[i])
-        if b1 in ("S", "E", "c", "A"):
-            raise ValueError(
-                f"protocol-v2 streamed-transaction message {b1!r} at "
-                f"lsn={lsn[i]}: the vectorized kernel decodes v1 only — "
-                "streamed blocks route through the loop kernel "
-                "(strict=False optimistic fallback does this per batch, "
-                "or pass vectorized=False)"
-            )
         raise ValueError(
-            f"unknown pgoutput message type byte {b1!r} at lsn={lsn[i]}"
+            f"unknown pgoutput message type byte {chr(first[i])!r} at lsn={lsn[i]}"
         )
 
     # ---- transaction scoping: vectorized B/C scan ----------------
@@ -341,16 +625,34 @@ def process_batch(rb: pa.RecordBatch, open_tx: dict,
         elif has_activity[li]:
             open_tx.pop(int(s), None)
 
+    # ---- protocol-v2 stream resolution (v1 batches skip entirely) ----
+    drop = shift = None
+    if np.isin(first, [_S2, _E2, _c2, _A2]).any():
+        drop, shift = _resolve_streams(
+            data, offs, seg, lsn, first, idx,
+            ev_xid, ev_blsn, ev_cts, ev_has_tx,
+        )
+
+    def cohort(type_byte: int) -> np.ndarray:
+        sel = first == type_byte
+        if drop is not None:
+            sel &= ~drop
+        return sel
+
+    def sh_starts(rows: np.ndarray) -> np.ndarray:
+        # in-chunk v2 messages: cursor past the 4-byte subxid prefix
+        return starts[rows] if shift is None else starts[rows] + shift[rows]
+
     def tx_cols(sel: np.ndarray):
         has = ev_has_tx[sel]
         mk = lambda v: pa.array(v[sel], type=pa.int64(), mask=~has)  # noqa: E731
         return mk(ev_xid), mk(ev_blsn), mk(ev_cts)
 
     # ---- Insert cohort ------------------------------------------
-    sel = first == _I
+    sel = cohort(_I)
     if sel.any():
         rows = idx[sel]
-        st = starts[rows]
+        st = sh_starts(rows)
         marker = data[st + 5]
         if (marker != _N).any():
             raise ValueError("Insert expects 'N' tuple marker")
@@ -373,10 +675,10 @@ def process_batch(rb: pa.RecordBatch, open_tx: dict,
         )
 
     # ---- Update cohort (optional K/O old image, then N) ----------
-    sel = first == _U
+    sel = cohort(_U)
     if sel.any():
         rows = idx[sel]
-        st = starts[rows]
+        st = sh_starts(rows)
         rid = _be(data, st + 1, 4)
         marker = data[st + 5]
         has_old = (marker == _K) | (marker == _OLD_O)
@@ -434,10 +736,10 @@ def process_batch(rb: pa.RecordBatch, open_tx: dict,
         )
 
     # ---- Delete cohort (K or O old image required) ---------------
-    sel = first == _D
+    sel = cohort(_D)
     if sel.any():
         rows = idx[sel]
-        st = starts[rows]
+        st = sh_starts(rows)
         rid = _be(data, st + 1, 4)
         marker = data[st + 5]
         bad = (marker != _K) & (marker != _OLD_O)
@@ -468,7 +770,7 @@ def process_batch(rb: pa.RecordBatch, open_tx: dict,
         )
 
     # ---- Truncate cohort: rare → scalar decode + fan-out ---------
-    sel = first == _T
+    sel = cohort(_T)
     if sel.any():
         rows = idx[sel]
         out = {

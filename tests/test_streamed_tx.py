@@ -127,10 +127,204 @@ def test_stream_open_at_partition_end_raises(spark):
         ).collect()
 
 
-def test_vectorized_strict_names_streaming(spark):
+def test_vectorized_strict_decodes_streams(spark):
+    """The strict vectorized kernel decodes protocol v2 directly (round-5:
+    stream-bearing batches no longer pay the loop kernel) — its output is
+    row-identical to the loop kernel's."""
     frames = _mk_frames_df(spark, _stream_rows())
-    with pytest.raises(Exception, match="streamed|loop kernel"):
-        decode_op.decode_frames_raw(frames, strict=True).collect()
+    vec = decode_op.decode_frames_raw(frames, strict=True).collect()
+    loop = decode_op.decode_frames_raw(
+        frames, strict=True, vectorized=False
+    ).collect()
+    key = lambda r: r["lsn"]  # noqa: E731
+    assert sorted([r.asDict() for r in vec], key=lambda d: d["lsn"]) == \
+        sorted([r.asDict() for r in loop], key=lambda d: d["lsn"])
+    assert {r["lsn"] for r in vec} == {11, 21, 22, 25}
+
+
+def test_streamed_decode_never_needs_loop_fallback(spark):
+    """Pin the kernel choice: with forbid_loop=True (captured at plan
+    time) any loop-kernel fallback hard-fails — this stream decodes
+    wholly on the vectorized path."""
+    frames = _mk_frames_df(spark, _stream_rows())
+    rows = decode_op.decode_frames_raw(
+        frames, strict=False, forbid_loop=True
+    ).collect()
+    assert {r["lsn"] for r in rows} == {11, 21, 22, 25}
+
+
+def _interleaved_rows():
+    """Two streamed txns whose chunks INTERLEAVE (the real PG14+
+    walsender shape with streaming=on), one v1 txn between chunks."""
+    rel = codec.encode_relation(
+        RELATION_ID, RELATION_NAMESPACE, RELATION_NAME, "d", RELATION_COLUMNS
+    )
+    x1, x2 = 8001, 8002
+    return [
+        (0, 1, rel),
+        # x1 chunk 1
+        (0, 10, codec.encode_stream_start(x1, True)),
+        (0, 11, codec.add_stream_xid(
+            codec.encode_insert(RELATION_ID, _cells("a", "p1", "c1", "py", "v1")), x1)),
+        (0, 12, codec.encode_stream_stop()),
+        # x2 chunk 1 (interleaved while x1 is in flight)
+        (0, 20, codec.encode_stream_start(x2, True)),
+        (0, 21, codec.add_stream_xid(
+            codec.encode_insert(RELATION_ID, _cells("b", "p2", "c2", "py", "v2")), x2)),
+        (0, 22, codec.encode_stream_stop()),
+        # a plain v1 txn between chunks
+        (0, 30, codec.encode_begin(30, 111000, 600)),
+        (0, 31, codec.encode_insert(RELATION_ID, _cells("c", "p3", "c3", "py", "v3"))),
+        (0, 32, codec.encode_commit(31, 32, 111000)),
+        # x1 chunk 2 (continuation), then commits in x2, x1 order
+        (0, 40, codec.encode_stream_start(x1, False)),
+        (0, 41, codec.add_stream_xid(
+            codec.encode_update(RELATION_ID, _cells("a", "p1", "c9", "py", "v9")), x1)),
+        (0, 42, codec.encode_stream_stop()),
+        (0, 50, codec.encode_stream_commit(x2, 49, 50, 222000)),
+        (0, 51, codec.encode_stream_commit(x1, 50, 51, 333000)),
+    ]
+
+
+@pytest.mark.parametrize("mode", ["loop", "strict-vec", "optimistic"])
+def test_interleaved_streams_decode(spark, mode):
+    frames = _mk_frames_df(spark, _interleaved_rows())
+    raw = decode_op.decode_frames_raw(
+        frames,
+        strict=(mode != "optimistic"),
+        vectorized=(mode != "loop"),
+        forbid_loop=(mode == "optimistic"),
+    )
+    rows = {r["lsn"]: r for r in raw.collect()}
+    assert set(rows) == {11, 21, 31, 41}
+    # each stream's events stamped with ITS xid / first-S lsn / commit ts
+    assert (rows[11]["xid"], rows[11]["begin_lsn"], rows[11]["commit_ts_us"]) \
+        == (8001, 10, 333000)
+    assert (rows[41]["xid"], rows[41]["begin_lsn"], rows[41]["commit_ts_us"]) \
+        == (8001, 10, 333000)
+    assert (rows[21]["xid"], rows[21]["begin_lsn"], rows[21]["commit_ts_us"]) \
+        == (8002, 20, 222000)
+    assert rows[31]["xid"] == 600  # v1 txn between chunks unaffected
+
+
+@pytest.mark.parametrize("mode", ["loop", "strict-vec"])
+def test_interleaved_abort_discards_only_that_stream(spark, mode):
+    rows_in = [r for r in _interleaved_rows() if r[1] != 50]
+    rows_in.append((0, 50, codec.encode_stream_abort(8002)))
+    rows_in.sort(key=lambda r: r[1])
+    frames = _mk_frames_df(spark, rows_in)
+    raw = decode_op.decode_frames_raw(frames, vectorized=(mode != "loop"))
+    rows = {r["lsn"]: r for r in raw.collect()}
+    assert set(rows) == {11, 31, 41}  # x2's event (lsn 21) vanished
+
+
+def _subxid_rows():
+    """One streamed txn with a savepoint: subxid 9100 aborts, the outer
+    transaction's events commit (pgoutput v2 subxid-scoped Stream
+    Abort)."""
+    rel = codec.encode_relation(
+        RELATION_ID, RELATION_NAMESPACE, RELATION_NAME, "d", RELATION_COLUMNS
+    )
+    x, sub = 9001, 9100
+    return [
+        (0, 1, rel),
+        (0, 10, codec.encode_stream_start(x, True)),
+        # outer txn's change (embedded xid = top-level xid)
+        (0, 11, codec.add_stream_xid(
+            codec.encode_insert(RELATION_ID, _cells("o", "p1", "c1", "py", "v1")), x)),
+        # subtransaction's changes (embedded xid = subxid)
+        (0, 12, codec.add_stream_xid(
+            codec.encode_insert(RELATION_ID, _cells("s", "p2", "c2", "py", "v2")), sub)),
+        (0, 13, codec.add_stream_xid(
+            codec.encode_update(RELATION_ID, _cells("s", "p2", "c3", "py", "v3")), sub)),
+        (0, 14, codec.encode_stream_stop()),
+        # savepoint rolls back: abort names the SUBxid, not the txn
+        (0, 20, codec.encode_stream_abort(x, subxid=sub)),
+        (0, 21, codec.encode_stream_start(x, False)),
+        (0, 22, codec.add_stream_xid(
+            codec.encode_insert(RELATION_ID, _cells("o", "p3", "c4", "py", "v4")), x)),
+        (0, 23, codec.encode_stream_stop()),
+        (0, 30, codec.encode_stream_commit(x, 29, 30, 444000)),
+    ]
+
+
+@pytest.mark.parametrize("mode", ["loop", "strict-vec", "optimistic"])
+def test_subxid_abort_discards_only_subtransaction(spark, mode):
+    frames = _mk_frames_df(spark, _subxid_rows())
+    raw = decode_op.decode_frames_raw(
+        frames,
+        strict=(mode != "optimistic"),
+        vectorized=(mode != "loop"),
+        forbid_loop=(mode == "optimistic"),
+    )
+    rows = {r["lsn"]: r for r in raw.collect()}
+    # subxid 9100's events (12, 13) rolled back; outer events committed
+    assert set(rows) == {11, 22}
+    for r in rows.values():
+        assert r["xid"] == 9001 and r["begin_lsn"] == 10
+        assert r["commit_ts_us"] == 444000
+
+
+@pytest.mark.parametrize("mode", ["loop", "strict-vec"])
+def test_missequenced_foreign_chunk_raises(spark, mode):
+    """An in-chunk message whose embedded xid is a DIFFERENT open
+    stream's top-level xid is a mis-sequenced chunk — silently
+    committing it with the wrong transaction would corrupt the table."""
+    rel = codec.encode_relation(
+        RELATION_ID, RELATION_NAMESPACE, RELATION_NAME, "d", RELATION_COLUMNS
+    )
+    x1, x2 = 8101, 8102
+    rows = [
+        (0, 1, rel),
+        (0, 10, codec.encode_stream_start(x1, True)),
+        (0, 11, codec.encode_stream_stop()),
+        (0, 20, codec.encode_stream_start(x2, True)),
+        # x1's message inside x2's chunk
+        (0, 21, codec.add_stream_xid(
+            codec.encode_insert(RELATION_ID, _cells("m", "p", "c", "py", "v")), x1)),
+        (0, 22, codec.encode_stream_stop()),
+        (0, 30, codec.encode_stream_commit(x2, 29, 30, 0)),
+        (0, 31, codec.encode_stream_commit(x1, 30, 31, 0)),
+    ]
+    with pytest.raises(Exception, match="mis-sequenced"):
+        decode_op.decode_frames_raw(
+            _mk_frames_df(spark, rows), strict=True,
+            vectorized=(mode != "loop"),
+        ).collect()
+
+
+def test_dead_letter_inside_aborted_stream_discarded(spark):
+    """ADVICE r4: a per-message decode error inside a stream block must
+    NOT leave a quarantine row if that stream later aborts — the event
+    never logically existed. Committed streams DO emit their buffered
+    dead letters."""
+    import struct
+
+    rel = codec.encode_relation(
+        RELATION_ID, RELATION_NAMESPACE, RELATION_NAME, "d", RELATION_COLUMNS
+    )
+    xa, xc = 8201, 8202
+    # Insert with a bad tuple marker ('Z' instead of 'N') — raises in the
+    # loop kernel, so it is a dead-letter candidate
+    bad_v1 = b"I" + struct.pack(">i", RELATION_ID) + b"Z\x00\x00"
+    rows = [
+        (0, 1, rel),
+        (0, 10, codec.encode_stream_start(xa, True)),
+        (0, 11, codec.add_stream_xid(bad_v1, xa)),
+        (0, 12, codec.encode_stream_stop()),
+        (0, 13, codec.encode_stream_abort(xa)),
+        (0, 20, codec.encode_stream_start(xc, True)),
+        (0, 21, codec.add_stream_xid(bad_v1, xc)),
+        (0, 22, codec.encode_stream_stop()),
+        (0, 23, codec.encode_stream_commit(xc, 22, 23, 0)),
+    ]
+    raw = decode_op.decode_frames_raw(
+        _mk_frames_df(spark, rows), strict=False, vectorized=False
+    )
+    got = raw.collect()
+    # exactly ONE dead letter: the committed stream's; the aborted
+    # stream's quarantine candidate vanished with its transaction
+    assert [r["lsn"] for r in got if r["op"] == "E"] == [21]
 
 
 def test_streamed_stream_ingest_matches_oracle(spark, tmp_path):
@@ -187,6 +381,53 @@ def test_streamed_pipeline_matches_oracle(spark, tmp_path):
     frames = gen.spark_frames_df(spark, p)
     mtypes = {r["mtype"] for r in frames.select("mtype").distinct().collect()}
     assert {"S", "E", "c", "A"} <= mtypes, "fixture must exercise the v2 grammar"
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"),
+        schema=[(c, "string") for c in gen.ALL_COLUMNS],
+        key_cols=list(gen.KEY_COLUMNS), n_buckets=8,
+    )
+    pipeline.run_ingest(spark, frames, table, n_batches=3, strict=False)
+    got = table.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    want = (
+        duckdb.sql(gen.duckdb_final_state_sql(p, with_sha=False))
+        .df().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got[want.columns.tolist()].equals(want)
+
+
+def test_interleaved_generator_pipeline_matches_oracle(spark, tmp_path):
+    """Generator-driven e2e with interleave_streams: adjacent streamed
+    txns' chunks alternate (S1 a1 E S2 a2 E S1' b1 E S2' b2 E c1 c2),
+    aborts included — final lake state ≡ the serial DuckDB oracle, and
+    the whole stream decodes on the VECTORIZED path (forbid_loop pinned
+    at the decode level below)."""
+    import duckdb
+
+    from pypgoutput_spark.lake.table import LakeTable
+    from pypgoutput_spark.streaming import pipeline
+    from pypgoutput_spark.wal import generator as gen
+
+    p = gen.GenParams(n_txns=60, ops_per_txn=7, toast_pct=25,
+                      txns_per_segment=6, stream_pct=50, stream_abort_pct=25,
+                      interleave_streams=True)
+    frames = gen.spark_frames_df(spark, p)
+    # the fixture must actually interleave: some segment has a second
+    # chunk-start before the first stream's commit
+    segs = frames.orderBy("segment", "lsn").select("segment", "mtype").collect()
+    by_seg: dict = {}
+    for r in segs:
+        by_seg.setdefault(r["segment"], []).append(r["mtype"])
+    assert any(
+        "".join(ms).count("ES") > 0 and
+        any(a == "E" and b == "S" for a, b in zip(ms, ms[1:]))
+        for ms in by_seg.values()
+    )
+
+    # kernel pin: the interleaved stream decodes wholly vectorized
+    raw = decode_op.decode_frames_raw(frames, strict=False, forbid_loop=True)
+    assert raw.count() > 0
 
     table = LakeTable.create(
         spark, str(tmp_path / "lake"),

@@ -24,9 +24,11 @@ with the properties the rule actually needs:
     into one task (`coalesce(1)` → SinglePartition, which satisfies the
     aggregate's distribution requirement) and runs the JVM resolution
     aggregate with no Exchange — base rows never cross the network;
-    parallelism = dirty-bucket count (set ``props["resolve"] =
-    "shuffle"`` for the global hash-aggregate plan when single buckets
-    outgrow one task).
+    parallelism = dirty-bucket count up to ``props["resolve_width"]``
+    (default 64), beyond which buckets share plan branches round-robin
+    so driver plan size stays O(width) at catalog scale (set
+    ``props["resolve"] = "shuffle"`` for the global hash-aggregate plan
+    when single buckets outgrow one task).
   - **Compaction**: when a bucket's delta bytes pass a ratio of its base
     (or its delta-commit count passes a bound), the bucket is rewritten
     as resolved base and the *folded* deltas dropped. Compaction is an
@@ -330,28 +332,49 @@ class LakeTable:
         base = self.spark.read.schema(self.schema_ddl(snap)).parquet(*base_dirs).selectExpr(*sel_base)
         return base.unionByName(delta)
 
+    #: default cap on local-resolution plan branches: driver plan size
+    #: and Catalyst analysis stay O(width) no matter how many buckets
+    #: are dirty (override per table with ``props["resolve_width"]``)
+    DEFAULT_RESOLVE_WIDTH = 64
+
     def _resolve_local(self, snap: dict, base: Dict[str, List[str]],
                        deltas: Dict[str, List[str]]):
-        """Exchange-free resolution: per dirty bucket, narrow that
-        bucket's (already co-bucketed) base ∪ delta files into ONE task
+        """Exchange-free resolution: per dirty-bucket GROUP, narrow the
+        group's (already co-bucketed) base ∪ delta files into ONE task
         with ``coalesce(1)`` — a narrow dependency whose SinglePartition
         output satisfies the aggregate's clustered-distribution
         requirement, so Catalyst plans the SAME JVM ``max_by FILTER``
         aggregate with NO Exchange (asserted by
         tests/test_lake_concurrency.py). The data never leaves the node
         that read it, which at 100 TB beats re-hashing every
-        dirty-bucket base row across the network. Parallelism =
-        dirty-bucket count — size ``n_buckets`` so a bucket fits one
-        task (the contract compaction already imposes); at catalog
-        scale the per-bucket plan union would be a bucketed-table
-        definition instead."""
+        dirty-bucket base row across the network.
+
+        Up to ``props["resolve_width"]`` (default 64) dirty buckets get
+        their own group — one plan branch and one task each, exactly the
+        per-bucket shape. Beyond that, buckets share groups round-robin:
+        driver plan size and Catalyst analysis time stay O(width) at
+        catalog scale (thousands of dirty buckets), while each group is
+        still a single-task local aggregate over co-located files —
+        grouping is safe because buckets partition the key space, so a
+        group-level LWW aggregate equals the per-bucket ones. Size
+        ``n_buckets`` so a WIDTH-sized group of buckets fits one task
+        between compactions (the contract compaction already imposes
+        per bucket)."""
         keys = snap["key_cols"]
         value_cols = [n for n, _ in snap["schema"] if n not in keys]
         aggs = [F.expr(a) for a in _lww_read_aggs(value_cols)]
         cols = [F.col(n) for n, _ in snap["schema"]]
+        width = int(
+            snap.get("props", {}).get("resolve_width", self.DEFAULT_RESOLVE_WIDTH)
+        )
+        items = sorted(deltas.items())
+        n_groups = min(len(items), max(1, width))
         out = None
-        for b, ddirs in deltas.items():
-            u = self._dirty_union(snap, base.get(b, []), ddirs).coalesce(1)
+        for g in range(n_groups):
+            grp = items[g::n_groups]
+            base_dirs = [d for b, _ in grp for d in base.get(b, [])]
+            delta_dirs = [d for _, dd in grp for d in dd]
+            u = self._dirty_union(snap, base_dirs, delta_dirs).coalesce(1)
             resolved = (
                 u.groupBy(*[F.col(k) for k in keys])
                 .agg(*aggs)
@@ -593,6 +616,10 @@ class LakeTable:
             return None
         resolved = self.read(version=ver, buckets=dirty)
         staged, dbytes = self.write_buckets(self.with_bucket(resolved), ver + 1)
+        # crash-soak point (tests/test_crash_resume.py): the fold is fully
+        # staged but unreferenced — a crash here must leave the table
+        # state untouched and the staging reclaimable by expire_snapshots
+        _maybe_crash("post_compact_stage")
         for b in dirty:  # bucket resolved to empty: base must drop, but
             staged.setdefault(str(b), [])  # concurrent delta appends survive
         folded = {str(b): list(snap["deltas"][str(b)]) for b in dirty}

@@ -410,27 +410,32 @@ def connected_components(edges, u_col: str = "u", v_col: str = "v",
     a node's current minimum, and convergence is O(log n) rounds — the
     100 TB-safe shape (label-propagation-to-fixpoint needs O(diameter)
     rounds; a chain of near-dup shards makes that unbounded). Driver
-    loop with a per-round ``localCheckpoint`` lineage cut (iterative
-    self-referencing plans otherwise blow up Catalyst analysis time).
+    loop with a per-round lineage cut (iterative self-referencing plans
+    otherwise blow up Catalyst analysis time); the cut honors the
+    session's RELIABLE checkpoint dir when configured (see
+    operators.staging — executor-memory staging of iteration state is
+    the wrong durability class at 1000 executors).
 
     Returns (node BIGINT, component BIGINT) for every node incident to
     an edge; component = the smallest node id in the component.
     """
     from pyspark.sql import functions as F
 
-    e = (
+    from pypgoutput_spark.operators.staging import stage as _stage
+
+    e = _stage(
         edges.selectExpr(
             f"CAST({u_col} AS BIGINT) AS u", f"CAST({v_col} AS BIGINT) AS v"
         )
         .where("u IS NOT NULL AND v IS NOT NULL AND u <> v")
         .selectExpr("greatest(u, v) AS u", "least(u, v) AS v")
         .distinct()
-        .localCheckpoint()
     )
     spark = edges.sparkSession
     if not e.take(1):
         return spark.createDataFrame([], schema="node BIGINT, component BIGINT")
     sig = None
+    equal_rounds = 0
     for _ in range(max_iters):
         # large-star: every neighbor larger than u links to u's minimum
         sym = e.unionByName(e.selectExpr("v AS u", "u AS v"))
@@ -446,19 +451,27 @@ def connected_components(edges, u_col: str = "u", v_col: str = "v",
         dird = ls.selectExpr("greatest(a, b) AS u", "least(a, b) AS v").distinct()
         smin = dird.groupBy("u").agg(F.min("v").alias("m"))
         j = dird.join(smin, "u")
-        e = (
+        e = _stage(
             j.selectExpr("v AS hi", "m AS lo").where("hi <> lo")
             .unionByName(j.selectExpr("u AS hi", "m AS lo"))
             .selectExpr("greatest(hi, lo) AS u", "least(hi, lo) AS v")
             .distinct()
-            .localCheckpoint()
         )
         row = e.agg(
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),  # overflow-free set signature
         ).collect()[0]
         new_sig = (row["n"], row["h"])
-        if new_sig == sig:
+        # convergence = the (count, xxhash64-xor) set signature repeating
+        # over TWO consecutive rounds: a converged edge set repeats its
+        # signature forever (one extra round over the converged star
+        # graph is cheap), while a single hash collision between two
+        # DIFFERENT consecutive sets would have to recur immediately on
+        # a second distinct pair to fool this — closing the (already
+        # astronomically unlikely) wrong-closure window for one cheap
+        # aggregate instead of an exact set-difference join
+        equal_rounds = equal_rounds + 1 if new_sig == sig else 0
+        if equal_rounds >= 2:
             break
         sig = new_sig
     else:

@@ -41,26 +41,13 @@ from typing import Optional, Sequence
 from pyspark.sql import functions as F
 
 
-def _stage(df):
-    """Materialize with a lineage cut. ``localCheckpoint`` (executor
-    memory/disk) by default; when the session has a RELIABLE checkpoint
-    dir configured (``sc.setCheckpointDir`` — an object-store path in a
-    real deployment) AND checkpoint garbage collection enabled
-    (``spark.cleaner.referenceTracking.cleanCheckpoints=true`` — without
-    it every resolver pass of every micro-batch would leak a checkpoint
-    directory forever), use it instead: the pending cohort is tiny by
-    contract, but executor-memory staging of even tiny state is the
-    wrong durability class at 1000 executors (an executor loss mid-pass
-    would fail the batch)."""
-    sc = df.sparkSession.sparkContext
-    if (
-        sc._jsc.sc().checkpointDir().isDefined()
-        and sc.getConf().get(
-            "spark.cleaner.referenceTracking.cleanCheckpoints", "false"
-        ).lower() == "true"
-    ):
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint()
+from pypgoutput_spark.operators.staging import stage as _stage  # noqa: E402
+# (shared lineage-cut staging — localCheckpoint, or the session's
+# reliable checkpoint dir when configured with checkpoint GC; see
+# operators.staging. The pending cohort here is tiny by contract, but
+# executor-memory staging of even tiny state is the wrong durability
+# class at 1000 executors: an executor loss mid-pass would fail the
+# batch.)
 
 
 def kc_pred(keys: Sequence[str], value_cols: Sequence[str]) -> str:

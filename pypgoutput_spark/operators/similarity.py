@@ -461,12 +461,17 @@ def ann_recall_at_k(spark, sf_dir: str, k: int = 10, bits_per_band: int = 4,
     ).selectExpr("vec_id", "qv", f"{na} AS nrm", f"{arr} AS bandarr")
     # stage the band arrays once: higher-order lambdas are interpreted,
     # and the explode below would otherwise re-evaluate them per consumer
-    en = en.localCheckpoint()
+    # (lineage cut honors a configured reliable checkpoint dir — staging)
+    from pypgoutput_spark.operators.staging import stage as _stage
+
+    en = _stage(en)
     eb = en.selectExpr("vec_id", "inline(bandarr)").withColumnRenamed("k", "cell")
 
-    qs = en.orderBy("vec_id").limit(n_queries).selectExpr(
-        "vec_id AS q_id", "qv AS q_qv", "nrm AS q_nrm"
-    ).localCheckpoint()
+    qs = _stage(
+        en.orderBy("vec_id").limit(n_queries).selectExpr(
+            "vec_id AS q_id", "qv AS q_qv", "nrm AS q_nrm"
+        )
+    )
 
     dot_aq = d.dot_bigint("a.qv", "q.q_qv", DIM)
     bf = (
@@ -496,8 +501,8 @@ def ann_recall_at_k(spark, sf_dir: str, k: int = 10, bits_per_band: int = 4,
         .join(qb.alias("p"), F.expr("a.band = p.band AND a.cell = p.cell AND a.vec_id <> p.q_id"))
         .select("p.q_id", "a.vec_id")
         .distinct()
-        .localCheckpoint()
     )
+    cand = _stage(cand)
     n_cand = cand.count()
     lsh = (
         cand.alias("c")

@@ -56,3 +56,18 @@ def test_empty_and_duplicate_edges(spark):
     assert _labels(spark, []) == {}
     got = _labels(spark, [(5, 6), (6, 5), (5, 6)])
     assert got == {5: 5, 6: 5}
+
+
+def test_cc_staging_honors_reliable_checkpoint(spark, tmp_path):
+    """Round-5 (verdict #5): per-round iteration state leaves executor
+    memory when the session has a reliable checkpoint dir configured —
+    the durability class a 1000-executor deployment needs (an executor
+    loss mid-round must not fail the closure). Mirrors the kc_toast
+    staging pin; the dir is session-global, the conftest enables
+    checkpoint GC."""
+    import os
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "cc_ckpt"))
+    got = _labels(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+    assert any(os.scandir(str(tmp_path / "cc_ckpt"))), "reliable checkpoint written"

@@ -478,7 +478,7 @@ def test_streamed_with_truncates_matches_oracle(spark, tmp_path):
 
     p = gen.GenParams(n_txns=60, ops_per_txn=6, toast_pct=25,
                       txns_per_segment=6, stream_pct=40, stream_abort_pct=25,
-                      truncate_every=7)
+                      truncate_every=7, interleave_streams=True)
     frames = gen.spark_frames_df(spark, p)
     by_mtype = {
         r["mtype"]: r["count"]

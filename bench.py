@@ -75,12 +75,28 @@ def cdc_params(sf: float):
     )
 
 
-def bench_cdc(spark, sf: float, salt_buckets: int = 0) -> dict:
+def cdc_streamed_params(sf: float):
+    """Same event volume as cdc_params but EVERY transaction a protocol-v2
+    stream with interleaved chunk pairs — the streaming=on hot path whose
+    decode went vectorized in round 5 (it used to pay the 5.8x loop
+    kernel; its wall should now track the v1 ingest)."""
+    import dataclasses
+
+    p = cdc_params(sf)
+    tps = p.txns_per_segment + (p.txns_per_segment % 2)  # pairs per segment
+    return dataclasses.replace(
+        p, stream_pct=100, stream_abort_pct=10, interleave_streams=True,
+        txns_per_segment=tps,
+    )
+
+
+def bench_cdc(spark, sf: float, salt_buckets: int = 0, params=None,
+              strict: bool = True) -> dict:
     from pypgoutput_spark.lake.table import LakeTable
     from pypgoutput_spark.streaming import pipeline
     from pypgoutput_spark.wal import generator as gen
 
-    p = cdc_params(sf)
+    p = params or cdc_params(sf)
     tmp = tempfile.mkdtemp(prefix="bench_lake_")
     try:
         frames_dir = os.path.join(tmp, "frames")
@@ -105,7 +121,9 @@ def bench_cdc(spark, sf: float, salt_buckets: int = 0) -> dict:
             n_buckets=32,
         )
         t0 = time.monotonic()
-        pipeline.run_ingest(spark, frames, table, n_batches=1, salt_buckets=salt_buckets, clustered=True)
+        pipeline.run_ingest(spark, frames, table, n_batches=1,
+                            salt_buckets=salt_buckets, clustered=True,
+                            strict=strict)
         wall = time.monotonic() - t0
         return {
             "wall_sec": wall,
@@ -185,6 +203,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     cdc = bench_cdc(spark, sf)
     queries = {"cdc_e2e_ingest": round(cdc["wall_sec"], 3)}
+    # the streamed hot path at the SAME event volume (strict=False = the
+    # production default for streams: optimistic vectorized + quarantine)
+    cdc_v2 = bench_cdc(spark, sf, params=cdc_streamed_params(sf), strict=False)
+    queries["cdc_streamed_e2e_ingest"] = round(cdc_v2["wall_sec"], 3)
     if "--cdc-only" not in sys.argv:
         queries.update(bench_queries(spark, sf_dir))
     total = sum(queries.values())

@@ -501,3 +501,52 @@ def test_streamed_with_truncates_matches_oracle(spark, tmp_path):
     )
     assert len(got) == len(want)
     assert got[want.columns.tolist()].equals(want)
+
+
+def test_stream_chunk_split_across_arrow_batches_vectorized(spark):
+    """The core purpose of the batch grouping: a stream whose chunks span
+    Arrow-batch boundaries must still decode on the VECTORIZED path
+    (batches coalesce until every stream closes — forbid_loop pins that
+    no loop fallback is needed)."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        frames = _mk_frames_df(spark, _interleaved_rows())
+        rows = {r["lsn"]: r for r in decode_op.decode_frames_raw(
+            frames.coalesce(1), strict=False, forbid_loop=True,
+            clustered=True,
+        ).collect()}
+        assert set(rows) == {11, 21, 31, 41}
+        assert (rows[41]["xid"], rows[41]["commit_ts_us"]) == (8001, 333000)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_corrupt_in_chunk_frame_quarantines_via_group_fallback(spark):
+    """Optimistic mode: a corrupt frame INSIDE a committed stream fails
+    the vectorized group, the group re-decodes through the loop kernel,
+    and the dead letter (buffered with the stream) is emitted at commit —
+    clean events of the same stream survive."""
+    import struct
+
+    rel = codec.encode_relation(
+        RELATION_ID, RELATION_NAMESPACE, RELATION_NAME, "d", RELATION_COLUMNS
+    )
+    x = 8301
+    bad_v1 = b"I" + struct.pack(">i", RELATION_ID) + b"Z\x00\x00"
+    rows_in = [
+        (0, 1, rel),
+        (0, 10, codec.encode_stream_start(x, True)),
+        (0, 11, codec.add_stream_xid(
+            codec.encode_insert(RELATION_ID, _cells("ok", "p", "c", "py", "v")), x)),
+        (0, 12, codec.add_stream_xid(bad_v1, x)),
+        (0, 13, codec.encode_stream_stop()),
+        (0, 14, codec.encode_stream_commit(x, 13, 14, 555000)),
+    ]
+    got = decode_op.decode_frames_raw(
+        _mk_frames_df(spark, rows_in), strict=False
+    ).collect()
+    by_op = {r["op"]: r for r in got}
+    assert by_op["I"]["lsn"] == 11 and by_op["I"]["xid"] == x
+    assert by_op["E"]["lsn"] == 12 and "marker" in by_op["E"]["error"]
+    assert len(got) == 2

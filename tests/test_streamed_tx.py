@@ -339,7 +339,8 @@ def test_streamed_stream_ingest_matches_oracle(spark, tmp_path):
     from pypgoutput_spark.wal import generator as gen
 
     p = gen.GenParams(n_txns=40, ops_per_txn=5, toast_pct=25,
-                      txns_per_segment=10, stream_pct=50, stream_abort_pct=30)
+                      txns_per_segment=10, stream_pct=50, stream_abort_pct=30,
+                      interleave_streams=True)
     frames_dir = str(tmp_path / "frames")
     frames = gen.spark_frames_df(spark, p)
     for seg in range(4):

@@ -225,14 +225,26 @@ def main() -> None:
 
 
 def scaling_params(n_events: int):
+    import dataclasses
+
     from pypgoutput_spark.wal.generator import GenParams
 
     n_txns = max(1000, n_events // 8)
-    return GenParams(
+    p = GenParams(
         n_txns=n_txns, ops_per_txn=8, n_repos=max(1000, n_txns // 25),
         n_paths=40, toast_pct=25, truncate_every=0,
         txns_per_segment=max(100, n_txns // 512),
     )
+    if os.environ.get("SPARK_GRAFT_SCALE_STREAMED", "") == "1":
+        # all-streamed variant: every txn a protocol-v2 interleaved chunk
+        # pair (10% aborts) — evidences the streamed hot path scales like
+        # v1 now that its decode is vectorized (round 5)
+        tps = p.txns_per_segment + (p.txns_per_segment % 2)
+        p = dataclasses.replace(
+            p, stream_pct=100, stream_abort_pct=10, interleave_streams=True,
+            txns_per_segment=tps,
+        )
+    return p
 
 
 def ingest_once(frames_dir: str, cpus: int) -> dict:
@@ -244,7 +256,10 @@ def ingest_once(frames_dir: str, cpus: int) -> dict:
     spark = _mk_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     frames = spark.read.parquet(frames_dir)
-    n_events = frames.filter("mtype IN ('I','U','D','T')").count()
+    # lowercase mtypes = protocol-v2 in-stream DML (streamed variant)
+    n_events = frames.filter(
+        "mtype IN ('I','U','D','T','i','u','d','t')"
+    ).count()
     tmp = tempfile.mkdtemp(prefix="scale_lake_")
     try:
         warm = LakeTable.create(

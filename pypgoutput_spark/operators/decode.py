@@ -532,6 +532,10 @@ def decode_frames_raw(frames_df, registry: Optional[RelationRegistry] = None,
     parallelism = input partitions. Default is a repartition by segment
     for arbitrary frame layouts. Transaction stamping is exact either way
     (the kernel keys open-transaction state by segment).
+
+    ``forbid_loop`` (strict=False only; captured at plan time): turn any
+    loop-kernel fallback into a hard failure — the test pin proving a
+    workload decodes wholly on the vectorized path.
     """
     if registry is None:
         registry = RelationRegistry.from_frames(frames_df)

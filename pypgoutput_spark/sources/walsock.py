@@ -1,0 +1,293 @@
+"""Streaming-replication WIRE protocol over a real socket.
+
+The file-spool seam (``sources.receiver``) proves the landing/ack/restart
+mechanics; this module closes the remaining gap to the reference's
+``consume_stream`` loop (reference reader.py:334-390) by speaking the
+actual byte layout of PostgreSQL's streaming-replication COPY-both
+sub-protocol (public wire docs, "Streaming Replication Protocol") over a
+TCP socket:
+
+  server → client, each wrapped in an outer CopyData ('d') frame:
+    XLogData    'w' Int64 dataStart(LSN) Int64 walEnd Int64 sendTime(µs,
+                PG epoch) + the pgoutput message bytes
+    Keepalive   'k' Int64 walEnd Int64 sendTime Byte1 replyRequested
+  client → server (CopyData-wrapped):
+    StatusUpdate 'r' Int64 written+1 Int64 flushed+1 Int64 applied+1
+                Int64 clientTime Byte1 replyRequested
+                (the reference's ``send_feedback(flush_lsn)``)
+  stream end: CopyDone ('c').
+
+The receiver gets NO segment or mtype metadata — exactly like a real
+walsender client — and reconstructs both at capture time:
+
+  - **mtype stamping**: first payload byte, lowercased for messages
+    inside a protocol-v2 stream chunk (S..E state tracked from the
+    stream itself) — producing the stamped-frames contract the engine's
+    metadata-only driver paths rely on (wal.generator FRAMES_SCHEMA
+    note: "the receiver knows stream state at capture").
+  - **segment rolling**: receiver-assigned monotone segment ids, cut
+    only at SAFE boundaries (no open B..C transaction, no open v2
+    stream) once a target frame count is reached — the property decode
+    and the streamed-transaction contract require (a transaction or
+    stream never spans segments).
+  - **flush-LSN feedback**: a StatusUpdate after every landed segment
+    file, and an immediate one for any keepalive with replyRequested —
+    the ack a real primary uses to advance the slot's restart LSN.
+
+What the sandbox still cannot provide is ONLY the server half: a live
+walsender and the FE/BE startup handshake (START_REPLICATION, handled by
+psycopg2's LogicalReplicationConnection in the reference). Everything
+after the handshake is the real thing.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import struct
+import threading
+import time
+from typing import Iterable, List, Optional, Tuple
+
+_I32 = struct.Struct(">i")
+_XLOG_HDR = struct.Struct(">qqq")       # dataStart, walEnd, sendTime
+_KEEPALIVE = struct.Struct(">qqB")      # walEnd, sendTime, replyRequested
+_STATUS = struct.Struct(">qqqqB")       # written+1, flushed+1, applied+1, time, reply
+
+#: µs between unix and PG epochs (2000-01-01), mirrors wal.codec
+_PG_EPOCH_US = 946_684_800_000_000
+
+
+def _copy_data(body: bytes) -> bytes:
+    """Outer CopyData frame: 'd', Int32 length (self-inclusive), body."""
+    return b"d" + _I32.pack(4 + len(body)) + body
+
+
+def _copy_done() -> bytes:
+    return b"c" + _I32.pack(4)
+
+
+def _now_pg_us() -> int:
+    return int(time.time() * 1_000_000) - _PG_EPOCH_US
+
+
+class _SockReader:
+    """Exact-count buffered reads over a socket."""
+
+    def __init__(self, sock: socket.socket):
+        self.sock = sock
+        self.buf = b""
+
+    def read(self, n: int) -> bytes:
+        while len(self.buf) < n:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("replication socket closed mid-message")
+            self.buf += chunk
+        out, self.buf = self.buf[:n], self.buf[n:]
+        return out
+
+
+class WalSocketServer:
+    """The walsender half of the seam: streams (lsn, payload) frames as
+    XLogData over one accepted connection, interleaving keepalives
+    (``keepalive_every`` frames, replyRequested set), and consumes the
+    client's StatusUpdate feedback on a reader thread. After the last
+    frame it sends CopyDone and drains feedback until the client closes.
+
+    ``flush_history`` records every flushed-LSN the client reported (the
+    raw value, i.e. the wire's flushed+1 minus 1) — tests assert
+    monotonicity and completion against it.
+    """
+
+    def __init__(self, frames: Iterable[Tuple[int, bytes]],
+                 keepalive_every: int = 500):
+        self.frames = list(frames)
+        self.keepalive_every = keepalive_every
+        self.flush_history: List[int] = []
+        self.srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self.srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.srv.bind(("127.0.0.1", 0))
+        self.srv.listen(1)
+        self.addr = self.srv.getsockname()
+        self._thread: Optional[threading.Thread] = None
+        self.error: Optional[BaseException] = None
+
+    def _feedback_loop(self, rd: _SockReader, stop: threading.Event) -> None:
+        try:
+            while not stop.is_set():
+                t = rd.read(1)
+                if t != b"d":
+                    return
+                (ln,) = _I32.unpack(rd.read(4))
+                body = rd.read(ln - 4)
+                if body[0:1] == b"r":
+                    _w, flushed, _a, _t, _reply = _STATUS.unpack_from(body, 1)
+                    self.flush_history.append(flushed - 1)
+        except (ConnectionError, OSError):
+            return
+
+    def _serve(self) -> None:
+        try:
+            conn, _ = self.srv.accept()
+            rd = _SockReader(conn)
+            stop = threading.Event()
+            fb = threading.Thread(
+                target=self._feedback_loop, args=(rd, stop), daemon=True
+            )
+            fb.start()
+            sent = 0
+            out = bytearray()
+            for lsn, payload in self.frames:
+                out += _copy_data(
+                    b"w" + _XLOG_HDR.pack(lsn, lsn, _now_pg_us()) + payload
+                )
+                sent += 1
+                if sent % self.keepalive_every == 0:
+                    out += _copy_data(
+                        b"k" + _KEEPALIVE.pack(lsn, _now_pg_us(), 1)
+                    )
+                if len(out) >= 1 << 18:
+                    conn.sendall(bytes(out))
+                    out.clear()
+            out += _copy_done()
+            conn.sendall(bytes(out))
+            # drain feedback until the client closes (final flush ack)
+            fb.join(timeout=30)
+            stop.set()
+            conn.close()
+        except BaseException as exc:  # noqa: BLE001 — surfaced to the test
+            self.error = exc
+        finally:
+            self.srv.close()
+
+    def start(self) -> "WalSocketServer":
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+        return self
+
+    def join(self, timeout: float = 60) -> None:
+        assert self._thread is not None
+        self._thread.join(timeout)
+        if self.error:
+            raise self.error
+
+
+class SocketWalReceiver:
+    """The ``consume_stream`` analog over the wire: connects, parses
+    XLogData, stamps mtypes (capture-time stream state), rolls
+    receiver-assigned segments at safe transaction boundaries, lands
+    each segment as one parquet frame file (atomic rename, dot-prefixed
+    staging), and acks the flush LSN with a StatusUpdate after every
+    landed file — plus an immediate ack for any keepalive that requests
+    a reply."""
+
+    def __init__(self, addr, frames_dir: str, segment_frames: int = 1000):
+        self.addr = addr
+        self.frames_dir = frames_dir
+        self.segment_frames = segment_frames
+        os.makedirs(frames_dir, exist_ok=True)
+        self.flush_lsn = -1
+        self.next_seg = 0
+        self._buf: List[tuple] = []
+        # capture-time protocol state
+        self._chunk_open = False       # inside S..E
+        self._open_streams: set = set()  # first-S'd, un-committed/aborted xids
+        self._txn_open = False         # inside B..C
+        self.segments_landed = 0
+
+    # ---- safe-boundary tracking ------------------------------------
+
+    def _observe(self, payload: bytes) -> str:
+        """Update B/C/S/E/c/A state; return the stamped mtype."""
+        t = payload[0:1].decode()
+        if self._chunk_open and t not in ("E",):
+            # every message inside a chunk is stream-interior
+            return t.lower()
+        if t == "B":
+            self._txn_open = True
+        elif t == "C":
+            self._txn_open = False
+        elif t == "S":
+            (xid,) = struct.unpack_from(">i", payload, 1)
+            first = payload[5] != 0
+            if first:
+                self._open_streams.add(xid)
+            self._chunk_open = True
+        elif t == "E":
+            self._chunk_open = False
+        elif t == "c":
+            (xid,) = struct.unpack_from(">i", payload, 1)
+            self._open_streams.discard(xid)
+        elif t == "A":
+            xid, sub = struct.unpack_from(">ii", payload, 1)
+            if xid == sub:  # whole-transaction abort closes the stream
+                self._open_streams.discard(xid)
+        return t
+
+    def _safe_cut(self) -> bool:
+        return not (self._txn_open or self._chunk_open or self._open_streams)
+
+    # ---- landing + feedback ----------------------------------------
+
+    def _land(self) -> None:
+        if not self._buf:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        seg = self.next_seg
+        tbl = pa.table(
+            {
+                "segment": pa.array([seg] * len(self._buf), pa.int64()),
+                "lsn": pa.array([r[0] for r in self._buf], pa.int64()),
+                "mtype": pa.array([r[1] for r in self._buf], pa.string()),
+                "payload": pa.array([r[2] for r in self._buf], pa.binary()),
+            }
+        )
+        final = os.path.join(self.frames_dir, f"seg-{seg:08d}.parquet")
+        tmp = os.path.join(self.frames_dir, f".seg-{seg:08d}.parquet.tmp")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, final)
+        self.flush_lsn = self._buf[-1][0]
+        self._buf = []
+        self.next_seg += 1
+        self.segments_landed += 1
+
+    def _send_status(self, sock: socket.socket, reply: int = 0) -> None:
+        lsn1 = self.flush_lsn + 1  # wire carries LSN+1 per the protocol
+        sock.sendall(_copy_data(
+            b"r" + _STATUS.pack(lsn1, lsn1, lsn1, _now_pg_us(), reply)
+        ))
+
+    def run(self) -> None:
+        sock = socket.create_connection(self.addr)
+        try:
+            rd = _SockReader(sock)
+            while True:
+                t = rd.read(1)
+                (ln,) = _I32.unpack(rd.read(4))
+                body = rd.read(ln - 4)
+                if t == b"c":  # CopyDone: land the tail, final ack, leave
+                    self._land()
+                    self._send_status(sock)
+                    return
+                if t != b"d":
+                    raise ValueError(f"unexpected outer message {t!r}")
+                kind = body[0:1]
+                if kind == b"k":
+                    _we, _ts, reply = _KEEPALIVE.unpack_from(body, 1)
+                    if reply:
+                        self._send_status(sock, reply=0)
+                    continue
+                if kind != b"w":
+                    raise ValueError(f"unexpected copy payload {kind!r}")
+                lsn, _wal_end, _send_ts = _XLOG_HDR.unpack_from(body, 1)
+                payload = body[1 + _XLOG_HDR.size:]
+                mtype = self._observe(payload)
+                self._buf.append((lsn, mtype, bytes(payload)))
+                if len(self._buf) >= self.segment_frames and self._safe_cut():
+                    self._land()
+                    self._send_status(sock)
+        finally:
+            sock.close()

@@ -1,0 +1,142 @@
+"""Streaming-replication wire protocol over a real socket
+(sources/walsock.py): XLogData / keepalive / StatusUpdate byte framing,
+capture-time mtype stamping, receiver-side safe-boundary segment
+rolling, flush-LSN feedback — the ``consume_stream`` +
+``send_feedback`` loop (reference reader.py:334-390) minus only the
+live walsender and its FE/BE handshake.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import duckdb
+import pytest
+
+from pypgoutput_spark.lake.table import LakeTable
+from pypgoutput_spark.sources.receiver import encode_frames_pdf
+from pypgoutput_spark.sources.walsock import SocketWalReceiver, WalSocketServer
+from pypgoutput_spark.streaming import pipeline
+from pypgoutput_spark.wal import generator as gen
+
+
+def _frames_and_meta(p):
+    """(lsn, payload) pairs in LSN order + the generator's own
+    (lsn -> mtype) map for the stamping-parity assertion."""
+    pdf = encode_frames_pdf(p, include_relation=True)
+    pdf = pdf.sort_values("lsn").reset_index(drop=True)
+    frames = [(int(l), bytes(pl)) for l, pl in zip(pdf["lsn"], pdf["payload"])]
+    mtypes = {int(l): m for l, m in zip(pdf["lsn"], pdf["mtype"])}
+    return frames, mtypes
+
+
+P_SOCK = gen.GenParams(n_txns=60, ops_per_txn=6, toast_pct=25,
+                       txns_per_segment=6, stream_pct=40,
+                       stream_abort_pct=25, key_change_pct=0)
+
+
+def test_socket_stream_lands_and_matches_oracle(spark, tmp_path):
+    """End to end over the wire: XLogData frames → receiver stamps
+    mtypes + rolls safe segments + acks flush LSNs → stream_ingest
+    (clustered zero-shuffle path) → final state ≡ the serial oracle.
+    Feedback observed by the server is strictly monotone and reaches
+    the last LSN."""
+    frames, want_mtypes = _frames_and_meta(P_SOCK)
+    frames_dir = str(tmp_path / "frames")
+
+    srv = WalSocketServer(frames, keepalive_every=97).start()
+    rx = SocketWalReceiver(srv.addr, frames_dir, segment_frames=60)
+    rx.run()
+    srv.join()
+
+    # multiple segment files, each cut at a safe boundary
+    files = sorted(os.listdir(frames_dir))
+    assert rx.segments_landed == len(files) >= 4
+
+    # capture-time mtype stamping reproduces the generator's stamps
+    import pyarrow.parquet as pq
+
+    got_mtypes = {}
+    open_stream_per_file = []
+    for name in files:
+        t = pq.read_table(os.path.join(frames_dir, name))
+        lsns = t.column("lsn").to_pylist()
+        mts = t.column("mtype").to_pylist()
+        got_mtypes.update(zip(lsns, mts))
+        # whole streams per file: S-first count == c + full-A count
+        opens = sum(1 for m, pl in zip(mts, t.column("payload").to_pylist())
+                    if m == "S" and bytes(pl)[5] != 0)
+        closes = sum(1 for m in mts if m in ("c", "A"))
+        open_stream_per_file.append(opens - closes)
+    assert got_mtypes == want_mtypes
+    assert all(d == 0 for d in open_stream_per_file), open_stream_per_file
+    assert any(m in ("i", "u", "d") for m in got_mtypes.values()), \
+        "fixture must exercise in-chunk stamping"
+
+    # flush feedback: non-decreasing (keepalive replies may repeat the
+    # current flush), ends at the stream's last LSN
+    h = srv.flush_history
+    assert all(a <= b for a, b in zip(h, h[1:])), h
+    assert h[-1] == frames[-1][0]
+    assert len(srv.flush_history) >= rx.segments_landed
+
+    # the landed files ARE a valid engine source: zero-shuffle streaming
+    # ingest matches the serial DuckDB oracle
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"),
+        schema=[(c, "string") for c in gen.ALL_COLUMNS],
+        key_cols=list(gen.KEY_COLUMNS), n_buckets=8,
+    )
+    q = pipeline.stream_ingest(
+        spark, frames_dir, table, str(tmp_path / "ckpt"),
+        max_files_per_trigger=2, clustered=True,
+    )
+    q.awaitTermination(300)
+    got = table.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    want = (
+        duckdb.sql(gen.duckdb_final_state_sql(P_SOCK, with_sha=False))
+        .df().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got[want.columns.tolist()].equals(want)
+
+
+def test_keepalive_reply_requested_gets_prompt_status(tmp_path):
+    """A keepalive with replyRequested must be answered even mid-segment
+    (a real primary uses this to time out dead standbys)."""
+    p = gen.GenParams(n_txns=6, ops_per_txn=4, txns_per_segment=6)
+    frames, _ = _frames_and_meta(p)
+    srv = WalSocketServer(frames, keepalive_every=5).start()
+    rx = SocketWalReceiver(
+        srv.addr, str(tmp_path / "frames"), segment_frames=10_000
+    )  # segment larger than the stream: only keepalives + final ack
+    rx.run()
+    srv.join()
+    # replies to keepalives arrive before any segment landed → flush -1
+    # (wire -1+1 = 0), then the final CopyDone ack carries the last LSN
+    assert srv.flush_history[0] == -1
+    assert srv.flush_history[-1] == frames[-1][0]
+
+
+def test_mid_transaction_never_cut(tmp_path):
+    """segment_frames=1 would cut after every frame if the safe-boundary
+    guard did not hold it open through B..C and S..c spans."""
+    p = gen.GenParams(n_txns=8, ops_per_txn=5, txns_per_segment=8,
+                      stream_pct=50, stream_abort_pct=0)
+    frames, _ = _frames_and_meta(p)
+    frames_dir = str(tmp_path / "frames")
+    srv = WalSocketServer(frames, keepalive_every=10_000).start()
+    rx = SocketWalReceiver(srv.addr, frames_dir, segment_frames=1)
+    rx.run()
+    srv.join()
+    import pyarrow.parquet as pq
+
+    for name in sorted(os.listdir(frames_dir)):
+        t = pq.read_table(os.path.join(frames_dir, name))
+        mts = t.column("mtype").to_pylist()
+        # every file closes what it opens
+        assert mts.count("B") == mts.count("C")
+        opens = sum(1 for m, pl in zip(mts, t.column("payload").to_pylist())
+                    if m == "S" and bytes(pl)[5] != 0)
+        assert opens == mts.count("c") + mts.count("A")

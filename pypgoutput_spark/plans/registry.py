@@ -96,16 +96,35 @@ class RelationRegistry:
         materialized for matching rows; otherwise a JVM-side byte
         predicate over the payload. Only Relation frames (a handful per
         stream) ever reach Python or the driver.
+
+        Protocol-v2: PG14+ with ``streaming = on`` sends the Relation
+        message for a table FIRST touched by a streamed transaction
+        INSIDE the stream chunk (mtype-stamped lowercase 'r' at capture;
+        payload carries the subxid after the type byte). pgoutput's
+        relation cache applies those immediately and keeps them even if
+        the transaction later aborts — mirrored here by registering the
+        stripped payload at its LSN like any other R. The payload-byte
+        fallback predicate intentionally matches only v1 'R' frames:
+        without mtype stamping an in-chunk R is indistinguishable from a
+        v1 frame whose relation id happens to start 0x52 — v2 streams
+        REQUIRE stamped frames (wal.generator FRAMES_SCHEMA contract).
         """
         from pyspark.sql import functions as F
 
         if "mtype" in frames_df.columns:
-            flt = F.col("mtype") == "R"
+            flt = F.col("mtype").isin("R", "r")
         else:
             flt = F.expr("substring(payload, 1, 1) = X'52'")
-        r_frames = frames_df.filter(flt).select("lsn", "payload").collect()
+        r_frames = frames_df.filter(flt).select("lsn", "mtype", "payload").collect() \
+            if "mtype" in frames_df.columns else \
+            frames_df.filter(flt).selectExpr(
+                "lsn", "'R' AS mtype", "payload"
+            ).collect()
         for row in sorted(r_frames, key=lambda r: r["lsn"]):
-            self.add_relation(row["lsn"], codec.decode_message(bytes(row["payload"])))
+            payload = bytes(row["payload"])
+            if row["mtype"] == "r":
+                payload = payload[0:1] + payload[5:]  # strip in-chunk subxid
+            self.add_relation(row["lsn"], codec.decode_message(payload))
         return len(r_frames)
 
     @classmethod

@@ -81,6 +81,18 @@ def _mtype_pred(frames, letter: str):
     return F.expr(f"substring(payload, 1, 1) = X'{ord(letter):02X}'")
 
 
+def _r_pred(frames):
+    """Relation frames: v1 'R' plus (with stamped mtype) protocol-v2
+    in-chunk Relation messages ('r' — PG14+ sends the R for a table
+    first touched by a STREAMED transaction inside the chunk; the
+    registry strips their subxid prefix). The payload-byte fallback
+    matches v1 only — v2 streams require stamped frames."""
+    pred = _mtype_pred(frames, "R")
+    if "mtype" in frames.columns:
+        pred = pred | (F.col("mtype") == "r")
+    return pred
+
+
 def _serialize_tx(open_tx: Optional[dict]) -> dict:
     return {str(k): list(v) for k, v in (open_tx or {}).items()}
 
@@ -253,7 +265,7 @@ def apply_frames_batch(
     # are LSN-sorted, so row-group stats skip everything else — instead
     # of re-reading the whole payload column on an mtype-only filter)
     b_pred, c_pred, t_pred = (_mtype_pred(frames, x) for x in "BCT")
-    r_pred = _mtype_pred(frames, "R")
+    r_pred = _r_pred(frames)
     # late-replay gate: R frames are schema (exempt); everything else at
     # or below late_wm is excluded from stats/decode but counted here
     gated = late_wm is not None and late_wm >= 0
@@ -680,7 +692,7 @@ def stream_ingest(
             state["late_frames"] = state.get("late_frames", 0) + n_late
             if quarantine_dir:
                 batch_df.filter(
-                    (F.col("lsn") <= wm) & ~_mtype_pred(batch_df, "R")
+                    (F.col("lsn") <= wm) & ~_r_pred(batch_df)
                 ).write.mode("append").parquet(quarantine_dir + "/late_frames")
         state["open_tx"] = m.get("open_tx", {})
         m["late_frames"] = state.get("late_frames", 0)

@@ -551,3 +551,75 @@ def test_corrupt_in_chunk_frame_quarantines_via_group_fallback(spark):
     assert by_op["I"]["lsn"] == 11 and by_op["I"]["xid"] == x
     assert by_op["E"]["lsn"] == 12 and "marker" in by_op["E"]["error"]
     assert len(got) == 2
+
+
+def _in_stream_relation_frames(spark):
+    """Fixture frames whose ONLY Relation message arrives in-chunk."""
+    x1, x2 = 8401, 8402
+    rel = codec.encode_relation(
+        RELATION_ID, RELATION_NAMESPACE, RELATION_NAME, "d", RELATION_COLUMNS
+    )
+    rows = [
+        # NOTE: no v1 'R' frame at all — the only Relation is in-chunk
+        (0, 10, "S", codec.encode_stream_start(x1, True)),
+        (0, 11, "r", codec.add_stream_xid(rel, x1)),
+        (0, 12, "i", codec.add_stream_xid(
+            codec.encode_insert(RELATION_ID, _cells("a", "p", "c", "py", "v")), x1)),
+        (0, 13, "E", codec.encode_stream_stop()),
+        (0, 14, "c", codec.encode_stream_commit(x1, 13, 14, 111000)),
+        # an ABORTED stream introduces nothing new but its R must persist
+        (0, 20, "S", codec.encode_stream_start(x2, True)),
+        (0, 21, "r", codec.add_stream_xid(rel, x2)),
+        (0, 22, "E", codec.encode_stream_stop()),
+        (0, 23, "A", codec.encode_stream_abort(x2)),
+        # later v1 DML relies on the in-chunk R having registered
+        (0, 30, "B", codec.encode_begin(30, 222000, 700)),
+        (0, 31, "I", codec.encode_insert(
+            RELATION_ID, _cells("b", "p2", "c2", "py", "v2"))),
+        (0, 32, "C", codec.encode_commit(31, 32, 222000)),
+    ]
+    return x1, spark.createDataFrame(
+        [(seg, lsn, mt, bytearray(pl)) for seg, lsn, mt, pl in rows],
+        schema="segment BIGINT, lsn BIGINT, mtype STRING, payload BINARY",
+    )
+
+
+def test_in_stream_relation_registers(spark):
+    """PG14+ sends the Relation message for a table FIRST touched by a
+    streamed transaction INSIDE the chunk (stamped 'r' at capture, subxid
+    prefix). The registry must register it (stripped) at its LSN so the
+    stream's own DML decodes — and it survives even an abort (pgoutput's
+    relation cache is not transactional)."""
+    x1, frames = _in_stream_relation_frames(spark)
+    for vectorized in (False, True):
+        got = {r["lsn"]: r for r in decode_op.decode_frames_raw(
+            frames, strict=True, vectorized=vectorized
+        ).collect()}
+        assert set(got) == {12, 31}, (vectorized, sorted(got))
+        assert got[12]["xid"] == x1 and got[12]["schema_version"] is not None
+        assert got[31]["xid"] == 700
+
+
+def test_in_stream_relation_pipeline_e2e(spark, tmp_path):
+    """The in-chunk 'r' Relation flows through the FULL ingest path:
+    run_ingest's registry bootstrap, apply_frames_batch's stats-scan
+    R-cohort predicate, decode, merge — final table state holds both the
+    streamed insert and the later v1 insert that depends on the in-chunk
+    R having registered."""
+    from pypgoutput_spark.lake.table import LakeTable
+    from pypgoutput_spark.streaming import pipeline
+    from pypgoutput_spark.wal.generator import ALL_COLUMNS, KEY_COLUMNS
+
+    _, frames = _in_stream_relation_frames(spark)
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"),
+        schema=[(c, "string") for c in ALL_COLUMNS],
+        key_cols=list(KEY_COLUMNS), n_buckets=4,
+    )
+    pipeline.run_ingest(spark, frames, table, n_batches=1, strict=True)
+    got = sorted(
+        (r["repo"], r["path"], r["content"])
+        for r in table.read().collect()
+    )
+    assert got == [("a", "p", "v"), ("b", "p2", "v2")]
+    assert table.watermark_lsn == 32

@@ -140,6 +140,7 @@ BENCH_QUERIES = (
     "cdc_streamed_final_state",
     "text_fingerprint",
     "text_quality_score",
+    "text_repetition",
     "corpus_training_ready",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh_pairs",

@@ -75,6 +75,12 @@ class Dialect:
             return f"filter(split(lower({expr}), '\\\\s+'), x -> x != '')"
         return f"list_filter(regexp_split_to_array(lower({expr}), '\\s+'), x -> x <> '')"
 
+    def split_lines(self, expr: str) -> str:
+        """Non-empty lines (literal newline split, case preserved)."""
+        if self.name == "spark":
+            return f"filter(split({expr}, '\\n'), x -> x != '')"
+        return f"list_filter(string_split({expr}, chr(10)), x -> x <> '')"
+
     def regexp_count(self, expr: str, pattern: str) -> str:
         # Spark SQL string literals consume backslash escapes; DuckDB doesn't
         if self.name == "spark":

@@ -128,6 +128,82 @@ WHERE n_chars > 0
 """.strip()
 
 
+def repetition_sql(d: Dialect) -> str:
+    """Gopher-style repetition filters (Rae et al. 2021, table A1):
+    fraction of duplicate lines, fraction of characters in duplicate
+    lines, and duplicate word-2gram/3gram fractions, plus the composite
+    ``repetitive`` gate. Repetitious documents (boilerplate, scraped
+    nav bars, degenerate generations) are a standard pre-training
+    exclusion on top of cross-document dedup.
+
+    Scale: per-row only — every array (lines, tokens, n-grams) is built
+    and reduced with JVM higher-order functions inside the same codegen
+    stage as the scan; zero shuffle, zero Python. n-gram construction is
+    index math over the token array (no explode), so cost is O(len)
+    per document and the operator parallelizes trivially with the scan.
+    """
+    lines = d.split_lines("text")
+    toks = d.split_ws("text")
+    bg = d.array_transform(
+        d.sequence("1", "n_toks - 1"),
+        f"i -> concat({d.array_get('toks', 'i')}, ' ', {d.array_get('toks', 'i + 1')})",
+    )
+    tg = d.array_transform(
+        d.sequence("1", "n_toks - 2"),
+        f"i -> concat({d.array_get('toks', 'i')}, ' ', {d.array_get('toks', 'i + 1')},"
+        f" ' ', {d.array_get('toks', 'i + 2')})",
+    )
+    # fold's accumulator type must match the element type (the DuckDB
+    # rendering seeds list_reduce by prepending init) → length-transform
+    # the string array to BIGINT before summing
+    def char_sum(arr: str) -> str:
+        return d.fold(
+            d.array_transform(arr, "x -> CAST(length(x) AS BIGINT)"),
+            "CAST(0 AS BIGINT)", "(acc, x) -> acc + x",
+        )
+
+    def dup_frac(total: str, uniq: str) -> str:
+        return (
+            f"CASE WHEN {total} > 0 THEN CAST({total} - {uniq} AS DOUBLE)"
+            f" / {total} ELSE CAST(0.0 AS DOUBLE) END"
+        )
+
+    return f"""
+WITH x AS (
+  SELECT doc_id, {lines} AS lines, {toks} AS toks
+  FROM documents WHERE n_chars > 0
+),
+y AS (
+  SELECT doc_id, lines, toks,
+    {d.array_len('lines')} AS n_lines,
+    {d.array_len('toks')} AS n_toks
+  FROM x
+),
+z AS (
+  SELECT doc_id, n_lines, n_toks,
+    {d.array_len(d.array_distinct('lines'))} AS n_lines_u,
+    {char_sum('lines')} AS line_chars,
+    {char_sum(d.array_distinct('lines'))} AS line_chars_u,
+    {d.array_len(bg)} AS n_bg,
+    {d.array_len(d.array_distinct(bg))} AS n_bg_u,
+    {d.array_len(tg)} AS n_tg,
+    {d.array_len(d.array_distinct(tg))} AS n_tg_u
+  FROM y
+)
+SELECT doc_id, n_lines, n_toks,
+  {dup_frac('n_lines', 'n_lines_u')} AS dup_line_frac,
+  {dup_frac('line_chars', 'line_chars_u')} AS dup_line_char_frac,
+  {dup_frac('n_bg', 'n_bg_u')} AS dup_2gram_frac,
+  {dup_frac('n_tg', 'n_tg_u')} AS dup_3gram_frac,
+  CASE WHEN {dup_frac('n_lines', 'n_lines_u')} > 0.30
+         OR {dup_frac('line_chars', 'line_chars_u')} > 0.30
+         OR {dup_frac('n_bg', 'n_bg_u')} > 0.60
+         OR {dup_frac('n_tg', 'n_tg_u')} > 0.40
+       THEN 1 ELSE 0 END AS repetitive
+FROM z
+""".strip()
+
+
 def corpus_training_ready_sql(d: Dialect) -> str:
     """The end-to-end training-data gate as ONE query: quality filter →
     language ID → exact content dedup (keep the smallest doc_id per
@@ -218,6 +294,10 @@ def q_fingerprint(spark, sf_dir: str):
     return run_sql(spark, sf_dir, fingerprint_sql(SPARK), tables=("documents",), spread=("documents",))
 
 
+def q_repetition(spark, sf_dir: str):
+    return run_sql(spark, sf_dir, repetition_sql(SPARK), tables=("documents",), spread=("documents",))
+
+
 def q_corpus_training_ready(spark, sf_dir: str):
     return run_sql(spark, sf_dir, corpus_training_ready_sql(SPARK), tables=("documents",), spread=("documents",))
 
@@ -231,6 +311,7 @@ QUERIES = {
     "text_quality_score": (q_quality_score, quality_score_sql(DUCKDB)),
     "text_lang_id": (q_lang_id, lang_id_sql(DUCKDB)),
     "text_fingerprint": (q_fingerprint, fingerprint_sql(DUCKDB)),
+    "text_repetition": (q_repetition, repetition_sql(DUCKDB)),
     "corpus_training_ready": (q_corpus_training_ready, corpus_training_ready_sql(DUCKDB)),
     "corpus_stats": (q_corpus_stats, corpus_stats_sql(DUCKDB)),
 }

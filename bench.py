@@ -141,6 +141,8 @@ BENCH_QUERIES = (
     "text_fingerprint",
     "text_quality_score",
     "text_repetition",
+    "text_pii_scrub",
+    "corpus_sample",
     "corpus_training_ready",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh_pairs",

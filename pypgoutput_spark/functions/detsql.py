@@ -75,6 +75,14 @@ class Dialect:
             return f"filter(split(lower({expr}), '\\\\s+'), x -> x != '')"
         return f"list_filter(regexp_split_to_array(lower({expr}), '\\s+'), x -> x <> '')"
 
+    def regexp_replace_all(self, expr: str, pattern: str, repl: str) -> str:
+        """Replace EVERY match (Spark replaces all by default; DuckDB
+        needs the 'g' flag). Same escaping rule as regexp_count."""
+        if self.name == "spark":
+            pat = pattern.replace(chr(92), chr(92) * 2)
+            return f"regexp_replace({expr}, '{pat}', '{repl}')"
+        return f"regexp_replace({expr}, '{pattern}', '{repl}', 'g')"
+
     def split_lines(self, expr: str) -> str:
         """Non-empty lines (literal newline split, case preserved)."""
         if self.name == "spark":

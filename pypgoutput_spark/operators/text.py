@@ -28,6 +28,11 @@ LANG_MARKERS = {
 _BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
+def f_concat(prefix: str, expr: str) -> str:
+    """concat('<prefix>', expr) — identical syntax in both dialects."""
+    return f"concat('{prefix}', {expr})"
+
+
 def _quality_exprs(d: Dialect) -> dict:
     """The per-row expressions the component queries are built from —
     shared with the corpus composites so the formulas cannot drift."""
@@ -204,6 +209,83 @@ FROM z
 """.strip()
 
 
+#: (name, regex, replacement) — applied in order; shared by the count
+#: columns and the scrub so they cannot drift. Regexes restricted to
+#: syntax with identical semantics in Java regex (Spark) and RE2
+#: (DuckDB): classes, bounded quantifiers, \b, \d.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("hex_secret", r"\b[A-Fa-f0-9]{32,}\b", "<SECRET>"),
+)
+
+
+def pii_scrub_sql(d: Dialect) -> str:
+    """PII / secret scrubbing — the redaction pass every public-corpus
+    training pipeline runs before tokenization (emails, IP addresses,
+    long hex tokens that are usually keys or hashes). Per-category match
+    counts plus the scrubbed text, patterns applied in declaration order
+    so overlapping matches resolve identically in both engines.
+
+    Scale: per-row regex only — no shuffle; the scan reads just
+    doc_id/text. At 100 TB this runs inside the ingest projection.
+    """
+    scrub = "text"
+    for _name, pat, repl in PII_PATTERNS:
+        scrub = d.regexp_replace_all(scrub, pat, repl)
+    counts = ",\n  ".join(
+        f"{d.regexp_count('text', pat)} AS n_{name}"
+        for name, pat, _repl in PII_PATTERNS
+    )
+    total = " + ".join(f"n_{name}" for name, _p, _r in PII_PATTERNS)
+    return f"""
+WITH x AS (
+  SELECT doc_id,
+  {counts},
+  {scrub} AS text_clean
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_email, n_ipv4, n_hex_secret,
+  {total} AS n_pii,
+  CASE WHEN {total} > 0 THEN 1 ELSE 0 END AS has_pii,
+  length(text_clean) AS n_chars_clean,
+  text_clean
+FROM x
+""".strip()
+
+
+def corpus_sample_sql(d: Dialect) -> str:
+    """Deterministic stratified corpus sampling: an md5 draw on doc_id
+    assigns every document a stable train/val/test split (80/10/10),
+    and a second, independently-salted draw downsamples over-represented
+    languages (here: keep 50% of 'en', 100% of the rest — the standard
+    language-rebalancing pass). Hash-based, so the assignment is
+    reproducible run-to-run, engine-to-engine, and under resharding —
+    no RNG state, no ordering dependence.
+
+    Scale: per-row hashing, zero shuffle; the split is a column, not a
+    partition-by, so downstream writers can partition however they like.
+    """
+    doc_s = d.s("doc_id")
+    draw_split = f"({d.md5_int(f_concat('split:', doc_s))} % 100)"
+    draw_keep = f"({d.md5_int(f_concat('sample:', doc_s))} % 100)"
+    return f"""
+WITH x AS (
+  SELECT doc_id, source, lang,
+    {draw_split} AS split_draw,
+    {draw_keep} AS keep_draw
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, source, lang,
+  CASE WHEN split_draw < 80 THEN 'train'
+       WHEN split_draw < 90 THEN 'val'
+       ELSE 'test' END AS split,
+  CASE WHEN lang = 'en' THEN CASE WHEN keep_draw < 50 THEN 1 ELSE 0 END
+       ELSE 1 END AS sampled
+FROM x
+""".strip()
+
+
 def corpus_training_ready_sql(d: Dialect) -> str:
     """The end-to-end training-data gate as ONE query: quality filter →
     language ID → exact content dedup (keep the smallest doc_id per
@@ -298,6 +380,14 @@ def q_repetition(spark, sf_dir: str):
     return run_sql(spark, sf_dir, repetition_sql(SPARK), tables=("documents",), spread=("documents",))
 
 
+def q_pii_scrub(spark, sf_dir: str):
+    return run_sql(spark, sf_dir, pii_scrub_sql(SPARK), tables=("documents",), spread=("documents",))
+
+
+def q_corpus_sample(spark, sf_dir: str):
+    return run_sql(spark, sf_dir, corpus_sample_sql(SPARK), tables=("documents",))
+
+
 def q_corpus_training_ready(spark, sf_dir: str):
     return run_sql(spark, sf_dir, corpus_training_ready_sql(SPARK), tables=("documents",), spread=("documents",))
 
@@ -312,6 +402,8 @@ QUERIES = {
     "text_lang_id": (q_lang_id, lang_id_sql(DUCKDB)),
     "text_fingerprint": (q_fingerprint, fingerprint_sql(DUCKDB)),
     "text_repetition": (q_repetition, repetition_sql(DUCKDB)),
+    "text_pii_scrub": (q_pii_scrub, pii_scrub_sql(DUCKDB)),
+    "corpus_sample": (q_corpus_sample, corpus_sample_sql(DUCKDB)),
     "corpus_training_ready": (q_corpus_training_ready, corpus_training_ready_sql(DUCKDB)),
     "corpus_stats": (q_corpus_stats, corpus_stats_sql(DUCKDB)),
 }

@@ -270,8 +270,12 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
                     if st is None else
                     f"Stream Commit inside an open chunk at lsn={lsn}"
                 )
-            del streams.streams[(seg, sxid)]
+            # parse the WHOLE frame before mutating stream state: a
+            # truncated commit must dead-letter alone with the stream
+            # still buffered (→ loud partition-end raise), not destroy
+            # the committed transaction's events
             (cts,) = _unpack_i64(b, 22)
+            del streams.streams[(seg, sxid)]
             for e_lsn, e_op, e_rid, e_ver, e_bk, e_bv, e_nv, e_nm, _sub in st[1]:
                 a_lsn(e_lsn); a_op(e_op); a_rid(e_rid)
                 a_xid(sxid); a_blsn(st[0]); a_cts(cts)

@@ -112,18 +112,19 @@ class RelationRegistry:
         from pyspark.sql import functions as F
 
         if "mtype" in frames_df.columns:
-            flt = F.col("mtype").isin("R", "r")
+            r_frames = (
+                frames_df.filter(F.col("mtype").isin("R", "r"))
+                .select("lsn", "mtype", "payload").collect()
+            )
         else:
-            flt = F.expr("substring(payload, 1, 1) = X'52'")
-        r_frames = frames_df.filter(flt).select("lsn", "mtype", "payload").collect() \
-            if "mtype" in frames_df.columns else \
-            frames_df.filter(flt).selectExpr(
-                "lsn", "'R' AS mtype", "payload"
-            ).collect()
+            r_frames = (
+                frames_df.filter(F.expr("substring(payload, 1, 1) = X'52'"))
+                .selectExpr("lsn", "'R' AS mtype", "payload").collect()
+            )
         for row in sorted(r_frames, key=lambda r: r["lsn"]):
             payload = bytes(row["payload"])
             if row["mtype"] == "r":
-                payload = payload[0:1] + payload[5:]  # strip in-chunk subxid
+                _subxid, payload = codec.strip_stream_xid(payload)
             self.add_relation(row["lsn"], codec.decode_message(payload))
         return len(r_frames)
 

@@ -276,8 +276,11 @@ def _payload_arrays(rb: pa.RecordBatch):
     if isinstance(pay, pa.ChunkedArray):  # pragma: no cover
         pay = pay.combine_chunks()
     bufs = pay.buffers()
-    # arrow binary layout: [validity, offsets(int32), data]
-    offs = np.frombuffer(bufs[1], dtype=np.int32)[
+    # arrow binary layout: [validity, offsets, data] — offsets are int32
+    # for binary, int64 for large_binary (what _combine widens to when a
+    # stream group's payload bytes exceed one int32-offset chunk)
+    off_dtype = np.int64 if pa.types.is_large_binary(pay.type) else np.int32
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[
         pay.offset : pay.offset + len(pay) + 1
     ].astype(np.int64)
     data = np.frombuffer(bufs[2], dtype=np.uint8)
@@ -306,7 +309,13 @@ def _quick_scan(rb: pa.RecordBatch):
     data, offs, seg, _lsn = _payload_arrays(rb)
     starts = offs[:-1]
     lens = offs[1:] - starts
-    first = data[starts]
+    # an EMPTY payload must not read the next row's first byte (nor run
+    # off the data buffer when last): type 0 matches nothing, so the row
+    # classifies as plain corrupt DML and the group decode dead-letters
+    # it through the loop fallback instead of phantom-opening a stream
+    first = np.zeros(lens.size, dtype=np.uint8)
+    nz = lens > 0
+    first[nz] = data[starts[nz]]
     is_s = first == _S2
     has_v2 = bool(
         is_s.any() or (first == _E2).any()
@@ -368,10 +377,30 @@ def _group_stream_batches(batches: Iterator[pa.RecordBatch]):
 
 def _combine(group: list) -> pa.RecordBatch:
     """One RecordBatch with contiguous buffers from a group of batches
-    (combine_chunks re-materializes each column as a single chunk)."""
+    (combine_chunks re-materializes each column as a single chunk).
+
+    When the group's payload bytes exceed what one int32-offset binary
+    chunk can address (2 GiB — routine for streamed transactions, which
+    PG streams precisely because they are large), combine_chunks keeps
+    multiple chunks and ``to_batches()[0]`` would SILENTLY return only
+    the first — dropping the tail rows, typically including the Stream
+    Commit. Widen to large_binary (int64 offsets) in that case."""
     if len(group) == 1:
         return group[0]
-    return pa.Table.from_batches(group).combine_chunks().to_batches()[0]
+    tbl = pa.Table.from_batches(group).combine_chunks()
+    pay_i = tbl.schema.get_field_index("payload")
+    if tbl.column(pay_i).num_chunks > 1:
+        tbl = tbl.set_column(
+            pay_i, pa.field("payload", pa.large_binary()),
+            tbl.column(pay_i).cast(pa.large_binary()),
+        ).combine_chunks()
+    batches = tbl.to_batches()
+    if len(batches) != 1 or batches[0].num_rows != tbl.num_rows:
+        raise ValueError(
+            "stream group did not combine into a single batch "
+            f"({len(batches)} chunks, {tbl.num_rows} rows)"
+        )
+    return batches[0]
 
 
 def _member(sorted_keys: np.ndarray, query: np.ndarray):
@@ -572,6 +601,14 @@ def process_batch(rb: pa.RecordBatch, open_tx: dict,
     if n == 0:
         return
     starts = offs[:-1]
+    empty = (offs[1:] - starts) == 0
+    if empty.any():
+        # indexing data[starts] on an empty payload reads the NEXT row's
+        # first byte (or runs off the buffer) — misattributing the row's
+        # type; raise instead (strict: clear error; optimistic: the loop
+        # fallback dead-letters exactly this row)
+        i = int(np.nonzero(empty)[0][0])
+        raise ValueError(f"empty payload at lsn={lsn[i]}")
     first = data[starts]
 
     known = np.isin(

@@ -623,3 +623,39 @@ def test_in_stream_relation_pipeline_e2e(spark, tmp_path):
     )
     assert got == [("a", "p", "v"), ("b", "p2", "v2")]
     assert table.watermark_lsn == 32
+
+
+def test_truncated_stream_commit_never_destroys_buffered_events(spark):
+    """A Stream Commit truncated below its 30-byte layout must NOT take
+    the stream's buffered DML with it (round-5 review: the loop kernel
+    deleted the buffer before parsing the commit timestamp, so in
+    strict=False the committed transaction vanished silently). Now the
+    frame parses fully before any state mutation: the corrupt commit
+    dead-letters alone, the stream stays buffered, and the partition-end
+    guard raises — loud failure, zero silent loss."""
+    rel = codec.encode_relation(
+        RELATION_ID, RELATION_NAMESPACE, RELATION_NAME, "d", RELATION_COLUMNS
+    )
+    x = 7301
+    rows = [
+        (0, 1, rel),
+        (0, 10, codec.encode_stream_start(x, True)),
+        (0, 11, codec.add_stream_xid(
+            codec.encode_insert(RELATION_ID, _cells("r", "p", "c", "py", "v")), x)),
+        (0, 12, codec.encode_stream_stop()),
+        (0, 13, codec.encode_stream_commit(x, 12, 13, 111000)[:10]),
+    ]
+    frames = _mk_frames_df(spark, rows).coalesce(1)
+    for strict in (True, False):
+        for vectorized in (None, False):
+            # strict: the parse error surfaces directly; strict=False:
+            # the commit dead-letters alone and the STILL-BUFFERED
+            # stream trips the partition-end guard — never a silent
+            # empty result
+            with pytest.raises(
+                Exception,
+                match="segment boundaries|truncated|at least 30 bytes",
+            ):
+                decode_op.decode_frames_raw(
+                    frames, strict=strict, vectorized=vectorized, clustered=True
+                ).collect()

@@ -119,3 +119,71 @@ def test_vectorized_strict_errors(spark):
     )
     with pytest.raises(Exception, match="'K' or 'O'"):
         decode_op.decode_frames_raw(frames, reg, vectorized=True).collect()
+
+
+def test_empty_payload_dead_letters_not_partition_crash(spark):
+    """An EMPTY payload (torn capture) must quarantine as one op='E' row
+    in strict=False, not kill the partition: round-5 review found the
+    pre-scan read data[starts] off the end of the buffer (trailing empty
+    row) or the NEXT row's first byte (mid-batch) before any try/except.
+    Both positions now classify as corrupt DML and dead-letter through
+    the loop fallback while every other row decodes."""
+    RID = gen.RELATION_ID
+    reg = RelationRegistry()
+    reg.add_relation(1, codec.decode_message(codec.encode_relation(
+        RID, "public", "repo_files", "d", gen.RELATION_COLUMNS)))
+    ins = codec.encode_insert(
+        RID, [("t", "r"), ("t", "p"), ("t", "c"), ("t", "py"), ("t", "v")]
+    )
+    for pos in ("mid", "trailing"):
+        rows = [
+            (0, 10, "B", bytearray(codec.encode_begin(10, 111000, 42))),
+            (0, 11, "I", bytearray(ins)),
+            (0, 12, "C", bytearray(codec.encode_commit(11, 12, 111000))),
+        ]
+        empty = (0, 13, "?", bytearray(b""))
+        rows.insert(1 if pos == "mid" else 3, empty)
+        frames = spark.createDataFrame(rows, schema=gen.FRAMES_SCHEMA)
+        got = {r["lsn"]: r for r in decode_op.decode_frames_raw(
+            frames.coalesce(1), reg, strict=False, clustered=True
+        ).collect()}
+        assert got[11]["op"] == "I" and got[11]["xid"] == 42, pos
+        assert got[13]["op"] == "E" and got[13]["error"], pos
+        assert set(got) == {11, 13}, pos
+        # strict mode: a CLEAR error, not a misattributed type byte
+        with pytest.raises(Exception, match="empty payload at lsn"):
+            decode_op.decode_frames_raw(
+                frames.coalesce(1), reg, strict=True, vectorized=True,
+                clustered=True,
+            ).collect()
+
+
+def test_combine_widens_past_int32_binary_offsets():
+    """A stream group whose payload bytes exceed 2 GiB cannot live in one
+    int32-offset binary chunk: combine_chunks() keeps 2+ chunks and
+    to_batches()[0] used to SILENTLY return only the first — dropping
+    the tail rows (typically the Stream Commit). _combine now widens the
+    payload to large_binary (int64 offsets); every row survives and
+    _payload_arrays reads the widened offsets correctly."""
+    import pyarrow as pa
+
+    from pypgoutput_spark.wal import vdecode
+
+    blob = b"x" * (300 << 20)  # 300 MiB
+    group = []
+    for b in range(4):
+        payloads = [bytes([65 + 2 * b]) + blob, bytes([66 + 2 * b]) + blob]
+        group.append(pa.RecordBatch.from_arrays(
+            [pa.array([2 * b, 2 * b + 1], type=pa.int64()),
+             pa.array([100 + 2 * b, 101 + 2 * b], type=pa.int64()),
+             pa.array(payloads, type=pa.binary())],
+            names=["segment", "lsn", "payload"],
+        ))
+    combined = vdecode._combine(group)   # 8 rows × ~300 MiB = 2.34 GiB
+    assert combined.num_rows == 8
+    assert pa.types.is_large_binary(combined.schema.field("payload").type)
+    data, offs, seg, lsn = vdecode._payload_arrays(combined)
+    assert offs[-1] == 8 * (len(blob) + 1)
+    # every row's first byte intact, in order — nothing dropped
+    assert data[offs[:-1]].tolist() == [65, 66, 67, 68, 69, 70, 71, 72]
+    assert lsn.tolist() == [100, 101, 102, 103, 104, 105, 106, 107]

@@ -143,6 +143,8 @@ BENCH_QUERIES = (
     "text_repetition",
     "text_pii_scrub",
     "corpus_sample",
+    "corpus_pack_sequences",
+    "corpus_decontaminate",
     "corpus_training_ready",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh_pairs",

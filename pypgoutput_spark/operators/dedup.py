@@ -91,6 +91,32 @@ sh AS (
 """.strip()
 
 
+def decontaminate_sql(d: Dialect) -> str:
+    """Benchmark decontamination: flag training documents that share any
+    (doc-frequency-capped) shingle with a held-out evaluation set — the
+    pass every serious pre-training pipeline runs so eval numbers aren't
+    memorization. The eval set here is a deterministic stand-in
+    (``doc_id % 29 = 0``); production swaps that predicate for a join
+    against the real benchmark shingle table. Shingles are the same
+    word-bigram, DF-capped CTE the n-gram dedup family uses (production
+    typically raises n to 8-13; the machinery is identical).
+
+    Scale: inverted-index semi-join on capped shingles — the DF cap
+    bounds every shingle's posting list, so no hot key and no all-pairs;
+    one shuffle for the join, one for the per-doc aggregate.
+    """
+    return f"""
+WITH {_shingles_cte(d)},
+ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 29 = 0),
+tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 29 <> 0)
+SELECT tr.doc_id,
+  count(DISTINCT ev.eval_id) AS n_eval_docs,
+  count(*) AS n_shared_shingles
+FROM tr JOIN ev ON tr.shingle = ev.shingle
+GROUP BY tr.doc_id
+""".strip()
+
+
 def exact_stats_sql(d: Dialect) -> str:
     return """
 SELECT source,
@@ -819,5 +845,9 @@ QUERIES = {
     "dedup_connected_components": (
         q_connected_components,
         connected_components_sql(DUCKDB),
+    ),
+    "corpus_decontaminate": (
+        _runner(decontaminate_sql, ("documents",), spread=("documents",)),
+        decontaminate_sql(DUCKDB),
     ),
 }

@@ -286,6 +286,49 @@ FROM x
 """.strip()
 
 
+#: production trainers use 2048-8192; the synthetic corpus carries ~1.3k
+#: tokens per source, so the default exercises multiple sequences there
+PACK_SEQ_LEN = 256
+
+
+def pack_sequences_sql(d: Dialect, seq_len: int = PACK_SEQ_LEN) -> str:
+    """Sequence packing: assign every document its position in the
+    fixed-length training-sequence stream — the step that
+    turns a filtered corpus into the contiguous token stream a trainer
+    consumes. Deterministic: documents are laid out in doc_id order
+    within each source, and a document's sequence id / offset derive
+    from the running token total BEFORE it (greedy concat-and-chunk
+    packing, the standard GPT-style recipe).
+
+    Scale: ONE window shuffle, partitioned by source — each source's
+    running sum is independent, so the layout parallelizes across
+    sources and is reproducible under resharding. A source so large its
+    partition dominates would be sub-sharded first (salt the partition
+    key per N docs and offset seq_ids by a per-shard base — same
+    arithmetic); the per-row math is identical.
+    """
+    toks = d.split_ws("text")
+    n_tok = f"CAST({d.array_len(toks)} AS BIGINT)"
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, {n_tok} AS n_tok
+  FROM documents WHERE n_chars > 0 AND {n_tok} > 0
+),
+c AS (
+  SELECT doc_id, source, n_tok,
+    CAST(SUM(n_tok) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tok, cum_tokens,
+  {d.idiv('(cum_tokens - n_tok)', str(seq_len))} AS seq_id,
+  (cum_tokens - n_tok) % {seq_len} AS seq_offset
+FROM c
+""".strip()
+
+
 def corpus_training_ready_sql(d: Dialect) -> str:
     """The end-to-end training-data gate as ONE query: quality filter →
     language ID → exact content dedup (keep the smallest doc_id per
@@ -388,6 +431,13 @@ def q_corpus_sample(spark, sf_dir: str):
     return run_sql(spark, sf_dir, corpus_sample_sql(SPARK), tables=("documents",))
 
 
+def q_pack_sequences(spark, sf_dir: str):
+    # no spread: the window's own hash-partition by source is the only
+    # Exchange this plan needs — a pre-repartition would just be a
+    # second, immediately-discarded shuffle
+    return run_sql(spark, sf_dir, pack_sequences_sql(SPARK), tables=("documents",))
+
+
 def q_corpus_training_ready(spark, sf_dir: str):
     return run_sql(spark, sf_dir, corpus_training_ready_sql(SPARK), tables=("documents",), spread=("documents",))
 
@@ -404,6 +454,7 @@ QUERIES = {
     "text_repetition": (q_repetition, repetition_sql(DUCKDB)),
     "text_pii_scrub": (q_pii_scrub, pii_scrub_sql(DUCKDB)),
     "corpus_sample": (q_corpus_sample, corpus_sample_sql(DUCKDB)),
+    "corpus_pack_sequences": (q_pack_sequences, pack_sequences_sql(DUCKDB)),
     "corpus_training_ready": (q_corpus_training_ready, corpus_training_ready_sql(DUCKDB)),
     "corpus_stats": (q_corpus_stats, corpus_stats_sql(DUCKDB)),
 }

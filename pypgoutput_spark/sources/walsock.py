@@ -200,7 +200,10 @@ class SocketWalReceiver:
 
     def _observe(self, payload: bytes) -> str:
         """Update B/C/S/E/c/A state; return the stamped mtype."""
-        t = payload[0:1].decode()
+        # chr() (latin-1-ish) never raises on a corrupt >0x7F first byte
+        # — the frame lands stamped as-is and DECODE quarantines it; a
+        # UnicodeDecodeError here would kill the whole receiver instead
+        t = chr(payload[0]) if payload else "?"
         if self._chunk_open and t not in ("E",):
             # every message inside a chunk is stream-interior
             return t.lower()

@@ -161,6 +161,7 @@ BENCH_QUERIES = (
     "mm_frame_sample",
     "cdc_events_latest_by_user",
     "events_sessionize",
+    "events_windowed_stats",
     "agg_pricing_summary",
     "join_nation_revenue",
     "join_order_rollup",

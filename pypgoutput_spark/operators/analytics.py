@@ -61,6 +61,26 @@ GROUP BY event_type
 """.strip()
 
 
+def events_windowed_stats_sql(d: Dialect, window_minutes: int = 10) -> str:
+    """Tumbling event-time window stats — the BATCH rendering of the
+    streaming watermarked aggregation (streaming/windowed.py): the
+    bucket arithmetic ``(epoch_us DIV width) * width`` is exactly what
+    Spark's ``window()`` computes (epoch-origin tumbling), expressed as
+    integer math so DuckDB replays it bit-for-bit. One
+    map-side-combining groupBy; the n_users count(DISTINCT) is the
+    standard two-phase expand."""
+    us = window_minutes * 60 * 1_000_000
+    bucket = f"({d.idiv(_epoch_us(d, 'ts'), str(us))} * {us})"
+    return f"""
+SELECT {bucket} AS win_start_us, event_type,
+  count(*) AS n_events,
+  count(DISTINCT user_id) AS n_users,
+  {d.exact_sum('value')} AS sum_value
+FROM events
+GROUP BY {bucket}, event_type
+""".strip()
+
+
 def events_json_extract_sql(d: Dialect) -> str:
     return f"""
 SELECT {_json_int(d, 'props', 'k')} AS k,
@@ -185,6 +205,10 @@ QUERIES = {
     "events_json_extract": (
         _runner(events_json_extract_sql, ("events",)),
         events_json_extract_sql(DUCKDB),
+    ),
+    "events_windowed_stats": (
+        _runner(events_windowed_stats_sql, ("events",)),
+        events_windowed_stats_sql(DUCKDB),
     ),
     "events_sessionize": (_runner(sessionize_sql, ("events",)), sessionize_sql(DUCKDB)),
     "events_running_value": (

@@ -66,11 +66,16 @@ def events_windowed_stats_sql(d: Dialect, window_minutes: int = 10) -> str:
     streaming watermarked aggregation (streaming/windowed.py): the
     bucket arithmetic ``(epoch_us DIV width) * width`` is exactly what
     Spark's ``window()`` computes (epoch-origin tumbling), expressed as
-    integer math so DuckDB replays it bit-for-bit. One
-    map-side-combining groupBy; the n_users count(DISTINCT) is the
-    standard two-phase expand."""
+    integer math so DuckDB replays it bit-for-bit. FLOOR division (the
+    double-mod normalization below), not truncation — window() floors,
+    and the two diverge for pre-1970 timestamps. One map-side-combining
+    groupBy; the n_users count(DISTINCT) is the standard two-phase
+    expand."""
     us = window_minutes * 60 * 1_000_000
-    bucket = f"({d.idiv(_epoch_us(d, 'ts'), str(us))} * {us})"
+    e = _epoch_us(d, "ts")
+    # floor-mod: e - (((e % us) + us) % us) == floor(e/us)*us for any
+    # sign of e (both engines' % is truncation-remainder, so normalize)
+    bucket = f"({e} - ((({e} % {us}) + {us}) % {us}))"
     return f"""
 SELECT {bucket} AS win_start_us, event_type,
   count(*) AS n_events,

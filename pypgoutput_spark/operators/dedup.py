@@ -111,7 +111,7 @@ ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 29 = 0),
 tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 29 <> 0)
 SELECT tr.doc_id,
   count(DISTINCT ev.eval_id) AS n_eval_docs,
-  count(*) AS n_shared_shingles
+  count(DISTINCT tr.shingle) AS n_shared_shingles
 FROM tr JOIN ev ON tr.shingle = ev.shingle
 GROUP BY tr.doc_id
 """.strip()

@@ -207,25 +207,33 @@ class SocketWalReceiver:
         if self._chunk_open and t not in ("E",):
             # every message inside a chunk is stream-interior
             return t.lower()
-        if t == "B":
-            self._txn_open = True
-        elif t == "C":
-            self._txn_open = False
-        elif t == "S":
-            (xid,) = struct.unpack_from(">i", payload, 1)
-            first = payload[5] != 0
-            if first:
-                self._open_streams.add(xid)
-            self._chunk_open = True
-        elif t == "E":
-            self._chunk_open = False
-        elif t == "c":
-            (xid,) = struct.unpack_from(">i", payload, 1)
-            self._open_streams.discard(xid)
-        elif t == "A":
-            xid, sub = struct.unpack_from(">ii", payload, 1)
-            if xid == sub:  # whole-transaction abort closes the stream
+        try:
+            if t == "B":
+                self._txn_open = True
+            elif t == "C":
+                self._txn_open = False
+            elif t == "S":
+                (xid,) = struct.unpack_from(">i", payload, 1)
+                first = payload[5] != 0
+                if first:
+                    self._open_streams.add(xid)
+                self._chunk_open = True
+            elif t == "E":
+                self._chunk_open = False
+            elif t == "c":
+                (xid,) = struct.unpack_from(">i", payload, 1)
                 self._open_streams.discard(xid)
+            elif t == "A":
+                xid, sub = struct.unpack_from(">ii", payload, 1)
+                if xid == sub:  # whole-transaction abort closes the stream
+                    self._open_streams.discard(xid)
+        except (struct.error, IndexError):
+            # a TORN control frame (first byte says 'S'/'c'/'A', body
+            # too short to parse) must not kill the receiver: land it
+            # un-applied — state stays as-is, so segment cuts stay safe
+            # by the last intact frame, and DECODE fails or quarantines
+            # the torn frame loudly with its bytes preserved
+            pass
         return t
 
     def _safe_cut(self) -> bool:

@@ -30,6 +30,15 @@ from pyspark.sql import functions as F
 OUT_COLS = ("win_start", "win_end", "event_type", "n_events", "sum_value")
 
 
+def _out_select():
+    """The shared output projection — OUT_COLS is the schema contract."""
+    return [
+        F.col("window.start").alias(OUT_COLS[0]),
+        F.col("window.end").alias(OUT_COLS[1]),
+        *OUT_COLS[2:],
+    ]
+
+
 def _agg(grouped):
     return grouped.agg(
         F.count("*").alias("n_events"),
@@ -50,11 +59,7 @@ def windowed_counts_stream(events_stream, window_minutes: int = 10,
             F.window("ts", f"{window_minutes} minutes"), "event_type"
         )
     )
-    return win.select(
-        F.col("window.start").alias("win_start"),
-        F.col("window.end").alias("win_end"),
-        "event_type", "n_events", "sum_value",
-    )
+    return win.select(*_out_select())
 
 
 def windowed_counts_batch(events_df, window_minutes: int = 10):
@@ -62,8 +67,4 @@ def windowed_counts_batch(events_df, window_minutes: int = 10):
     win = _agg(
         events_df.groupBy(F.window("ts", f"{window_minutes} minutes"), "event_type")
     )
-    return win.select(
-        F.col("window.start").alias("win_start"),
-        F.col("window.end").alias("win_end"),
-        "event_type", "n_events", "sum_value",
-    )
+    return win.select(*_out_select())

@@ -136,20 +136,32 @@ def test_empty_payload_dead_letters_not_partition_crash(spark):
         RID, [("t", "r"), ("t", "p"), ("t", "c"), ("t", "py"), ("t", "v")]
     )
     for pos in ("mid", "trailing"):
-        rows = [
-            (0, 10, "B", bytearray(codec.encode_begin(10, 111000, 42))),
-            (0, 11, "I", bytearray(ins)),
-            (0, 12, "C", bytearray(codec.encode_commit(11, 12, 111000))),
-        ]
-        empty = (0, 13, "?", bytearray(b""))
-        rows.insert(1 if pos == "mid" else 3, empty)
+        # the kernel sorts by (segment, lsn), so a genuinely MID-batch
+        # empty row needs a mid-range lsn (11) — a max-lsn empty row
+        # would sort to the end and only test the trailing case
+        if pos == "mid":
+            rows = [
+                (0, 10, "B", bytearray(codec.encode_begin(10, 111000, 42))),
+                (0, 11, "?", bytearray(b"")),
+                (0, 12, "I", bytearray(ins)),
+                (0, 13, "C", bytearray(codec.encode_commit(12, 13, 111000))),
+            ]
+            ins_lsn, empty_lsn = 12, 11
+        else:
+            rows = [
+                (0, 10, "B", bytearray(codec.encode_begin(10, 111000, 42))),
+                (0, 11, "I", bytearray(ins)),
+                (0, 12, "C", bytearray(codec.encode_commit(11, 12, 111000))),
+                (0, 13, "?", bytearray(b"")),
+            ]
+            ins_lsn, empty_lsn = 11, 13
         frames = spark.createDataFrame(rows, schema=gen.FRAMES_SCHEMA)
         got = {r["lsn"]: r for r in decode_op.decode_frames_raw(
             frames.coalesce(1), reg, strict=False, clustered=True
         ).collect()}
-        assert got[11]["op"] == "I" and got[11]["xid"] == 42, pos
-        assert got[13]["op"] == "E" and got[13]["error"], pos
-        assert set(got) == {11, 13}, pos
+        assert got[ins_lsn]["op"] == "I" and got[ins_lsn]["xid"] == 42, pos
+        assert got[empty_lsn]["op"] == "E" and got[empty_lsn]["error"], pos
+        assert set(got) == {ins_lsn, empty_lsn}, pos
         # strict mode: a CLEAR error, not a misattributed type byte
         with pytest.raises(Exception, match="empty payload at lsn"):
             decode_op.decode_frames_raw(

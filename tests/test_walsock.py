@@ -140,3 +140,24 @@ def test_mid_transaction_never_cut(tmp_path):
         opens = sum(1 for m, pl in zip(mts, t.column("payload").to_pylist())
                     if m == "S" and bytes(pl)[5] != 0)
         assert opens == mts.count("c") + mts.count("A")
+
+
+def test_torn_control_frame_does_not_kill_observer(tmp_path):
+    """A torn frame whose first byte spells a control type ('S'/'c'/'A'
+    but the body is too short to parse) must be stamped and landed, not
+    raise out of the receiver: state stays at the last intact frame so
+    segment cuts remain safe, and decode quarantines the torn bytes."""
+    from pypgoutput_spark.sources.walsock import SocketWalReceiver
+
+    r = SocketWalReceiver(("127.0.0.1", 0), str(tmp_path / "f"))
+    assert r._observe(b"S") == "S"          # torn: no body at all
+    assert r._observe(b"c\x00\x00") == "c"  # torn commit
+    assert r._observe(b"A\x00\x00\x00\x01") == "A"  # torn abort
+    assert r._safe_cut()                    # none of them mutated state
+    # an intact stream still tracks normally afterwards
+    import struct
+    assert r._observe(b"S" + struct.pack(">i", 9) + b"\x01") == "S"
+    assert not r._safe_cut()
+    assert r._observe(b"E") == "E"
+    assert r._observe(b"c" + struct.pack(">i", 9) + b"\x00" + b"\x00" * 24) == "c"
+    assert r._safe_cut()

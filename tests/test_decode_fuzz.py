@@ -1,0 +1,110 @@
+"""Corruption fuzz of the decode kernels (Spark-free, 1000 trials).
+
+The strict=False contract: ANY byte-level corruption of the WAL either
+quarantines as op='E' dead-letter rows or raises a LOUD, typed error
+(ValueError with guidance / UnsupportedStreamOp) — never an escaping
+IndexError/struct.error/KeyError that would kill an executor with no
+diagnosis, and never a silent wrong answer on the uncorrupted v1 spine.
+
+Runs the REAL optimistic kernel (decode._make_optimistic_kernel — the
+exact function mapInArrow executes) over Arrow batches built from the
+Spark-free producer's frames, so 1000 corruption trials cost seconds,
+not 1000 Spark jobs."""
+
+from __future__ import annotations
+
+import random
+
+import pyarrow as pa
+import pytest
+
+from pypgoutput_spark.operators import decode as decode_op
+from pypgoutput_spark.plans.registry import RelationRegistry
+from pypgoutput_spark.sources.receiver import encode_frames_pdf
+from pypgoutput_spark.wal import codec
+from pypgoutput_spark.wal.generator import GenParams
+
+N_TRIALS = 1000
+BATCH_ROWS = 48
+
+
+def _fixture():
+    # serial stream layout: the Spark-free producer seam doesn't emit
+    # interleaved chunk pairs (documented NotImplementedError); streamed
+    # txns + aborts + TOAST still cover the v2 grammar under corruption
+    p = GenParams(n_txns=12, ops_per_txn=3, toast_pct=20, txns_per_segment=6,
+                  stream_pct=50, stream_abort_pct=25)
+    pdf = encode_frames_pdf(p, include_relation=True)
+    pdf = pdf.sort_values(["segment", "lsn"]).reset_index(drop=True)
+    plain = {}
+    reg = RelationRegistry()
+    for _, row in pdf[pdf["mtype"] == "R"].iterrows():
+        reg.add_relation(int(row["lsn"]), codec.decode_message(bytes(row["payload"])))
+    return pdf, reg.to_plain()
+
+
+def _corrupt(payloads: list, rng: random.Random) -> list:
+    out = list(payloads)
+    for _ in range(rng.randint(1, 3)):
+        i = rng.randrange(len(out))
+        b = bytearray(out[i])
+        mode = rng.random()
+        if mode < 0.4 and len(b) > 0:           # truncate
+            out[i] = bytes(b[: rng.randrange(len(b))])
+        elif mode < 0.8 and len(b) > 0:         # flip one byte
+            j = rng.randrange(len(b))
+            b[j] ^= 1 << rng.randrange(8)
+            out[i] = bytes(b)
+        else:                                    # replace with noise
+            out[i] = bytes(rng.getrandbits(8) for _ in range(rng.randrange(12)))
+    return out
+
+
+def _run_kernel(pdf, payloads, plain):
+    tbl = pa.table({
+        "segment": pa.array(pdf["segment"].tolist(), pa.int64()),
+        "lsn": pa.array(pdf["lsn"].tolist(), pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+    batches = tbl.to_batches(max_chunksize=BATCH_ROWS)
+    kernel = decode_op._make_optimistic_kernel(plain)
+    return [rb for rb in kernel(iter(batches))]
+
+
+def test_clean_baseline_decodes(spark_noop=None):
+    pdf, plain = _fixture()
+    outs = _run_kernel(pdf, [bytes(b) for b in pdf["payload"]], plain)
+    rows = sum(rb.num_rows for rb in outs)
+    assert rows > 0
+    ops = set()
+    for rb in outs:
+        ops.update(rb.column(rb.schema.get_field_index("op")).to_pylist())
+    assert "E" not in ops, "clean stream must not dead-letter"
+
+
+def test_corruption_never_escapes_typed_errors():
+    pdf, plain = _fixture()
+    base = [bytes(b) for b in pdf["payload"]]
+    rng = random.Random(20260817)
+    completed = quarantined = raised = 0
+    for _ in range(N_TRIALS):
+        payloads = _corrupt(base, rng)
+        try:
+            outs = _run_kernel(pdf, payloads, plain)
+        except (ValueError, codec.UnsupportedStreamOp) as exc:
+            # loud, typed, with guidance — the allowed failure mode
+            assert str(exc), "typed errors must carry a message"
+            raised += 1
+            continue
+        completed += 1
+        for rb in outs:
+            ops = rb.column(rb.schema.get_field_index("op")).to_pylist()
+            errs = rb.column(rb.schema.get_field_index("error")).to_pylist()
+            for op, err in zip(ops, errs):
+                assert (op == "E") == (err is not None)
+            if "E" in ops:
+                quarantined += 1
+    # the fuzz must actually exercise both recovery paths
+    assert completed > 50, (completed, raised)
+    assert raised > 10, (completed, raised)
+    assert quarantined > 20, (completed, raised, quarantined)

@@ -111,7 +111,16 @@ def _parse_tuples(data: np.ndarray, starts: np.ndarray):
     the cursor after each tuple (for Update's K/O→N chaining).
     """
     n = starts.size
+    if n and int(starts.max()) + 2 > data.size:
+        raise ValueError("TupleData header runs past frame end (corrupt frame)")
     ncols = _be(data, starts, 2)
+    # PG caps relations at 1600 columns; a corrupt 2-byte count past that
+    # would otherwise allocate a (n × 65535)-cell wavefront — refuse first
+    if n and int(ncols.max()) > 1600:
+        raise ValueError(
+            f"TupleData column count {int(ncols.max())} exceeds the PG "
+            "1600-column limit (corrupt frame)"
+        )
     max_c = int(ncols.max()) if n else 0
     pos = (starts + 2).astype(np.int64)
     cat_m = np.zeros((n, max_c), dtype=np.uint8)
@@ -122,11 +131,19 @@ def _parse_tuples(data: np.ndarray, starts: np.ndarray):
         if active.size == 0:
             break
         p = pos[active]
+        # a corrupt cell length can march the cursor anywhere — raise a
+        # TYPED error instead of letting the gather IndexError escape
+        if (p + 1 > data.size).any():
+            raise ValueError("TupleData cell runs past frame end (corrupt frame)")
         cat = data[p]
         cat_m[active, j] = cat
         is_t = cat == _t
         t_rows = active[is_t]
         if t_rows.size:
+            if (pos[t_rows] + 5 > data.size).any():
+                raise ValueError(
+                    "TupleData cell length runs past frame end (corrupt frame)"
+                )
             lens = _be(data, pos[t_rows] + 1, 4)
             if (lens < 0).any():
                 raise ValueError("negative TupleData cell length (corrupt frame)")
@@ -618,6 +635,22 @@ def process_batch(rb: pa.RecordBatch, open_tx: dict,
         i = int(np.nonzero(~known)[0][0])
         raise ValueError(
             f"unknown pgoutput message type byte {chr(first[i])!r} at lsn={lsn[i]}"
+        )
+    # per-type fixed-header minimums: a truncated frame must raise a
+    # TYPED error here, not IndexError out of a header gather below
+    # (v1 minimums — in-chunk v2 frames are larger and length-checked
+    # by the stream resolver)
+    lens_b = offs[1:] - starts
+    min_len = np.ones(n, dtype=np.int64)
+    for tb, ml in ((_B, 21), (_C, 26), (_I, 8), (_U, 7), (_D, 8),
+                   (_T, 6), (_R, 7), (_S2, 6), (_c2, 30), (_A2, 9)):
+        min_len[first == tb] = ml
+    short = lens_b < min_len
+    if short.any():
+        i = int(np.nonzero(short)[0][0])
+        raise ValueError(
+            f"truncated pgoutput {chr(first[i])!r} message at lsn={lsn[i]} "
+            f"({int(lens_b[i])} bytes; corrupt frame)"
         )
 
     # ---- transaction scoping: vectorized B/C scan ----------------

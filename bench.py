@@ -145,6 +145,7 @@ BENCH_QUERIES = (
     "corpus_sample",
     "corpus_pack_sequences",
     "corpus_decontaminate",
+    "corpus_training_pipeline",
     "corpus_training_ready",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh_pairs",

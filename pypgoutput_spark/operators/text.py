@@ -373,6 +373,78 @@ FROM gated GROUP BY fingerprint
 """.strip()
 
 
+def training_pipeline_sql(d: Dialect, seq_len: int = PACK_SEQ_LEN) -> str:
+    """The WHOLE nightly training-data job as ONE query: quality gate +
+    repetition gate + PII gate → exact content dedup (keep smallest
+    doc_id per fingerprint) → deterministic stratified sampling →
+    sequence packing. The composition every pre-training pipeline runs
+    before tokenization, expressed so Catalyst plans it as ONE scan of
+    ``text`` (all gates per-row, same codegen stage) → ONE dedup shuffle
+    (min_by on fingerprint, map-side combining) → ONE window shuffle
+    (source-partitioned packing cumsum). Three stages total at any
+    scale; every intermediate column is computed exactly once.
+    """
+    e = _quality_exprs(d)
+    n_tok = f"CAST({e['n_tok']} AS BIGINT)"
+    pii = " + ".join(
+        d.regexp_count("text", pat) for _n, pat, _r in PII_PATTERNS
+    )
+    # n_tok is BIGINT (for the packing cumsum), so the sequence lambda
+    # var is BIGINT — Spark's element_at requires an INT index: cast
+    bg = d.array_transform(
+        d.sequence("1", "n_tok - 1"),
+        f"i -> concat({d.array_get('toks', 'CAST(i AS INT)')}, ' ', "
+        f"{d.array_get('toks', 'CAST(i + 1 AS INT)')})",
+    )
+    doc_s = d.s("doc_id")
+    draw_split = f"({d.md5_int(f_concat('split:', doc_s))} % 100)"
+    draw_keep = f"({d.md5_int(f_concat('sample:', doc_s))} % 100)"
+    return f"""
+WITH x AS (
+  SELECT doc_id, source, lang, {e['toks']} AS toks, {n_tok} AS n_tok,
+    {e['quality']} AS quality_score,
+    {e['fingerprint']} AS fingerprint,
+    ({pii}) AS n_pii
+  FROM documents WHERE n_chars > 0 AND {e['n_tok']} > 0
+),
+gated AS (
+  SELECT doc_id, source, lang, n_tok, fingerprint FROM x
+  WHERE quality_score >= 2 AND n_pii = 0
+    AND ({d.array_len(bg)} = 0 OR
+         CAST({d.array_len(bg)} - {d.array_len(d.array_distinct(bg))} AS DOUBLE)
+           / {d.array_len(bg)} <= 0.60)
+),
+deduped AS (
+  SELECT min(doc_id) AS doc_id,
+    min_by(source, doc_id) AS source,
+    min_by(lang, doc_id) AS lang,
+    min_by(n_tok, doc_id) AS n_tok,
+    fingerprint
+  FROM gated GROUP BY fingerprint
+),
+sampled AS (
+  SELECT doc_id, source, lang, n_tok,
+    CASE WHEN {draw_split} < 80 THEN 'train'
+         WHEN {draw_split} < 90 THEN 'val'
+         ELSE 'test' END AS split
+  FROM deduped
+  WHERE CASE WHEN lang = 'en' THEN {draw_keep} < 50 ELSE TRUE END
+),
+packed AS (
+  SELECT doc_id, source, lang, split, n_tok,
+    CAST(SUM(n_tok) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS cum_tokens
+  FROM sampled
+)
+SELECT doc_id, source, lang, split, n_tok,
+  {d.idiv('(cum_tokens - n_tok)', str(seq_len))} AS seq_id,
+  (cum_tokens - n_tok) % {seq_len} AS seq_offset
+FROM packed
+""".strip()
+
+
 def corpus_stats_sql(d: Dialect) -> str:
     """Per-(source, lang) corpus accounting: docs, token volume, distinct
     content fingerprints (the exact-dup rate) — ONE pass over ``text``
@@ -442,6 +514,10 @@ def q_corpus_training_ready(spark, sf_dir: str):
     return run_sql(spark, sf_dir, corpus_training_ready_sql(SPARK), tables=("documents",), spread=("documents",))
 
 
+def q_training_pipeline(spark, sf_dir: str):
+    return run_sql(spark, sf_dir, training_pipeline_sql(SPARK), tables=("documents",))
+
+
 def q_corpus_stats(spark, sf_dir: str):
     return run_sql(spark, sf_dir, corpus_stats_sql(SPARK), tables=("documents",), spread=("documents",))
 
@@ -455,6 +531,7 @@ QUERIES = {
     "text_pii_scrub": (q_pii_scrub, pii_scrub_sql(DUCKDB)),
     "corpus_sample": (q_corpus_sample, corpus_sample_sql(DUCKDB)),
     "corpus_pack_sequences": (q_pack_sequences, pack_sequences_sql(DUCKDB)),
+    "corpus_training_pipeline": (q_training_pipeline, training_pipeline_sql(DUCKDB)),
     "corpus_training_ready": (q_corpus_training_ready, corpus_training_ready_sql(DUCKDB)),
     "corpus_stats": (q_corpus_stats, corpus_stats_sql(DUCKDB)),
 }

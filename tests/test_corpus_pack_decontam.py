@@ -67,3 +67,34 @@ def test_spark_matches_duckdb_at_sf(spark, sql_fn):
     pd.testing.assert_frame_equal(
         sdf.astype(str), odf.astype(str), check_dtype=False
     )
+
+
+def test_training_pipeline_composite_gates(spark, tmp_path):
+    """corpus_training_pipeline end-to-end on a crafted corpus: the PII
+    doc, the repetitive doc, and the low-quality doc are gated out; the
+    exact-dup pair keeps the smaller doc_id; survivors get split +
+    packing positions."""
+    from pypgoutput_spark.operators.text import q_training_pipeline
+
+    # all-distinct words (no duplicate bigrams), stopword present,
+    # 100-10000 chars — passes quality + repetition gates
+    base = "the " + " ".join(f"word{i}" for i in range(25))
+    docs = [
+        (0, base + " alpha one", "de", "A"),
+        (1, base + " alpha one", "de", "A"),          # exact dup of 0
+        (2, base + " beta two contact bob@example.com now", "de", "A"),  # PII
+        (3, "spam " * 80, "de", "A"),                  # repetitive (1 bigram)
+        (4, "tiny", "de", "A"),                        # fails quality gate
+        (5, base + " gamma three", "de", "A"),
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, t, lang, s, len(t)) for i, t, lang, s in docs],
+        schema="doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    got = {r["doc_id"]: r for r in q_training_pipeline(spark, d).collect()}
+    assert set(got) == {0, 5}, sorted(got)  # dup 1, PII 2, repetitive 3, tiny 4 gone
+    assert got[0]["split"] in ("train", "val", "test")
+    # both docs pack into source A's single stream, doc_id order
+    assert got[0]["seq_id"] == 0 and got[0]["seq_offset"] == 0
+    assert got[5]["seq_offset"] == got[0]["n_tok"] % 256

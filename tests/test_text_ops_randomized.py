@@ -64,6 +64,7 @@ SQL_FNS = [
     text_ops.corpus_sample_sql,
     text_ops.pack_sequences_sql,
     text_ops.corpus_training_ready_sql,
+    text_ops.training_pipeline_sql,
     text_ops.corpus_stats_sql,
 ]
 

@@ -1,0 +1,72 @@
+"""Product quantization: code-layout invariants and recall floors for
+the ADC-shortlist → exact-rerank top-k (sim_pq_topk).
+
+Recall floors measured on the round-5 engine (DuckDB rendering — both
+engines are hash-identical so either measures the algorithm):
+clustered corpus recall@10 vs exact-L2 = 1.0 at refine=20 (10% exact
+reads), 0.86 at refine=10 (5%); uniform sf0.01 = 0.765 / 0.57 — the
+same corpus-limited ceiling the LSH/IVF paths document. ADC-only
+(refine disabled) collapses to ~0.1 here because the quantization
+residual (~684k) exceeds the mean NN distance (~337k) — the measured
+reason the refine stage exists."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pypgoutput_spark.functions.detsql import DUCKDB
+from pypgoutput_spark.operators import similarity as S
+
+
+def _exact_l2_sql(d, k=10, q_offset=0):
+    l2 = S._l2_bigint(d, "a.qv", "q.qv", S.DIM)
+    return f"""
+WITH e AS (SELECT vec_id, {S._quant(d)} AS qv FROM embeddings),
+qid AS (SELECT vec_id AS q_id FROM e ORDER BY vec_id LIMIT 1 OFFSET {q_offset})
+SELECT a.vec_id, {l2} AS dist
+FROM e a JOIN e q ON q.vec_id = (SELECT q_id FROM qid)
+WHERE a.vec_id <> (SELECT q_id FROM qid)
+ORDER BY dist ASC, a.vec_id LIMIT {k}
+""".strip()
+
+
+def _recall(con, refine, n_q=15):
+    tot = 0.0
+    for q in range(n_q):
+        exact = set(con.execute(_exact_l2_sql(DUCKDB, q_offset=q)).df()["vec_id"])
+        approx = set(
+            con.execute(S.pq_topk_sql(DUCKDB, q_offset=q, refine=refine))
+            .df()["vec_id"]
+        )
+        tot += len(exact & approx) / len(exact)
+    return tot / n_q
+
+
+def test_pq_codes_layout():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    )
+    df = con.execute(S.pq_codes_sql(DUCKDB)).df()
+    n_vec = df.vec_id.nunique()
+    assert len(df) == n_vec * S.PQ_M, "one code per (vector, subspace)"
+    per_m = df.groupby("m")["code"].agg(["min", "max", "nunique"])
+    assert (per_m["min"] >= 1).all() and (per_m["max"] <= S.PQ_K).all()
+    assert (per_m["nunique"] > 1).all(), "codebook must actually discriminate"
+
+
+def test_pq_refined_recall_floors(tmp_path):
+    con = duckdb.connect()
+    clustered = str(tmp_path / "c")
+    S.write_clustered_embeddings(clustered, n=2000)
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{clustered}/embeddings.parquet')"
+    )
+    r10 = _recall(con, refine=10)
+    r20 = _recall(con, refine=20)
+    assert r10 >= 0.75, r10   # measured 0.86
+    assert r20 >= 0.95, r20   # measured 1.0
+    assert r20 >= r10, "larger shortlist can only help"

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pypgoutput_spark.lake.table import LakeTable
 from pypgoutput_spark.operators import (
     analytics as _analytics,
+    asof as _asof,
     decode as _decode,
     dedup as _dedup,
     multimodal as _multimodal,
@@ -65,9 +66,18 @@ P_STREAMED = _gen.GenParams(
     interleave_streams=True,
 )
 
+#: MV-maintenance run: ingested in FIVE batches so the commit history
+#: mixes an initial base load, three merge-on-read delta commits (the
+#: pre-image path), and one truncate rewrite (txn 130 → batch 5)
+P_MVIEW = _gen.GenParams(
+    n_txns=150, ops_per_txn=8, n_repos=50, n_paths=30,
+    toast_pct=30, truncate_every=130, txns_per_segment=15,
+)
 
-def _run_cdc_pipeline(spark: SparkSession, p: _gen.GenParams,
-                      kc_toast_passes: int = 0, strict: bool = True) -> DataFrame:
+
+def _ingest_cdc(spark: SparkSession, p: _gen.GenParams,
+                kc_toast_passes: int = 0, strict: bool = True,
+                n_batches: int = 3) -> LakeTable:
     tmp = tempfile.mkdtemp(prefix="pypgoutput_spark_lake_")
     table = LakeTable.create(
         spark, f"{tmp}/lake",
@@ -75,8 +85,14 @@ def _run_cdc_pipeline(spark: SparkSession, p: _gen.GenParams,
         key_cols=list(_gen.KEY_COLUMNS), n_buckets=8,
     )
     frames = _gen.spark_frames_df(spark, p)
-    _pipeline.run_ingest(spark, frames, table, n_batches=3,
+    _pipeline.run_ingest(spark, frames, table, n_batches=n_batches,
                          kc_toast_passes=kc_toast_passes, strict=strict)
+    return table
+
+
+def _run_cdc_pipeline(spark: SparkSession, p: _gen.GenParams,
+                      kc_toast_passes: int = 0, strict: bool = True) -> DataFrame:
+    table = _ingest_cdc(spark, p, kc_toast_passes=kc_toast_passes, strict=strict)
     return table.read().selectExpr(
         "repo", "path", "`commit`", "lang", "content",
         "sha2(content, 256) AS content_sha",
@@ -180,6 +196,31 @@ def q_cdc_decoded_events_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_incremental_mview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downstream incremental consumer: maintain a per-lang (count,
+    sum-of-content-length) materialized view from the change feed, one
+    commit at a time — pre-images fetched bucket-pruned from the parent
+    snapshot, TOAST-unchanged cells resolved from pre-images, truncates
+    resetting the view (operators/mview.py). The oracle recomputes the
+    aggregate over the replayed final state, so a hash match proves the
+    delta-maintenance algebra across every commit of the run (initial
+    base load, three MOR delta merges with pre-image fetches, TOAST
+    carriers, deletes, and a truncate reset + re-feed)."""
+    from pypgoutput_spark.operators.mview import incremental_group_mv
+
+    table = _ingest_cdc(spark, P_MVIEW, n_batches=5)
+    return incremental_group_mv(table, group_col="lang", length_col="content")
+
+
+def _cdc_incremental_mview_oracle(p: _gen.GenParams) -> str:
+    return f"""
+WITH final_state AS ({_gen.duckdb_final_state_sql(p, with_sha=False)})
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(length(content)) AS BIGINT) AS n_chars
+FROM final_state GROUP BY lang
+""".strip()
+
+
 def _cdc_decoded_events_oracle(p: _gen.GenParams) -> str:
     stride = p.lsn_stride
     return f"""
@@ -207,8 +248,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_decoded_events_split": q_cdc_decoded_events_split,
         "cdc_keychange_final_state": q_cdc_keychange_final_state,
         "cdc_streamed_final_state": q_cdc_streamed_final_state,
+        "cdc_incremental_mview": q_cdc_incremental_mview,
     }
-    for mod in (_text, _dedup, _similarity, _multimodal, _analytics):
+    for mod in (_text, _dedup, _similarity, _multimodal, _analytics, _asof):
         for name, (fn, _sql) in mod.QUERIES.items():
             out[name] = fn
     return out
@@ -228,8 +270,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_streamed_final_state": _gen.duckdb_final_state_sql(
             P_STREAMED, with_sha=True
         ),
+        "cdc_incremental_mview": _cdc_incremental_mview_oracle(P_MVIEW),
     }
-    for mod in (_text, _dedup, _similarity, _multimodal, _analytics):
+    for mod in (_text, _dedup, _similarity, _multimodal, _analytics, _asof):
         for name, (_fn, sql) in mod.QUERIES.items():
             if sql is not None:
                 out[name] = sql

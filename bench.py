@@ -167,6 +167,9 @@ BENCH_QUERIES = (
     "agg_pricing_summary",
     "join_nation_revenue",
     "join_order_rollup",
+    "join_events_asof_promos",
+    "join_events_range_promos",
+    "cdc_incremental_mview",
 )
 
 

@@ -98,7 +98,9 @@ def incremental_group_mv(table, group_col: str, length_col: str,
         if truncated or not prev_populated:
             pre = None
         else:
-            keys_df = feed.select(*keys).distinct()
+            # no .distinct() on the key set: LEFT SEMI dedups inherently,
+            # and the feed is already one row per key per commit
+            keys_df = feed.select(*keys)
             pre = (
                 table.read(version=v - 1, buckets=dirty)
                 .join(keys_df, list(keys), "left_semi")

@@ -97,3 +97,32 @@ def test_mv_rejects_key_or_unknown_columns(spark, table):
         incremental_group_mv(table, group_col="repo", length_col="content")
     with pytest.raises(ValueError, match="value column"):
         incremental_group_mv(table, group_col="lang", length_col="nope")
+
+
+def test_mv_over_cow_commits(spark, tmp_path):
+    """COW commits feed from their sidecar (s['cdf']); the MV must fold
+    them — including a TOAST carrier resolved from the pre-image and a
+    delete driving a group's count to zero — exactly like MOR deltas."""
+    from pypgoutput_spark.operators.merge import merge_into
+    from tests.test_lake_maintenance import _changes, _mk
+
+    t = _mk(spark, tmp_path, name="mv_cow")
+    merge_into(t, _changes(spark, [
+        ("k1", "I", 10, ("v", "g1"), ("v", "xx")),
+        ("k2", "I", 11, ("v", "g1"), ("v", "yyy")),
+        ("k3", "I", 12, ("v", "g2"), ("v", "z")),
+    ]), watermark_lsn=12)
+    merge_into(t, _changes(spark, [
+        ("k1", "U", 20, ("v", "g2"), None),   # group move, TOAST'd b
+        ("k3", "D", 21, None, None),          # g2 loses its only row...
+    ]), watermark_lsn=21, mode="cow", auto_compact=False)
+    merge_into(t, _changes(spark, [
+        ("k2", "U", 30, ("v", "g3"), ("v", "wwww")),
+    ]), watermark_lsn=30, mode="cow", auto_compact=False)
+
+    from pypgoutput_spark.operators.mview import incremental_group_mv
+
+    out = incremental_group_mv(t, group_col="a", length_col="b")
+    mv = {r["a"]: (r["n_docs"], r["n_chars"]) for r in out.collect()}
+    # final state: k1=(g2, xx), k2=(g3, wwww) -> g1 fully gone
+    assert mv == {"g2": (1, 2), "g3": (1, 4)}

@@ -196,6 +196,29 @@ def q_cdc_decoded_events_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel: ingest the full stream in three batches,
+    then read the table AT VERSION 2 — the state after the second batch,
+    i.e. WAL segments 0-7 = the first 120 transactions. The oracle
+    replays exactly that prefix (the generator is deterministic per
+    transaction, so a 120-txn GenParams emits the identical logical
+    prefix), proving snapshot immutability + historical reads end-to-end:
+    the version-2 files must still reproduce the exact pre-batch-3 state
+    after batch 3 has committed on top."""
+    table = _ingest_cdc(spark, P_ENTRY)
+    return table.read(version=2).selectExpr(
+        "repo", "path", "`commit`", "lang", "content",
+        "sha2(content, 256) AS content_sha",
+    )
+
+
+#: the 120-txn prefix of P_ENTRY (batches 1-2 cover segments 0-7)
+P_ENTRY_PREFIX = _gen.GenParams(
+    n_txns=120, ops_per_txn=8, n_repos=50, n_paths=30,
+    toast_pct=30, truncate_every=40, txns_per_segment=15,
+)
+
+
 def q_cdc_incremental_mview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Downstream incremental consumer: maintain a per-lang (count,
     sum-of-content-length) materialized view from the change feed, one
@@ -249,6 +272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_keychange_final_state": q_cdc_keychange_final_state,
         "cdc_streamed_final_state": q_cdc_streamed_final_state,
         "cdc_incremental_mview": q_cdc_incremental_mview,
+        "cdc_time_travel": q_cdc_time_travel,
     }
     for mod in (_text, _dedup, _similarity, _multimodal, _analytics, _asof):
         for name, (fn, _sql) in mod.QUERIES.items():
@@ -271,6 +295,9 @@ def oracle_sql() -> dict[str, str]:
             P_STREAMED, with_sha=True
         ),
         "cdc_incremental_mview": _cdc_incremental_mview_oracle(P_MVIEW),
+        "cdc_time_travel": _gen.duckdb_final_state_sql(
+            P_ENTRY_PREFIX, with_sha=True
+        ),
     }
     for mod in (_text, _dedup, _similarity, _multimodal, _analytics, _asof):
         for name, (_fn, sql) in mod.QUERIES.items():

@@ -1,31 +1,36 @@
 """Incremental materialized-view maintenance over the lake change feed.
 
 The downstream half of CDC: a consumer that keeps a GROUP-BY aggregate
-(count + sum — the self-maintainable class) in sync with a LakeTable by
-reading ``table.changes(v-1, v)`` per commit instead of rescanning the
-table. The algebra is the classic delta-maintenance rule
+(count + sum — the self-maintainable class) in sync with a LakeTable
+without rescanning the table. The classic per-commit delta-maintenance
+rule
 
-    MV_v = MV_{v-1}  ⊕  agg(post-images of commit v)
-                     ⊖  agg(pre-images of commit v)
+    MV_v = MV_{v-1} ⊕ agg(post-images of v) ⊖ agg(pre-images of v)
 
-Pre-images are NOT in the feed (the feed is post-image + ``upd_<col>``
-flags); they are fetched by reading the table *at the parent snapshot*
-restricted to (a) the commit's dirty buckets — file-level pruning from
-the snapshot's own delta/cdf manifest, no full scan — and (b) the
-commit's changed keys (left-semi join). At production scale the changed
-key set per commit is tiny relative to the base, so the pre-image fetch
-is a bucket-pruned scan + a semi-join, which is exactly how Delta/Iceberg
-merge sources find their matches.
+TELESCOPES across consecutive commits: pre-images of commit v are the
+post-images of the previous commit that touched the same key, so for a
+run of non-truncate commits ``(a, b]`` every intermediate image cancels
+and the net contribution is
 
-TOAST-unchanged cells (``upd_<col> = false``) are resolved from the
-pre-image row — the feed's contract is that such a cell's prior value
-still stands, and (commit-granularity invariant) the key existed at the
-parent version, because an insert + TOAST-update inside one batch
-collapses to a carrier that holds the inserted value (``upd = true``).
+    ⊕ agg(state_b ⋉ touched_keys)  ⊖ agg(state_a ⋉ touched_keys)
 
-Truncate commits reset the MV (the 'T' marker contract) and re-feed the
-commit's re-inserts in the same feed read. Compaction and schema-change
-commits are metadata-skipped — they change no row logically.
+where ``touched_keys`` is the key set of the run's change feed. A key
+changed then deleted inside the run is simply absent from ``state_b``;
+a key changed many times contributes its endpoints once. The operator
+therefore folds whole runs in O(1) driver steps each — O(#truncates+1)
+steps total instead of O(#commits) — and needs NO ``upd_<col>``/TOAST
+resolution at all, because snapshot reads resolve carriers already.
+
+Both endpoint reads are bucket-pruned: the run's dirty buckets come
+from the snapshots' own delta/cdf manifests (a base-load inside the run
+forces a full endpoint scan — it rewrote everything). The key set per
+run is tiny relative to the base at production scale, so each endpoint
+is a pruned scan + a LEFT SEMI join — the same shape Delta/Iceberg
+merges use to find their matches.
+
+Truncate commits reset the MV (the 'T' marker contract: per-key deletes
+are not emitted) and are re-seeded by aggregating the truncating
+commit's own snapshot — then following runs fold on top.
 
 min/max/count-distinct are NOT maintainable this way (deletes need the
 full value multiset); they belong to the recompute-on-schedule class.
@@ -42,6 +47,47 @@ from pyspark.sql import DataFrame, functions as F
 from pypgoutput_spark.operators.staging import stage
 
 
+def _plan(table, since_version: int, until_version: int):
+    """Segment ``(since, until]`` into ("reset", v) markers and maximal
+    ("fold", a, b, buckets) runs of non-truncate feeding commits.
+    ``buckets`` is the run's dirty-bucket union, or None when a base
+    load inside the run rewrote every bucket."""
+    steps = []
+    a = since_version
+    dirty: set = set()
+    full = False
+    feeding = False
+
+    def _flush(b):
+        nonlocal dirty, full, feeding
+        if feeding:
+            steps.append(("fold", a, b, None if full else sorted(dirty)))
+        dirty, full, feeding = set(), False, False
+
+    for v in range(since_version + 1, until_version + 1):
+        s = table.snapshot(v)
+        metrics = s.get("metrics", {})
+        parent = s.get("parent")
+        prev = table.snapshot(parent) if parent is not None else {"buckets": {}}
+        if bool(metrics.get("truncated")):
+            _flush(v - 1)
+            steps.append(("reset", v))
+            a = v
+            continue
+        if "compaction" in metrics or s.get("schema") != prev.get("schema"):
+            continue  # rewrites with no logical row change
+        added = set(table.delta_dirs_added(v)) | set(s.get("cdf", {}))
+        if added:
+            dirty |= added
+            feeding = True
+        elif s.get("buckets") != prev.get("buckets"):
+            full = True  # base load: every bucket rewritten
+            feeding = True
+        # else: metadata-only commit (watermark bump) — nothing fed
+    _flush(until_version)
+    return steps
+
+
 def incremental_group_mv(table, group_col: str, length_col: str,
                          since_version: int = 0,
                          mv: DataFrame | None = None) -> DataFrame:
@@ -49,12 +95,12 @@ def incremental_group_mv(table, group_col: str, length_col: str,
     sum(length({length_col})) AS n_chars`` over ``table``'s state,
     incrementally from commit ``since_version + 1`` through current.
 
-    ``mv``: the view state as of ``since_version`` (None = empty — i.e.
-    the table was empty at ``since_version``). Returns the MV at the
-    current version; groups whose count reaches zero drop out, matching
-    a recompute. Per commit: one bucket-pruned pre-image read, two
-    map-side-combining aggregates, and a lineage-cut union with the
-    running state (the MV itself is one row per group — small).
+    ``mv``: the view state as of ``since_version`` (None = the table
+    was empty at ``since_version``). Returns the MV at the current
+    version; groups whose count reaches zero drop out, matching a
+    recompute. Cost: O(#truncates + 1) driver steps, each one
+    bucket-pruned endpoint-pair read + a map-side-combining aggregate,
+    lineage-cut against the running state (one row per group — small).
     """
     spark = table.spark
     snap = table.snapshot()
@@ -69,67 +115,35 @@ def incremental_group_mv(table, group_col: str, length_col: str,
     )
     if mv is None:
         mv = empty
+
+    def _agg(df, sign: int):
+        return df.groupBy(group_col).agg(
+            (F.count("*") * sign).cast("bigint").alias("n_docs"),
+            (F.sum(F.length(F.col(length_col))) * sign).cast("bigint").alias("n_chars"),
+        )
+
     cur = table.current_version()
-
-    for v in range(since_version + 1, cur + 1):
-        s = table.snapshot(v)
-        metrics = s.get("metrics", {})
-        truncated = bool(metrics.get("truncated"))
-        parent = s.get("parent")
-        prev_snap = table.snapshot(parent) if parent is not None else {"buckets": {}}
-        if "compaction" in metrics or (
-            not truncated and s.get("schema") != prev_snap.get("schema")
-        ):
-            continue  # rewrites with no logical row change
-        added = table.delta_dirs_added(v)
-        dirty = sorted(set(added) | set(s.get("cdf", {})))
-        # base rewrites (initial load / truncate batch) feed through the
-        # marker + re-insert branch of changes(); anything else with an
-        # unchanged base and no deltas is a metadata-only commit
-        base_changed = s.get("buckets") != prev_snap.get("buckets")
-        if not (truncated or dirty or base_changed):
-            continue  # metadata-only commit (watermark bump)
-
-        feed = table.changes(v - 1, v).filter("final_op <> 'T'")
-        if truncated:
-            mv = empty  # 'T' marker contract: full reset, then re-inserts
-
-        prev_populated = bool(prev_snap.get("buckets"))
-        if truncated or not prev_populated:
-            pre = None
-        else:
-            # no .distinct() on the key set: LEFT SEMI dedups inherently,
-            # and the feed is already one row per key per commit
-            keys_df = feed.select(*keys)
-            pre = (
-                table.read(version=v - 1, buckets=dirty)
-                .join(keys_df, list(keys), "left_semi")
-                .select(*keys, group_col, length_col)
-            )
-
-        post = feed.filter("final_op IN ('I','U')")
-        if pre is not None:
-            pre_r = pre.select(
-                *keys,
-                F.col(group_col).alias("_pre_g"),
-                F.col(length_col).alias("_pre_l"),
-            )
-            post = post.join(pre_r, list(keys), "left")
-            g = F.expr(f"CASE WHEN upd_{group_col} THEN `{group_col}` ELSE _pre_g END")
-            l = F.expr(f"CASE WHEN upd_{length_col} THEN `{length_col}` ELSE _pre_l END")
-        else:
-            g = F.col(group_col)
-            l = F.col(length_col)
-
-        plus = post.groupBy(g.alias(group_col)).agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.length(l)).cast("bigint").alias("n_chars"),
+    for step in _plan(table, since_version, cur):
+        if step[0] == "reset":
+            # 'T' contract: drop all state, re-seed from the truncating
+            # commit's own snapshot (the feed re-emits exactly this)
+            mv = stage(_agg(table.read(version=step[1]), +1))
+            continue
+        _, a, b, buckets = step
+        keys_df = (
+            table.changes(a, b)
+            .filter("final_op <> 'T'")
+            .select(*keys)
+        )
+        plus = _agg(
+            table.read(version=b, buckets=buckets)
+            .join(keys_df, list(keys), "left_semi"), +1,
         )
         parts = [mv, plus]
-        if pre is not None:
-            minus = pre.groupBy(group_col).agg(
-                (-F.count("*")).cast("bigint").alias("n_docs"),
-                (-F.sum(F.length(F.col(length_col)))).cast("bigint").alias("n_chars"),
+        if table.snapshot(a).get("buckets"):
+            minus = _agg(
+                table.read(version=a, buckets=buckets)
+                .join(keys_df, list(keys), "left_semi"), -1,
             )
             parts.append(minus)
         merged = parts[0]

@@ -56,19 +56,22 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, left_t: str,
     ``right_tie``); NULL-filled when no right row precedes the left row.
 
     Output: every left column, plus ``<prefix><c>`` for each ``c`` in
-    ``carry``. One shuffle (hash on ``key``) + one per-partition sort; all
-    carried columns evaluate inside a single Window node. Skewed keys cost
-    what any keyed shuffle costs — pre-salt upstream if one key dominates.
+    ``carry``. One shuffle (hash on ``key``) + one per-partition sort; the
+    matched right row travels as ONE struct through a single
+    ``last(ignorenulls)`` — the struct is non-null for every right row even
+    when individual carry columns are NULL, so the output never mixes
+    columns from different right rows (per-column last() would tear rows:
+    a NULL carry cell would fall through to an older right row for that
+    column only). Skewed keys cost what any keyed shuffle costs —
+    pre-salt upstream if one key dominates.
     """
     lstruct = F.struct(*[F.col(c) for c in left.columns]).alias("_l")
-    rtypes = {f.name: f.dataType for f in right.schema.fields}
     l2 = left.select(
         F.col(key).alias("_k"),
         F.col(left_t).cast("bigint").alias("_t"),
         F.lit(1).alias("_side"),
         F.lit(0).cast("bigint").alias("_tie"),
         lstruct,
-        *[F.lit(None).cast(rtypes[c]).alias(c) for c in carry],
     )
     ltype = l2.schema["_l"].dataType
     r2 = right.select(
@@ -77,9 +80,10 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, left_t: str,
         F.lit(0).alias("_side"),
         F.col(right_tie).cast("bigint").alias("_tie"),
         F.lit(None).cast(ltype).alias("_l"),
-        *[F.col(c) for c in carry],
+        F.struct(*[F.col(c) for c in carry]).alias("_carry"),
     )
-    u = l2.unionByName(r2)
+    ctype = r2.schema["_carry"].dataType
+    u = l2.withColumn("_carry", F.lit(None).cast(ctype)).unionByName(r2)
     # right rows (side 0) sort before left rows at the same _t, so an
     # exactly-simultaneous right row IS visible to the left row (<=
     # semantics); among simultaneous right rows the highest tie wins
@@ -89,9 +93,11 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, left_t: str,
         .orderBy("_t", "_side", "_tie")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in carry:
-        u = u.withColumn(prefix + c, F.last(c, ignorenulls=True).over(w))
-    return u.where("_side = 1").select("_l.*", *[prefix + c for c in carry])
+    picked = F.last("_carry", ignorenulls=True).over(w).alias("_pick")
+    u = u.select("_side", "_l", picked)
+    return u.where("_side = 1").select(
+        "_l.*", *[F.col("_pick").getField(c).alias(prefix + c) for c in carry]
+    )
 
 
 def _floor_bin(t: str, width: int) -> str:

@@ -340,6 +340,12 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
                     "is not supported"
                 )
             (n_rel,) = _unpack_i32(b, 1)
+            if n_rel < 0 or 6 + 4 * n_rel > len(b):
+                # typed error (not struct.error) for a flipped n_rel byte
+                raise ValueError(
+                    f"Truncate relation list overruns the frame "
+                    f"(n_rel={n_rel}, {len(b)} bytes; corrupt frame)"
+                )
             tx = open_tx.get(seg)
             for k in range(n_rel):
                 (rid,) = _unpack_i32(b, 6 + 4 * k)

@@ -133,6 +133,86 @@ WHERE n_chars > 0
 """.strip()
 
 
+#: Gopher table-A1 thresholds for the composite ``repetitive`` gate —
+#: single source of truth for repetition_sql AND the training pipeline
+REP_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.30,
+    "dup_2gram_frac": 0.60,
+    "dup_3gram_frac": 0.40,
+}
+
+
+def _ngram_exprs(d: Dialect, toks: str = "toks", n_toks: str = "n_toks"):
+    """Word 2-gram / 3-gram arrays by index math over the token array (no
+    explode). The lambda index is CAST to INT inside the lambda: when
+    ``n_toks`` is BIGINT the sequence element is BIGINT, and Spark's
+    element_at requires an INT index (no-op when already INT)."""
+    g = lambda i: d.array_get(toks, f"CAST({i} AS INT)")  # noqa: E731
+    bg = d.array_transform(
+        d.sequence("1", f"{n_toks} - 1"),
+        f"i -> concat({g('i')}, ' ', {g('i + 1')})",
+    )
+    tg = d.array_transform(
+        d.sequence("1", f"{n_toks} - 2"),
+        f"i -> concat({g('i')}, ' ', {g('i + 1')}, ' ', {g('i + 2')})",
+    )
+    return bg, tg
+
+
+def _char_sum(d: Dialect, arr: str) -> str:
+    # fold's accumulator type must match the element type (the DuckDB
+    # rendering seeds list_reduce by prepending init) → length-transform
+    # the string array to BIGINT before summing
+    return d.fold(
+        d.array_transform(arr, "x -> CAST(length(x) AS BIGINT)"),
+        "CAST(0 AS BIGINT)", "(acc, x) -> acc + x",
+    )
+
+
+def _dup_frac(total: str, uniq: str) -> str:
+    return (
+        f"CASE WHEN {total} > 0 THEN CAST({total} - {uniq} AS DOUBLE)"
+        f" / {total} ELSE CAST(0.0 AS DOUBLE) END"
+    )
+
+
+def _rep_count_fields(d: Dialect, lines: str = "lines", toks: str = "toks",
+                      n_toks: str = "n_toks") -> dict:
+    """The repetition count columns (compute ONCE in a CTE), keyed by
+    their output name — shared by repetition_sql and the pipeline
+    composite so the criteria cannot drift."""
+    bg, tg = _ngram_exprs(d, toks, n_toks)
+    return {
+        "n_lines_u": d.array_len(d.array_distinct(lines)),
+        "line_chars": _char_sum(d, lines),
+        "line_chars_u": _char_sum(d, d.array_distinct(lines)),
+        "n_bg": d.array_len(bg),
+        "n_bg_u": d.array_len(d.array_distinct(bg)),
+        "n_tg": d.array_len(tg),
+        "n_tg_u": d.array_len(d.array_distinct(tg)),
+    }
+
+
+#: the four dup-fraction expressions over _rep_count_fields columns
+_REP_FRACS = {
+    "dup_line_frac": ("n_lines", "n_lines_u"),
+    "dup_line_char_frac": ("line_chars", "line_chars_u"),
+    "dup_2gram_frac": ("n_bg", "n_bg_u"),
+    "dup_3gram_frac": ("n_tg", "n_tg_u"),
+}
+
+
+def _rep_gate() -> str:
+    """The composite repetitive 0/1 gate over _rep_count_fields columns —
+    ALL four Gopher criteria (not a subset)."""
+    crit = " OR ".join(
+        f"{_dup_frac(*_REP_FRACS[name])} > {thr}"
+        for name, thr in REP_THRESHOLDS.items()
+    )
+    return f"CASE WHEN {crit} THEN 1 ELSE 0 END"
+
+
 def repetition_sql(d: Dialect) -> str:
     """Gopher-style repetition filters (Rae et al. 2021, table A1):
     fraction of duplicate lines, fraction of characters in duplicate
@@ -149,30 +229,11 @@ def repetition_sql(d: Dialect) -> str:
     """
     lines = d.split_lines("text")
     toks = d.split_ws("text")
-    bg = d.array_transform(
-        d.sequence("1", "n_toks - 1"),
-        f"i -> concat({d.array_get('toks', 'i')}, ' ', {d.array_get('toks', 'i + 1')})",
+    counts = _rep_count_fields(d)
+    count_cols = ",\n    ".join(f"{sql} AS {name}" for name, sql in counts.items())
+    fracs = ",\n  ".join(
+        f"{_dup_frac(*_REP_FRACS[name])} AS {name}" for name in REP_THRESHOLDS
     )
-    tg = d.array_transform(
-        d.sequence("1", "n_toks - 2"),
-        f"i -> concat({d.array_get('toks', 'i')}, ' ', {d.array_get('toks', 'i + 1')},"
-        f" ' ', {d.array_get('toks', 'i + 2')})",
-    )
-    # fold's accumulator type must match the element type (the DuckDB
-    # rendering seeds list_reduce by prepending init) → length-transform
-    # the string array to BIGINT before summing
-    def char_sum(arr: str) -> str:
-        return d.fold(
-            d.array_transform(arr, "x -> CAST(length(x) AS BIGINT)"),
-            "CAST(0 AS BIGINT)", "(acc, x) -> acc + x",
-        )
-
-    def dup_frac(total: str, uniq: str) -> str:
-        return (
-            f"CASE WHEN {total} > 0 THEN CAST({total} - {uniq} AS DOUBLE)"
-            f" / {total} ELSE CAST(0.0 AS DOUBLE) END"
-        )
-
     return f"""
 WITH x AS (
   SELECT doc_id, {lines} AS lines, {toks} AS toks
@@ -186,25 +247,12 @@ y AS (
 ),
 z AS (
   SELECT doc_id, n_lines, n_toks,
-    {d.array_len(d.array_distinct('lines'))} AS n_lines_u,
-    {char_sum('lines')} AS line_chars,
-    {char_sum(d.array_distinct('lines'))} AS line_chars_u,
-    {d.array_len(bg)} AS n_bg,
-    {d.array_len(d.array_distinct(bg))} AS n_bg_u,
-    {d.array_len(tg)} AS n_tg,
-    {d.array_len(d.array_distinct(tg))} AS n_tg_u
+    {count_cols}
   FROM y
 )
 SELECT doc_id, n_lines, n_toks,
-  {dup_frac('n_lines', 'n_lines_u')} AS dup_line_frac,
-  {dup_frac('line_chars', 'line_chars_u')} AS dup_line_char_frac,
-  {dup_frac('n_bg', 'n_bg_u')} AS dup_2gram_frac,
-  {dup_frac('n_tg', 'n_tg_u')} AS dup_3gram_frac,
-  CASE WHEN {dup_frac('n_lines', 'n_lines_u')} > 0.30
-         OR {dup_frac('line_chars', 'line_chars_u')} > 0.30
-         OR {dup_frac('n_bg', 'n_bg_u')} > 0.60
-         OR {dup_frac('n_tg', 'n_tg_u')} > 0.40
-       THEN 1 ELSE 0 END AS repetitive
+  {fracs},
+  {_rep_gate()} AS repetitive
 FROM z
 """.strip()
 
@@ -381,38 +429,45 @@ def training_pipeline_sql(d: Dialect, seq_len: int = PACK_SEQ_LEN) -> str:
     before tokenization, expressed so Catalyst plans it as ONE scan of
     ``text`` (all gates per-row, same codegen stage) → ONE dedup shuffle
     (min_by on fingerprint, map-side combining) → ONE window shuffle
-    (source-partitioned packing cumsum). Three stages total at any
-    scale; every intermediate column is computed exactly once.
+    (the packing cumsum). Three stages total at any scale; every
+    intermediate column is computed exactly once.
+
+    The repetition gate is the FULL shared Gopher gate (_rep_gate over
+    _rep_count_fields — dup-line, dup-line-char, 2-gram and 3-gram
+    criteria), not a re-implementation, so it cannot drift from
+    repetition_sql. Packing partitions by (source, split): each split's
+    token stream is self-contained — seq_id/seq_offset are scoped per
+    (source, split), so filtering one split yields contiguous sequences
+    with no holes from other splits' documents.
     """
     e = _quality_exprs(d)
     n_tok = f"CAST({e['n_tok']} AS BIGINT)"
     pii = " + ".join(
         d.regexp_count("text", pat) for _n, pat, _r in PII_PATTERNS
     )
-    # n_tok is BIGINT (for the packing cumsum), so the sequence lambda
-    # var is BIGINT — Spark's element_at requires an INT index: cast
-    bg = d.array_transform(
-        d.sequence("1", "n_tok - 1"),
-        f"i -> concat({d.array_get('toks', 'CAST(i AS INT)')}, ' ', "
-        f"{d.array_get('toks', 'CAST(i + 1 AS INT)')})",
-    )
+    counts = _rep_count_fields(d, lines="lines", toks="toks", n_toks="n_tok")
+    count_cols = ",\n    ".join(f"{sql} AS {name}" for name, sql in counts.items())
     doc_s = d.s("doc_id")
     draw_split = f"({d.md5_int(f_concat('split:', doc_s))} % 100)"
     draw_keep = f"({d.md5_int(f_concat('sample:', doc_s))} % 100)"
     return f"""
 WITH x AS (
-  SELECT doc_id, source, lang, {e['toks']} AS toks, {n_tok} AS n_tok,
+  SELECT doc_id, source, lang, {d.split_lines('text')} AS lines,
+    {e['toks']} AS toks, {n_tok} AS n_tok,
     {e['quality']} AS quality_score,
     {e['fingerprint']} AS fingerprint,
     ({pii}) AS n_pii
   FROM documents WHERE n_chars > 0 AND {e['n_tok']} > 0
 ),
+r AS (
+  SELECT doc_id, source, lang, n_tok, quality_score, fingerprint, n_pii,
+    {d.array_len('lines')} AS n_lines,
+    {count_cols}
+  FROM x
+),
 gated AS (
-  SELECT doc_id, source, lang, n_tok, fingerprint FROM x
-  WHERE quality_score >= 2 AND n_pii = 0
-    AND ({d.array_len(bg)} = 0 OR
-         CAST({d.array_len(bg)} - {d.array_len(d.array_distinct(bg))} AS DOUBLE)
-           / {d.array_len(bg)} <= 0.60)
+  SELECT doc_id, source, lang, n_tok, fingerprint FROM r
+  WHERE quality_score >= 2 AND n_pii = 0 AND {_rep_gate()} = 0
 ),
 deduped AS (
   SELECT min(doc_id) AS doc_id,
@@ -433,7 +488,7 @@ sampled AS (
 packed AS (
   SELECT doc_id, source, lang, split, n_tok,
     CAST(SUM(n_tok) OVER (
-      PARTITION BY source ORDER BY doc_id
+      PARTITION BY source, split ORDER BY doc_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
     ) AS BIGINT) AS cum_tokens
   FROM sampled

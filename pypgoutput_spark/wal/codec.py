@@ -332,6 +332,13 @@ def decode_message(payload: bytes) -> dict:
         return {"msg_type": "D", "relation_id": relation_id, "old_kind": kind, "old": cells}
     if t == "T":
         (n_rel,) = _I32.unpack_from(mv, pos)
+        # a flipped n_rel byte or truncated frame must raise a TYPED
+        # error, not struct.error out of the relid unpack below
+        if n_rel < 0 or pos + 5 + 4 * n_rel > len(mv):
+            raise ValueError(
+                f"Truncate relation list overruns the frame "
+                f"(n_rel={n_rel}, {len(mv)} bytes; corrupt frame)"
+            )
         (option_bits,) = _I8.unpack_from(mv, pos + 4)
         rids = list(struct.unpack_from(f">{n_rel}i", mv, pos + 5))
         return {"msg_type": "T", "option_bits": option_bits, "relation_ids": rids}

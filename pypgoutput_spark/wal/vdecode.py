@@ -766,6 +766,11 @@ def process_batch(rb: pa.RecordBatch, open_tx: dict,
             cat_o, vs_o, vl_o, nc_o, end_o = _parse_tuples(
                 data, st[o_rows] + 6
             )
+            # the 'N' marker must sit INSIDE this message: a corrupt cell
+            # length in the old image's last column can march end_o past
+            # the frame (even past the batch buffer) — typed error, not
+            # a numpy IndexError out of the gather below
+            _check_ends(end_o + 1, offs, rows[o_rows], "Update old-image")
             if (data[end_o] != _N).any():
                 raise ValueError("Update missing 'N' after old image")
             # scatter old-image lists back to full cohort positions;

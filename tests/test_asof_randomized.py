@@ -23,8 +23,12 @@ def _random_frames(rng):
         "k": rng.integers(0, 10, nr),          # some keys absent on left
         "rt": rng.integers(0, 60, nr),
         "okey": rng.permutation(np.arange(nr, dtype=np.int64)),
-        "val": rng.integers(0, 1000, nr).astype("float64"),
+        # nullable Int64 with ~30% NULLs: the matched right row must be
+        # carried ATOMICALLY — a NULL cell must not fall through to an
+        # older right row's value for that column (torn-row regression)
+        "val": pd.array(rng.integers(0, 1000, nr), dtype="Int64"),
     })
+    right.loc[rng.random(nr) < 0.3, "val"] = pd.NA
     return left, right
 
 
@@ -70,3 +74,22 @@ def test_range_join_matches_bruteforce(spark, seed, width):
     mask = (cross["t"] >= cross["rt"]) & (cross["t"] < cross["rt"] + width)
     exp = sorted(map(tuple, cross.loc[mask, ["ev", "okey"]].itertuples(index=False)))
     assert got == exp
+
+
+def test_asof_join_null_carry_not_torn(spark):
+    """Deterministic torn-row regression: the matched right row has a NULL
+    carry column; per-column last(ignorenulls) would splice the OLDER
+    right row's value into that column. The match must be atomic."""
+    left = spark.createDataFrame([(1, 250, 10)], "k INT, t INT, ev INT")
+    right = spark.createDataFrame(
+        [(1, 100, 1, 5.0), (1, 200, 2, None)],
+        "k INT, rt INT, okey INT, val DOUBLE",
+    )
+    out = asof_join(
+        left, right, key="k", left_t="t", right_t="rt",
+        carry=("okey", "val"), right_tie="okey",
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["asof_okey"] == 2
+    assert row["asof_val"] is None, "NULL carry must not fall back to okey=1's 5.0"

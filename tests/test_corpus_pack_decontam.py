@@ -95,6 +95,11 @@ def test_training_pipeline_composite_gates(spark, tmp_path):
     got = {r["doc_id"]: r for r in q_training_pipeline(spark, d).collect()}
     assert set(got) == {0, 5}, sorted(got)  # dup 1, PII 2, repetitive 3, tiny 4 gone
     assert got[0]["split"] in ("train", "val", "test")
-    # both docs pack into source A's single stream, doc_id order
+    # packing is scoped per (source, split): each doc with the smallest
+    # doc_id in its (source, split) stream starts at seq 0 / offset 0;
+    # a same-split successor continues at the predecessor's token total
     assert got[0]["seq_id"] == 0 and got[0]["seq_offset"] == 0
-    assert got[5]["seq_offset"] == got[0]["n_tok"] % 256
+    if got[5]["split"] == got[0]["split"]:
+        assert got[5]["seq_offset"] == got[0]["n_tok"] % 256
+    else:
+        assert got[5]["seq_id"] == 0 and got[5]["seq_offset"] == 0

@@ -29,11 +29,10 @@ BATCH_ROWS = 48
 
 
 def _fixture():
-    # serial stream layout: the Spark-free producer seam doesn't emit
-    # interleaved chunk pairs (documented NotImplementedError); streamed
-    # txns + aborts + TOAST still cover the v2 grammar under corruption
+    # truncate_every: corrupt 'T' frames must raise typed too (a flipped
+    # n_rel byte previously escaped codec.decode_message as struct.error)
     p = GenParams(n_txns=12, ops_per_txn=3, toast_pct=20, txns_per_segment=6,
-                  stream_pct=50, stream_abort_pct=25)
+                  stream_pct=50, stream_abort_pct=25, truncate_every=4)
     pdf = encode_frames_pdf(p, include_relation=True)
     pdf = pdf.sort_values(["segment", "lsn"]).reset_index(drop=True)
     plain = {}
@@ -138,3 +137,58 @@ def test_strict_kernel_corruption_raises_typed_only():
             raised += 1
         # any other exception type propagates and fails the test
     assert raised > 100 and ok > 50, (ok, raised)
+
+
+def _strict_run(payloads, plain):
+    """Run the strict vectorized kernel over hand-built single-segment frames."""
+    from pypgoutput_spark.wal import vdecode
+
+    tbl = pa.table({
+        "segment": pa.array([1] * len(payloads), pa.int64()),
+        "lsn": pa.array(list(range(10, 10 + len(payloads))), pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+    kernel = vdecode.make_kernel(plain)
+    return list(kernel(iter(tbl.to_batches())))
+
+
+def _plain_registry():
+    reg = RelationRegistry()
+    rel = codec.encode_relation(99, "public", "t", "d",
+                                [(1, "id", 23, -1), (0, "v", 25, -1)])
+    reg.add_relation(5, codec.decode_message(rel))
+    return reg.to_plain()
+
+
+def test_corrupt_truncate_nrel_raises_typed():
+    """Regression: a flipped n_rel byte in a 'T' frame escaped
+    codec.decode_message as struct.error (untyped) — the fuzz fixture
+    had truncate_every=0 so 1600 trials never built a T frame."""
+    plain = _plain_registry()
+    t = bytearray(codec.encode_truncate([99]))
+    t[4] = 0xFF  # n_rel: 1 -> 255, relid list overruns the 10-byte frame
+    with pytest.raises(ValueError, match="Truncate relation list overruns"):
+        _strict_run([bytes(t)], plain)
+    # loop kernel, strict mode: same typed failure
+    import pandas as pd
+
+    pdf = pd.DataFrame({"segment": [1], "lsn": [10], "payload": [bytes(t)]})
+    with pytest.raises(ValueError, match="Truncate relation list overruns"):
+        decode_op._loop_decode_pdf(pdf, {}, plain, strict=True)
+
+
+def test_corrupt_update_old_image_last_cell_raises_typed():
+    """Regression: a corrupt 4-byte cell length in the LAST column of an
+    Update's old image marched end_o past the buffer and the 'N'-marker
+    gather raised a raw numpy IndexError instead of ValueError."""
+    plain = _plain_registry()
+    u = bytearray(codec.encode_update(
+        99, [("t", "1"), ("t", "x")], old_cells=[("t", "1"), ("t", "y")],
+        old_kind="K",
+    ))
+    # old image layout: 'U' rid 'K' ncols=2 | 't' len4 "1" | 't' len4 "y"
+    # the SECOND (last) old cell's length starts at offset 1+4+1+2+5+1 = 14
+    assert u[14] == ord("t")
+    u[15:19] = (0x7FFFFFF0).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="Update old-image TupleData overruns"):
+        _strict_run([bytes(u)], plain)

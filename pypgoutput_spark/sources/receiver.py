@@ -77,18 +77,15 @@ def _txn_draw(p: GenParams, tag: str, txn) -> "object":
 def logical_slots_pdf(p: GenParams, txn_lo: int = 0, txn_hi: Optional[int] = None):
     """Pandas slot table (LSN-ordered) for a txn range — the same layout
     ``spark_frames_df`` builds with Spark SQL, evaluated through DuckDB;
-    covers protocol-v2 streamed transactions (``stream_pct``) with the
-    identical md5 txn draws. Producer processes call this incrementally."""
+    covers protocol-v2 streamed transactions (``stream_pct``) — including
+    ``interleave_streams`` chunk pairs — with the identical md5 txn draws
+    and LSN remaps (byte parity pinned by tests/test_receiver_live.py).
+    Producer processes call this incrementally; with interleaving, cut
+    txn ranges on EVEN boundaries so a pair's two halves share a chunk."""
     import duckdb
     import numpy as np
     import pandas as pd
 
-    if p.interleave_streams:
-        raise NotImplementedError(
-            "the live-producer seam emits the serial single-chunk stream "
-            "layout; interleaved chunk pairs are generated by "
-            "wal.generator.spark_frames_df"
-        )
     txn_hi = p.n_txns if txn_hi is None else min(txn_hi, p.n_txns)
     ops, stride, tps = p.ops_per_txn, p.lsn_stride, p.txns_per_segment
     lo_i, hi_i = txn_lo * ops, txn_hi * ops
@@ -115,12 +112,37 @@ def logical_slots_pdf(p: GenParams, txn_lo: int = 0, txn_hi: Optional[int] = Non
             (_txn_draw(p, ":abort:", txns) % 100) < p.stream_abort_pct
         )
 
+    interleaving = p.interleave_streams and p.stream_pct > 0
+
+    def interleaved_of(txns):
+        """Is this txn half of an interleaved chunk pair — both members
+        of the adjacent pair (2k, 2k+1) drew streamed (generator's
+        interleave_exprs, replicated)."""
+        t = np.asarray(txns)
+        if not interleaving:
+            return np.zeros(len(t), dtype=bool)
+        partner = np.where(t % 2 == 0, t + 1, t - 1)
+        return streamed_of(t) & streamed_of(partner) & (partner < p.n_txns)
+
+    h1 = (ops + 1) // 2  # first-chunk DML count (generator layout)
+    op_idx = i % ops
+    il_ev = interleaved_of(txn)
+    # event LSN under chunk interleaving: the closed-form remap of
+    # generator._interleave_event_lsn — pair window base + per-half offset
+    off0 = np.where(op_idx < h1, 1 + op_idx, h1 + 5 + op_idx)
+    off1 = np.where(op_idx < h1, h1 + 3 + op_idx, ops + 7 + op_idx)
+    ev_lsn = np.where(
+        il_ev,
+        10 + (txn - txn % 2) * stride + np.where(txn % 2 == 0, off0, off1),
+        10 + txn * stride + (op_idx + 1),
+    )
+
     o = pd.DataFrame(
         {
             "segment": txn // tps,
             "txn": txn,
             "kind": "O",
-            "lsn": 10 + txn * stride + (i % ops + 1),
+            "lsn": ev_lsn,
             "commit_ts_us": txn * 1_000_000,
             "xid": 1000 + txn,
             "rel": ev["rel"].to_numpy(),
@@ -139,18 +161,31 @@ def logical_slots_pdf(p: GenParams, txn_lo: int = 0, txn_hi: Optional[int] = Non
     txns = np.arange(txn_lo, txn_hi)
     strm = streamed_of(txns)
     abrt = aborted_of(txns)
+    il = interleaved_of(txns)
 
-    def bc(kind_arr, slot: int, sel=None) -> "pd.DataFrame":
+    def bc(kind_arr, slot: int, sel=None, il_off=None) -> "pd.DataFrame":
         tt = txns if sel is None else txns[sel]
         kk = kind_arr if isinstance(kind_arr, str) else np.asarray(kind_arr)[
             slice(None) if sel is None else sel
         ]
+        lsn = 10 + tt * stride + slot
+        if il_off is not None:
+            # interleaved pairs place this control frame at a fixed
+            # per-half offset inside the pair's combined LSN window
+            # (generator spark_frames_df off_p0/off_p1 layout)
+            il_sel = il if sel is None else il[sel]
+            lsn = np.where(
+                il_sel,
+                10 + (tt - tt % 2) * stride
+                + np.where(tt % 2 == 0, il_off[0], il_off[1]),
+                lsn,
+            )
         return pd.DataFrame(
             {
                 "segment": tt // tps,
                 "txn": tt,
                 "kind": kk,
-                "lsn": 10 + tt * stride + slot,
+                "lsn": lsn,
                 "commit_ts_us": tt * 1_000_000,
                 "xid": 1000 + tt,
                 "rel": 0,
@@ -169,11 +204,21 @@ def logical_slots_pdf(p: GenParams, txn_lo: int = 0, txn_hi: Optional[int] = Non
 
     parts = [
         o,
-        bc(np.where(strm, "S", "B"), 0),
-        bc(np.where(strm, "E", "C"), ops + 1),
+        bc(np.where(strm, "S", "B"), 0, il_off=(0, h1 + 2)),
+        bc(np.where(strm, "E", "C"), ops + 1, il_off=(h1 + 1, 2 * h1 + 3)),
     ]
     if p.stream_pct > 0 and strm.any():
-        parts.append(bc(np.where(abrt, "A", "c"), ops + 2, sel=strm))
+        # slot ops+2: interleaved pairs open their SECOND chunk ('s',
+        # first_segment=0); serial streams commit or abort here
+        parts.append(bc(
+            np.where(il, "s", np.where(abrt, "A", "c")), ops + 2, sel=strm,
+            il_off=(2 * h1 + 4, h1 + ops + 6),
+        ))
+        if interleaving and il.any():
+            parts.append(bc("E", ops + 3, sel=il,
+                            il_off=(h1 + ops + 5, 2 * ops + 7)))
+            parts.append(bc(np.where(abrt, "A", "c"), ops + 4, sel=il,
+                            il_off=(2 * ops + 8, 2 * ops + 9)))
     slots = pd.concat(parts, ignore_index=True)
     return slots.sort_values("lsn", kind="stable").reset_index(drop=True)
 

@@ -29,10 +29,13 @@ BATCH_ROWS = 48
 
 
 def _fixture():
+    # interleave_streams: corruption lands inside interleaved chunk
+    # pairs too (the full v2 grammar — S/s/E/c/A, xid-prefixed DML);
     # truncate_every: corrupt 'T' frames must raise typed too (a flipped
     # n_rel byte previously escaped codec.decode_message as struct.error)
     p = GenParams(n_txns=12, ops_per_txn=3, toast_pct=20, txns_per_segment=6,
-                  stream_pct=50, stream_abort_pct=25, truncate_every=4)
+                  stream_pct=50, stream_abort_pct=25, truncate_every=4,
+                  interleave_streams=True)
     pdf = encode_frames_pdf(p, include_relation=True)
     pdf = pdf.sort_values(["segment", "lsn"]).reset_index(drop=True)
     plain = {}

@@ -37,6 +37,9 @@ import pytest
                   txns_per_segment=5, key_change_pct=10),
     gen.GenParams(n_txns=20, ops_per_txn=5, toast_pct=25,
                   txns_per_segment=5, stream_pct=40, stream_abort_pct=30),
+    gen.GenParams(n_txns=24, ops_per_txn=5, toast_pct=25,
+                  txns_per_segment=6, stream_pct=60, stream_abort_pct=30,
+                  interleave_streams=True),
 ])
 def test_live_frames_byte_parity(spark, p):
     """The DuckDB+pandas producer emits byte-identical frames to the
@@ -95,26 +98,37 @@ def test_spool_receiver_roundtrip(tmp_path):
     ) == seg_files
 
 
-def test_live_e2e_concurrent(spark, tmp_path):
+@pytest.mark.parametrize("p", [
+    gen.GenParams(n_txns=60, ops_per_txn=6, toast_pct=30, txns_per_segment=5),
+    # protocol-v2 with interleaved chunk pairs through the WHOLE live
+    # path: producer subprocess -> spool -> receiver -> stream decode
+    gen.GenParams(n_txns=60, ops_per_txn=6, toast_pct=30, txns_per_segment=6,
+                  stream_pct=50, stream_abort_pct=25, interleave_streams=True),
+], ids=["serial", "interleaved_v2"])
+def test_live_e2e_concurrent(spark, tmp_path, p):
     """Producer subprocess, receiver thread, and the Spark stream run
     CONCURRENTLY; the final table state equals the serial DuckDB oracle.
     The receiver's whole-segment files enable clustered=True (zero
     decode shuffle)."""
-    p = gen.GenParams(n_txns=60, ops_per_txn=6, toast_pct=30, txns_per_segment=5)
     spool = str(tmp_path / "spool")
     frames_dir = str(tmp_path / "frames")
     os.makedirs(frames_dir, exist_ok=True)
 
+    cmd = [
+        sys.executable, os.path.join(os.path.dirname(__file__), "..", "tools", "live_source.py"),
+        "--spool", spool, "--n-txns", str(p.n_txns),
+        "--ops-per-txn", str(p.ops_per_txn),
+        "--txns-per-segment", str(p.txns_per_segment),
+        "--toast-pct", str(p.toast_pct),
+        "--chunk-txns", "8", "--sleep-ms", "150",
+    ]
+    if p.stream_pct:
+        cmd += ["--stream-pct", str(p.stream_pct),
+                "--stream-abort-pct", str(p.stream_abort_pct)]
+        if p.interleave_streams:
+            cmd += ["--interleave-streams"]
     producer = subprocess.Popen(
-        [
-            sys.executable, os.path.join(os.path.dirname(__file__), "..", "tools", "live_source.py"),
-            "--spool", spool, "--n-txns", str(p.n_txns),
-            "--ops-per-txn", str(p.ops_per_txn),
-            "--txns-per-segment", str(p.txns_per_segment),
-            "--toast-pct", str(p.toast_pct),
-            "--chunk-txns", "8", "--sleep-ms", "150",
-        ],
-        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        cmd, cwd=os.path.join(os.path.dirname(__file__), ".."),
     )
     receiver = FrameReceiver(spool, frames_dir)
     stop = threading.Event()
@@ -131,8 +145,10 @@ def test_live_e2e_concurrent(spark, tmp_path):
         max_files_per_trigger=2, trigger={"processingTime": "1 second"},
         clustered=True,
     )
-    stride = p.lsn_stride
-    max_lsn = 10 + (p.n_txns - 1) * stride + p.ops_per_txn + 1
+    # final frame LSN from the (Spark-free) frame layout itself — the
+    # closed form differs per layout (serial C at ops+1, streamed c/A at
+    # ops+2, interleaved pair tail at 2*ops+9 inside the pair window)
+    max_lsn = int(encode_frames_pdf(p)["lsn"].max())
     try:
         deadline = time.time() + 240
         while table.watermark_lsn < max_lsn and time.time() < deadline:

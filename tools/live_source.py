@@ -29,14 +29,22 @@ def main(argv=None) -> int:
     ap.add_argument("--toast-pct", type=int, default=25)
     ap.add_argument("--key-change-pct", type=int, default=0)
     ap.add_argument("--truncate-every", type=int, default=0)
+    ap.add_argument("--stream-pct", type=int, default=0)
+    ap.add_argument("--stream-abort-pct", type=int, default=0)
+    ap.add_argument("--interleave-streams", action="store_true")
     ap.add_argument("--chunk-txns", type=int, default=10)
     ap.add_argument("--sleep-ms", type=int, default=20)
     args = ap.parse_args(argv)
 
+    if args.interleave_streams and args.chunk_txns % 2:
+        raise SystemExit("--interleave-streams requires even --chunk-txns "
+                         "(a chunk pair's halves must share a spool chunk)")
     p = GenParams(
         n_txns=args.n_txns, ops_per_txn=args.ops_per_txn,
         txns_per_segment=args.txns_per_segment, toast_pct=args.toast_pct,
         key_change_pct=args.key_change_pct, truncate_every=args.truncate_every,
+        stream_pct=args.stream_pct, stream_abort_pct=args.stream_abort_pct,
+        interleave_streams=args.interleave_streams,
     )
     w = SpoolWriter(args.spool)
     lo = 0

@@ -439,6 +439,20 @@ def training_pipeline_sql(d: Dialect, seq_len: int = PACK_SEQ_LEN) -> str:
     token stream is self-contained — seq_id/seq_offset are scoped per
     (source, split), so filtering one split yields contiguous sequences
     with no holes from other splits' documents.
+
+    Plan shape: the CHEAP gates (quality, PII) stay in the per-row
+    predicate, but the repetition gate is computed as a COLUMN in a
+    projection chain and applied AFTER the dedup aggregate. Two reasons:
+    (1) predicate pushdown substitutes referenced expressions with no
+    cost guard, so a WHERE over the n-gram counts textually inlines the
+    token array into every lambda body — ``element_at(split(text), i)``
+    re-splits the document once PER ELEMENT, an O(len²) blowup measured
+    at 3.8× the whole composite's wall (projection collapse, by
+    contrast, keeps multiply-referenced non-cheap expressions
+    materialized, so the column form computes each array once); and
+    (2) the gate is content-pure while dedup groups by the content
+    fingerprint, so identical-text duplicates share the gate verdict and
+    filtering after the min_by aggregate is semantics-identical.
     """
     e = _quality_exprs(d)
     n_tok = f"CAST({e['n_tok']} AS BIGINT)"
@@ -465,24 +479,31 @@ r AS (
     {count_cols}
   FROM x
 ),
-gated AS (
-  SELECT doc_id, source, lang, n_tok, fingerprint FROM r
-  WHERE quality_score >= 2 AND n_pii = 0 AND {_rep_gate()} = 0
+g AS (
+  SELECT doc_id, source, lang, n_tok, fingerprint,
+    {_rep_gate()} AS repetitive
+  FROM r
+  WHERE quality_score >= 2 AND n_pii = 0
 ),
 deduped AS (
   SELECT min(doc_id) AS doc_id,
     min_by(source, doc_id) AS source,
     min_by(lang, doc_id) AS lang,
     min_by(n_tok, doc_id) AS n_tok,
+    min_by(repetitive, doc_id) AS repetitive,
     fingerprint
-  FROM gated GROUP BY fingerprint
+  FROM g GROUP BY fingerprint
+),
+survivors AS (
+  SELECT doc_id, source, lang, n_tok, fingerprint
+  FROM deduped WHERE repetitive = 0
 ),
 sampled AS (
   SELECT doc_id, source, lang, n_tok,
     CASE WHEN {draw_split} < 80 THEN 'train'
          WHEN {draw_split} < 90 THEN 'val'
          ELSE 'test' END AS split
-  FROM deduped
+  FROM survivors
   WHERE CASE WHEN lang = 'en' THEN {draw_keep} < 50 ELSE TRUE END
 ),
 packed AS (

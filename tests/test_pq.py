@@ -70,3 +70,20 @@ def test_pq_refined_recall_floors(tmp_path):
     assert r10 >= 0.75, r10   # measured 0.86
     assert r20 >= 0.95, r20   # measured 1.0
     assert r20 >= r10, "larger shortlist can only help"
+
+
+def test_pq_staging_isolated_per_corpus(spark, tmp_path):
+    """Regression: the staging memo was (id(spark), sf_dir) over
+    session-GLOBAL view names — staging corpus B overwrote A's views
+    while the memo still claimed A staged, so a later A query silently
+    served B's codes. Views are now corpus-scoped; re-querying A after
+    staging B must return A's original codes."""
+    a = str(tmp_path / "a"); b = str(tmp_path / "b")
+    S.write_clustered_embeddings(a, n=300, n_clusters=4, seed=11)
+    S.write_clustered_embeddings(b, n=260, n_clusters=4, seed=99)
+
+    first_a = sorted(map(tuple, S.q_pq_codes(spark, a).collect()))
+    codes_b = sorted(map(tuple, S.q_pq_codes(spark, b).collect()))
+    assert codes_b != first_a
+    again_a = sorted(map(tuple, S.q_pq_codes(spark, a).collect()))
+    assert again_a == first_a, "A's staged index must survive B's staging"

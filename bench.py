@@ -150,6 +150,7 @@ BENCH_QUERIES = (
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh_pairs",
     "dedup_lsh_verified_pairs",
+    "dedup_incremental_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_keep_representative",

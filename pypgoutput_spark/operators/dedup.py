@@ -1,6 +1,6 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Five families, each a ``queries()`` entry with a DuckDB oracle over the
+Six families, each a ``queries()`` entry with a DuckDB oracle over the
 same parquet tables (dual-dialect SQL, see functions/detsql.py):
 
   - exact:        hash-groupBy on md5(text) (content-hash dedup)
@@ -10,6 +10,9 @@ same parquet tables (dual-dialect SQL, see functions/detsql.py):
                   candidate pairs (the 100 TB-scale path: candidate
                   generation cost ~ O(docs × bands), never O(docs²))
   - SimHash:      32-bit signs-of-sums signature over token hashes
+  - incremental:  nightly-append probe — delta docs signature-probed
+                  against the staged base index (bands + shingle sets);
+                  probe cost ~ delta, never the corpus
   - embedding cosine: banded hyperplane-LSH candidate buckets → exact
                   cross-multiplied cosine verify over integer-quantized
                   vectors (two-stage, like dedup_lsh_verified_pairs)
@@ -306,6 +309,110 @@ SELECT i.doc_a, i.doc_b, i.n_inter,
 FROM inter i
 JOIN sizes sa ON i.doc_a = sa.doc_id
 JOIN sizes sb ON i.doc_b = sb.doc_id
+""".strip())
+
+
+#: fraction of doc_ids assigned to the synthetic "tonight's arrivals"
+#: delta for the incremental dedup entry (deterministic md5 draw)
+INC_DELTA_PCT = 20
+
+
+def _inc_delta_pred(d: Dialect, col: str = "doc_id") -> str:
+    """Deterministic membership draw: is this doc part of the incoming
+    delta batch (vs the already-indexed base corpus)."""
+    draw = "concat('incdelta:', " + d.s(col) + ")"
+    return f"({d.md5_int(draw)} % 100 < {INC_DELTA_PCT})"
+
+
+def incremental_lsh_sql(d: Dialect) -> str:
+    """Oracle for :func:`q_incremental_lsh`: FULL recompute — corpus-wide
+    bands + shingles, candidate pairs restricted to (new in delta) ×
+    (existing in base, or earlier-arrived delta with smaller doc_id),
+    exact-Jaccard verified. Structurally different from the Spark runner
+    (which probes a staged base index), so a hash match validates the
+    incremental re-expression, not a shared code path."""
+    pred_n = _inc_delta_pred(d, "n.doc_id")
+    return f"""
+WITH {_minhash_cte(d)},
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_doc, e.doc_id AS old_doc
+  FROM bands n
+  JOIN bands e ON e.band = n.band AND e.bh = n.bh AND e.doc_id <> n.doc_id
+  WHERE {pred_n}
+    AND (NOT {_inc_delta_pred(d, 'e.doc_id')} OR e.doc_id < n.doc_id)
+),
+sh3 AS (SELECT DISTINCT doc_id, h AS shingle_h FROM shingles),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh3 GROUP BY doc_id),
+inter AS (
+  SELECT c.new_doc, c.old_doc, count(*) AS n_inter
+  FROM cand c
+  JOIN sh3 x ON x.doc_id = c.new_doc
+  JOIN sh3 y ON y.doc_id = c.old_doc AND y.shingle_h = x.shingle_h
+  GROUP BY c.new_doc, c.old_doc
+)
+SELECT i.new_doc, i.old_doc, i.n_inter,
+  sa.sz + sb.sz - i.n_inter AS n_union,
+  (i.n_inter * {JACCARD_DEN} >= (sa.sz + sb.sz - i.n_inter) * {JACCARD_NUM}) AS is_dup
+FROM inter i
+JOIN sizes sa ON i.new_doc = sa.doc_id
+JOIN sizes sb ON i.old_doc = sb.doc_id
+""".strip()
+
+
+def q_incremental_lsh(spark, sf_dir: str):
+    """Incremental near-dup dedup — the nightly-APPEND production shape.
+
+    A 100 TB pipeline does not re-shingle the corpus when a day's
+    documents arrive: the MinHash band table and shingle-hash sets of the
+    already-ingested corpus ARE the persisted index, and only the delta
+    pays signature cost, then probes the index. This runner stages the
+    base index once (localCheckpoint'd views — in production: the index
+    tables on disk) and computes the delta side fresh; candidates are
+    delta×(base ∪ earlier-delta), then only candidates pay the exact
+    integer-Jaccard verify. Probe cost ∝ delta × bands; never a corpus
+    self-join. Output: (new_doc, old_doc) candidate pairs with exact
+    intersection/union counts and the is_dup verdict — the decision feed
+    a dedup gate consumes before admitting tonight's documents."""
+    d = SPARK
+    _stage_gram_arrays(spark, sf_dir)
+    pred = _inc_delta_pred(d)
+    bands = spark.sql(f"WITH {_mh_cte_from_staged(d)} SELECT * FROM bands")
+    sh = spark.sql(
+        f"SELECT DISTINCT doc_id, ({d.md5_int('shingle')} % 2147483647) AS shingle_h "
+        f"FROM (SELECT doc_id, {d.unnest('grams')} AS shingle FROM grams_staged)"
+    )
+    # the persisted index (base corpus), staged once ...
+    bands.where(f"NOT {pred}").localCheckpoint().createOrReplaceTempView("inc_bands_base")
+    sh.where(f"NOT {pred}").localCheckpoint().createOrReplaceTempView("inc_sh_base")
+    # ... and tonight's arrivals, computed fresh (cost ∝ delta)
+    bands.where(pred).localCheckpoint().createOrReplaceTempView("inc_bands_new")
+    sh.where(pred).localCheckpoint().createOrReplaceTempView("inc_sh_new")
+    return spark.sql(f"""
+WITH all_bands AS (
+  SELECT * FROM inc_bands_base UNION ALL SELECT * FROM inc_bands_new
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_doc, e.doc_id AS old_doc
+  FROM inc_bands_new n
+  JOIN all_bands e ON e.band = n.band AND e.bh = n.bh AND e.doc_id <> n.doc_id
+  LEFT JOIN (SELECT DISTINCT doc_id FROM inc_bands_new) dn ON dn.doc_id = e.doc_id
+  WHERE dn.doc_id IS NULL OR e.doc_id < n.doc_id
+),
+sh_all AS (SELECT * FROM inc_sh_base UNION ALL SELECT * FROM inc_sh_new),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh_all GROUP BY doc_id),
+inter AS (
+  SELECT c.new_doc, c.old_doc, count(*) AS n_inter
+  FROM cand c
+  JOIN sh_all x ON x.doc_id = c.new_doc
+  JOIN sh_all y ON y.doc_id = c.old_doc AND y.shingle_h = x.shingle_h
+  GROUP BY c.new_doc, c.old_doc
+)
+SELECT i.new_doc, i.old_doc, i.n_inter,
+  sa.sz + sb.sz - i.n_inter AS n_union,
+  (i.n_inter * {JACCARD_DEN} >= (sa.sz + sb.sz - i.n_inter) * {JACCARD_NUM}) AS is_dup
+FROM inter i
+JOIN sizes sa ON i.new_doc = sa.doc_id
+JOIN sizes sb ON i.old_doc = sb.doc_id
 """.strip())
 
 
@@ -836,6 +943,7 @@ QUERIES = {
         minhash_lsh_sql(DUCKDB),
     ),
     "dedup_lsh_verified_pairs": (q_lsh_verified, lsh_verified_sql(DUCKDB)),
+    "dedup_incremental_lsh": (q_incremental_lsh, incremental_lsh_sql(DUCKDB)),
     "dedup_simhash": (q_simhash, simhash_sql(DUCKDB)),
     "dedup_embedding_cosine": (q_embedding_cosine, embedding_cosine_sql(DUCKDB)),
     "dedup_keep_representative": (

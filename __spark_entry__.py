@@ -25,6 +25,7 @@ from pypgoutput_spark.lake.table import LakeTable
 from pypgoutput_spark.operators import (
     analytics as _analytics,
     asof as _asof,
+    corpus_cdc as _corpus_cdc,
     decode as _decode,
     dedup as _dedup,
     multimodal as _multimodal,
@@ -274,7 +275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_mview": q_cdc_incremental_mview,
         "cdc_time_travel": q_cdc_time_travel,
     }
-    for mod in (_text, _dedup, _similarity, _multimodal, _analytics, _asof):
+    for mod in (_text, _dedup, _similarity, _multimodal, _analytics, _asof,
+                _corpus_cdc):
         for name, (fn, _sql) in mod.QUERIES.items():
             out[name] = fn
     return out
@@ -299,7 +301,8 @@ def oracle_sql() -> dict[str, str]:
             P_ENTRY_PREFIX, with_sha=True
         ),
     }
-    for mod in (_text, _dedup, _similarity, _multimodal, _analytics, _asof):
+    for mod in (_text, _dedup, _similarity, _multimodal, _analytics, _asof,
+                _corpus_cdc):
         for name, (_fn, sql) in mod.QUERIES.items():
             if sql is not None:
                 out[name] = sql

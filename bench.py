@@ -171,6 +171,7 @@ BENCH_QUERIES = (
     "join_events_asof_promos",
     "join_events_range_promos",
     "cdc_incremental_mview",
+    "cdc_documents_corpus",
 )
 
 

@@ -16,8 +16,9 @@ directly to the documents table (update-then-delete semantics in SQL),
 so a hash match verifies decode + transaction stamping + LWW + MOR
 resolution for a second, differently-shaped relation.
 
-Scale: the entry ingests in 3 micro-batches over 4 WAL segments (decode
-parallelism = segments, as in production); the Spark-free pandas encode
+Scale: the entry ingests in 4 micro-batches, one per WAL segment
+(decode parallelism = segments, as in production; the segment-split
+batch cut yields exactly one batch per segment here); the Spark-free pandas encode
 of the synthetic stream is test-fixture cost, not engine cost — a real
 deployment's frames arrive from the receiver/walsock seams.
 
@@ -85,9 +86,19 @@ def encode_documents_frames(sf_dir: str):
     )
     rows.append({"segment": 0, "lsn": 1, "mtype": "R", "payload": rel})
 
+    def _cell(v):
+        # SQL NULL rides the wire as an 'n' cell (never the string
+        # 'None'/'nan' — the generic codec supports null cells and the
+        # oracle preserves NULL); pandas surfaces parquet NULLs as
+        # None/NaN depending on dtype
+        if v is None or (isinstance(v, float) and v != v):
+            return ("n", None)
+        return ("t", str(v))
+
     def cells(doc_id, text, lang, source):
-        return [("t", str(doc_id)), ("t", text), ("t", str(lang)),
-                ("t", str(source)), ("t", str(len(text)))]
+        n_chars = None if text is None else len(text)
+        return [_cell(doc_id), _cell(text), _cell(lang),
+                _cell(source), _cell(n_chars)]
 
     key_only = lambda doc_id: [  # noqa: E731 — K image: key cell + NULLs
         ("t", str(doc_id)), ("n", None), ("n", None), ("n", None), ("n", None)
@@ -110,11 +121,12 @@ def encode_documents_frames(sf_dir: str):
             ),
         })
         if _draw("docu", row.doc_id) < UPD_PCT:
+            # NULL || suffix is NULL in SQL — mirror it (oracle parity)
+            rev = None if row.text is None else row.text + REV_SUFFIX
             rows.append({
                 "segment": seg, "lsn": ev + 1, "mtype": "U",
                 "payload": codec.encode_update(
-                    REL_ID,
-                    cells(row.doc_id, row.text + REV_SUFFIX, row.lang, row.source),
+                    REL_ID, cells(row.doc_id, rev, row.lang, row.source),
                 ),
             })
         if _draw("docd", row.doc_id) < DEL_PCT:
@@ -145,7 +157,7 @@ def q_documents_corpus(spark, sf_dir: str):
         schema=[(c, "string") for c in COLUMNS],
         key_cols=["doc_id"], n_buckets=8,
     )
-    _pipeline.run_ingest(spark, frames, table, relation_id=REL_ID, n_batches=3)
+    _pipeline.run_ingest(spark, frames, table, relation_id=REL_ID, n_batches=4)
     d = SPARK
     final = table.read()
     final.createOrReplaceTempView("cdc_docs_final")

@@ -339,6 +339,13 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
                     f"Truncate inside a streamed transaction at lsn={lsn} "
                     "is not supported"
                 )
+            if len(b) < 6:
+                # typed error BEFORE the unpack: a <5-byte T would
+                # otherwise escape strict mode as raw struct.error
+                raise ValueError(
+                    f"truncated pgoutput 'T' message ({len(b)} bytes; "
+                    "corrupt frame)"
+                )
             (n_rel,) = _unpack_i32(b, 1)
             if n_rel < 0 or 6 + 4 * n_rel > len(b):
                 # typed error (not struct.error) for a flipped n_rel byte

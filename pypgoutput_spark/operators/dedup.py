@@ -359,6 +359,17 @@ JOIN sizes sb ON i.old_doc = sb.doc_id
 """.strip()
 
 
+def _inc_view_names(sf_dir: str) -> dict:
+    """Corpus-scoped names for the staged base-index views (same rule as
+    similarity._pq_view_names: the corpus identity must be IN the name,
+    and view existence in the session catalog IS the build-once memo)."""
+    import hashlib as _hl
+
+    tag = _hl.md5(sf_dir.encode("utf-8")).hexdigest()[:8]
+    return {v: f"{v}_{tag}" for v in
+            ("inc_bands_base", "inc_sh_base", "inc_bands_new", "inc_sh_new")}
+
+
 def q_incremental_lsh(spark, sf_dir: str):
     """Incremental near-dup dedup — the nightly-APPEND production shape.
 
@@ -366,39 +377,53 @@ def q_incremental_lsh(spark, sf_dir: str):
     documents arrive: the MinHash band table and shingle-hash sets of the
     already-ingested corpus ARE the persisted index, and only the delta
     pays signature cost, then probes the index. This runner stages the
-    base index once (localCheckpoint'd views — in production: the index
-    tables on disk) and computes the delta side fresh; candidates are
-    delta×(base ∪ earlier-delta), then only candidates pay the exact
-    integer-Jaccard verify. Probe cost ∝ delta × bands; never a corpus
-    self-join. Output: (new_doc, old_doc) candidate pairs with exact
+    base index ONCE per (session, corpus) — the memo is catalog existence
+    of the corpus-scoped view, exactly the PQ staging rule — and computes
+    the delta side fresh on every call: the delta-predicate filter on
+    doc_id pushes below the signature aggregates to the scan, so warm
+    serves shingle only tonight's documents. Candidates are delta×(base
+    ∪ earlier-delta), then only candidates pay the exact integer-Jaccard
+    verify. Probe cost ∝ delta × bands; never a corpus self-join.
+    Output: (new_doc, old_doc) candidate pairs with exact
     intersection/union counts and the is_dup verdict — the decision feed
     a dedup gate consumes before admitting tonight's documents."""
+    from pypgoutput_spark.operators.qlib import register_views
+
     d = SPARK
-    _stage_gram_arrays(spark, sf_dir)
+    nm = _inc_view_names(sf_dir)
     pred = _inc_delta_pred(d)
-    bands = spark.sql(f"WITH {_mh_cte_from_staged(d)} SELECT * FROM bands")
-    sh = spark.sql(
-        f"SELECT DISTINCT doc_id, ({d.md5_int('shingle')} % 2147483647) AS shingle_h "
-        f"FROM (SELECT doc_id, {d.unnest('grams')} AS shingle FROM grams_staged)"
-    )
-    # the persisted index (base corpus), staged once ...
-    bands.where(f"NOT {pred}").localCheckpoint().createOrReplaceTempView("inc_bands_base")
-    sh.where(f"NOT {pred}").localCheckpoint().createOrReplaceTempView("inc_sh_base")
-    # ... and tonight's arrivals, computed fresh (cost ∝ delta)
-    bands.where(pred).localCheckpoint().createOrReplaceTempView("inc_bands_new")
-    sh.where(pred).localCheckpoint().createOrReplaceTempView("inc_sh_new")
+    if not spark.catalog.tableExists(nm["inc_sh_base"]):
+        # build the persisted index (base corpus) — once per corpus
+        _stage_gram_arrays(spark, sf_dir)
+        bands = spark.sql(f"WITH {_mh_cte_from_staged(d)} SELECT * FROM bands")
+        sh = spark.sql(
+            f"SELECT DISTINCT doc_id, ({d.md5_int('shingle')} % 2147483647) AS shingle_h "
+            f"FROM (SELECT doc_id, {d.unnest('grams')} AS shingle FROM grams_staged)"
+        )
+        bands.where(f"NOT {pred}").localCheckpoint().createOrReplaceTempView(nm["inc_bands_base"])
+        sh.where(f"NOT {pred}").localCheckpoint().createOrReplaceTempView(nm["inc_sh_base"])
+    # tonight's arrivals: computed fresh per call, DELTA-ONLY cost (the
+    # doc_id predicate pushes through the group-by/explode to the scan)
+    register_views(spark, sf_dir, ("documents",))
+    spark.sql(
+        f"WITH {_minhash_cte(d)} SELECT * FROM bands WHERE {pred}"
+    ).localCheckpoint().createOrReplaceTempView(nm["inc_bands_new"])
+    spark.sql(
+        f"WITH {_minhash_cte(d)} SELECT DISTINCT doc_id, h AS shingle_h "
+        f"FROM shingles WHERE {pred}"
+    ).localCheckpoint().createOrReplaceTempView(nm["inc_sh_new"])
     return spark.sql(f"""
 WITH all_bands AS (
-  SELECT * FROM inc_bands_base UNION ALL SELECT * FROM inc_bands_new
+  SELECT * FROM {nm["inc_bands_base"]} UNION ALL SELECT * FROM {nm["inc_bands_new"]}
 ),
 cand AS (
   SELECT DISTINCT n.doc_id AS new_doc, e.doc_id AS old_doc
-  FROM inc_bands_new n
+  FROM {nm["inc_bands_new"]} n
   JOIN all_bands e ON e.band = n.band AND e.bh = n.bh AND e.doc_id <> n.doc_id
-  LEFT JOIN (SELECT DISTINCT doc_id FROM inc_bands_new) dn ON dn.doc_id = e.doc_id
+  LEFT JOIN (SELECT DISTINCT doc_id FROM {nm["inc_bands_new"]}) dn ON dn.doc_id = e.doc_id
   WHERE dn.doc_id IS NULL OR e.doc_id < n.doc_id
 ),
-sh_all AS (SELECT * FROM inc_sh_base UNION ALL SELECT * FROM inc_sh_new),
+sh_all AS (SELECT * FROM {nm["inc_sh_base"]} UNION ALL SELECT * FROM {nm["inc_sh_new"]}),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh_all GROUP BY doc_id),
 inter AS (
   SELECT c.new_doc, c.old_doc, count(*) AS n_inter

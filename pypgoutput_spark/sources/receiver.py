@@ -117,7 +117,7 @@ def logical_slots_pdf(p: GenParams, txn_lo: int = 0, txn_hi: Optional[int] = Non
     def interleaved_of(txns):
         """Is this txn half of an interleaved chunk pair — both members
         of the adjacent pair (2k, 2k+1) drew streamed (generator's
-        interleave_exprs, replicated)."""
+        interleave_exprs, replicated; O(n_txns) control-frame use only)."""
         t = np.asarray(txns)
         if not interleaving:
             return np.zeros(len(t), dtype=bool)
@@ -125,24 +125,16 @@ def logical_slots_pdf(p: GenParams, txn_lo: int = 0, txn_hi: Optional[int] = Non
         return streamed_of(t) & streamed_of(partner) & (partner < p.n_txns)
 
     h1 = (ops + 1) // 2  # first-chunk DML count (generator layout)
-    op_idx = i % ops
-    il_ev = interleaved_of(txn)
-    # event LSN under chunk interleaving: the closed-form remap of
-    # generator._interleave_event_lsn — pair window base + per-half offset
-    off0 = np.where(op_idx < h1, 1 + op_idx, h1 + 5 + op_idx)
-    off1 = np.where(op_idx < h1, h1 + 3 + op_idx, ops + 7 + op_idx)
-    ev_lsn = np.where(
-        il_ev,
-        10 + (txn - txn % 2) * stride + np.where(txn % 2 == 0, off0, off1),
-        10 + txn * stride + (op_idx + 1),
-    )
-
+    # event lsn/segment/streamed come from the DuckDB event query itself
+    # (duckdb_events_sql emits the interleave LSN remap and the stream
+    # draw per event) — ONE closed-form source, no numpy re-derivation
+    # to drift from generator._interleave_event_lsn
     o = pd.DataFrame(
         {
-            "segment": txn // tps,
+            "segment": ev["segment"].to_numpy(),
             "txn": txn,
             "kind": "O",
-            "lsn": ev_lsn,
+            "lsn": ev["lsn"].to_numpy(),
             "commit_ts_us": txn * 1_000_000,
             "xid": 1000 + txn,
             "rel": ev["rel"].to_numpy(),
@@ -155,7 +147,7 @@ def logical_slots_pdf(p: GenParams, txn_lo: int = 0, txn_hi: Optional[int] = Non
             "content_unchanged": ev["content_unchanged"].astype(bool),
             "old_repo": ev["old_repo"],
             "old_path": ev["old_path"],
-            "streamed": streamed_of(txn),
+            "streamed": ev["streamed"].to_numpy().astype(bool),
         }
     )
     txns = np.arange(txn_lo, txn_hi)

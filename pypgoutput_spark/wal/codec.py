@@ -331,9 +331,13 @@ def decode_message(payload: bytes) -> dict:
         cells, pos = _read_tuple(mv, pos)
         return {"msg_type": "D", "relation_id": relation_id, "old_kind": kind, "old": cells}
     if t == "T":
+        # typed errors for truncation/corruption, never struct.error:
+        # length-check BEFORE unpacking n_rel, then bound the relid list
+        if len(mv) < pos + 5:
+            raise ValueError(
+                f"truncated pgoutput 'T' message ({len(mv)} bytes; corrupt frame)"
+            )
         (n_rel,) = _I32.unpack_from(mv, pos)
-        # a flipped n_rel byte or truncated frame must raise a TYPED
-        # error, not struct.error out of the relid unpack below
         if n_rel < 0 or pos + 5 + 4 * n_rel > len(mv):
             raise ValueError(
                 f"Truncate relation list overruns the frame "

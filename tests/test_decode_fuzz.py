@@ -195,3 +195,18 @@ def test_corrupt_update_old_image_last_cell_raises_typed():
     u[15:19] = (0x7FFFFFF0).to_bytes(4, "big")
     with pytest.raises(ValueError, match="Update old-image TupleData overruns"):
         _strict_run([bytes(u)], plain)
+
+
+def test_short_truncate_frame_raises_typed():
+    """A 'T' frame shorter than its fixed header must raise ValueError
+    (not struct.error) from the loop kernel in strict mode and from
+    codec.decode_message directly."""
+    import pandas as pd
+
+    plain = _plain_registry()
+    for short in (b"T", b"T\x00", b"T\x00\x00\x00"):
+        with pytest.raises(ValueError, match="truncated pgoutput 'T'"):
+            codec.decode_message(short)
+        pdf = pd.DataFrame({"segment": [1], "lsn": [10], "payload": [short]})
+        with pytest.raises(ValueError):
+            decode_op._loop_decode_pdf(pdf, {}, plain, strict=True)

@@ -27,6 +27,7 @@ from pypgoutput_spark.operators import (
     asof as _asof,
     corpus_cdc as _corpus_cdc,
     decode as _decode,
+    sketches as _sketches,
     dedup as _dedup,
     multimodal as _multimodal,
     similarity as _similarity,
@@ -276,7 +277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_travel": q_cdc_time_travel,
     }
     for mod in (_text, _dedup, _similarity, _multimodal, _analytics, _asof,
-                _corpus_cdc):
+                _corpus_cdc, _sketches):
         for name, (fn, _sql) in mod.QUERIES.items():
             out[name] = fn
     return out
@@ -302,7 +303,7 @@ def oracle_sql() -> dict[str, str]:
         ),
     }
     for mod in (_text, _dedup, _similarity, _multimodal, _analytics, _asof,
-                _corpus_cdc):
+                _corpus_cdc, _sketches):
         for name, (_fn, sql) in mod.QUERIES.items():
             if sql is not None:
                 out[name] = sql

@@ -165,6 +165,9 @@ BENCH_QUERIES = (
     "cdc_events_latest_by_user",
     "events_sessionize",
     "events_windowed_stats",
+    "events_funnel",
+    "sketch_kmv_distinct",
+    "sketch_sample_quantiles",
     "agg_pricing_summary",
     "join_nation_revenue",
     "join_order_rollup",

@@ -198,6 +198,44 @@ def _runner(sql_builder, tables):
     return run
 
 
+def events_funnel_sql(d: Dialect) -> str:
+    """Three-stage conversion funnel over the event stream: first 'view',
+    first 'click' strictly after it, first 'purchase' strictly after
+    that — per user, then the per-stage user counts and the total
+    click→purchase latency. The standard product-analytics query.
+
+    Scale: three user_id-keyed min() aggregates chained by equi-joins —
+    every aggregate partial-combines map-side and every join is on the
+    (already-shuffled) user_id key, so a 100 TB event log pays one
+    user_id shuffle reused across stages; no window over the full
+    stream, no self-cross-product.
+    """
+    t = _epoch_us(d, "ts")
+    return f"""
+WITH ev AS (SELECT user_id, event_type, {t} AS t_us FROM events),
+v AS (
+  SELECT user_id, min(t_us) AS t0 FROM ev
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT ev.user_id, min(ev.t_us) AS t1
+  FROM ev JOIN v ON ev.user_id = v.user_id AND ev.t_us > v.t0
+  WHERE ev.event_type = 'click' GROUP BY ev.user_id
+),
+p AS (
+  SELECT ev.user_id, min(ev.t_us) AS t2
+  FROM ev JOIN c ON ev.user_id = c.user_id AND ev.t_us > c.t1
+  WHERE ev.event_type = 'purchase' GROUP BY ev.user_id
+)
+SELECT
+  (SELECT count(*) FROM v) AS n_view,
+  (SELECT count(*) FROM c) AS n_click_after_view,
+  (SELECT count(*) FROM p) AS n_purchase_after_click,
+  (SELECT CAST(COALESCE(sum(p.t2 - c.t1), 0) AS BIGINT)
+   FROM p JOIN c ON p.user_id = c.user_id) AS total_click_to_purchase_us
+""".strip()
+
+
 QUERIES = {
     "cdc_events_latest_by_user": (
         _runner(events_latest_by_user_sql, ("events",)),
@@ -221,6 +259,7 @@ QUERIES = {
         running_value_sql(DUCKDB),
     ),
     "events_topk_users": (_runner(topk_users_sql, ("events",)), topk_users_sql(DUCKDB)),
+    "events_funnel": (_runner(events_funnel_sql, ("events",)), events_funnel_sql(DUCKDB)),
     "agg_pricing_summary": (
         _runner(pricing_summary_sql, ("lineitem",)),
         pricing_summary_sql(DUCKDB),

@@ -1,0 +1,142 @@
+"""Deterministic sketch operators — cardinality and quantile estimation.
+
+At 100 TB, exact `count(DISTINCT)` and exact global quantiles are
+shuffle-heavy (the distinct shuffle moves every unique value; an exact
+quantile sorts the world). Production engines answer with mergeable
+sketches — HLL for cardinality, KLL/t-digest for quantiles. Those
+sketches are RANDOMIZED and engine-specific, so they cannot be
+oracle-verified across engines; these operators implement their
+deterministic md5-derived cousins with bit-identical results in Spark
+and DuckDB, verifying the *estimator arithmetic* end to end:
+
+  - KMV (k-minimum-values) distinct estimation: hash every value to a
+    uniform 60-bit integer, keep the k smallest per group, estimate
+    D ≈ (k-1)·2^60 / h_k (integer division — exact in both engines).
+    Production form: the k-min set is a mergeable bounded sketch
+    (per-partition k smallest, merge-combine); the SQL rendering here
+    reaches the same numbers through a rank window, which is the
+    verification harness, not the 100 TB plan. Spark's native
+    production path is `approx_count_distinct` (HLL++), whose error
+    the test suite compares against this estimator.
+  - Bottom-k sampled quantiles: a deterministic fixed-size sample per
+    group (the k rows with the smallest md5(doc_id) draws — stable
+    under resharding and engine choice), then exact nearest-rank
+    quantiles WITHIN the sample. The sample is the bounded-memory
+    object a 100 TB job would actually ship to the driver; accuracy
+    follows the usual ±O(1/√k) sampling bound (test-pinned against the
+    exact quantiles).
+
+Reference scope note: the reference pipeline (dgea005/pypgoutput) stops
+at decoded change events; sketches are part of the downstream analytics
+surface this engine adds (same scope note as operators/asof.py).
+"""
+
+from __future__ import annotations
+
+from pypgoutput_spark.functions.detsql import DUCKDB, SPARK, Dialect
+from pypgoutput_spark.operators.qlib import run_sql
+
+#: KMV sketch size (estimate error ~ 1/sqrt(K) ≈ 12.5%)
+KMV_K = 64
+#: bottom-k sample size per group for quantile estimation
+SAMPLE_K = 256
+#: hash-space modulus: 54 bits so (KMV_K - 1) * HASH_M stays inside
+#: INT64 (63 * 2^54 < 2^60) — the estimator is pure BIGINT arithmetic
+HASH_M = 1 << 54
+
+
+def kmv_distinct_sql(d: Dialect, k: int = KMV_K) -> str:
+    """Per-source distinct-content cardinality: exact count and the KMV
+    estimate from the k-th smallest content hash. Groups with fewer than
+    k distinct values fall back to the exact count (the sketch has seen
+    everything)."""
+    hv = f"({d.md5_int('text')} % {HASH_M})"
+    return f"""
+WITH h AS (
+  SELECT DISTINCT source, {hv} AS hv
+  FROM documents WHERE n_chars > 0
+),
+ranked AS (
+  SELECT source, hv,
+    row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+  FROM h
+),
+kth AS (SELECT source, hv AS h_k FROM ranked WHERE rn = {k}),
+exact AS (SELECT source, count(*) AS exact_distinct FROM h GROUP BY source)
+SELECT e.source,
+  CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
+  CAST(COALESCE({d.idiv(f"({k} - 1) * CAST({HASH_M} AS BIGINT)", "NULLIF(kth.h_k, 0)")},
+       e.exact_distinct) AS BIGINT) AS kmv_estimate
+FROM exact e LEFT JOIN kth ON kth.source = e.source
+""".strip()
+
+
+def sample_quantiles_sql(d: Dialect, k: int = SAMPLE_K) -> str:
+    """Per-source token-count quantiles from a deterministic bottom-k
+    sample (smallest md5(doc_id) draws), nearest-rank within the sample
+    — plus the exact quantiles from the full group for error
+    visibility. Both are positional (rank = ceil(q·n), doc_id
+    tiebreak), so the output is bit-identical across engines."""
+    toks = f"{d.array_len(d.split_ws('text'))}"
+    draw = f"({d.md5_int(d.s('doc_id'))} % {HASH_M})"
+
+    def nearest_rank(src: str, q_num: int, q_den: int, n_col: str) -> str:
+        # rank ceil(q*n) with integer arithmetic: (q_num*n + q_den - 1) div q_den
+        return f"{d.idiv(f'({q_num} * {src}.{n_col} + {q_den} - 1)', str(q_den))}"
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, CAST({toks} AS BIGINT) AS n_tok, {draw} AS draw
+  FROM documents WHERE n_chars > 0
+),
+sampled AS (
+  SELECT source, doc_id, n_tok FROM (
+    SELECT source, doc_id, n_tok,
+      row_number() OVER (PARTITION BY source ORDER BY draw, doc_id) AS srn
+    FROM t
+  ) WHERE srn <= {k}
+),
+s_ranked AS (
+  SELECT source, n_tok,
+    row_number() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS rn,
+    count(*) OVER (PARTITION BY source) AS n
+  FROM sampled
+),
+f_ranked AS (
+  SELECT source, n_tok,
+    row_number() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS rn,
+    count(*) OVER (PARTITION BY source) AS n
+  FROM t
+),
+s_q AS (
+  SELECT source,
+    max(n) AS sample_n,
+    max(CASE WHEN rn = {nearest_rank('s_ranked', 1, 2, 'n')} THEN n_tok END) AS q50_sample,
+    max(CASE WHEN rn = {nearest_rank('s_ranked', 9, 10, 'n')} THEN n_tok END) AS q90_sample
+  FROM s_ranked GROUP BY source
+),
+f_q AS (
+  SELECT source,
+    max(CASE WHEN rn = {nearest_rank('f_ranked', 1, 2, 'n')} THEN n_tok END) AS q50_exact,
+    max(CASE WHEN rn = {nearest_rank('f_ranked', 9, 10, 'n')} THEN n_tok END) AS q90_exact
+  FROM f_ranked GROUP BY source
+)
+SELECT s_q.source, sample_n, q50_sample, q90_sample, q50_exact, q90_exact
+FROM s_q JOIN f_q ON f_q.source = s_q.source
+""".strip()
+
+
+def _runner(sql_builder, tables=("documents",)):
+    def run(spark, sf_dir: str):
+        return run_sql(spark, sf_dir, sql_builder(SPARK), tables=tables,
+                       spread=("documents",))
+
+    return run
+
+
+QUERIES = {
+    "sketch_kmv_distinct": (_runner(kmv_distinct_sql), kmv_distinct_sql(DUCKDB)),
+    "sketch_sample_quantiles": (
+        _runner(sample_quantiles_sql), sample_quantiles_sql(DUCKDB),
+    ),
+}

@@ -34,10 +34,14 @@ walsender client — and reconstructs both at capture time:
     file, and an immediate one for any keepalive with replyRequested —
     the ack a real primary uses to advance the slot's restart LSN.
 
-What the sandbox still cannot provide is ONLY the server half: a live
-walsender and the FE/BE startup handshake (START_REPLICATION, handled by
-psycopg2's LogicalReplicationConnection in the reference). Everything
-after the handshake is the real thing.
+The FE/BE session phase is spoken too (r5): StartupMessage with
+``replication=database`` → AuthenticationOk → ParameterStatus →
+ReadyForQuery → START_REPLICATION (slot, LOGICAL, proto_version +
+publication_names) → CopyBothResponse — the byte sequence psycopg2's
+LogicalReplicationConnection performs in the reference; plain-session
+or unsupported-proto clients draw an ErrorResponse like a real
+walsender. What the sandbox still cannot provide is only the live
+PostgreSQL server itself.
 """
 
 from __future__ import annotations
@@ -105,6 +109,9 @@ class WalSocketServer:
         self.frames = list(frames)
         self.keepalive_every = keepalive_every
         self.flush_history: List[int] = []
+        #: FE/BE handshake artifacts, recorded for test assertions
+        self.startup_params: dict = {}
+        self.start_replication_query: Optional[str] = None
         self.srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self.srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self.srv.bind(("127.0.0.1", 0))
@@ -127,10 +134,58 @@ class WalSocketServer:
         except (ConnectionError, OSError):
             return
 
+    def _handshake(self, conn, rd: _SockReader) -> None:
+        """FE/BE startup + replication-command phase (public protocol,
+        "Message Formats" + "Streaming Replication Protocol"): consume
+        the StartupMessage (protocol 3.0; ``replication=database``
+        required — a plain-session client gets an ErrorResponse exactly
+        like a real walsender), answer AuthenticationOk →
+        ParameterStatus → ReadyForQuery, then accept one
+        START_REPLICATION simple query (proto_version 1 or 2) and enter
+        COPY-both with CopyBothResponse."""
+        (ln,) = _I32.unpack(rd.read(4))
+        body = rd.read(ln - 4)
+        (proto,) = _I32.unpack_from(body, 0)
+        if proto != 196608:  # protocol 3.0
+            raise ValueError(f"unsupported FE protocol {proto}")
+        parts = body[4:].split(b"\x00")
+        self.startup_params = {
+            parts[i].decode(): parts[i + 1].decode()
+            for i in range(0, len(parts) - 1, 2) if parts[i]
+        }
+        if self.startup_params.get("replication") != "database":
+            err = (b"SFATAL\x00C08P01\x00Mlogical replication requires "
+                   b"replication=database\x00\x00")
+            conn.sendall(b"E" + _I32.pack(4 + len(err)) + err)
+            raise ValueError("client did not request a replication session")
+        out = bytearray(b"R" + _I32.pack(8) + _I32.pack(0))  # AuthenticationOk
+        for k, v in (("server_version", "16.0"), ("integer_datetimes", "on")):
+            pbody = k.encode() + b"\x00" + v.encode() + b"\x00"
+            out += b"S" + _I32.pack(4 + len(pbody)) + pbody
+        out += b"Z" + _I32.pack(5) + b"I"  # ReadyForQuery (idle)
+        conn.sendall(bytes(out))
+        t = rd.read(1)
+        if t != b"Q":
+            raise ValueError(f"expected simple Query, got {t!r}")
+        (qln,) = _I32.unpack(rd.read(4))
+        q = rd.read(qln - 4).rstrip(b"\x00").decode()
+        self.start_replication_query = q
+        if not q.upper().startswith("START_REPLICATION"):
+            raise ValueError(f"expected START_REPLICATION, got {q[:40]!r}")
+        if "proto_version" in q and not (
+            "proto_version '1'" in q or "proto_version '2'" in q
+        ):
+            err = b"SERROR\x00C0A000\x00Munsupported proto_version\x00\x00"
+            conn.sendall(b"E" + _I32.pack(4 + len(err)) + err)
+            raise ValueError(f"unsupported proto_version in {q!r}")
+        # CopyBothResponse: overall format 0 (text), zero columns
+        conn.sendall(b"W" + _I32.pack(7) + b"\x00" + struct.pack(">h", 0))
+
     def _serve(self) -> None:
         try:
             conn, _ = self.srv.accept()
             rd = _SockReader(conn)
+            self._handshake(conn, rd)
             stop = threading.Event()
             fb = threading.Thread(
                 target=self._feedback_loop, args=(rd, stop), daemon=True
@@ -182,10 +237,16 @@ class SocketWalReceiver:
     landed file — plus an immediate ack for any keepalive that requests
     a reply."""
 
-    def __init__(self, addr, frames_dir: str, segment_frames: int = 1000):
+    def __init__(self, addr, frames_dir: str, segment_frames: int = 1000,
+                 slot: str = "pypgoutput_spark", publication: str = "pub",
+                 proto_version: int = 1):
         self.addr = addr
         self.frames_dir = frames_dir
         self.segment_frames = segment_frames
+        self.slot, self.publication = slot, publication
+        self.proto_version = proto_version
+        #: ParameterStatus values the server reported during startup
+        self.server_params: dict = {}
         os.makedirs(frames_dir, exist_ok=True)
         self.flush_lsn = -1
         self.next_seg = 0
@@ -271,10 +332,54 @@ class SocketWalReceiver:
             b"r" + _STATUS.pack(lsn1, lsn1, lsn1, _now_pg_us(), reply)
         ))
 
+    def _handshake(self, sock: socket.socket, rd: _SockReader) -> None:
+        """The psycopg2-LogicalReplicationConnection analog: StartupMessage
+        with ``replication=database``, read Authentication/ParameterStatus
+        through ReadyForQuery, issue START_REPLICATION (slot, LOGICAL,
+        proto_version + publication_names options), expect
+        CopyBothResponse."""
+        pairs = (("user", "replicator"), ("database", "postgres"),
+                 ("replication", "database"))
+        body = _I32.pack(196608) + b"".join(
+            k.encode() + b"\x00" + v.encode() + b"\x00" for k, v in pairs
+        ) + b"\x00"
+        sock.sendall(_I32.pack(4 + len(body)) + body)
+        while True:
+            t = rd.read(1)
+            (ln,) = _I32.unpack(rd.read(4))
+            mbody = rd.read(ln - 4)
+            if t == b"R":
+                (code,) = _I32.unpack_from(mbody, 0)
+                if code != 0:
+                    raise ValueError(f"unsupported authentication code {code}")
+            elif t == b"S":
+                k, v = mbody.split(b"\x00")[:2]
+                self.server_params[k.decode()] = v.decode()
+            elif t == b"E":
+                raise ValueError(f"server ErrorResponse during startup: {mbody!r}")
+            elif t == b"Z":
+                break
+            else:
+                raise ValueError(f"unexpected startup message {t!r}")
+        q = (
+            f"START_REPLICATION SLOT \"{self.slot}\" LOGICAL 0/0 "
+            f"(proto_version '{self.proto_version}', "
+            f"publication_names '\"{self.publication}\"')"
+        ).encode() + b"\x00"
+        sock.sendall(b"Q" + _I32.pack(4 + len(q)) + q)
+        t = rd.read(1)
+        (ln,) = _I32.unpack(rd.read(4))
+        mbody = rd.read(ln - 4)
+        if t == b"E":
+            raise ValueError(f"START_REPLICATION refused: {mbody!r}")
+        if t != b"W":
+            raise ValueError(f"expected CopyBothResponse, got {t!r}")
+
     def run(self) -> None:
         sock = socket.create_connection(self.addr)
         try:
             rd = _SockReader(sock)
+            self._handshake(sock, rd)
             while True:
                 t = rd.read(1)
                 (ln,) = _I32.unpack(rd.read(4))

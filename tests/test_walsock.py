@@ -2,8 +2,9 @@
 (sources/walsock.py): XLogData / keepalive / StatusUpdate byte framing,
 capture-time mtype stamping, receiver-side safe-boundary segment
 rolling, flush-LSN feedback — the ``consume_stream`` +
-``send_feedback`` loop (reference reader.py:334-390) minus only the
-live walsender and its FE/BE handshake.
+``send_feedback`` loop (reference reader.py:334-390) including the
+FE/BE startup + START_REPLICATION phase — minus only the live
+walsender itself.
 """
 
 from __future__ import annotations
@@ -161,3 +162,57 @@ def test_torn_control_frame_does_not_kill_observer(tmp_path):
     assert r._observe(b"E") == "E"
     assert r._observe(b"c" + struct.pack(">i", 9) + b"\x00" + b"\x00" * 24) == "c"
     assert r._safe_cut()
+
+
+def test_handshake_negotiates_replication_session(tmp_path):
+    """The FE/BE startup + START_REPLICATION phase: the server sees a
+    replication=database StartupMessage and the slot/publication/
+    proto_version command; the client records the server's
+    ParameterStatus values."""
+    frames, _ = _frames_and_meta(gen.GenParams(n_txns=4, ops_per_txn=2))
+    srv = WalSocketServer(frames, keepalive_every=1000).start()
+    rx = SocketWalReceiver(
+        srv.addr, str(tmp_path / "frames"), segment_frames=50,
+        slot="my_slot", publication="my_pub", proto_version=2,
+    )
+    rx.run()
+    srv.join()
+    assert srv.startup_params.get("replication") == "database"
+    assert srv.startup_params.get("user") == "replicator"
+    q = srv.start_replication_query
+    assert q.startswith('START_REPLICATION SLOT "my_slot" LOGICAL 0/0')
+    assert "proto_version '2'" in q and '"my_pub"' in q
+    assert rx.server_params.get("server_version") == "16.0"
+    assert rx.segments_landed > 0
+
+
+def test_handshake_refuses_unsupported_proto_version(tmp_path):
+    """proto_version '3' draws an ErrorResponse before COPY-both — the
+    loud-refusal policy at the wire boundary."""
+    frames, _ = _frames_and_meta(gen.GenParams(n_txns=2, ops_per_txn=2))
+    srv = WalSocketServer(frames).start()
+    rx = SocketWalReceiver(
+        srv.addr, str(tmp_path / "frames"), proto_version=3,
+    )
+    with pytest.raises(ValueError, match="START_REPLICATION refused"):
+        rx.run()
+    with pytest.raises(ValueError, match="unsupported proto_version"):
+        srv.join()
+
+
+def test_handshake_refuses_non_replication_session(tmp_path):
+    """A plain-session StartupMessage (no replication=database) gets a
+    FATAL ErrorResponse, like a real walsender-only endpoint."""
+    import socket as _socket
+    import struct as _struct
+
+    frames, _ = _frames_and_meta(gen.GenParams(n_txns=2, ops_per_txn=2))
+    srv = WalSocketServer(frames).start()
+    sock = _socket.create_connection(srv.addr)
+    body = _struct.pack(">i", 196608) + b"user\x00alice\x00\x00"
+    sock.sendall(_struct.pack(">i", 4 + len(body)) + body)
+    t = sock.recv(1)
+    assert t == b"E", "server must answer ErrorResponse"
+    sock.close()
+    with pytest.raises(ValueError, match="replication session"):
+        srv.join()

@@ -246,6 +246,34 @@ FROM final_state GROUP BY lang
 """.strip()
 
 
+def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-table point reads over the CDC mirror: ``LakeTable.lookup``
+    answers a key-set probe by scanning ONLY the hash buckets the keys
+    map to (manifest bucket pruning — at 100 TB a 64-bucket table reads
+    1/64th of its files per probed bucket) and semi-joins the broadcast
+    probe; dirty buckets resolve through the normal merge-on-read LWW
+    rule. The probe here is the deterministic ~1/8 key subset whose
+    ``md5(repo|path)`` starts below '20' — expressible identically in
+    the DuckDB oracle, so the hash match proves lookup ≡ filtered full
+    read."""
+    table = _ingest_cdc(spark, P_ENTRY)
+    probe = (
+        table.read().selectExpr("repo", "path")
+        .where("md5(concat(repo, '|', path)) < '20'").distinct()
+    )
+    return table.lookup(probe).selectExpr(
+        "repo", "path", "`commit`", "lang", "content",
+        "sha2(content, 256) AS content_sha",
+    )
+
+
+def _cdc_point_lookup_oracle(p: _gen.GenParams) -> str:
+    return f"""
+WITH final_state AS ({_gen.duckdb_final_state_sql(p, with_sha=True)})
+SELECT * FROM final_state WHERE md5(repo || '|' || path) < '20'
+""".strip()
+
+
 def _cdc_decoded_events_oracle(p: _gen.GenParams) -> str:
     stride = p.lsn_stride
     return f"""
@@ -275,6 +303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_streamed_final_state": q_cdc_streamed_final_state,
         "cdc_incremental_mview": q_cdc_incremental_mview,
         "cdc_time_travel": q_cdc_time_travel,
+        "cdc_point_lookup": q_cdc_point_lookup,
     }
     for mod in (_text, _dedup, _similarity, _multimodal, _analytics, _asof,
                 _corpus_cdc, _sketches):
@@ -301,6 +330,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_time_travel": _gen.duckdb_final_state_sql(
             P_ENTRY_PREFIX, with_sha=True
         ),
+        "cdc_point_lookup": _cdc_point_lookup_oracle(P_ENTRY),
     }
     for mod in (_text, _dedup, _similarity, _multimodal, _analytics, _asof,
                 _corpus_cdc, _sketches):

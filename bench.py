@@ -138,6 +138,7 @@ def bench_cdc(spark, sf: float, salt_buckets: int = 0, params=None,
 BENCH_QUERIES = (
     "cdc_pipeline_final_state",
     "cdc_streamed_final_state",
+    "cdc_point_lookup",
     "text_fingerprint",
     "text_quality_score",
     "text_repetition",
@@ -147,6 +148,7 @@ BENCH_QUERIES = (
     "corpus_decontaminate",
     "corpus_training_pipeline",
     "corpus_training_ready",
+    "corpus_ngram_counts",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh_pairs",
     "dedup_lsh_verified_pairs",

@@ -112,6 +112,14 @@ class Dialect:
         fn = "explode" if self.name == "spark" else "unnest"
         return f"{fn}({arr})"
 
+    def array_concat(self, *arrs: str) -> str:
+        if self.name == "spark":
+            return f"concat({', '.join(arrs)})"
+        out = arrs[0]
+        for a in arrs[1:]:
+            out = f"list_concat({out}, {a})"
+        return out
+
     def array_distinct(self, arr: str) -> str:
         fn = "array_distinct" if self.name == "spark" else "list_distinct"
         return f"{fn}({arr})"

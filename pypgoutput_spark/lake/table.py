@@ -273,6 +273,50 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    def lookup(self, keys, version: Optional[int] = None, resolve: Optional[str] = None):
+        """Point lookup: current rows for the requested keys, scanning only
+        the hash buckets those keys map to.
+
+        ``keys``: a list of dicts / tuples (in ``key_cols`` order; bare
+        scalars allowed for single-column keys), or a DataFrame carrying
+        the key columns. The key set is a service-style point read — it
+        is collected (bounded by the probe size, not the table) to
+        compute its bucket cohort from the manifest, then broadcast for
+        the semi-join.
+
+        This is what makes a CDC mirror usable as a serving table at
+        100 TB: the manifest prunes the scan to
+        ``|distinct buckets| <= min(|keys|, n_buckets)`` — a 64-bucket
+        table answers a single-key probe from 1/64th of the files (plus
+        that bucket's deltas under merge-on-read, resolved with the
+        normal LWW read rule) — and the key equality reaches the pruned
+        scan as a broadcast semi-join, never a shuffle.
+        """
+        snap = self.snapshot(version)
+        key_cols = snap["key_cols"]
+        key_types = {n: t for n, t in snap["schema"] if n in key_cols}
+        key_ddl = ", ".join(f"`{n}` {key_types[n]}" for n in key_cols)
+        if hasattr(keys, "select"):  # a DataFrame of (at least) the key cols
+            kdf = keys.selectExpr(
+                *[f"CAST(`{n}` AS {key_types[n]}) AS `{n}`" for n in key_cols]
+            ).distinct()
+        else:
+            rows = []
+            for k in keys:
+                if isinstance(k, dict):
+                    rows.append(tuple(k[c] for c in key_cols))
+                elif isinstance(k, (list, tuple)):
+                    rows.append(tuple(k))
+                else:
+                    rows.append((k,))
+            kdf = self.spark.createDataFrame(rows, schema=key_ddl).distinct()
+        cohort = kdf.select(
+            _bucket_col(key_cols, snap["n_buckets"]).alias("__b")
+        ).distinct().collect()  # tiny: <= min(|keys|, n_buckets) rows
+        buckets = sorted(r["__b"] for r in cohort)
+        df = self.read(version=version, buckets=buckets, resolve=resolve)
+        return df.join(F.broadcast(kdf), on=list(key_cols), how="left_semi")
+
     def _dirty_union(self, snap: dict, base_dirs: List[str], delta_dirs: List[str]):
         """base rows (lsn = -1, all columns carried) ∪ delta rows (their
         commit max_lsn, carrier = struct present or a 'D' reset), typed.

@@ -548,6 +548,56 @@ FROM x GROUP BY source, lang
 """.strip()
 
 
+#: grams rarer than this across the corpus are dropped — the output is
+#: the corpus's *frequent-gram vocabulary*, bounded regardless of scale
+NGRAM_MIN_COUNT = 5
+
+
+def ngram_counts_sql(d: Dialect) -> str:
+    """Corpus n-gram vocabulary: per (n, gram) total occurrences and
+    document frequency for word 1/2/3-grams — the counting workload
+    behind count-based LMs, contamination analysis, and tokenizer
+    vocabulary induction.
+
+    Scale shape (the canonical 100 TB map-reduce): ONE scan of ``text``
+    (all three gram orders are tagged ``'<n> '``-prefixed strings in a
+    single concatenated array, exploded by one generator — a UNION of
+    per-order branches would re-read the corpus three times); the
+    per-``(n, gram, doc_id)`` pre-aggregate collapses within-document
+    repeats map-side BEFORE the exchange, so shuffled rows ∝ distinct
+    grams per doc, not token count; the final ``(n, gram)`` roll-up
+    then computes doc_freq as a plain count — never a COUNT(DISTINCT)
+    over the full explode. The ``NGRAM_MIN_COUNT`` floor bounds the
+    result like any frequency-pruned vocabulary build.
+    """
+    toks = d.split_ws("text")
+    bg, tg = _ngram_exprs(d, toks="toks", n_toks="n_toks")
+    tag = lambda n, arr: d.array_transform(arr, f"x -> concat('{n} ', x)")  # noqa: E731
+    all_grams = d.array_concat(tag(1, "toks"), tag(2, bg), tag(3, tg))
+    return f"""
+WITH docs AS (
+  SELECT doc_id, toks, {d.array_len('toks')} AS n_toks
+  FROM (SELECT doc_id, {toks} AS toks FROM documents WHERE n_chars > 0)
+),
+tagged AS (
+  SELECT doc_id, {d.unnest(all_grams)} AS tg FROM docs
+),
+grams AS (
+  SELECT doc_id, CAST(substr(tg, 1, 1) AS INT) AS n, substr(tg, 3) AS gram
+  FROM tagged
+),
+per_doc AS (
+  SELECT n, gram, doc_id, count(*) AS c FROM grams GROUP BY n, gram, doc_id
+)
+SELECT n, gram,
+  CAST(sum(c) AS BIGINT) AS total_count,
+  count(*) AS doc_freq
+FROM per_doc
+GROUP BY n, gram
+HAVING CAST(sum(c) AS BIGINT) >= {NGRAM_MIN_COUNT}
+""".strip()
+
+
 # ---- Spark runners (one per queries() entry) --------------------------------
 
 
@@ -594,6 +644,10 @@ def q_training_pipeline(spark, sf_dir: str):
     return run_sql(spark, sf_dir, training_pipeline_sql(SPARK), tables=("documents",))
 
 
+def q_ngram_counts(spark, sf_dir: str):
+    return run_sql(spark, sf_dir, ngram_counts_sql(SPARK), tables=("documents",), spread=("documents",))
+
+
 def q_corpus_stats(spark, sf_dir: str):
     return run_sql(spark, sf_dir, corpus_stats_sql(SPARK), tables=("documents",), spread=("documents",))
 
@@ -610,4 +664,5 @@ QUERIES = {
     "corpus_training_pipeline": (q_training_pipeline, training_pipeline_sql(DUCKDB)),
     "corpus_training_ready": (q_corpus_training_ready, corpus_training_ready_sql(DUCKDB)),
     "corpus_stats": (q_corpus_stats, corpus_stats_sql(DUCKDB)),
+    "corpus_ngram_counts": (q_ngram_counts, ngram_counts_sql(DUCKDB)),
 }

@@ -499,6 +499,8 @@ class LakeTable:
         expected_base: Optional[Dict[str, List[str]]] = None,
         carry_metrics: Sequence[str] = (),
         cdf_buckets: Optional[Dict[str, List[str]]] = None,
+        n_buckets: Optional[int] = None,
+        expected_head_version: Optional[int] = None,
     ) -> int:
         """Publish a new snapshot (atomic, serialized by a commit lock —
         ingest and maintenance threads/processes interleave safely).
@@ -529,10 +531,22 @@ class LakeTable:
         copy-on-write rewrite mixes changed and carried rows) — recorded
         per commit (NOT cumulative), never read by :meth:`read`, only by
         :meth:`changes`; the Delta CDF ``_change_data`` sidecar analog.
+
+        ``n_buckets`` changes the table's bucket count (rebucket rewrite
+        only — every data file must already be laid out under the new
+        count). ``expected_head_version``: raise :class:`CommitConflict`
+        if any commit landed since that version — for whole-table
+        rewrites whose input was resolved at that snapshot and which
+        would otherwise silently drop concurrent commits.
         """
         _maybe_crash("pre_snapshot")
         with _commit_lock(self.meta_dir):
             prev = self.snapshot()
+            if expected_head_version is not None and prev["version"] != expected_head_version:
+                raise CommitConflict(
+                    f"head moved to v{prev['version']} (expected "
+                    f"v{expected_head_version}) since the rewrite was resolved"
+                )
             version = prev["version"] + 1
             all_dir_bytes = dict(prev.get("dir_bytes", {}))
             all_dir_bytes.update(dir_bytes or {})
@@ -599,7 +613,7 @@ class LakeTable:
                 "version": version,
                 "schema": [list(c) for c in (schema or prev["schema"])],
                 "key_cols": prev["key_cols"],
-                "n_buckets": prev["n_buckets"],
+                "n_buckets": n_buckets or prev["n_buckets"],
                 "buckets": buckets,
                 "deltas": deltas,
                 "cdf": cdf_buckets or {},
@@ -677,6 +691,43 @@ class LakeTable:
             # at publish time — compaction is watermark-neutral and must
             # be checkpoint-neutral too
             carry_metrics=("open_tx",),
+        )
+
+    def rebucket(self, new_n_buckets: int) -> int:
+        """Change the table's hash-bucket count — the layout evolution a
+        growing table eventually needs: ``n_buckets`` sized for the
+        creation-time volume leaves multi-TB buckets at 100 TB (single
+        tasks resolving them OOM), while an over-sized count at small
+        volume is all file-open overhead.
+
+        Necessarily a full rewrite (every row's bucket id changes —
+        same as Iceberg repartitioning a ``bucket(N, key)`` spec), but a
+        safe one: the resolved state is read at a pinned snapshot, the
+        new layout is fully staged before the commit, the commit is
+        watermark- and checkpoint-neutral, and an
+        ``expected_head_version`` check aborts with
+        :class:`CommitConflict` if ANY commit raced in — unlike
+        compaction there is no per-bucket fold to merge with, so a
+        concurrent merge would be silently dropped otherwise. A crash
+        mid-rewrite leaves only unreferenced staging (GC-reclaimable).
+        Readers of old snapshots keep their old layout; ``changes()``
+        skips the commit (no row changes logically).
+        """
+        snap = self.snapshot()
+        ver = snap["version"]
+        if new_n_buckets == snap["n_buckets"]:
+            return ver
+        resolved = self.read(version=ver)
+        rb = resolved.withColumn(
+            "_bucket", _bucket_col(snap["key_cols"], new_n_buckets)
+        )
+        staged, dbytes = self.write_buckets(rb, ver + 1)
+        _maybe_crash("post_rebucket_stage")
+        return self.commit(
+            staged, replaced_buckets=[], truncate=True,
+            metrics={"rebucket": {"from": snap["n_buckets"], "to": new_n_buckets}},
+            dir_bytes=dbytes, n_buckets=new_n_buckets,
+            expected_head_version=ver, carry_metrics=("open_tx",),
         )
 
     def schedule_compact(self, buckets: Optional[Sequence[int]] = None):
@@ -832,6 +883,8 @@ class LakeTable:
                 continue  # metadata-only commit (watermark / schema add-drop)
             if "compaction" in s.get("metrics", {}):
                 continue  # rewrite of already-fed changes
+            if "rebucket" in s.get("metrics", {}):
+                continue  # layout-only rewrite: no row changed logically
             if s.get("schema") != prev.get("schema"):
                 continue  # retype rewrite: every base file rewritten, no
                 # row changed logically (ADVICE r3)

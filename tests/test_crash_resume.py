@@ -104,6 +104,51 @@ def _run_compact_child(frames_dir, lake_dir, crash_point=None, timeout=420):
     return proc.returncode
 
 
+def test_crash_inside_rebucket(spark, tmp_path):
+    """SIGKILL with the rebucket rewrite fully staged under the new
+    bucket count but unpublished: the relaunched table still reads its
+    OLD layout (the crash changed nothing), a re-run rebucket lands, the
+    final state equals the serial oracle under the new count, and
+    expire_snapshots reclaims the dead rewrite's staging."""
+    p = gen.GenParams(n_txns=30, ops_per_txn=5, toast_pct=30, txns_per_segment=5)
+    frames_dir = str(tmp_path / "frames")
+    gen.spark_frames_df(spark, p).write.parquet(frames_dir)
+    lake_dir = str(tmp_path / "lake")
+
+    def _run(crash_point=None):
+        env = dict(os.environ)
+        env.pop("PYPGOUT_CRASH_POINT", None)
+        if crash_point:
+            env["PYPGOUT_CRASH_POINT"] = crash_point
+        return subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "crash_rebucket_child.py"),
+             frames_dir, lake_dir, "16"],
+            cwd=REPO, env=env, timeout=420,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        ).returncode
+
+    assert _run("post_rebucket_stage:1") == 137
+    table = LakeTable(spark, lake_dir)
+    assert table.snapshot()["n_buckets"] == 4, "crashed rewrite must not publish"
+    assert _run() == 0
+
+    table = LakeTable(spark, lake_dir)
+    assert table.snapshot()["n_buckets"] == 16
+    got = table.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    want = (
+        duckdb.sql(gen.duckdb_final_state_sql(p, with_sha=False))
+        .df().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got[want.columns.tolist()].equals(want)
+
+    # the dead rewrite's staging is unreferenced; GC reclaims it
+    report = table.expire_snapshots(keep_last=50, orphan_grace_sec=0.0)
+    assert report["deleted_dirs"] > 0
+    after = table.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    assert after[want.columns.tolist()].equals(want)
+
+
 def test_crash_inside_compaction_fold(spark, tmp_path):
     """Round-5 (verdict #7): SIGKILL after the compaction fold is fully
     STAGED but before its commit, while ingest runs concurrently. The

@@ -267,6 +267,23 @@ def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_rebucket_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-count evolution under the driver harness: the CDC mirror is
+    ingested at n_buckets=8, rebucketed to 32 (the full layout rewrite a
+    growing table performs once its creation-time count leaves oversized
+    buckets — pinned-snapshot read, staged new layout, atomic commit
+    guarded against racing commits), then read back. The oracle is the
+    UNCHANGED final-state SQL: a hash match proves the rewrite changed
+    the layout and nothing else."""
+    table = _ingest_cdc(spark, P_ENTRY)
+    table.rebucket(32)
+    assert table.snapshot()["n_buckets"] == 32
+    return table.read().selectExpr(
+        "repo", "path", "`commit`", "lang", "content",
+        "sha2(content, 256) AS content_sha",
+    )
+
+
 def _cdc_point_lookup_oracle(p: _gen.GenParams) -> str:
     return f"""
 WITH final_state AS ({_gen.duckdb_final_state_sql(p, with_sha=True)})
@@ -304,6 +321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_mview": q_cdc_incremental_mview,
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_point_lookup": q_cdc_point_lookup,
+        "cdc_rebucket_final_state": q_cdc_rebucket_final_state,
     }
     for mod in (_text, _dedup, _similarity, _multimodal, _analytics, _asof,
                 _corpus_cdc, _sketches):
@@ -331,6 +349,7 @@ def oracle_sql() -> dict[str, str]:
             P_ENTRY_PREFIX, with_sha=True
         ),
         "cdc_point_lookup": _cdc_point_lookup_oracle(P_ENTRY),
+        "cdc_rebucket_final_state": _gen.duckdb_final_state_sql(P_ENTRY, with_sha=True),
     }
     for mod in (_text, _dedup, _similarity, _multimodal, _analytics, _asof,
                 _corpus_cdc, _sketches):

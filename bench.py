@@ -150,6 +150,7 @@ BENCH_QUERIES = (
     "corpus_training_pipeline",
     "corpus_training_ready",
     "corpus_ngram_counts",
+    "text_bigram_familiarity",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh_pairs",
     "dedup_lsh_verified_pairs",
@@ -169,6 +170,7 @@ BENCH_QUERIES = (
     "events_sessionize",
     "events_windowed_stats",
     "events_funnel",
+    "events_retention",
     "sketch_kmv_distinct",
     "sketch_sample_quantiles",
     "agg_pricing_summary",

@@ -157,6 +157,19 @@ class Dialect:
             )
         return f"list({val} ORDER BY {pos})"
 
+    def ilog2(self, expr: str) -> str:
+        """floor(log2(x)) for integer x >= 1, computed EXACTLY as
+        binary-digit count (never float log — libm last-ulp differences
+        at power-of-two boundaries would break cross-engine parity)."""
+        if self.name == "spark":
+            return f"(length(conv(CAST({expr} AS STRING), 10, 2)) - 1)"
+        return f"(length(to_base({expr}, 2)) - 1)"
+
+    def date_diff_days(self, start: str, end: str) -> str:
+        if self.name == "spark":
+            return f"datediff({end}, {start})"
+        return f"date_diff('day', {start}, {end})"
+
     def sequence(self, lo: str, hi: str) -> str:
         """Inclusive integer sequence as array (empty when hi < lo)."""
         if self.name == "spark":

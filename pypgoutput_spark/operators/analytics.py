@@ -236,6 +236,33 @@ SELECT
 """.strip()
 
 
+def events_retention_sql(d: Dialect) -> str:
+    """Cohort retention: users grouped by their first-activity day, then
+    for each (cohort_day, day_offset ≤ 30) the count of cohort users
+    active that day — the standard growth-analytics matrix.
+
+    Scale: day-grain DISTINCT first (shuffled rows ∝ user-days, not
+    events, and it partial-combines map-side), cohorts as a
+    user_id-keyed min() over THAT output (re-uses nothing wide), join
+    back on user_id, final small groupBy. At 100 TB the event-level
+    scan collapses to user-day grain before anything wide happens.
+    """
+    dd = d.date_diff_days("c.cohort_day", "a.day")
+    return f"""
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+cohorts AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+)
+SELECT {d.s('c.cohort_day')} AS cohort_day, {dd} AS day_offset,
+  count(*) AS n_users
+FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+WHERE {dd} <= 30
+GROUP BY c.cohort_day, {dd}
+""".strip()
+
+
 QUERIES = {
     "cdc_events_latest_by_user": (
         _runner(events_latest_by_user_sql, ("events",)),
@@ -260,6 +287,10 @@ QUERIES = {
     ),
     "events_topk_users": (_runner(topk_users_sql, ("events",)), topk_users_sql(DUCKDB)),
     "events_funnel": (_runner(events_funnel_sql, ("events",)), events_funnel_sql(DUCKDB)),
+    "events_retention": (
+        _runner(events_retention_sql, ("events",)),
+        events_retention_sql(DUCKDB),
+    ),
     "agg_pricing_summary": (
         _runner(pricing_summary_sql, ("lineitem",)),
         pricing_summary_sql(DUCKDB),

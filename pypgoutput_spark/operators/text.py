@@ -598,6 +598,50 @@ HAVING CAST(sum(c) AS BIGINT) >= {NGRAM_MIN_COUNT}
 """.strip()
 
 
+def bigram_familiarity_sql(d: Dialect) -> str:
+    """Vocabulary-based document scoring: each document's mean
+    integer-log2 corpus frequency of its word bigrams — the
+    deterministic cousin of perplexity filtering (CCNet-style): low
+    familiarity = rare phrasing (or noise), high = boilerplate — both
+    tails are what a pre-training filter inspects.
+
+    Determinism: the score is a SINGLE IEEE division of two exact
+    integers; per-bigram weight is ``ilog2(freq)`` computed as
+    binary-digit count, never float log (libm last-ulp drift at
+    power-of-two boundaries would break Spark ≡ DuckDB).
+
+    Scale: the vocabulary is built from a second, column-pruned pass
+    (Catalyst does not dedupe scan subtrees across CTE references) and
+    joined back. Deliberately NOT a ``count() OVER (PARTITION BY
+    gram)`` window — that puts every occurrence of a hot gram ("of
+    the") in ONE task, the classic skew hotspot. With the aggregated
+    vocab broadcast (the plan here), the probe side never shuffles on
+    gram at all; past broadcast size, AQE's skew-aware shuffled join
+    takes over. The per-doc roll-up is the only other exchange.
+    """
+    toks = d.split_ws("text")
+    bg, _tg = _ngram_exprs(d, toks="toks", n_toks="n_toks")
+    w = d.ilog2("freq")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, toks, {d.array_len('toks')} AS n_toks
+  FROM (SELECT doc_id, {toks} AS toks FROM documents WHERE n_chars > 0)
+),
+bigrams AS (
+  SELECT doc_id, {d.unnest(bg)} AS gram FROM docs
+),
+vocab AS (
+  SELECT gram, count(*) AS freq FROM bigrams GROUP BY gram
+)
+SELECT b.doc_id,
+  count(*) AS n_bigrams,
+  CAST(sum({w}) AS BIGINT) AS familiarity_sum,
+  CAST(CAST(sum({w}) AS BIGINT) AS DOUBLE) / count(*) AS familiarity
+FROM bigrams b JOIN vocab v ON b.gram = v.gram
+GROUP BY b.doc_id
+""".strip()
+
+
 # ---- Spark runners (one per queries() entry) --------------------------------
 
 
@@ -648,6 +692,10 @@ def q_ngram_counts(spark, sf_dir: str):
     return run_sql(spark, sf_dir, ngram_counts_sql(SPARK), tables=("documents",), spread=("documents",))
 
 
+def q_bigram_familiarity(spark, sf_dir: str):
+    return run_sql(spark, sf_dir, bigram_familiarity_sql(SPARK), tables=("documents",), spread=("documents",))
+
+
 def q_corpus_stats(spark, sf_dir: str):
     return run_sql(spark, sf_dir, corpus_stats_sql(SPARK), tables=("documents",), spread=("documents",))
 
@@ -665,4 +713,5 @@ QUERIES = {
     "corpus_training_ready": (q_corpus_training_ready, corpus_training_ready_sql(DUCKDB)),
     "corpus_stats": (q_corpus_stats, corpus_stats_sql(DUCKDB)),
     "corpus_ngram_counts": (q_ngram_counts, ngram_counts_sql(DUCKDB)),
+    "text_bigram_familiarity": (q_bigram_familiarity, bigram_familiarity_sql(DUCKDB)),
 }

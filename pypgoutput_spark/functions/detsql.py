@@ -165,11 +165,6 @@ class Dialect:
             return f"(length(conv(CAST({expr} AS STRING), 10, 2)) - 1)"
         return f"(length(to_base({expr}, 2)) - 1)"
 
-    def date_diff_days(self, start: str, end: str) -> str:
-        if self.name == "spark":
-            return f"datediff({end}, {start})"
-        return f"date_diff('day', {start}, {end})"
-
     def sequence(self, lo: str, hi: str) -> str:
         """Inclusive integer sequence as array (empty when hi < lo)."""
         if self.name == "spark":

@@ -297,9 +297,15 @@ class LakeTable:
         key_types = {n: t for n, t in snap["schema"] if n in key_cols}
         key_ddl = ", ".join(f"`{n}` {key_types[n]}" for n in key_cols)
         if hasattr(keys, "select"):  # a DataFrame of (at least) the key cols
-            kdf = keys.selectExpr(
-                *[f"CAST(`{n}` AS {key_types[n]}) AS `{n}`" for n in key_cols]
-            ).distinct()
+            # collect the probe ONCE — a derived probe plan (e.g. a
+            # filtered read, a micro-batch) must not be re-executed for
+            # the cohort collect and again for the broadcast
+            rows = [
+                tuple(r[c] for c in key_cols)
+                for r in keys.selectExpr(
+                    *[f"CAST(`{n}` AS {key_types[n]}) AS `{n}`" for n in key_cols]
+                ).distinct().collect()
+            ]
         else:
             rows = []
             for k in keys:
@@ -309,12 +315,15 @@ class LakeTable:
                     rows.append(tuple(k))
                 else:
                     rows.append((k,))
-            kdf = self.spark.createDataFrame(rows, schema=key_ddl).distinct()
+        kdf = self.spark.createDataFrame(rows, schema=key_ddl).distinct()
         cohort = kdf.select(
             _bucket_col(key_cols, snap["n_buckets"]).alias("__b")
         ).distinct().collect()  # tiny: <= min(|keys|, n_buckets) rows
         buckets = sorted(r["__b"] for r in cohort)
-        df = self.read(version=version, buckets=buckets, resolve=resolve)
+        # read the SAME snapshot the cohort was computed from: a rebucket
+        # landing between snapshot() and read() would otherwise prune the
+        # new layout with stale bucket ids (silently dropped rows)
+        df = self.read(version=snap["version"], buckets=buckets, resolve=resolve)
         return df.join(F.broadcast(kdf), on=list(key_cols), how="left_semi")
 
     def _dirty_union(self, snap: dict, base_dirs: List[str], delta_dirs: List[str]):
@@ -501,6 +510,7 @@ class LakeTable:
         cdf_buckets: Optional[Dict[str, List[str]]] = None,
         n_buckets: Optional[int] = None,
         expected_head_version: Optional[int] = None,
+        expected_n_buckets: Optional[int] = None,
     ) -> int:
         """Publish a new snapshot (atomic, serialized by a commit lock —
         ingest and maintenance threads/processes interleave safely).
@@ -538,6 +548,12 @@ class LakeTable:
         if any commit landed since that version — for whole-table
         rewrites whose input was resolved at that snapshot and which
         would otherwise silently drop concurrent commits.
+
+        ``expected_n_buckets``: the bucket count the commit's files were
+        STAGED under; raise :class:`CommitConflict` if the head's count
+        differs (a rebucket raced in — publishing files keyed by the old
+        modulus under the new layout would resolve keys against the
+        wrong buckets: lost deletes, duplicate keys).
         """
         _maybe_crash("pre_snapshot")
         with _commit_lock(self.meta_dir):
@@ -546,6 +562,11 @@ class LakeTable:
                 raise CommitConflict(
                     f"head moved to v{prev['version']} (expected "
                     f"v{expected_head_version}) since the rewrite was resolved"
+                )
+            if expected_n_buckets is not None and prev["n_buckets"] != expected_n_buckets:
+                raise CommitConflict(
+                    f"bucket count changed to {prev['n_buckets']} (files staged "
+                    f"under {expected_n_buckets}) — a rebucket raced this commit"
                 )
             version = prev["version"] + 1
             all_dir_bytes = dict(prev.get("dir_bytes", {}))
@@ -613,7 +634,7 @@ class LakeTable:
                 "version": version,
                 "schema": [list(c) for c in (schema or prev["schema"])],
                 "key_cols": prev["key_cols"],
-                "n_buckets": n_buckets or prev["n_buckets"],
+                "n_buckets": n_buckets if n_buckets is not None else prev["n_buckets"],
                 "buckets": buckets,
                 "deltas": deltas,
                 "cdf": cdf_buckets or {},
@@ -673,7 +694,15 @@ class LakeTable:
         if not dirty:
             return None
         resolved = self.read(version=ver, buckets=dirty)
-        staged, dbytes = self.write_buckets(self.with_bucket(resolved), ver + 1)
+        # bucket by the PINNED snapshot's count (not live CURRENT): the
+        # commit validates it via expected_n_buckets, so a racing
+        # rebucket conflicts instead of mixing moduli
+        staged, dbytes = self.write_buckets(
+            resolved.withColumn(
+                "_bucket", _bucket_col(snap["key_cols"], snap["n_buckets"])
+            ),
+            ver + 1,
+        )
         # crash-soak point (tests/test_crash_resume.py): the fold is fully
         # staged but unreferenced — a crash here must leave the table
         # state untouched and the staging reclaimable by expire_snapshots
@@ -686,6 +715,7 @@ class LakeTable:
         return self.commit(
             staged, replaced_buckets=[], metrics=metrics, dir_bytes=dbytes,
             folded_deltas=folded, expected_base=expected,
+            expected_n_buckets=snap["n_buckets"],
             # checkpoint state the ingest pipeline persists in batch
             # commits (open-transaction carry) is copied from the HEAD
             # at publish time — compaction is watermark-neutral and must
@@ -713,6 +743,8 @@ class LakeTable:
         Readers of old snapshots keep their old layout; ``changes()``
         skips the commit (no row changes logically).
         """
+        if new_n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {new_n_buckets}")
         snap = self.snapshot()
         ver = snap["version"]
         if new_n_buckets == snap["n_buckets"]:

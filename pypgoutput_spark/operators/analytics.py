@@ -246,20 +246,30 @@ def events_retention_sql(d: Dialect) -> str:
     user_id-keyed min() over THAT output (re-uses nothing wide), join
     back on user_id, final small groupBy. At 100 TB the event-level
     scan collapses to user-day grain before anything wide happens.
+
+    Days are integer epoch-day indexes (``epoch_us DIV 86400e6``, the
+    same tz-independent arithmetic as events_windowed_stats) — never a
+    session-timezone-dependent ``CAST(ts AS DATE)``; the cohort day is
+    rendered back to a date string only at output.
     """
-    dd = d.date_diff_days("c.cohort_day", "a.day")
+    day_idx = d.idiv(_epoch_us(d, "ts"), "86400000000")
+    if d.name == "spark":
+        render = "CAST(date_add(DATE '1970-01-01', CAST(c.cohort_idx AS INT)) AS STRING)"
+    else:
+        render = "CAST(DATE '1970-01-01' + CAST(c.cohort_idx AS INT) AS VARCHAR)"
     return f"""
 WITH activity AS (
-  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+  SELECT DISTINCT user_id, {day_idx} AS day_idx FROM events
 ),
 cohorts AS (
-  SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+  SELECT user_id, MIN(day_idx) AS cohort_idx FROM activity GROUP BY user_id
 )
-SELECT {d.s('c.cohort_day')} AS cohort_day, {dd} AS day_offset,
+SELECT {render} AS cohort_day,
+  CAST(a.day_idx - c.cohort_idx AS INT) AS day_offset,
   count(*) AS n_users
 FROM activity a JOIN cohorts c ON a.user_id = c.user_id
-WHERE {dd} <= 30
-GROUP BY c.cohort_day, {dd}
+WHERE a.day_idx - c.cohort_idx <= 30
+GROUP BY c.cohort_idx, a.day_idx - c.cohort_idx
 """.strip()
 
 

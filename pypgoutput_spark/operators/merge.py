@@ -41,7 +41,15 @@ from typing import Optional, Sequence
 
 from pyspark.sql import functions as F
 
-from pypgoutput_spark.lake.table import LakeTable
+from pypgoutput_spark.lake.table import LakeTable, _bucket_col
+
+
+def _with_bucket(df, snap: dict):
+    """Bucket by the MERGE's pinned snapshot (never the live CURRENT):
+    the staged modulus must be the one the commit validates via
+    ``expected_n_buckets`` — a rebucket racing the merge then conflicts
+    instead of publishing deltas keyed by the wrong modulus."""
+    return df.withColumn("_bucket", _bucket_col(snap["key_cols"], snap["n_buckets"]))
 
 
 def _obs_get(obs) -> dict:
@@ -115,7 +123,7 @@ def merge_into(
             *keys,
             *[F.col(f"r_{c}.v").cast(col_types[c]).alias(c) for c in value_cols],
         )
-        staged, dbytes = table.write_buckets(table.with_bucket(resolved), snap["version"] + 1)
+        staged, dbytes = table.write_buckets(_with_bucket(resolved, snap), snap["version"] + 1)
         got = _obs_get(obs)
         metrics = {
             "upserts": int(got["n"] - got["d"]),
@@ -133,6 +141,7 @@ def merge_into(
             metrics=metrics,
             truncate=truncate,
             dir_bytes=dbytes,
+            expected_n_buckets=snap["n_buckets"],
         )
         metrics["version"] = version
         metrics["skipped"] = False
@@ -159,7 +168,7 @@ def merge_into(
         *keys, "final_op", "max_lsn",
         *[F.col(f"r_{c}").alias(f"r_{c}") for c in value_cols],
     )
-    staged, dbytes = table.write_buckets(table.with_bucket(delta), snap["version"] + 1)
+    staged, dbytes = table.write_buckets(_with_bucket(delta, snap), snap["version"] + 1)
     got = _obs_get(obs)
     n_changes = int(got["n"])
     metrics = {
@@ -174,6 +183,7 @@ def merge_into(
     version = table.commit(
         {}, [], watermark_lsn=watermark_lsn, metrics=metrics,
         delta_buckets=staged, dir_bytes=dbytes,
+        expected_n_buckets=snap["n_buckets"],
     )
     metrics["version"] = version
     metrics["skipped"] = False
@@ -201,7 +211,7 @@ def _merge_cow(
     """Copy-on-write incremental merge: join + rewrite of touched buckets
     (reads resolve any outstanding deltas, so the rewritten base is
     fully resolved and the commit clears those buckets' deltas)."""
-    ch = table.with_bucket(changes)
+    ch = _with_bucket(changes, snap)
     ch.cache()
     try:
         # one driver action: touched buckets + per-op counts (also
@@ -262,7 +272,7 @@ def _merge_cow(
 
         result = kept.unionByName(resolved)
         staged, dbytes = table.write_buckets(
-            table.with_bucket(result), snap["version"] + 1
+            _with_bucket(result, snap), snap["version"] + 1
         )
         # change-feed sidecar: the rewritten buckets mix changed and
         # carried rows, so the feed comes from the LWW change set itself
@@ -293,6 +303,7 @@ def _merge_cow(
             metrics=metrics,
             dir_bytes=dbytes,
             cdf_buckets=cdf_staged,
+            expected_n_buckets=snap["n_buckets"],
         )
         metrics["version"] = version
         metrics["skipped"] = False

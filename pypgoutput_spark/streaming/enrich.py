@@ -51,7 +51,20 @@ def enrich_stream(events_stream, table, on: str, out_dir: str,
         out = batch_df.join(dim, on=on, how="left")
         if select:
             out = out.selectExpr(*select)
-        out.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(out_dir)
+        # idempotent sink: the parquet write lands BEFORE the checkpoint
+        # commits the batch, so a crash between them replays the batch —
+        # dynamic partition-overwrite on _batch_id replaces the earlier
+        # attempt's rows instead of duplicating them. (A replayed batch
+        # re-resolves the dimension at replay time: enrichment is
+        # at-least-once against the LATEST dimension, the standard
+        # foreachBatch contract.)
+        (
+            out.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
         if on_batch is not None:
             on_batch(batch_id)
 

@@ -32,7 +32,12 @@ def interval_join_stream(left_stream, right_stream, key: str = "user_id",
                          watermark_minutes: int = 15):
     """Rows of ``left`` matched with ``right`` rows of the same ``key``
     whose ``right_ts`` falls in [left_ts, left_ts + within_minutes].
-    Both inputs must already expose distinct timestamp column names."""
+
+    Column contract: ALL joined columns must be disjoint across the two
+    streams — the key is read as ``l_<key>`` on the left and ``r_<key>``
+    on the right (so ``key="user_id"`` requires ``l_user_id`` /
+    ``r_user_id``), and the timestamp column names are caller-chosen but
+    must differ."""
     lw = left_stream.withWatermark(left_ts, f"{watermark_minutes} minutes")
     rw = right_stream.withWatermark(right_ts, f"{watermark_minutes} minutes")
     return lw.join(rw, _cond(key, left_ts, right_ts, within_minutes), "inner")

@@ -76,6 +76,36 @@ def test_rebucket_feeds_nothing_to_change_feed(spark, tmp_path):
     assert feed.where(f"_commit_version <= {v_before}").count() > 0
 
 
+def test_merge_staged_under_old_count_conflicts_after_rebucket(spark, tmp_path):
+    """The other direction of the race: a merge stages its change set
+    under the pinned snapshot's bucket count; if a rebucket commits
+    first, publishing those files would key deltas by the WRONG modulus
+    (lost deletes, duplicate keys) — the commit's expected_n_buckets
+    check must refuse."""
+    t = _mk(spark, tmp_path, n_keys=12)
+    old_n = t.snapshot()["n_buckets"]
+    staged, dbytes = t.write_buckets(
+        t.with_bucket(spark.createDataFrame(
+            [("k1", "v", "v")], schema="k STRING, a STRING, b STRING")),
+        t.current_version() + 1,
+    )
+    t.rebucket(16)
+    with pytest.raises(CommitConflict, match="bucket count changed"):
+        t.commit({}, [], delta_buckets=staged, dir_bytes=dbytes,
+                 expected_n_buckets=old_n)
+    # end-to-end: a fresh merge re-pins the NEW snapshot and lands
+    merge_into(t, spark.createDataFrame(
+        [("k1", "U", 900, {"v": "a1x"}, None)], schema=CH_SCHEMA),
+        watermark_lsn=900, auto_compact=False)
+    assert _state(t)["k1"] == ("a1x", "b1")
+
+
+def test_rebucket_rejects_invalid_count(spark, tmp_path):
+    t = _mk(spark, tmp_path, n_keys=8)
+    with pytest.raises(ValueError, match="n_buckets"):
+        t.rebucket(0)
+
+
 def test_rebucket_noop_and_conflict_guard(spark, tmp_path):
     t = _mk(spark, tmp_path, n_keys=12)
     v = t.current_version()

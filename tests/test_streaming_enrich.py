@@ -61,6 +61,29 @@ def _run(spark, tmp_path, table, lookup_keys):
     }
 
 
+def test_enrichment_sink_is_replay_idempotent(spark, tmp_path):
+    """A crash between the parquet write and the checkpoint commit
+    replays the batch; the dynamic partition-overwrite sink must replace
+    the earlier attempt's rows, never duplicate them. Simulated by
+    discarding the checkpoint and re-running the whole stream (every
+    batch replays with its original batch id)."""
+    import shutil
+
+    table = _dim(spark, tmp_path)
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    spark.createDataFrame([(i, f"k{i}") for i in range(4)],
+                          schema=EV_SCHEMA).coalesce(1).write.parquet(src)
+    for _ in range(2):  # second run replays batch 0 from scratch
+        stream = spark.readStream.schema(EV_SCHEMA).parquet(src)
+        q = enrich_stream(stream, table, on="k", out_dir=out)
+        q.awaitTermination(120)
+        shutil.rmtree(out + "_ckpt")
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["event_id"] for r in rows) == [0, 1, 2, 3], (
+        "replayed batch must overwrite its partition, not append duplicates"
+    )
+
+
 def test_enrichment_sees_interbatch_dimension_commits(spark, tmp_path):
     for lookup_keys in (True, False):
         table = _dim(spark, tmp_path / str(lookup_keys))

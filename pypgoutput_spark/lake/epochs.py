@@ -1,0 +1,94 @@
+"""Cross-table consistency points (epochs) for multi-relation CDC.
+
+A PostgreSQL transaction can touch many relations; the pipeline routes
+one WAL batch into per-relation LakeTables, each with its own atomic
+snapshot commit. Those per-table publishes happen at different
+instants, so a consumer that joins two mirrors can read relation A at
+batch N and relation B at batch N-1 — torn cross-table state, even
+though each table alone is consistent. (Iceberg and Delta have the same
+gap: no multi-table transactions.)
+
+The epoch log closes the window at O(1) cost per batch: after ALL of a
+batch's merges have landed, ONE record
+
+    {"epoch": E, "watermark_lsn": W, "tables": {rid: version}}
+
+is published with the same atomic-rename pattern as a table's CURRENT
+pointer. Readers resolve the epoch once, then read every table AT its
+pinned snapshot version — mutually consistent to the batch boundary no
+matter what commits later. Old epochs double as cross-table time
+travel. The per-table commits stay exactly as they are (crash recovery,
+exactly-once and idempotent replay are per-table concerns and already
+proven); a crash between the last merge and the epoch publish leaves
+the PREVIOUS epoch current — consistent, merely one batch stale — and
+the replayed batch re-publishes it.
+
+Epoch records reference table versions, so `expire_snapshots` retention
+must keep at least the versions the oldest live epoch pins (the same
+retention contract the change feed already imposes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+from pypgoutput_spark.lake.table import _atomic_write, _write_json
+
+CURRENT = "CURRENT"
+
+
+class EpochLog:
+    def __init__(self, path: str):
+        self.path = path.rstrip("/")
+        self.log_dir = os.path.join(self.path, "epochs")
+        if not os.path.exists(os.path.join(self.path, CURRENT)):
+            raise FileNotFoundError(f"not an EpochLog (no CURRENT): {path}")
+
+    @classmethod
+    def create(cls, path: str) -> "EpochLog":
+        path = path.rstrip("/")
+        os.makedirs(os.path.join(path, "epochs"), exist_ok=True)
+        _write_json(
+            os.path.join(path, "epochs", "e00000000.json"),
+            {"epoch": 0, "watermark_lsn": -1, "tables": {}},
+        )
+        _atomic_write(os.path.join(path, CURRENT), "0")
+        return cls(path)
+
+    def current_epoch(self) -> int:
+        with open(os.path.join(self.path, CURRENT)) as f:
+            return int(f.read().strip())
+
+    def record(self, epoch: Optional[int] = None) -> dict:
+        e = self.current_epoch() if epoch is None else epoch
+        with open(os.path.join(self.log_dir, f"e{e:08d}.json")) as f:
+            return json.load(f)
+
+    def publish(self, versions: Dict[int, int], watermark_lsn: int) -> int:
+        """Publish the next epoch pinning ``{relation_id: table_version}``.
+        Call AFTER every table's merge for the batch has committed."""
+        e = self.current_epoch() + 1
+        _write_json(
+            os.path.join(self.log_dir, f"e{e:08d}.json"),
+            {
+                "epoch": e,
+                "watermark_lsn": watermark_lsn,
+                "tables": {str(r): int(v) for r, v in versions.items()},
+            },
+        )
+        _atomic_write(os.path.join(self.path, CURRENT), str(e))
+        return e
+
+    def read_all(self, tables: Dict[int, "object"], epoch: Optional[int] = None):
+        """Mutually consistent DataFrames — each table read AT the
+        version the epoch pins (tables absent from the record were not
+        yet created at that epoch and are omitted)."""
+        rec = self.record(epoch)
+        pinned = rec["tables"]
+        return {
+            rid: t.read(version=pinned[str(rid)])
+            for rid, t in tables.items()
+            if str(rid) in pinned
+        }

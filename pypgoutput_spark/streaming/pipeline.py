@@ -543,6 +543,7 @@ def run_ingest(
     on_batch: Optional[Callable[[dict], None]] = None,
     quarantine_dir: Optional[str] = None,
     kc_toast_passes: int = 0,
+    epoch_log=None,
 ) -> List[dict]:
     """Replay a frames DataFrame into the table(s) in ``n_batches``
     micro-batches. ``split='segment'`` cuts on WAL-segment boundaries;
@@ -552,6 +553,12 @@ def run_ingest(
 
     Exactly-once: frames at or below the managed watermark are skipped;
     open-transaction state is restored from the last snapshot commit.
+
+    ``epoch_log``: a :class:`pypgoutput_spark.lake.epochs.EpochLog` —
+    after every table's merge for a batch has committed, one epoch
+    record pinning ``{relation_id: table_version}`` publishes
+    atomically, giving consumers a cross-table-consistent read point
+    per batch (per-table commits alone publish at different instants).
     """
     table_map = {relation_id: tables} if isinstance(tables, LakeTable) else dict(tables)
     registry = RelationRegistry.from_frames(frames)  # full R cohort, resume-safe
@@ -603,6 +610,23 @@ def run_ingest(
             kc_toast_passes=kc_toast_passes,
         )
         open_tx = metrics.get("open_tx", {})
+        if epoch_log is not None:
+            # a skipped merge (idempotent replay) has no "version" — the
+            # table simply stayed at its current snapshot
+            # an all-skipped batch (idempotent replay / watermark skip)
+            # short-circuits without per-relation metrics — every table
+            # simply stayed at its current snapshot
+            rel_metrics = metrics.get("relations") or {
+                rid: {} for rid in table_map
+            }
+            versions = {
+                rid: m.get("version", table_map[rid].current_version())
+                for rid, m in rel_metrics.items()
+            }
+            metrics["epoch"] = epoch_log.publish(
+                versions,
+                max(t.watermark_lsn for t in table_map.values()),
+            )
         out.append(metrics)
         if on_batch:
             on_batch(metrics)

@@ -1,0 +1,77 @@
+"""Cross-table epochs: each published epoch pins a mutually consistent
+set of per-relation snapshot versions — the batch-boundary read point a
+consumer joining multiple CDC mirrors needs (per-table commits publish
+at different instants; Iceberg/Delta have no multi-table transactions).
+
+Pinned: epoch-pinned reads reproduce exactly the per-batch states
+captured during ingest, stay stable after later commits, survive an
+idempotent replay (skipped merges re-publish the same versions), and
+old epochs give cross-table time travel."""
+
+from __future__ import annotations
+
+from pypgoutput_spark.lake.epochs import EpochLog
+from pypgoutput_spark.lake.table import LakeTable
+from pypgoutput_spark.streaming import pipeline
+from pypgoutput_spark.wal import generator as gen
+
+P = gen.GenParams(
+    n_txns=60, ops_per_txn=6, n_repos=25, n_paths=16,
+    toast_pct=25, txns_per_segment=10, n_relations=2,
+)
+
+
+def _mk_tables(spark, tmp_path):
+    return {
+        gen.RELATION_ID + r: LakeTable.create(
+            spark, str(tmp_path / f"lake_{r}"),
+            schema=[(c, "string") for c in gen.ALL_COLUMNS],
+            key_cols=list(gen.KEY_COLUMNS), n_buckets=4,
+        )
+        for r in range(2)
+    }
+
+
+def _state(df):
+    return {(r["repo"], r["path"]): r["content"] for r in df.collect()}
+
+
+def test_epochs_pin_cross_table_batch_boundaries(spark, tmp_path):
+    tables = _mk_tables(spark, tmp_path)
+    log = EpochLog.create(str(tmp_path / "epochs"))
+    frames = gen.spark_frames_df(spark, P)
+
+    captured = []  # [(epoch, {rid: state})] recorded right after each batch
+
+    def on_batch(m):
+        captured.append(
+            (m["epoch"], {rid: _state(t.read()) for rid, t in tables.items()})
+        )
+
+    pipeline.run_ingest(spark, frames, tables, n_batches=3,
+                        epoch_log=log, on_batch=on_batch)
+    assert [e for e, _ in captured] == [1, 2, 3]
+    assert log.current_epoch() == 3
+
+    # every epoch's pinned reads == the state captured at that batch,
+    # for BOTH tables — even though later batches have committed since
+    for epoch, states in captured:
+        pinned = log.read_all(tables, epoch=epoch)
+        assert set(pinned) == set(states)
+        for rid, df in pinned.items():
+            assert _state(df) == states[rid], (epoch, rid)
+
+    # watermark recorded per epoch is monotone
+    wms = [log.record(e)["watermark_lsn"] for e in (1, 2, 3)]
+    assert wms == sorted(set(wms))
+
+    # idempotent replay: re-running the same frames skips every merge
+    # but still publishes an epoch pinning the SAME versions (a crash
+    # between last merge and epoch publish is thereby self-healing)
+    v_before = {rid: t.current_version() for rid, t in tables.items()}
+    pipeline.run_ingest(spark, frames, tables, n_batches=1, epoch_log=log)
+    assert log.current_epoch() == 4
+    assert log.record(4)["tables"] == {str(r): v for r, v in v_before.items()}
+    # and epoch-3 reads are unchanged
+    for rid, df in log.read_all(tables, epoch=3).items():
+        assert _state(df) == captured[-1][1][rid]

@@ -611,26 +611,26 @@ def run_ingest(
         )
         open_tx = metrics.get("open_tx", {})
         if epoch_log is not None:
-            # a skipped merge (idempotent replay) has no "version" — the
-            # table simply stayed at its current snapshot
-            # an all-skipped batch (idempotent replay / watermark skip)
-            # short-circuits without per-relation metrics — every table
-            # simply stayed at its current snapshot
-            rel_metrics = metrics.get("relations") or {
-                rid: {} for rid in table_map
-            }
-            versions = {
-                rid: m.get("version", table_map[rid].current_version())
-                for rid, m in rel_metrics.items()
-            }
-            metrics["epoch"] = epoch_log.publish(
-                versions,
-                max(t.watermark_lsn for t in table_map.values()),
-            )
+            metrics["epoch"] = _publish_epoch(epoch_log, table_map, metrics)
         out.append(metrics)
         if on_batch:
             on_batch(metrics)
     return out
+
+
+def _publish_epoch(epoch_log, table_map, metrics: dict) -> int:
+    """One atomic cross-table consistency record per batch (epochs.py).
+    A skipped merge — or an all-skipped batch, which short-circuits
+    without per-relation metrics — left its table at the current
+    snapshot, so the replay re-publishes identical versions."""
+    rel_metrics = metrics.get("relations") or {rid: {} for rid in table_map}
+    versions = {
+        rid: m.get("version", table_map[rid].current_version())
+        for rid, m in rel_metrics.items()
+    }
+    return epoch_log.publish(
+        versions, max(t.watermark_lsn for t in table_map.values())
+    )
 
 
 def stream_ingest(
@@ -645,8 +645,12 @@ def stream_ingest(
     on_batch: Optional[Callable[[dict], None]] = None,
     kc_toast_passes: int = 0,
     clustered: bool = False,
+    epoch_log=None,
 ):
     """Structured-Streaming variant: parquet frame files → foreachBatch merge.
+
+    ``epoch_log``: as in :func:`run_ingest` — one atomic cross-table
+    consistency record per micro-batch, published after all merges land.
 
     ``clustered=True`` declares that each frame FILE contains only whole
     WAL segments (true for a receiver that rolls files on segment
@@ -720,6 +724,8 @@ def stream_ingest(
                 ).write.mode("append").parquet(quarantine_dir + "/late_frames")
         state["open_tx"] = m.get("open_tx", {})
         m["late_frames"] = state.get("late_frames", 0)
+        if epoch_log is not None:
+            m["epoch"] = _publish_epoch(epoch_log, table_map, m)
         if on_batch:
             on_batch(m)
 

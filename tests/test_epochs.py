@@ -36,6 +36,36 @@ def _state(df):
     return {(r["repo"], r["path"]): r["content"] for r in df.collect()}
 
 
+def test_stream_ingest_publishes_epochs(spark, tmp_path):
+    """The Structured-Streaming driver publishes one epoch per
+    micro-batch too; the final epoch pins both tables' head versions."""
+    frames_dir = str(tmp_path / "frames")
+    frames = gen.spark_frames_df(spark, P)
+    for seg_lo in range(0, 6, 2):
+        (
+            frames.filter(f"segment >= {seg_lo} AND segment < {seg_lo + 2}")
+            .coalesce(1).write.mode("append").parquet(frames_dir)
+        )
+    tables = _mk_tables(spark, tmp_path)
+    log = EpochLog.create(str(tmp_path / "epochs"))
+    seen = []
+    q = pipeline.stream_ingest(
+        spark, frames_dir, tables, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, epoch_log=log,
+        on_batch=lambda m: seen.append(m.get("epoch")),
+    )
+    q.awaitTermination(300)
+    assert seen and seen == sorted(seen)
+    assert log.current_epoch() == seen[-1]
+    rec = log.record()
+    assert rec["tables"] == {
+        str(rid): t.current_version() for rid, t in tables.items()
+    }
+    pinned = log.read_all(tables)
+    for rid, t in tables.items():
+        assert _state(pinned[rid]) == _state(t.read())
+
+
 def test_epochs_pin_cross_table_batch_boundaries(spark, tmp_path):
     tables = _mk_tables(spark, tmp_path)
     log = EpochLog.create(str(tmp_path / "epochs"))

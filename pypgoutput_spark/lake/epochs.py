@@ -34,7 +34,7 @@ import json
 import os
 from typing import Dict, Optional
 
-from pypgoutput_spark.lake.table import _atomic_write, _write_json
+from pypgoutput_spark.lake.table import _atomic_write, _commit_lock, _write_json
 
 CURRENT = "CURRENT"
 
@@ -68,17 +68,24 @@ class EpochLog:
 
     def publish(self, versions: Dict[int, int], watermark_lsn: int) -> int:
         """Publish the next epoch pinning ``{relation_id: table_version}``.
-        Call AFTER every table's merge for the batch has committed."""
-        e = self.current_epoch() + 1
-        _write_json(
-            os.path.join(self.log_dir, f"e{e:08d}.json"),
-            {
-                "epoch": e,
-                "watermark_lsn": watermark_lsn,
-                "tables": {str(r): int(v) for r, v in versions.items()},
-            },
-        )
-        _atomic_write(os.path.join(self.path, CURRENT), str(e))
+        Call AFTER every table's merge for the batch has committed.
+
+        The read-increment-write of CURRENT runs under the same commit
+        file-lock the tables use: two writers sharing one log (a batch
+        backfill racing a live stream, a supervisor restart overlapping
+        the old process's last batch) serialize instead of the second
+        silently clobbering the first's record."""
+        with _commit_lock(self.path):
+            e = self.current_epoch() + 1
+            _write_json(
+                os.path.join(self.log_dir, f"e{e:08d}.json"),
+                {
+                    "epoch": e,
+                    "watermark_lsn": watermark_lsn,
+                    "tables": {str(r): int(v) for r, v in versions.items()},
+                },
+            )
+            _atomic_write(os.path.join(self.path, CURRENT), str(e))
         return e
 
     def read_all(self, tables: Dict[int, "object"], epoch: Optional[int] = None):

@@ -574,7 +574,7 @@ def run_ingest(
             F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
         ).collect()[0]
         if bounds["lo"] is None:
-            return []
+            return _empty_replay(epoch_log, table_map)
         lo, hi = int(bounds["lo"]), int(bounds["hi"])
         span = max(1, math.ceil((hi - lo + 1) / n_batches))
         batches = [
@@ -589,7 +589,7 @@ def run_ingest(
             F.min("segment").alias("lo"), F.max("segment").alias("hi")
         ).collect()[0]
         if bounds["lo"] is None:
-            return []
+            return _empty_replay(epoch_log, table_map)
         lo, hi = int(bounds["lo"]), int(bounds["hi"])
         span = max(1, math.ceil((hi - lo + 1) / n_batches))
         batches = [
@@ -618,19 +618,36 @@ def run_ingest(
     return out
 
 
+def _empty_replay(epoch_log, table_map) -> List[dict]:
+    """A fully-replayed run (every frame at or below the watermark): no
+    batches to apply, but the epoch log must still heal — a crash
+    between the last merge and the epoch publish otherwise leaves
+    CURRENT one batch stale FOREVER on this path (the n_batches=1 path
+    already heals through apply_frames_batch's skip metrics)."""
+    if epoch_log is None:
+        return []
+    m = {"skipped": True, "reason": "empty"}
+    m["epoch"] = _publish_epoch(epoch_log, table_map, m)
+    return [m]
+
+
 def _publish_epoch(epoch_log, table_map, metrics: dict) -> int:
     """One atomic cross-table consistency record per batch (epochs.py).
-    A skipped merge — or an all-skipped batch, which short-circuits
-    without per-relation metrics — left its table at the current
-    snapshot, so the replay re-publishes identical versions."""
-    rel_metrics = metrics.get("relations") or {rid: {} for rid in table_map}
+
+    EVERY managed table is pinned — including tables the batch carried
+    no frames (or even no 'R') for: a consumer joining the mirrors must
+    still see them at a consistent version, and a skipped merge simply
+    left its table at the current snapshot (so a replayed batch
+    re-publishes identical versions)."""
+    rel_metrics = metrics.get("relations") or {}
     versions = {
-        rid: m.get("version", table_map[rid].current_version())
-        for rid, m in rel_metrics.items()
+        rid: rel_metrics.get(rid, {}).get("version", table_map[rid].current_version())
+        for rid in table_map
     }
-    return epoch_log.publish(
-        versions, max(t.watermark_lsn for t in table_map.values())
-    )
+    wm = metrics.get("watermark_lsn")
+    if wm is None:
+        wm = max(t.watermark_lsn for t in table_map.values())
+    return epoch_log.publish(versions, wm)
 
 
 def stream_ingest(

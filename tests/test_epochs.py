@@ -91,9 +91,10 @@ def test_epochs_pin_cross_table_batch_boundaries(spark, tmp_path):
         for rid, df in pinned.items():
             assert _state(df) == states[rid], (epoch, rid)
 
-    # watermark recorded per epoch is monotone
+    # watermark recorded per epoch is monotone (repeats allowed — an
+    # empty or replayed batch legitimately re-publishes its watermark)
     wms = [log.record(e)["watermark_lsn"] for e in (1, 2, 3)]
-    assert wms == sorted(set(wms))
+    assert all(a <= b for a, b in zip(wms, wms[1:]))
 
     # idempotent replay: re-running the same frames skips every merge
     # but still publishes an epoch pinning the SAME versions (a crash
@@ -105,3 +106,14 @@ def test_epochs_pin_cross_table_batch_boundaries(spark, tmp_path):
     # and epoch-3 reads are unchanged
     for rid, df in log.read_all(tables, epoch=3).items():
         assert _state(df) == captured[-1][1][rid]
+
+    # the multi-batch replay path short-circuits before batching (the
+    # post-watermark frame set is EMPTY) — the epoch log must still
+    # heal (re-publish current versions), or a crash between the last
+    # merge and the publish would leave CURRENT stale forever
+    out = pipeline.run_ingest(spark, frames, tables, n_batches=3,
+                              epoch_log=log)
+    assert out and out[0]["skipped"] and out[0]["epoch"] == 5
+    assert log.record(5)["tables"] == {
+        str(rid): t.current_version() for rid, t in tables.items()
+    }

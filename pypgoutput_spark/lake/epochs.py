@@ -88,6 +88,34 @@ class EpochLog:
             _atomic_write(os.path.join(self.path, CURRENT), str(e))
         return e
 
+    def expire(self, keep_last: int = 10) -> list:
+        """Drop all but the newest ``keep_last`` epoch records (epoch 0,
+        the empty genesis, is never a retention anchor). Returns the
+        expired epoch ids. Run BEFORE the tables' ``expire_snapshots``
+        so :meth:`retention_floor` reflects only surviving epochs."""
+        current = self.current_epoch()
+        cutoff = current - keep_last + 1
+        expired = []
+        for name in sorted(os.listdir(self.log_dir)):
+            e = int(name[1:9])
+            if e < cutoff and e != current:
+                os.unlink(os.path.join(self.log_dir, name))
+                expired.append(e)
+        return expired
+
+    def retention_floor(self) -> Dict[int, int]:
+        """Per relation, the OLDEST table version any surviving epoch
+        pins — pass as ``expire_snapshots(keep_from_version=...)`` so
+        table GC never reclaims a snapshot a live epoch still reads."""
+        floor: Dict[int, int] = {}
+        for name in sorted(os.listdir(self.log_dir)):
+            with open(os.path.join(self.log_dir, name)) as f:
+                rec = json.load(f)
+            for rid, v in rec["tables"].items():
+                r = int(rid)
+                floor[r] = min(floor.get(r, v), v)
+        return floor
+
     def read_all(self, tables: Dict[int, "object"], epoch: Optional[int] = None):
         """Mutually consistent DataFrames — each table read AT the
         version the epoch pins (tables absent from the record were not

@@ -963,7 +963,8 @@ class LakeTable:
     # ------------------------------------------------------------ maintenance
 
     def expire_snapshots(
-        self, keep_last: int = 10, orphan_grace_sec: float = 3600.0
+        self, keep_last: int = 10, orphan_grace_sec: float = 3600.0,
+        keep_from_version: Optional[int] = None,
     ) -> dict:
         """Expire old snapshots and garbage-collect unreferenced data
         directories (Iceberg ``expireSnapshots`` + orphan-file cleanup).
@@ -985,12 +986,22 @@ class LakeTable:
         manifest) and is the one intentional listing in the maintenance
         path; it never runs per commit.
 
+        ``keep_from_version`` floors the expiry regardless of
+        ``keep_last``: every snapshot at or above it survives. External
+        consumers pin versions — a cross-table epoch log
+        (lake/epochs.py) pins each batch's version set, and a slow
+        change-feed consumer needs its resume point — pass the oldest
+        version any of them still references (e.g.
+        ``EpochLog.retention_floor()[rid]``).
+
         Returns {"expired": [versions], "deleted_dirs": n, "freed_bytes": n}.
         """
         import shutil
 
         current = self.current_version()
         cutoff = current - keep_last + 1
+        if keep_from_version is not None:
+            cutoff = min(cutoff, keep_from_version)
         all_versions = sorted(
             int(name[1:9]) for name in os.listdir(self.snap_dir)
             if name.startswith("v") and name.endswith(".json")

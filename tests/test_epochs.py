@@ -117,3 +117,17 @@ def test_epochs_pin_cross_table_batch_boundaries(spark, tmp_path):
     assert log.record(5)["tables"] == {
         str(rid): t.current_version() for rid, t in tables.items()
     }
+
+    # epoch-aware retention: expire the log first, then GC each table
+    # with the surviving epochs' floor — an epoch-pinned read of the
+    # OLDEST surviving epoch must still work afterwards
+    expired = log.expire(keep_last=3)  # drops genesis + epochs 1, 2
+    assert expired == [0, 1, 2]
+    floors = log.retention_floor()
+    for rid, t in tables.items():
+        t.expire_snapshots(keep_last=1, orphan_grace_sec=0.0,
+                           keep_from_version=floors[rid])
+    oldest = min(int(n[1:9]) for n in
+                 __import__("os").listdir(log.log_dir))
+    for rid, df in log.read_all(tables, epoch=oldest).items():
+        assert _state(df) == captured[oldest - 1][1][rid]

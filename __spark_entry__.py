@@ -267,6 +267,90 @@ def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: change-feed run: P_ENTRY minus the truncate (the truncate marker is
+#: pinned in pytest; keeping the oracle to per-batch LWW collapses keeps
+#: it independently derivable) — 10 segments ingested in 3 batches
+P_FEED = _gen.GenParams(
+    n_txns=150, ops_per_txn=8, n_repos=50, n_paths=30,
+    toast_pct=30, txns_per_segment=15,
+)
+_FEED_BATCHES = 3
+
+
+def q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change-data-feed itself under the driver harness: ingest in
+    three batches, then read ``LakeTable.changes(0)`` — one initial-load
+    commit (every row as 'U' at the batch watermark) plus two
+    merge-on-read delta commits whose files ARE the feed (keys,
+    final_op, max_lsn, values + ``upd_<col>`` carrier flags,
+    commit version). The oracle derives the same rows INDEPENDENTLY:
+    per-batch LWW collapse over the closed-form event stream with the
+    engine's carrier rule (a delete carries an explicit NULL; an
+    unchanged-TOAST cell carries nothing), so a hash match proves the
+    feed contract end-to-end, not just row counts."""
+    table = _ingest_cdc(spark, P_FEED, n_batches=_FEED_BATCHES)
+    return table.changes(0).selectExpr(
+        "repo", "path", "final_op", "max_lsn",
+        "`commit`", "lang", "content",
+        "upd_commit", "upd_lang", "upd_content",
+        "CAST(_commit_version AS INT) AS commit_version",
+    )
+
+
+def _cdc_change_feed_oracle(p: _gen.GenParams, n_batches: int) -> str:
+    n_segments = p.n_txns // p.txns_per_segment
+    span = -(-n_segments // n_batches)  # ceil — mirrors run_ingest's split
+    stride, ops = p.lsn_stride, p.ops_per_txn
+    return f"""
+WITH ev AS ({_gen.duckdb_events_sql(p)}),
+tagged AS (
+  SELECT *, CAST(segment // {span} AS INT) + 1 AS b FROM ev
+),
+base1 AS (
+  -- batch 1 is the initial load (mode=replace): the feed reads the base
+  -- files, i.e. the post-batch-1 LWW state, deletes dropped
+  SELECT repo, path,
+    max_by(op, lsn) AS fop,
+    max_by({{'v': "commit"}}, lsn) AS commit_s,
+    max_by({{'v': lang}}, lsn) AS lang_s,
+    max_by({{'v': CASE WHEN op = 'D' THEN NULL ELSE content END}}, lsn)
+      FILTER (WHERE op = 'D' OR NOT content_unchanged) AS content_s
+  FROM tagged WHERE b = 1 GROUP BY repo, path
+),
+feed1 AS (
+  SELECT repo, path, 'U' AS final_op,
+    (SELECT MAX(10 + txn * {stride} + {ops} + 1) FROM tagged WHERE b = 1) AS max_lsn,
+    commit_s.v AS "commit", lang_s.v AS lang, content_s.v AS content,
+    true AS upd_commit, true AS upd_lang, true AS upd_content,
+    1 AS commit_version
+  FROM base1 WHERE fop <> 'D'
+),
+feedd AS (
+  -- delta batches: the delta files are EXACTLY the per-batch LWW
+  -- collapse (engine rule: D carries an explicit NULL for every column;
+  -- commit/lang are always carried by I/U; content only when not TOAST-'u')
+  SELECT repo, path, b,
+    max_by(op, lsn) AS final_op,
+    max(lsn) AS max_lsn,
+    max_by({{'v': CASE WHEN op = 'D' THEN NULL ELSE "commit" END}}, lsn) AS commit_s,
+    max_by({{'v': CASE WHEN op = 'D' THEN NULL ELSE lang END}}, lsn) AS lang_s,
+    max_by({{'v': CASE WHEN op = 'D' THEN NULL ELSE content END}}, lsn)
+      FILTER (WHERE op = 'D' OR NOT content_unchanged) AS content_s
+  FROM tagged WHERE b >= 2 GROUP BY repo, path, b
+)
+SELECT * FROM feed1
+UNION ALL
+SELECT repo, path, final_op, max_lsn,
+  CASE WHEN final_op = 'D' THEN NULL ELSE commit_s.v END AS "commit",
+  CASE WHEN final_op = 'D' THEN NULL ELSE lang_s.v END AS lang,
+  CASE WHEN final_op = 'D' THEN NULL ELSE content_s.v END AS content,
+  true AS upd_commit, true AS upd_lang,
+  (content_s IS NOT NULL) AS upd_content,
+  CAST(b AS INT) AS commit_version
+FROM feedd
+""".strip()
+
+
 def q_cdc_rebucket_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-count evolution under the driver harness: the CDC mirror is
     ingested at n_buckets=8, rebucketed to 32 (the full layout rewrite a
@@ -322,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_point_lookup": q_cdc_point_lookup,
         "cdc_rebucket_final_state": q_cdc_rebucket_final_state,
+        "cdc_change_feed": q_cdc_change_feed,
     }
     for mod in (_text, _dedup, _similarity, _multimodal, _analytics, _asof,
                 _corpus_cdc, _sketches):
@@ -350,6 +435,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cdc_point_lookup": _cdc_point_lookup_oracle(P_ENTRY),
         "cdc_rebucket_final_state": _gen.duckdb_final_state_sql(P_ENTRY, with_sha=True),
+        "cdc_change_feed": _cdc_change_feed_oracle(P_FEED, _FEED_BATCHES),
     }
     for mod in (_text, _dedup, _similarity, _multimodal, _analytics, _asof,
                 _corpus_cdc, _sketches):

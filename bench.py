@@ -153,6 +153,7 @@ BENCH_QUERIES = (
     "corpus_ngram_counts",
     "text_bigram_familiarity",
     "dedup_ngram_jaccard",
+    "dedup_shared_passages",
     "dedup_minhash_lsh_pairs",
     "dedup_lsh_verified_pairs",
     "dedup_incremental_lsh",

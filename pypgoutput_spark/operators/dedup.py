@@ -955,6 +955,76 @@ def _runner(sql_builder, tables, spread=()):
     return run
 
 
+#: shared-passage parameters: word 4-grams, with grams appearing in more
+#: than PASSAGE_MAX_DF shingle slots excluded — boilerplate n-grams
+#: ("lorem ipsum dolor sit") would otherwise quadratically dominate the
+#: pair join, the same DF-cap discipline as the inverted-index ops
+PASSAGE_K = 4
+PASSAGE_MAX_DF = 8
+
+
+def _passage_cte(d: Dialect, k: int = PASSAGE_K) -> str:
+    """Positional k-gram shingles: (doc_id, pos, gram) — position tagged
+    into a fixed-width prefix so ONE explode carries both."""
+    toks = d.split_ws("text")
+    if d.name == "spark":
+        g = f"array_join(slice(toks, CAST(i AS INT), {k}), ' ')"
+    else:
+        g = f"array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + {k} - 1], ' ')"
+    tagged = d.array_transform(
+        d.sequence("1", f"{d.array_len('toks')} - {k} + 1"),
+        f"i -> concat(lpad({d.s('i')}, 6, '0'), ' ', {g})",
+    )
+    return f"""
+docs AS (
+  SELECT doc_id, {toks} AS toks FROM documents WHERE n_chars > 0
+),
+shp AS (
+  SELECT doc_id, CAST(substr(tg, 1, 6) AS INT) AS pos, substr(tg, 8) AS gram
+  FROM (SELECT doc_id, {d.unnest(tagged)} AS tg FROM docs)
+)""".strip()
+
+
+def _passage_final(src: str) -> str:
+    return f"""
+idx AS (
+  SELECT gram FROM {src} GROUP BY gram
+  HAVING count(*) BETWEEN 2 AND {PASSAGE_MAX_DF}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  count(*) AS n_occurrence_pairs,
+  count(DISTINCT a.gram) AS n_distinct_passages,
+  min(a.pos) AS first_pos_a, min(b.pos) AS first_pos_b
+FROM {src} a
+JOIN idx ON a.gram = idx.gram
+JOIN {src} b ON b.gram = a.gram AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+""".strip()
+
+
+def shared_passages_sql(d: Dialect) -> str:
+    """Exact shared-passage detection: pairs of documents containing the
+    same word ``PASSAGE_K``-gram, with occurrence counts and first
+    positions — the passage-level duplicate/contamination probe (the
+    bounded cousin of suffix-array substring dedup, Lee et al. 2022).
+
+    Scale: positional shingles explode once (position tagged into the
+    string — no posexplode/ordinality dialect divergence); the
+    document-frequency cap bounds the self-join exactly like the
+    n-gram-Jaccard inverted index (a boilerplate gram shared by 10k
+    docs would otherwise contribute 10k² pairs); output ∝ genuinely
+    shared passages.
+    """
+    return f"WITH {_passage_cte(d)},\n{_passage_final('shp')}"
+
+
+def q_shared_passages(spark, sf_dir: str):
+    return _staged_sql(
+        spark, sf_dir, _passage_cte(SPARK), "SELECT * FROM shp",
+        "shp_staged", f"WITH {_passage_final('shp_staged')}",
+    )
+
+
 QUERIES = {
     "dedup_exact_stats": (_runner(exact_stats_sql, ("documents",)), exact_stats_sql(DUCKDB)),
     "dedup_keep_first": (_runner(keep_first_sql, ("documents",)), keep_first_sql(DUCKDB)),
@@ -983,4 +1053,5 @@ QUERIES = {
         _runner(decontaminate_sql, ("documents",), spread=("documents",)),
         decontaminate_sql(DUCKDB),
     ),
+    "dedup_shared_passages": (q_shared_passages, shared_passages_sql(DUCKDB)),
 }

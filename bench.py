@@ -182,6 +182,7 @@ BENCH_QUERIES = (
     "join_events_range_promos",
     "cdc_incremental_mview",
     "cdc_documents_corpus",
+    "cdc_embeddings_index",
 )
 
 

@@ -193,6 +193,199 @@ FROM final
 """.strip()
 
 
+# ---- CDC-maintained ANN index (embeddings relation) -------------------------
+
+#: relation identity for the synthetic embeddings stream
+EMB_REL_ID = 7002
+#: embeddings stream draws: revised (vector negated), deleted
+EMB_UPD_PCT, EMB_DEL_PCT = 25, 10
+EMB_SEGMENTS = 4
+#: IVF cells for the index assignment over the mirrored corpus
+EMB_CENTROIDS = 16
+
+
+def _emb_quant_csv_duck() -> str:
+    """The quantization (similarity._quant, DuckDB dialect) rendered to a
+    CSV string — evaluated ONCE in DuckDB at encode time, so the wire
+    carries exactly the integers the oracle's own quantization produces
+    (no cross-engine float round-trip anywhere)."""
+    return (
+        "array_to_string(list_transform(embedding, "
+        "x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)), ',')"
+    )
+
+
+def encode_embeddings_frames(sf_dir: str):
+    """Deterministic WAL frames for the embeddings stream: insert every
+    vector (as a quantized-integer CSV cell), negate a drawn 25%
+    (an embedding-refresh upsert), delete a drawn 10%."""
+    import duckdb
+    import pandas as pd
+
+    from pypgoutput_spark.wal import codec
+
+    vecs = (
+        duckdb.connect()
+        .execute(
+            f"SELECT vec_id, {_emb_quant_csv_duck()} AS qcsv, label FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+        )
+        .df()
+    )
+    n = len(vecs)
+    q = (n + EMB_SEGMENTS - 1) // EMB_SEGMENTS
+    rows = []
+    rel = codec.encode_relation(
+        EMB_REL_ID, "public", "embeddings", "d",
+        [(1, "vec_id", 20, -1), (0, "qcsv", 25, -1), (0, "label", 23, -1)],
+    )
+    rows.append({"segment": 0, "lsn": 1, "mtype": "R", "payload": rel})
+
+    def _neg(csv: str) -> str:
+        return ",".join(str(-int(v)) for v in csv.split(","))
+
+    seg_span = 4 * q + 2
+    for r, row in enumerate(vecs.itertuples(index=False)):
+        seg, r0 = r // q, r % q
+        base = 10 + seg_span * seg
+        if r0 == 0:
+            rows.append({
+                "segment": seg, "lsn": base, "mtype": "B",
+                "payload": codec.encode_begin(base, seg * 1_000_000, 9100 + seg),
+            })
+        ev = base + 1 + 4 * r0
+        cells = [("t", str(row.vec_id)), ("t", row.qcsv), ("t", str(row.label))]
+        rows.append({
+            "segment": seg, "lsn": ev, "mtype": "I",
+            "payload": codec.encode_insert(EMB_REL_ID, cells),
+        })
+        if _draw("embu", row.vec_id) < EMB_UPD_PCT:
+            rows.append({
+                "segment": seg, "lsn": ev + 1, "mtype": "U",
+                "payload": codec.encode_update(
+                    EMB_REL_ID,
+                    [("t", str(row.vec_id)), ("t", _neg(row.qcsv)),
+                     ("t", str(row.label))],
+                ),
+            })
+        if _draw("embd", row.vec_id) < EMB_DEL_PCT:
+            rows.append({
+                "segment": seg, "lsn": ev + 2, "mtype": "D",
+                "payload": codec.encode_delete(
+                    EMB_REL_ID,
+                    [("t", str(row.vec_id)), ("n", None), ("n", None)], "K",
+                ),
+            })
+        if r0 == q - 1 or r == n - 1:
+            c = base + 1 + 4 * q
+            rows.append({
+                "segment": seg, "lsn": c, "mtype": "C",
+                "payload": codec.encode_commit(c - 1, c, seg * 1_000_000),
+            })
+    return pd.DataFrame(rows)
+
+
+def _emb_parse(d: Dialect, col: str = "qcsv") -> str:
+    """CSV of quantized ints → ARRAY<BIGINT>."""
+    split = (
+        f"split({col}, ',')" if d.name == "spark"
+        else f"string_split({col}, ',')"
+    )
+    return d.array_transform(split, "x -> CAST(x AS BIGINT)")
+
+
+def _emb_assign_sql(d: Dialect, src: str) -> str:
+    """IVF cell assignment over ``src(vec_id BIGINT, qv ARRAY<BIGINT>)``
+    — the index-build step of sim_ivf_cells (deterministic md5 seeding,
+    broadcast-sized centroid table, tie → smallest c_id), run over the
+    CDC-RESOLVED corpus: the index always reflects the mirror."""
+    from pypgoutput_spark.operators.similarity import DIM
+
+    na = d.dot_bigint("qv", "qv", DIM)
+    dot = d.dot_bigint("en.qv", "c.cv", DIM)
+    return f"""
+en AS (SELECT vec_id, qv, {na} AS nrm FROM {src}),
+seed AS (
+  SELECT vec_id AS c_id, qv AS cv, nrm AS cnrm
+  FROM en ORDER BY {d.md5_int(d.s('vec_id'))}, vec_id LIMIT {EMB_CENTROIDS}
+),
+s AS (
+  SELECT en.vec_id, c.c_id,
+    CAST({dot} AS DOUBLE) / sqrt(CAST(c.cnrm AS DOUBLE)) AS score
+  FROM en CROSS JOIN seed c
+),
+b AS (SELECT vec_id, max(score) AS ms FROM s GROUP BY vec_id),
+asg AS (
+  SELECT s.vec_id, min(s.c_id) AS c_id
+  FROM s JOIN b ON s.vec_id = b.vec_id AND s.score = b.ms
+  GROUP BY s.vec_id
+)
+SELECT vec_id, c_id FROM asg
+""".strip()
+
+
+def q_embeddings_index(spark, sf_dir: str):
+    """CDC-maintained ANN index: an embeddings-shaped relation (BIGINT
+    key + quantized-vector CSV payload) rides the generic decode → LWW →
+    merge-on-read path into a vec_id-keyed LakeTable; the resolved
+    mirror then gets its IVF cell assignment — proving the index-build
+    consumes CDC-fresh state (refreshed embeddings re-assign, deleted
+    ones vanish). The oracle applies the draws straight to the
+    embeddings table and assigns cells with the same deterministic
+    SQL — no WAL byte seen."""
+    from pypgoutput_spark.lake.table import LakeTable
+    from pypgoutput_spark.streaming import pipeline as _pipeline
+    from pypgoutput_spark.wal.generator import FRAMES_SCHEMA
+
+    frames = spark.createDataFrame(
+        encode_embeddings_frames(sf_dir), schema=FRAMES_SCHEMA
+    )
+    tmp = tempfile.mkdtemp(prefix="pypgoutput_spark_emb_")
+    table = LakeTable.create(
+        spark, f"{tmp}/lake",
+        schema=[("vec_id", "string"), ("qcsv", "string"), ("label", "string")],
+        key_cols=["vec_id"], n_buckets=8,
+    )
+    _pipeline.run_ingest(spark, frames, table, relation_id=EMB_REL_ID,
+                         n_batches=EMB_SEGMENTS)
+    d = SPARK
+    table.read().createOrReplaceTempView("cdc_emb_final")
+    return spark.sql(f"""
+WITH parsed AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, {_emb_parse(d)} AS qv
+  FROM cdc_emb_final
+),
+{_emb_assign_sql(d, 'parsed')}
+""".strip())
+
+
+def embeddings_index_oracle(d: Dialect = DUCKDB) -> str:
+    upd = _sql_draw_col(d, "embu", "vec_id")
+    dele = _sql_draw_col(d, "embd", "vec_id")
+    quant = d.array_transform(
+        "embedding", "x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)"
+    )
+    return f"""
+WITH drawn AS (
+  SELECT vec_id, {quant} AS qv0,
+    ({upd} < {EMB_UPD_PCT}) AS upd, ({dele} < {EMB_DEL_PCT}) AS del
+  FROM embeddings
+),
+final AS (
+  SELECT vec_id,
+    CASE WHEN upd THEN {d.array_transform('qv0', 'x -> -x')} ELSE qv0 END AS qv
+  FROM drawn WHERE NOT del
+),
+{_emb_assign_sql(d, 'final')}
+""".strip()
+
+
+def _sql_draw_col(d: Dialect, tag: str, col: str) -> str:
+    arg = "concat('" + tag + ":', " + d.s(col) + ")"
+    return f"({d.md5_int(arg)} % 100)"
+
+
 QUERIES = {
     "cdc_documents_corpus": (q_documents_corpus, documents_corpus_oracle()),
+    "cdc_embeddings_index": (q_embeddings_index, embeddings_index_oracle()),
 }

@@ -246,6 +246,56 @@ FROM final_state GROUP BY lang
 """.strip()
 
 
+_DIFF_PREDICATE = """
+  a.repo IS NULL OR b.repo IS NULL
+  OR NOT (a.content IS NOT DISTINCT FROM b.content
+      AND a.`commit` IS NOT DISTINCT FROM b.`commit`
+      AND a.lang IS NOT DISTINCT FROM b.lang)
+""".strip()
+
+
+def _diff_sql(quote: str = "`") -> str:
+    # identical text in both dialects apart from the identifier quote
+    q = quote
+    return f"""
+SELECT coalesce(b.repo, a.repo) AS repo,
+  coalesce(b.path, a.path) AS path,
+  CASE WHEN a.repo IS NULL THEN 'I'
+       WHEN b.repo IS NULL THEN 'D' ELSE 'U' END AS change,
+  b.{q}commit{q} AS commit_after, b.lang AS lang_after,
+  b.content_sha AS content_sha_after
+FROM snap_a a FULL JOIN snap_b b
+  ON a.repo = b.repo AND a.path = b.path
+WHERE {_DIFF_PREDICATE.replace('`', q)}
+""".strip()
+
+
+def q_cdc_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff audit: what changed between two mirror versions,
+    computed from the SNAPSHOTS themselves (a full outer join on keys
+    with null-safe column compare) — the reconciliation read a consumer
+    runs when it cannot trust (or has expired) the change feed. Version
+    2 of the 3-batch ingest is exactly the 120-txn prefix, so the
+    oracle diffs two INDEPENDENT full replays (prefix vs full) — a hash
+    match proves inserts, updates (incl. TOAST carriers resolved at
+    each endpoint), deletes and the in-window truncate all reconcile."""
+    table = _ingest_cdc(spark, P_ENTRY)
+    table.read(version=2).createOrReplaceTempView("snap_a")
+    table.read(version=3).selectExpr(
+        "repo", "path", "`commit`", "lang", "content",
+        "sha2(content, 256) AS content_sha",
+    ).createOrReplaceTempView("snap_b")
+    return spark.sql(_diff_sql("`"))
+
+
+def _cdc_version_diff_oracle() -> str:
+    return (
+        f"WITH snap_a AS ({_gen.duckdb_final_state_sql(P_ENTRY_PREFIX, with_sha=False)}),\n"
+        f"snap_b AS ({_gen.duckdb_final_state_sql(P_ENTRY, with_sha=True)})\n"
+        + _diff_sql('"')
+    )
+
+
 def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving-table point reads over the CDC mirror: ``LakeTable.lookup``
     answers a key-set probe by scanning ONLY the hash buckets the keys
@@ -407,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_point_lookup": q_cdc_point_lookup,
         "cdc_rebucket_final_state": q_cdc_rebucket_final_state,
         "cdc_change_feed": q_cdc_change_feed,
+        "cdc_version_diff": q_cdc_version_diff,
     }
     for mod in (_text, _dedup, _similarity, _multimodal, _analytics, _asof,
                 _corpus_cdc, _sketches):
@@ -436,6 +487,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_point_lookup": _cdc_point_lookup_oracle(P_ENTRY),
         "cdc_rebucket_final_state": _gen.duckdb_final_state_sql(P_ENTRY, with_sha=True),
         "cdc_change_feed": _cdc_change_feed_oracle(P_FEED, _FEED_BATCHES),
+        "cdc_version_diff": _cdc_version_diff_oracle(),
     }
     for mod in (_text, _dedup, _similarity, _multimodal, _analytics, _asof,
                 _corpus_cdc, _sketches):

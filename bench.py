@@ -141,6 +141,7 @@ BENCH_QUERIES = (
     "cdc_point_lookup",
     "cdc_rebucket_final_state",
     "cdc_change_feed",
+    "cdc_version_diff",
     "text_fingerprint",
     "text_quality_score",
     "text_repetition",

@@ -131,3 +131,30 @@ def test_epochs_pin_cross_table_batch_boundaries(spark, tmp_path):
                  __import__("os").listdir(log.log_dir))
     for rid, df in log.read_all(tables, epoch=oldest).items():
         assert _state(df) == captured[oldest - 1][1][rid]
+
+
+def test_concurrent_publishers_never_clobber(tmp_path):
+    """Two writers sharing one log (backfill racing a live stream)
+    serialize under the commit lock: every epoch id is distinct, every
+    record survives."""
+    import threading
+
+    log = EpochLog.create(str(tmp_path / "epochs"))
+    got = []
+    lock = threading.Lock()
+
+    def worker(wid):
+        for i in range(25):
+            e = log.publish({wid: i}, watermark_lsn=i)
+            with lock:
+                got.append(e)
+
+    ts = [threading.Thread(target=worker, args=(w,)) for w in (1, 2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert sorted(got) == list(range(1, 51)), "epoch ids must be gap-free and unique"
+    assert log.current_epoch() == 50
+    for e in range(1, 51):
+        log.record(e)  # every record file survived (no clobbered writes)

@@ -114,3 +114,21 @@ def test_rebucket_noop_and_conflict_guard(spark, tmp_path):
     with pytest.raises(CommitConflict, match="head moved"):
         t.commit({}, replaced_buckets=[], expected_head_version=v - 1)
     assert t.current_version() == v, "failed guard must publish nothing"
+
+
+def test_rebucket_races_async_compaction(spark, tmp_path):
+    """A rebucket issued while an async compaction is in flight: exactly
+    one of the two whole/partial rewrites lands per attempt (the loser
+    sees CommitConflict — swallowed on the maintenance thread, retried
+    here), and the final state is identical either way."""
+    t = _mk(spark, tmp_path)  # has a dirty bucket from _mk's delta commit
+    before = _state(t)
+    t.schedule_compact()
+    try:
+        t.rebucket(16)
+    except CommitConflict:
+        t.wait_maintenance()  # compaction won — retry against its head
+        t.rebucket(16)
+    t.wait_maintenance()
+    assert t.snapshot()["n_buckets"] == 16
+    assert _state(t) == before

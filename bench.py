@@ -152,6 +152,7 @@ BENCH_QUERIES = (
     "corpus_training_pipeline",
     "corpus_training_ready",
     "corpus_ngram_counts",
+    "corpus_mixture_plan",
     "text_bigram_familiarity",
     "dedup_ngram_jaccard",
     "dedup_shared_passages",

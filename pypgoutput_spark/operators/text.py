@@ -642,6 +642,41 @@ GROUP BY b.doc_id
 """.strip()
 
 
+def mixture_plan_sql(d: Dialect) -> str:
+    """Data-mixture planning: given equal target shares across sources,
+    the per-source sampling rate that realizes the mixture under the
+    available token budget — the arithmetic behind Pile/Dolma-style
+    mixture construction (downsample over-represented sources; a rate
+    of 1.0 marks a source that must be upsampled/epoch-repeated to hit
+    its share).
+
+    The bottleneck source (smallest token count) anchors the budget:
+    every source contributes ``bottleneck_tokens`` (equal shares), so
+    ``rate = bottleneck / source_tokens`` ≤ 1 everywhere. Determinism:
+    token counts are exact BIGINTs; the rate is one IEEE division and
+    the planned count one multiply+floor of identical doubles — both
+    exactly rounded, so Spark ≡ DuckDB bit-for-bit.
+
+    Scale: one map-side-combining groupBy over the corpus scan, then
+    arithmetic on an n_sources-row table. The plan feeds
+    ``corpus_sample``-style md5-draw filters downstream.
+    """
+    toks = d.split_ws("text")
+    return f"""
+WITH per_source AS (
+  SELECT source, count(*) AS n_docs,
+    CAST(sum({d.array_len(toks)}) AS BIGINT) AS n_tokens
+  FROM documents WHERE n_chars > 0 GROUP BY source
+),
+anchor AS (SELECT min(n_tokens) AS floor_tokens FROM per_source)
+SELECT s.source, s.n_docs, s.n_tokens,
+  CAST(a.floor_tokens AS DOUBLE) / s.n_tokens AS sample_rate,
+  CAST(floor(CAST(a.floor_tokens AS DOUBLE) / s.n_tokens
+       * CAST(s.n_tokens AS DOUBLE)) AS BIGINT) AS planned_tokens
+FROM per_source s CROSS JOIN anchor a
+""".strip()
+
+
 # ---- Spark runners (one per queries() entry) --------------------------------
 
 
@@ -692,6 +727,10 @@ def q_ngram_counts(spark, sf_dir: str):
     return run_sql(spark, sf_dir, ngram_counts_sql(SPARK), tables=("documents",), spread=("documents",))
 
 
+def q_mixture_plan(spark, sf_dir: str):
+    return run_sql(spark, sf_dir, mixture_plan_sql(SPARK), tables=("documents",), spread=("documents",))
+
+
 def q_bigram_familiarity(spark, sf_dir: str):
     return run_sql(spark, sf_dir, bigram_familiarity_sql(SPARK), tables=("documents",), spread=("documents",))
 
@@ -714,4 +753,5 @@ QUERIES = {
     "corpus_stats": (q_corpus_stats, corpus_stats_sql(DUCKDB)),
     "corpus_ngram_counts": (q_ngram_counts, ngram_counts_sql(DUCKDB)),
     "text_bigram_familiarity": (q_bigram_familiarity, bigram_familiarity_sql(DUCKDB)),
+    "corpus_mixture_plan": (q_mixture_plan, mixture_plan_sql(DUCKDB)),
 }

@@ -74,43 +74,72 @@ class EpochLog:
         file-lock the tables use: two writers sharing one log (a batch
         backfill racing a live stream, a supervisor restart overlapping
         the old process's last batch) serialize instead of the second
-        silently clobbering the first's record."""
+        silently clobbering the first's record. Because a STALE writer's
+        payload was computed before it waited on the lock, the new
+        record is merged FORWARD against the current one under the lock
+        (element-wise max of versions, max watermark): per-table commits
+        are monotone, so the merge of two consistent batch boundaries is
+        itself a consistent, never-regressing boundary — a stalled
+        backfill can no longer publish an epoch that pins older state
+        than its predecessor."""
         with _commit_lock(self.path):
-            e = self.current_epoch() + 1
+            prev = self.record()
+            e = prev["epoch"] + 1
+            merged = {str(r): int(v) for r, v in versions.items()}
+            for r, v in prev["tables"].items():
+                if merged.get(r, -1) < v:
+                    merged[r] = v
             _write_json(
                 os.path.join(self.log_dir, f"e{e:08d}.json"),
                 {
                     "epoch": e,
-                    "watermark_lsn": watermark_lsn,
-                    "tables": {str(r): int(v) for r, v in versions.items()},
+                    "watermark_lsn": max(watermark_lsn, prev["watermark_lsn"]),
+                    "tables": merged,
                 },
             )
             _atomic_write(os.path.join(self.path, CURRENT), str(e))
         return e
 
+    def _record_names(self) -> list:
+        """Committed epoch record files only — a crashed _write_json
+        leaves a ``*.json.tmp`` that must never be parsed (the exact
+        crash window this log heals), and stray files never raise."""
+        return sorted(
+            n for n in os.listdir(self.log_dir)
+            if n.startswith("e") and n.endswith(".json")
+            and n[1:9].isdigit()
+        )
+
     def expire(self, keep_last: int = 10) -> list:
         """Drop all but the newest ``keep_last`` epoch records (epoch 0,
         the empty genesis, is never a retention anchor). Returns the
         expired epoch ids. Run BEFORE the tables' ``expire_snapshots``
-        so :meth:`retention_floor` reflects only surviving epochs."""
-        current = self.current_epoch()
-        cutoff = current - keep_last + 1
-        expired = []
-        for name in sorted(os.listdir(self.log_dir)):
-            e = int(name[1:9])
-            if e < cutoff and e != current:
-                os.unlink(os.path.join(self.log_dir, name))
-                expired.append(e)
-        return expired
+        so :meth:`retention_floor` reflects only surviving epochs.
+        Serialized under the publish lock."""
+        with _commit_lock(self.path):
+            current = self.current_epoch()
+            cutoff = current - keep_last + 1
+            expired = []
+            for name in self._record_names():
+                e = int(name[1:9])
+                if e < cutoff and e != current:
+                    os.unlink(os.path.join(self.log_dir, name))
+                    expired.append(e)
+            return expired
 
     def retention_floor(self) -> Dict[int, int]:
         """Per relation, the OLDEST table version any surviving epoch
         pins — pass as ``expire_snapshots(keep_from_version=...)`` so
-        table GC never reclaims a snapshot a live epoch still reads."""
+        table GC never reclaims a snapshot a live epoch still reads.
+        A record unlinked by a concurrently running :meth:`expire` is
+        simply no longer a retention anchor — skipped, not an error."""
         floor: Dict[int, int] = {}
-        for name in sorted(os.listdir(self.log_dir)):
-            with open(os.path.join(self.log_dir, name)) as f:
-                rec = json.load(f)
+        for name in self._record_names():
+            try:
+                with open(os.path.join(self.log_dir, name)) as f:
+                    rec = json.load(f)
+            except FileNotFoundError:
+                continue  # expired between listdir and open
             for rid, v in rec["tables"].items():
                 r = int(rid)
                 floor[r] = min(floor.get(r, v), v)

@@ -54,9 +54,75 @@ def _draw(tag: str, doc_id) -> int:
     return int(h, 16) % 100
 
 
-def _sql_draw(d: Dialect, tag: str) -> str:
-    arg = "concat('" + tag + ":', " + d.s("doc_id") + ")"
+def _sql_draw_col(d: Dialect, tag: str, col: str) -> str:
+    arg = "concat('" + tag + ":', " + d.s(col) + ")"
     return f"({d.md5_int(arg)} % 100)"
+
+
+def _sql_draw(d: Dialect, tag: str) -> str:
+    return _sql_draw_col(d, tag, "doc_id")
+
+
+def _cell(v):
+    # SQL NULL rides the wire as an 'n' cell (never the string
+    # 'None'/'nan' — the generic codec supports null cells and the
+    # oracle preserves NULL); pandas surfaces parquet NULLs as
+    # None/NaN depending on dtype
+    if v is None or (isinstance(v, float) and v != v):
+        return ("n", None)
+    return ("t", str(v))
+
+
+def _encode_stream(rows_df, rel_id: int, rel_name: str, rel_cols,
+                   insert_cells, upd_cells, del_cells,
+                   upd_draw, del_draw, upd_pct: int, del_pct: int,
+                   n_segments: int, xid_base: int):
+    """Shared WAL-stream framing for the CDC-integration fixtures: one
+    Relation message, then per segment one transaction whose events are
+    the rows' inserts plus draw-gated revision updates and deletions —
+    4 LSN slots per row (I, U?, D?, spare), B/C never straddling a
+    segment. ONE implementation so an LSN-layout change cannot
+    desynchronize the documents and embeddings twins."""
+    import pandas as pd
+
+    from pypgoutput_spark.wal import codec
+
+    n = len(rows_df)
+    q = (n + n_segments - 1) // n_segments  # rows per segment
+    out = []
+    rel = codec.encode_relation(rel_id, "public", rel_name, "d", rel_cols)
+    out.append({"segment": 0, "lsn": 1, "mtype": "R", "payload": rel})
+    seg_span = 4 * q + 2  # B + up to 3 events per row (4th slot spare) + C
+    for r, row in enumerate(rows_df.itertuples(index=False)):
+        seg, r0 = r // q, r % q
+        base = 10 + seg_span * seg
+        if r0 == 0:  # open the segment's transaction
+            out.append({
+                "segment": seg, "lsn": base, "mtype": "B",
+                "payload": codec.encode_begin(base, seg * 1_000_000, xid_base + seg),
+            })
+        ev = base + 1 + 4 * r0
+        out.append({
+            "segment": seg, "lsn": ev, "mtype": "I",
+            "payload": codec.encode_insert(rel_id, insert_cells(row)),
+        })
+        if upd_draw(row) < upd_pct:
+            out.append({
+                "segment": seg, "lsn": ev + 1, "mtype": "U",
+                "payload": codec.encode_update(rel_id, upd_cells(row)),
+            })
+        if del_draw(row) < del_pct:
+            out.append({
+                "segment": seg, "lsn": ev + 2, "mtype": "D",
+                "payload": codec.encode_delete(rel_id, del_cells(row), "K"),
+            })
+        if r0 == q - 1 or r == n - 1:  # close the segment's transaction
+            c = base + 1 + 4 * q
+            out.append({
+                "segment": seg, "lsn": c, "mtype": "C",
+                "payload": codec.encode_commit(c - 1, c, seg * 1_000_000),
+            })
+    return pd.DataFrame(out)
 
 
 def encode_documents_frames(sf_dir: str):
@@ -64,9 +130,6 @@ def encode_documents_frames(sf_dir: str):
     Relation message, then per segment one transaction containing the
     segment's inserts / revisions / deletions in doc_id order."""
     import duckdb
-    import pandas as pd
-
-    from pypgoutput_spark.wal import codec
 
     docs = (
         duckdb.connect()
@@ -76,71 +139,29 @@ def encode_documents_frames(sf_dir: str):
         )
         .df()
     )
-    n = len(docs)
-    q = (n + N_SEGMENTS - 1) // N_SEGMENTS  # docs per segment
-    rows = []
-    rel = codec.encode_relation(
-        REL_ID, "public", "documents", "d",
-        [(1, "doc_id", 20, -1), (0, "text", 25, -1), (0, "lang", 25, -1),
-         (0, "source", 25, -1), (0, "n_chars", 20, -1)],
-    )
-    rows.append({"segment": 0, "lsn": 1, "mtype": "R", "payload": rel})
-
-    def _cell(v):
-        # SQL NULL rides the wire as an 'n' cell (never the string
-        # 'None'/'nan' — the generic codec supports null cells and the
-        # oracle preserves NULL); pandas surfaces parquet NULLs as
-        # None/NaN depending on dtype
-        if v is None or (isinstance(v, float) and v != v):
-            return ("n", None)
-        return ("t", str(v))
 
     def cells(doc_id, text, lang, source):
         n_chars = None if text is None else len(text)
         return [_cell(doc_id), _cell(text), _cell(lang),
                 _cell(source), _cell(n_chars)]
 
-    key_only = lambda doc_id: [  # noqa: E731 — K image: key cell + NULLs
-        ("t", str(doc_id)), ("n", None), ("n", None), ("n", None), ("n", None)
-    ]
+    def upd_cells(row):
+        # NULL || suffix is NULL in SQL — mirror it (oracle parity)
+        rev = None if row.text is None else row.text + REV_SUFFIX
+        return cells(row.doc_id, rev, row.lang, row.source)
 
-    seg_span = 4 * q + 2  # B + up to 3 events per doc (slot 4th spare) + C
-    for r, row in enumerate(docs.itertuples(index=False)):
-        seg, r0 = r // q, r % q
-        base = 10 + seg_span * seg
-        if r0 == 0:  # open the segment's transaction
-            rows.append({
-                "segment": seg, "lsn": base, "mtype": "B",
-                "payload": codec.encode_begin(base, seg * 1_000_000, 9000 + seg),
-            })
-        ev = base + 1 + 4 * r0
-        rows.append({
-            "segment": seg, "lsn": ev, "mtype": "I",
-            "payload": codec.encode_insert(
-                REL_ID, cells(row.doc_id, row.text, row.lang, row.source)
-            ),
-        })
-        if _draw("docu", row.doc_id) < UPD_PCT:
-            # NULL || suffix is NULL in SQL — mirror it (oracle parity)
-            rev = None if row.text is None else row.text + REV_SUFFIX
-            rows.append({
-                "segment": seg, "lsn": ev + 1, "mtype": "U",
-                "payload": codec.encode_update(
-                    REL_ID, cells(row.doc_id, rev, row.lang, row.source),
-                ),
-            })
-        if _draw("docd", row.doc_id) < DEL_PCT:
-            rows.append({
-                "segment": seg, "lsn": ev + 2, "mtype": "D",
-                "payload": codec.encode_delete(REL_ID, key_only(row.doc_id), "K"),
-            })
-        if r0 == q - 1 or r == n - 1:  # close the segment's transaction
-            c = base + 1 + 4 * q
-            rows.append({
-                "segment": seg, "lsn": c, "mtype": "C",
-                "payload": codec.encode_commit(c - 1, c, seg * 1_000_000),
-            })
-    return pd.DataFrame(rows)
+    return _encode_stream(
+        docs, REL_ID, "documents",
+        [(1, "doc_id", 20, -1), (0, "text", 25, -1), (0, "lang", 25, -1),
+         (0, "source", 25, -1), (0, "n_chars", 20, -1)],
+        insert_cells=lambda r: cells(r.doc_id, r.text, r.lang, r.source),
+        upd_cells=upd_cells,
+        del_cells=lambda r: [_cell(r.doc_id)] + [("n", None)] * 4,
+        upd_draw=lambda r: _draw("docu", r.doc_id),
+        del_draw=lambda r: _draw("docd", r.doc_id),
+        upd_pct=UPD_PCT, del_pct=DEL_PCT,
+        n_segments=N_SEGMENTS, xid_base=9000,
+    )
 
 
 def q_documents_corpus(spark, sf_dir: str):
@@ -220,78 +241,42 @@ def encode_embeddings_frames(sf_dir: str):
     vector (as a quantized-integer CSV cell), negate a drawn 25%
     (an embedding-refresh upsert), delete a drawn 10%."""
     import duckdb
-    import pandas as pd
-
-    from pypgoutput_spark.wal import codec
 
     vecs = (
         duckdb.connect()
         .execute(
-            f"SELECT vec_id, {_emb_quant_csv_duck()} AS qcsv, label FROM "
+            # label cast to VARCHAR in-query: pandas would otherwise
+            # widen a nullable INTEGER column to float64 and a label of
+            # 3 would ride the wire as '3.0'
+            f"SELECT vec_id, {_emb_quant_csv_duck()} AS qcsv, "
+            "CAST(label AS VARCHAR) AS label FROM "
             f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
         )
         .df()
     )
-    n = len(vecs)
-    q = (n + EMB_SEGMENTS - 1) // EMB_SEGMENTS
-    rows = []
-    rel = codec.encode_relation(
-        EMB_REL_ID, "public", "embeddings", "d",
-        [(1, "vec_id", 20, -1), (0, "qcsv", 25, -1), (0, "label", 23, -1)],
-    )
-    rows.append({"segment": 0, "lsn": 1, "mtype": "R", "payload": rel})
 
     def _neg(csv: str) -> str:
         return ",".join(str(-int(v)) for v in csv.split(","))
 
-    seg_span = 4 * q + 2
-    for r, row in enumerate(vecs.itertuples(index=False)):
-        seg, r0 = r // q, r % q
-        base = 10 + seg_span * seg
-        if r0 == 0:
-            rows.append({
-                "segment": seg, "lsn": base, "mtype": "B",
-                "payload": codec.encode_begin(base, seg * 1_000_000, 9100 + seg),
-            })
-        ev = base + 1 + 4 * r0
-        cells = [("t", str(row.vec_id)), ("t", row.qcsv), ("t", str(row.label))]
-        rows.append({
-            "segment": seg, "lsn": ev, "mtype": "I",
-            "payload": codec.encode_insert(EMB_REL_ID, cells),
-        })
-        if _draw("embu", row.vec_id) < EMB_UPD_PCT:
-            rows.append({
-                "segment": seg, "lsn": ev + 1, "mtype": "U",
-                "payload": codec.encode_update(
-                    EMB_REL_ID,
-                    [("t", str(row.vec_id)), ("t", _neg(row.qcsv)),
-                     ("t", str(row.label))],
-                ),
-            })
-        if _draw("embd", row.vec_id) < EMB_DEL_PCT:
-            rows.append({
-                "segment": seg, "lsn": ev + 2, "mtype": "D",
-                "payload": codec.encode_delete(
-                    EMB_REL_ID,
-                    [("t", str(row.vec_id)), ("n", None), ("n", None)], "K",
-                ),
-            })
-        if r0 == q - 1 or r == n - 1:
-            c = base + 1 + 4 * q
-            rows.append({
-                "segment": seg, "lsn": c, "mtype": "C",
-                "payload": codec.encode_commit(c - 1, c, seg * 1_000_000),
-            })
-    return pd.DataFrame(rows)
+    return _encode_stream(
+        vecs, EMB_REL_ID, "embeddings",
+        [(1, "vec_id", 20, -1), (0, "qcsv", 25, -1), (0, "label", 23, -1)],
+        insert_cells=lambda r: [_cell(r.vec_id), _cell(r.qcsv), _cell(r.label)],
+        upd_cells=lambda r: [_cell(r.vec_id), _cell(_neg(r.qcsv)), _cell(r.label)],
+        del_cells=lambda r: [_cell(r.vec_id), ("n", None), ("n", None)],
+        upd_draw=lambda r: _draw("embu", r.vec_id),
+        del_draw=lambda r: _draw("embd", r.vec_id),
+        upd_pct=EMB_UPD_PCT, del_pct=EMB_DEL_PCT,
+        n_segments=EMB_SEGMENTS, xid_base=9100,
+    )
 
 
 def _emb_parse(d: Dialect, col: str = "qcsv") -> str:
-    """CSV of quantized ints → ARRAY<BIGINT>."""
-    split = (
-        f"split({col}, ',')" if d.name == "spark"
-        else f"string_split({col}, ',')"
-    )
-    return d.array_transform(split, "x -> CAST(x AS BIGINT)")
+    """CSV of quantized ints → ARRAY<BIGINT>. Spark-side only: the
+    oracle never round-trips CSV (it quantizes the parquet arrays
+    directly), so there is deliberately no DuckDB branch to rot."""
+    assert d.name == "spark", "CSV parse is the mirror-read path only"
+    return d.array_transform(f"split({col}, ',')", "x -> CAST(x AS BIGINT)")
 
 
 def _emb_assign_sql(d: Dialect, src: str) -> str:
@@ -378,11 +363,6 @@ final AS (
 ),
 {_emb_assign_sql(d, 'final')}
 """.strip()
-
-
-def _sql_draw_col(d: Dialect, tag: str, col: str) -> str:
-    arg = "concat('" + tag + ":', " + d.s(col) + ")"
-    return f"({d.md5_int(arg)} % 100)"
 
 
 QUERIES = {

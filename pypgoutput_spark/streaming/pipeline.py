@@ -574,7 +574,7 @@ def run_ingest(
             F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
         ).collect()[0]
         if bounds["lo"] is None:
-            return _empty_replay(epoch_log, table_map)
+            return _empty_replay(epoch_log, table_map, on_batch)
         lo, hi = int(bounds["lo"]), int(bounds["hi"])
         span = max(1, math.ceil((hi - lo + 1) / n_batches))
         batches = [
@@ -589,7 +589,7 @@ def run_ingest(
             F.min("segment").alias("lo"), F.max("segment").alias("hi")
         ).collect()[0]
         if bounds["lo"] is None:
-            return _empty_replay(epoch_log, table_map)
+            return _empty_replay(epoch_log, table_map, on_batch)
         lo, hi = int(bounds["lo"]), int(bounds["hi"])
         span = max(1, math.ceil((hi - lo + 1) / n_batches))
         batches = [
@@ -618,16 +618,19 @@ def run_ingest(
     return out
 
 
-def _empty_replay(epoch_log, table_map) -> List[dict]:
+def _empty_replay(epoch_log, table_map, on_batch) -> List[dict]:
     """A fully-replayed run (every frame at or below the watermark): no
     batches to apply, but the epoch log must still heal — a crash
     between the last merge and the epoch publish otherwise leaves
     CURRENT one batch stale FOREVER on this path (the n_batches=1 path
-    already heals through apply_frames_batch's skip metrics)."""
+    already heals through apply_frames_batch's skip metrics). The
+    caller's ``on_batch`` observes the healed epoch like any other."""
     if epoch_log is None:
         return []
     m = {"skipped": True, "reason": "empty"}
     m["epoch"] = _publish_epoch(epoch_log, table_map, m)
+    if on_batch:
+        on_batch(m)
     return [m]
 
 

@@ -153,6 +153,7 @@ BENCH_QUERIES = (
     "corpus_training_ready",
     "corpus_ngram_counts",
     "corpus_mixture_plan",
+    "corpus_mixture_apply",
     "text_bigram_familiarity",
     "dedup_ngram_jaccard",
     "dedup_shared_passages",

@@ -677,6 +677,41 @@ FROM per_source s CROSS JOIN anchor a
 """.strip()
 
 
+def mixture_apply_sql(d: Dialect) -> str:
+    """The mixture plan APPLIED: each source downsampled to its computed
+    rate by a deterministic md5 draw over doc_id — plan and application
+    in ONE query, so the realized per-source token counts can be read
+    against the planned ones (they differ only by draw quantization).
+
+    Scale: the rates table is n_sources rows (broadcast); the draw is a
+    cheap md5 on the key column (never a higher-order-function predicate
+    — those must not enter pushdown, see corpus_training_pipeline);
+    second corpus pass applies the filter at the scan.
+    """
+    toks = d.split_ws("text")
+    draw = d.md5_int("concat('mix:', " + d.s("doc_id") + ")")
+    return f"""
+WITH per_source AS (
+  SELECT source, CAST(sum({d.array_len(toks)}) AS BIGINT) AS n_tokens
+  FROM documents WHERE n_chars > 0 GROUP BY source
+),
+anchor AS (SELECT min(n_tokens) AS floor_tokens FROM per_source),
+rates AS (
+  SELECT s.source,
+    CAST(floor(CAST(a.floor_tokens AS DOUBLE) / s.n_tokens * 1000000)
+         AS BIGINT) AS keep_ppm
+  FROM per_source s CROSS JOIN anchor a
+)
+SELECT d2.source,
+  count(*) AS n_docs,
+  CAST(sum({d.array_len(d.split_ws('d2.text'))}) AS BIGINT) AS sampled_tokens,
+  min(r.keep_ppm) AS keep_ppm
+FROM documents d2 JOIN rates r ON d2.source = r.source
+WHERE d2.n_chars > 0 AND ({draw} % 1000000) < r.keep_ppm
+GROUP BY d2.source
+""".strip()
+
+
 # ---- Spark runners (one per queries() entry) --------------------------------
 
 
@@ -731,6 +766,10 @@ def q_mixture_plan(spark, sf_dir: str):
     return run_sql(spark, sf_dir, mixture_plan_sql(SPARK), tables=("documents",), spread=("documents",))
 
 
+def q_mixture_apply(spark, sf_dir: str):
+    return run_sql(spark, sf_dir, mixture_apply_sql(SPARK), tables=("documents",), spread=("documents",))
+
+
 def q_bigram_familiarity(spark, sf_dir: str):
     return run_sql(spark, sf_dir, bigram_familiarity_sql(SPARK), tables=("documents",), spread=("documents",))
 
@@ -754,4 +793,5 @@ QUERIES = {
     "corpus_ngram_counts": (q_ngram_counts, ngram_counts_sql(DUCKDB)),
     "text_bigram_familiarity": (q_bigram_familiarity, bigram_familiarity_sql(DUCKDB)),
     "corpus_mixture_plan": (q_mixture_plan, mixture_plan_sql(DUCKDB)),
+    "corpus_mixture_apply": (q_mixture_apply, mixture_apply_sql(DUCKDB)),
 }

@@ -178,6 +178,7 @@ BENCH_QUERIES = (
     "events_retention",
     "sketch_kmv_distinct",
     "sketch_sample_quantiles",
+    "sketch_kmv_union",
     "agg_pricing_summary",
     "join_nation_revenue",
     "join_order_rollup",

@@ -126,6 +126,102 @@ FROM s_q JOIN f_q ON f_q.source = s_q.source
 """.strip()
 
 
+#: union-sketch size: smaller than KMV_K so the estimator genuinely
+#: engages at the correctness scale (sf0.01: ~25 distinct contents per
+#: source, ~50 per pairwise union); error band widens to ~1/sqrt(16) = 25%
+KMV_UNION_K = 16
+
+
+def kmv_union_sql(d: Dialect, k: int = KMV_UNION_K) -> str:
+    """Sketch ALGEBRA — the property that makes sketches the 100 TB
+    answer: per-source KMV sketches (k smallest content hashes, a
+    bounded mergeable object) are MERGED pairwise to estimate each
+    source pair's union, intersection (inclusion–exclusion) and Jaccard
+    — without ever touching the full corpus again. The exact values
+    ride along for error visibility: computing them needs the full
+    distinct-hash self-join this sketch exists to avoid.
+
+    Merging = bottom-k of the two sketches' union — exactly how
+    per-partition / per-day / per-source sketches combine upward in a
+    production rollup. Pairs whose true union is smaller than k fall
+    back to the exact union (the merged sketch saw everything).
+    Everything is BIGINT arithmetic or one exactly-rounded division —
+    bit-identical across engines.
+    """
+    hv = f"({d.md5_int('text')} % {HASH_M})"
+    est = f"{d.idiv(f'({k} - 1) * CAST({HASH_M} AS BIGINT)', 'NULLIF(h_k, 0)')}"
+    return f"""
+WITH h AS (
+  SELECT DISTINCT source, {hv} AS hv
+  FROM documents WHERE n_chars > 0
+),
+sk AS (
+  SELECT source, hv FROM (
+    SELECT source, hv,
+      row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+    FROM h
+  ) r WHERE rn <= {k}
+),
+src_kth AS (
+  SELECT source, max(CASE WHEN rn = {k} THEN hv END) AS h_k,
+         count(*) AS n_sk
+  FROM (
+    SELECT source, hv,
+      row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+    FROM sk
+  ) x GROUP BY source
+),
+src_exact AS (SELECT source, count(*) AS n_exact FROM h GROUP BY source),
+src_est AS (
+  SELECT e.source,
+    CAST(COALESCE({est}, e.n_exact) AS BIGINT) AS d_est,
+    e.n_exact
+  FROM src_exact e JOIN src_kth t ON t.source = e.source
+),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM src_exact a JOIN src_exact b ON a.source < b.source
+),
+merged AS (
+  SELECT src_a, src_b, hv,
+    row_number() OVER (PARTITION BY src_a, src_b ORDER BY hv) AS rn,
+    count(*) OVER (PARTITION BY src_a, src_b) AS n_m
+  FROM (
+    SELECT DISTINCT p.src_a, p.src_b, s.hv
+    FROM pairs p JOIN sk s ON s.source = p.src_a OR s.source = p.src_b
+  ) u
+),
+u_kth AS (
+  SELECT src_a, src_b, max(CASE WHEN rn = {k} THEN hv END) AS h_k
+  FROM merged GROUP BY src_a, src_b
+),
+exact_inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+  FROM h a JOIN h b ON a.hv = b.hv AND a.source < b.source
+  GROUP BY a.source, b.source
+),
+ex AS (
+  SELECT p.src_a, p.src_b,
+    ea.n_exact + eb.n_exact - COALESCE(i.n_inter, 0) AS exact_union,
+    COALESCE(i.n_inter, 0) AS exact_inter
+  FROM pairs p
+  JOIN src_exact ea ON ea.source = p.src_a
+  JOIN src_exact eb ON eb.source = p.src_b
+  LEFT JOIN exact_inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+)
+SELECT ex.src_a, ex.src_b,
+  CAST(ex.exact_union AS BIGINT) AS exact_union,
+  CAST(ex.exact_inter AS BIGINT) AS exact_inter,
+  CAST(COALESCE({est}, ex.exact_union) AS BIGINT) AS union_est,
+  CAST(greatest(CAST(0 AS BIGINT),
+    sa.d_est + sb.d_est - COALESCE({est}, ex.exact_union)) AS BIGINT) AS inter_est
+FROM ex
+JOIN u_kth u ON u.src_a = ex.src_a AND u.src_b = ex.src_b
+JOIN src_est sa ON sa.source = ex.src_a
+JOIN src_est sb ON sb.source = ex.src_b
+""".strip()
+
+
 def _runner(sql_builder, tables=("documents",)):
     def run(spark, sf_dir: str):
         return run_sql(spark, sf_dir, sql_builder(SPARK), tables=tables,
@@ -139,4 +235,5 @@ QUERIES = {
     "sketch_sample_quantiles": (
         _runner(sample_quantiles_sql), sample_quantiles_sql(DUCKDB),
     ),
+    "sketch_kmv_union": (_runner(kmv_union_sql), kmv_union_sql(DUCKDB)),
 }

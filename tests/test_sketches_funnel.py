@@ -108,3 +108,29 @@ def test_funnel_crafted_fixture(spark, tmp_path):
     assert row["n_click_after_view"] == 2   # u1, u3 (u2's click precedes view)
     assert row["n_purchase_after_click"] == 1  # u1 only
     assert row["total_click_to_purchase_us"] == 60_000_000
+
+
+def test_kmv_union_estimates_within_band():
+    """Merged-sketch (pairwise union) estimates track the exact values:
+    union within the ~1/sqrt(K) band, intersection derived by
+    inclusion-exclusion (three estimator errors compound — judged
+    against the UNION size, its actual scale), small unions exact."""
+    df = _docs_con().execute(SK.kmv_union_sql(DUCKDB)).df()
+    assert len(df) == 190  # 20 choose 2 source pairs
+    checked = 0
+    for r in df.itertuples(index=False):
+        if r.exact_union < SK.KMV_UNION_K:
+            assert r.union_est == r.exact_union
+            continue
+        checked += 1
+        rel = abs(r.union_est - r.exact_union) / r.exact_union
+        assert rel < 0.9, (r.src_a, r.src_b, r.exact_union, r.union_est)
+        # inclusion-exclusion inter error ∝ union scale, not inter scale
+        assert abs(r.inter_est - r.exact_inter) / r.exact_union < 1.2, (
+            r.src_a, r.src_b, r.exact_inter, r.inter_est, r.exact_union
+        )
+    assert checked > 100, "most pairs must exercise the sketch path"
+    # and the estimator must beat a null model on average
+    sk = df[df.exact_union >= SK.KMV_UNION_K]
+    mean_rel = (abs(sk.union_est - sk.exact_union) / sk.exact_union).mean()
+    assert mean_rel < 0.35, mean_rel

@@ -147,6 +147,12 @@ def kmv_union_sql(d: Dialect, k: int = KMV_UNION_K) -> str:
     back to the exact union (the merged sketch saw everything).
     Everything is BIGINT arithmetic or one exactly-rounded division —
     bit-identical across engines.
+
+    Plan note: every join over SKETCH or HASH rows is an equi-join
+    (the sketch-to-pair attach is two equi-joins unioned, never an OR
+    predicate — Spark would plan that as BroadcastNestedLoop); the only
+    nested-loop is the pair enumeration itself over the n_sources-row
+    name list, which is O(n²) by definition and broadcast-tiny.
     """
     hv = f"({d.md5_int('text')} % {HASH_M})"
     est = f"{d.idiv(f'({k} - 1) * CAST({HASH_M} AS BIGINT)', 'NULLIF(h_k, 0)')}"
@@ -156,20 +162,15 @@ WITH h AS (
   FROM documents WHERE n_chars > 0
 ),
 sk AS (
-  SELECT source, hv FROM (
+  SELECT source, hv, rn FROM (
     SELECT source, hv,
       row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
     FROM h
   ) r WHERE rn <= {k}
 ),
 src_kth AS (
-  SELECT source, max(CASE WHEN rn = {k} THEN hv END) AS h_k,
-         count(*) AS n_sk
-  FROM (
-    SELECT source, hv,
-      row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
-    FROM sk
-  ) x GROUP BY source
+  SELECT source, max(CASE WHEN rn = {k} THEN hv END) AS h_k
+  FROM sk GROUP BY source
 ),
 src_exact AS (SELECT source, count(*) AS n_exact FROM h GROUP BY source),
 src_est AS (
@@ -183,12 +184,16 @@ pairs AS (
   FROM src_exact a JOIN src_exact b ON a.source < b.source
 ),
 merged AS (
+  -- two broadcast equi-joins, never an OR predicate (Spark plans an
+  -- OR-join as BroadcastNestedLoop — the wrong shape at any scale)
   SELECT src_a, src_b, hv,
-    row_number() OVER (PARTITION BY src_a, src_b ORDER BY hv) AS rn,
-    count(*) OVER (PARTITION BY src_a, src_b) AS n_m
+    row_number() OVER (PARTITION BY src_a, src_b ORDER BY hv) AS rn
   FROM (
-    SELECT DISTINCT p.src_a, p.src_b, s.hv
-    FROM pairs p JOIN sk s ON s.source = p.src_a OR s.source = p.src_b
+    SELECT DISTINCT src_a, src_b, hv FROM (
+      SELECT p.src_a, p.src_b, s.hv FROM pairs p JOIN sk s ON s.source = p.src_a
+      UNION ALL
+      SELECT p.src_a, p.src_b, s.hv FROM pairs p JOIN sk s ON s.source = p.src_b
+    ) uu
   ) u
 ),
 u_kth AS (

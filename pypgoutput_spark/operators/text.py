@@ -642,6 +642,19 @@ GROUP BY b.doc_id
 """.strip()
 
 
+def _mixture_cte(d: Dialect) -> str:
+    """The plan arithmetic BOTH mixture builders share — one definition,
+    so the applied rates can never drift from the planned ones."""
+    toks = d.split_ws("text")
+    return f"""
+per_source AS (
+  SELECT source, count(*) AS n_docs,
+    CAST(sum({d.array_len(toks)}) AS BIGINT) AS n_tokens
+  FROM documents WHERE n_chars > 0 GROUP BY source
+),
+anchor AS (SELECT min(n_tokens) AS floor_tokens FROM per_source)""".strip()
+
+
 def mixture_plan_sql(d: Dialect) -> str:
     """Data-mixture planning: given equal target shares across sources,
     the per-source sampling rate that realizes the mixture under the
@@ -661,14 +674,8 @@ def mixture_plan_sql(d: Dialect) -> str:
     arithmetic on an n_sources-row table. The plan feeds
     ``corpus_sample``-style md5-draw filters downstream.
     """
-    toks = d.split_ws("text")
     return f"""
-WITH per_source AS (
-  SELECT source, count(*) AS n_docs,
-    CAST(sum({d.array_len(toks)}) AS BIGINT) AS n_tokens
-  FROM documents WHERE n_chars > 0 GROUP BY source
-),
-anchor AS (SELECT min(n_tokens) AS floor_tokens FROM per_source)
+WITH {_mixture_cte(d)}
 SELECT s.source, s.n_docs, s.n_tokens,
   CAST(a.floor_tokens AS DOUBLE) / s.n_tokens AS sample_rate,
   CAST(floor(CAST(a.floor_tokens AS DOUBLE) / s.n_tokens
@@ -688,14 +695,9 @@ def mixture_apply_sql(d: Dialect) -> str:
     — those must not enter pushdown, see corpus_training_pipeline);
     second corpus pass applies the filter at the scan.
     """
-    toks = d.split_ws("text")
-    draw = d.md5_int("concat('mix:', " + d.s("doc_id") + ")")
+    draw = d.md5_int(f_concat("mix:", d.s("doc_id")))
     return f"""
-WITH per_source AS (
-  SELECT source, CAST(sum({d.array_len(toks)}) AS BIGINT) AS n_tokens
-  FROM documents WHERE n_chars > 0 GROUP BY source
-),
-anchor AS (SELECT min(n_tokens) AS floor_tokens FROM per_source),
+WITH {_mixture_cte(d)},
 rates AS (
   SELECT s.source,
     CAST(floor(CAST(a.floor_tokens AS DOUBLE) / s.n_tokens * 1000000)

@@ -27,6 +27,7 @@ from pypgoutput_spark.operators import (
     asof as _asof,
     corpus_cdc as _corpus_cdc,
     decode as _decode,
+    scd as _scd,
     sketches as _sketches,
     dedup as _dedup,
     multimodal as _multimodal,
@@ -401,6 +402,21 @@ FROM feedd
 """.strip()
 
 
+def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history — the classic warehouse consumer of
+    a CDC feed: ingest in three batches, read ``changes(0)``, and turn
+    every upsert into a version row (valid_from/valid_to at both commit
+    and LSN grain, carry-forward for TOAST-unchanged cells, deletes
+    closing versions, ``is_current`` flags). The oracle layers the SAME
+    window algebra over the INDEPENDENT feed oracle, so a hash match
+    proves the history (row images included) end-to-end against the
+    closed-form event stream."""
+    table = _ingest_cdc(spark, P_FEED, n_batches=_FEED_BATCHES)
+    return _scd.scd2_history(
+        table.changes(0), ["repo", "path"], ["commit", "lang", "content"]
+    )
+
+
 def q_cdc_rebucket_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-count evolution under the driver harness: the CDC mirror is
     ingested at n_buckets=8, rebucketed to 32 (the full layout rewrite a
@@ -458,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_rebucket_final_state": q_cdc_rebucket_final_state,
         "cdc_change_feed": q_cdc_change_feed,
         "cdc_version_diff": q_cdc_version_diff,
+        "cdc_scd2_history": q_cdc_scd2_history,
     }
     for mod in (_text, _dedup, _similarity, _multimodal, _analytics, _asof,
                 _corpus_cdc, _sketches):
@@ -488,6 +505,10 @@ def oracle_sql() -> dict[str, str]:
         "cdc_rebucket_final_state": _gen.duckdb_final_state_sql(P_ENTRY, with_sha=True),
         "cdc_change_feed": _cdc_change_feed_oracle(P_FEED, _FEED_BATCHES),
         "cdc_version_diff": _cdc_version_diff_oracle(),
+        "cdc_scd2_history": _scd.scd2_oracle_sql(
+            _cdc_change_feed_oracle(P_FEED, _FEED_BATCHES),
+            ["repo", "path"], ["commit", "lang", "content"],
+        ),
     }
     for mod in (_text, _dedup, _similarity, _multimodal, _analytics, _asof,
                 _corpus_cdc, _sketches):

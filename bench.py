@@ -142,6 +142,7 @@ BENCH_QUERIES = (
     "cdc_rebucket_final_state",
     "cdc_change_feed",
     "cdc_version_diff",
+    "cdc_scd2_history",
     "text_fingerprint",
     "text_quality_score",
     "text_repetition",

@@ -71,6 +71,7 @@ def merge_into(
     broadcast_threshold: int = 150_000,
     auto_compact: bool = True,
     extra_metrics: Optional[dict] = None,
+    repair: bool = False,
 ) -> dict:
     """Apply an LWW change set. Returns the batch metrics dict.
 
@@ -89,7 +90,13 @@ def merge_into(
     an external maintenance job.
     """
     snap = table.snapshot()
-    if watermark_lsn <= snap["watermark_lsn"]:
+    if repair:
+        # dead-letter repair (streaming.repair): the change set re-derives
+        # rows ALREADY below the watermark, so the guard is bypassed and
+        # the watermark stays put — a repair commit never acks new LSNs
+        watermark_lsn = snap["watermark_lsn"]
+        extra_metrics = {**(extra_metrics or {}), "repair": True}
+    elif watermark_lsn <= snap["watermark_lsn"]:
         return {
             "skipped": True,
             "reason": "watermark",

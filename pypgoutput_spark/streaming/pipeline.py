@@ -217,6 +217,32 @@ def _explode_key_changes(proj, keys, value_cols, base_cols, guard_kc_toast=False
     )
 
 
+def project_all_versions(raw, registry, rid: int, keys, value_cols, base_cols):
+    """Union the flat projections of every schema version of ``rid`` over
+    decoded raw events, aligning columns to the table schema (missing →
+    NULL/false carriers) and keeping the old-key columns for key-change
+    explode. Truncate rows are metadata, not DML — dropped here."""
+    parts = []
+    for rv in registry.versions(rid):
+        p_df = decode_op.project_relation(raw, rv, with_old_keys=True)
+        sel = list(base_cols)
+        for c in list(keys) + list(value_cols):
+            if c in rv.column_names:
+                sel += [f"`{c}`", f"u_{c}"]
+            else:
+                sel += [f"CAST(NULL AS STRING) AS `{c}`", f"false AS u_{c}"]
+        for k in keys:
+            sel.append(
+                f"__old_{k}" if k in rv.column_names
+                else f"CAST(NULL AS STRING) AS __old_{k}"
+            )
+        parts.append(p_df.selectExpr(*sel))
+    proj = parts[0]
+    for extra in parts[1:]:
+        proj = proj.unionByName(extra)
+    return proj.filter(F.col("op") != "T")
+
+
 def apply_frames_batch(
     tables: Union[LakeTable, Dict[int, LakeTable]],
     frames,
@@ -461,25 +487,9 @@ def apply_frames_batch(
         base_cols = ["lsn", "op", "xid", "begin_lsn", "commit_ts_us"]
         for rid, tbl in managed.items():
             keys, value_cols = table_cols[rid]
-            parts = []
-            for rv in registry.versions(rid):
-                p_df = decode_op.project_relation(raw, rv, with_old_keys=True)
-                sel = list(base_cols)
-                for c in list(keys) + value_cols:
-                    if c in rv.column_names:
-                        sel += [f"`{c}`", f"u_{c}"]
-                    else:
-                        sel += [f"CAST(NULL AS STRING) AS `{c}`", f"false AS u_{c}"]
-                for k in keys:
-                    sel.append(
-                        f"__old_{k}" if k in rv.column_names
-                        else f"CAST(NULL AS STRING) AS __old_{k}"
-                    )
-                parts.append(p_df.selectExpr(*sel))
-            proj = parts[0]
-            for extra in parts[1:]:
-                proj = proj.unionByName(extra)
-            proj = proj.filter(F.col("op") != "T")
+            proj = project_all_versions(
+                raw, registry, rid, keys, value_cols, base_cols
+            )
             truncated = rid in t_lsn_by_rid
             if truncated:
                 proj = proj.filter(F.col("lsn") > t_lsn_by_rid[rid])

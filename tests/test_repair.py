@@ -1,0 +1,115 @@
+"""Dead-letter repair (streaming/repair.py): quarantine → replay → exact.
+
+Scenario: the transport delivers a stream with corrupted DML payloads;
+non-strict ingest quarantines them (op='E') and applies the rest, so the
+table diverges from the oracle. The frames are then re-fetched intact
+and ``replay_quarantine`` folds the lost changes back — the final state
+must equal the serial oracle EXACTLY (late deletes, TOAST carriers and
+all), the watermark must not move, and a second replay must be a ledger
+no-op.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from pypgoutput_spark.lake.table import LakeTable
+from pypgoutput_spark.streaming import pipeline
+from pypgoutput_spark.streaming.repair import replay_quarantine
+from pypgoutput_spark.wal import generator as gen
+
+P = gen.GenParams(
+    n_txns=60, ops_per_txn=6, n_repos=15, n_paths=10,
+    toast_pct=30, txns_per_segment=10,
+)
+
+
+def _corrupt(frames_pdf: pd.DataFrame) -> tuple[pd.DataFrame, list[int]]:
+    """Truncate every 7th DML payload — undecodable, structure intact."""
+    bad = frames_pdf[frames_pdf.mtype.isin(("I", "U", "D"))].iloc[::7]
+    out = frames_pdf.copy()
+    out.loc[bad.index, "payload"] = out.loc[bad.index, "payload"].map(
+        lambda b: bytes(b)[:2]
+    )
+    return out, sorted(int(x) for x in bad.lsn)
+
+
+def _mk_table(spark, tmp_path):
+    return LakeTable.create(
+        spark, str(tmp_path / "lake"),
+        schema=[(c, "string") for c in gen.ALL_COLUMNS],
+        key_cols=list(gen.KEY_COLUMNS), n_buckets=8,
+    )
+
+
+def _state(spark, table):
+    return (table.read().toPandas()
+            .sort_values(["repo", "path"]).reset_index(drop=True))
+
+
+def _oracle():
+    return (duckdb.sql(gen.duckdb_final_state_sql(P, with_sha=False)).df()
+            .sort_values(["repo", "path"]).reset_index(drop=True))
+
+
+def test_replay_quarantine_restores_exact_state(spark, tmp_path):
+    good = gen.spark_frames_df(spark, P)
+    pdf = good.toPandas()
+    bad_pdf, bad_lsns = _corrupt(pdf)
+    assert len(bad_lsns) >= 20
+    corrupted = spark.createDataFrame(bad_pdf, good.schema)
+
+    table = _mk_table(spark, tmp_path)
+    qdir = str(tmp_path / "quarantine")
+    pipeline.run_ingest(
+        spark, corrupted, table, n_batches=2, strict=False,
+        quarantine_dir=qdir,
+    )
+    wm = table.watermark_lsn
+    assert wm > 0
+
+    q = spark.read.parquet(qdir)
+    assert sorted(r["lsn"] for r in q.select("lsn").collect()) == bad_lsns
+    # the damage is real: the table diverged from the oracle
+    want = _oracle()
+    got = _state(spark, table)
+    assert not got.equals(want[got.columns.tolist()].reset_index(drop=True))
+
+    rep = replay_quarantine(spark, good, table, qdir)
+    assert rep["repaired"] == len(bad_lsns)
+    assert rep["repair"] is True
+    assert table.watermark_lsn == wm  # repair never acks new LSNs
+
+    got = _state(spark, table)
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+
+    # second replay: everything ledgered, pure no-op
+    rep2 = replay_quarantine(spark, good, table, qdir)
+    assert rep2 == {"skipped": True, "reason": "nothing-pending", "repaired": 0}
+
+
+def test_replay_strict_raises_if_still_corrupt(spark, tmp_path):
+    good = gen.spark_frames_df(spark, P)
+    bad_pdf, _ = _corrupt(good.toPandas())
+    corrupted = spark.createDataFrame(bad_pdf, good.schema)
+
+    table = _mk_table(spark, tmp_path)
+    qdir = str(tmp_path / "quarantine")
+    pipeline.run_ingest(
+        spark, corrupted, table, n_batches=1, strict=False,
+        quarantine_dir=qdir,
+    )
+    # replaying the SAME corrupt frames under the default strict contract
+    # must fail loudly, and must NOT ledger anything as repaired
+    with pytest.raises(Exception):
+        replay_quarantine(spark, corrupted, table, qdir)
+    rep = replay_quarantine(spark, good, table, qdir)
+    assert rep["repaired"] > 0
+    pd.testing.assert_frame_equal(
+        _state(spark, table)[_oracle().columns.tolist()], _oracle(),
+        check_dtype=False,
+    )

@@ -417,6 +417,49 @@ def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_repair_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter repair under the driver harness: the transport
+    delivers ~1/7 of the DML payloads truncated to 2 bytes
+    (undecodable); non-strict ingest quarantines them as op='E' dead
+    letters and commits the rest, so the mirror diverges from the
+    source. ``streaming.repair.replay_quarantine`` then re-decodes the
+    affected window from the intact durable frame store, LWW-collapses
+    it for the affected keys ONLY, and folds the result back as a
+    watermark-neutral repair commit (repair never acks new LSNs). The
+    oracle is the UNCHANGED final-state SQL: a hash match proves repair
+    restored the exact uncorrupted semantics — late deletes, TOAST
+    carriers and the in-window truncate included."""
+    from pyspark.sql import functions as F
+
+    from pypgoutput_spark.streaming.repair import replay_quarantine
+
+    tmp = tempfile.mkdtemp(prefix="pypgoutput_spark_repair_")
+    table = LakeTable.create(
+        spark, f"{tmp}/lake",
+        schema=[(c, "string") for c in _gen.ALL_COLUMNS],
+        key_cols=list(_gen.KEY_COLUMNS), n_buckets=8,
+    )
+    good = _gen.spark_frames_df(spark, P_ENTRY)
+    corrupted = good.withColumn(
+        "payload",
+        F.when(
+            F.col("mtype").isin("I", "U", "D") & (F.col("lsn") % 7 == 0),
+            F.expr("substring(payload, 1, 2)"),
+        ).otherwise(F.col("payload")),
+    )
+    qdir = f"{tmp}/quarantine"
+    _pipeline.run_ingest(spark, corrupted, table, n_batches=3,
+                         strict=False, quarantine_dir=qdir)
+    wm = table.watermark_lsn
+    rep = replay_quarantine(spark, good, table, qdir)
+    assert rep["repaired"] > 0, "corruption must produce dead letters"
+    assert table.watermark_lsn == wm, "repair must not move the watermark"
+    return table.read().selectExpr(
+        "repo", "path", "`commit`", "lang", "content",
+        "sha2(content, 256) AS content_sha",
+    )
+
+
 def q_cdc_rebucket_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-count evolution under the driver harness: the CDC mirror is
     ingested at n_buckets=8, rebucketed to 32 (the full layout rewrite a
@@ -472,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_point_lookup": q_cdc_point_lookup,
         "cdc_rebucket_final_state": q_cdc_rebucket_final_state,
+        "cdc_repair_final_state": q_cdc_repair_final_state,
         "cdc_change_feed": q_cdc_change_feed,
         "cdc_version_diff": q_cdc_version_diff,
         "cdc_scd2_history": q_cdc_scd2_history,
@@ -503,6 +547,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cdc_point_lookup": _cdc_point_lookup_oracle(P_ENTRY),
         "cdc_rebucket_final_state": _gen.duckdb_final_state_sql(P_ENTRY, with_sha=True),
+        "cdc_repair_final_state": _gen.duckdb_final_state_sql(P_ENTRY, with_sha=True),
         "cdc_change_feed": _cdc_change_feed_oracle(P_FEED, _FEED_BATCHES),
         "cdc_version_diff": _cdc_version_diff_oracle(),
         "cdc_scd2_history": _scd.scd2_oracle_sql(

@@ -140,6 +140,7 @@ BENCH_QUERIES = (
     "cdc_streamed_final_state",
     "cdc_point_lookup",
     "cdc_rebucket_final_state",
+    "cdc_repair_final_state",
     "cdc_change_feed",
     "cdc_version_diff",
     "cdc_scd2_history",

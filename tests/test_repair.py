@@ -113,3 +113,81 @@ def test_replay_strict_raises_if_still_corrupt(spark, tmp_path):
         _state(spark, table)[_oracle().columns.tolist()], _oracle(),
         check_dtype=False,
     )
+
+
+P_MULTI = gen.GenParams(
+    n_txns=60, ops_per_txn=6, n_repos=15, n_paths=10,
+    toast_pct=30, txns_per_segment=10, n_relations=2,
+)
+
+P_KC = gen.GenParams(
+    n_txns=60, ops_per_txn=6, n_repos=15, n_paths=10,
+    toast_pct=30, txns_per_segment=10, key_change_pct=25,
+)
+
+
+def test_replay_quarantine_multi_relation(spark, tmp_path):
+    """Repair routes per relation: one quarantine dir, two tables, each
+    restored to ITS oracle state by a single replay call."""
+    good = gen.spark_frames_df(spark, P_MULTI)
+    bad_pdf, bad_lsns = _corrupt(good.toPandas())
+    corrupted = spark.createDataFrame(bad_pdf, good.schema)
+
+    tables = {
+        gen.RELATION_ID + r: LakeTable.create(
+            spark, str(tmp_path / f"lake_{r}"),
+            schema=[(c, "string") for c in gen.ALL_COLUMNS],
+            key_cols=list(gen.KEY_COLUMNS), n_buckets=8,
+        )
+        for r in range(2)
+    }
+    qdir = str(tmp_path / "quarantine")
+    pipeline.run_ingest(spark, corrupted, tables, n_batches=2,
+                        strict=False, quarantine_dir=qdir)
+    wms = {rid: t.watermark_lsn for rid, t in tables.items()}
+
+    rep = replay_quarantine(spark, good, tables, qdir)
+    assert rep["repaired"] == len(bad_lsns)
+    assert set(rep["relations"]) == set(tables)
+
+    want_by_rid = duckdb.sql(
+        gen.duckdb_final_state_sql(P_MULTI, with_sha=False, with_relation=True)
+    ).df()
+    for rid, table in tables.items():
+        assert table.watermark_lsn == wms[rid]
+        want = (want_by_rid[want_by_rid.relation_id == rid]
+                .drop(columns=["relation_id"])
+                .sort_values(["repo", "path"]).reset_index(drop=True))
+        got = (table.read().toPandas()
+               .sort_values(["repo", "path"]).reset_index(drop=True))
+        assert len(got) == len(want) > 0, f"rid={rid}"
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                      check_dtype=False)
+
+
+def test_replay_quarantine_key_change_toast(spark, tmp_path):
+    """Repair over a stream with key-change UPDATEs (some carrying
+    TOAST-'u' cells): a quarantined key-change event affects BOTH its
+    old and new key — the explode-before-affected-keys rule — and the
+    kc_toast resolver runs inside the repair window too."""
+    good = gen.spark_frames_df(spark, P_KC)
+    bad_pdf, bad_lsns = _corrupt(good.toPandas())
+    corrupted = spark.createDataFrame(bad_pdf, good.schema)
+
+    table = _mk_table(spark, tmp_path)
+    qdir = str(tmp_path / "quarantine")
+    pipeline.run_ingest(spark, corrupted, table, n_batches=2, strict=False,
+                        quarantine_dir=qdir, kc_toast_passes=4)
+    wm = table.watermark_lsn
+
+    rep = replay_quarantine(spark, good, table, qdir, kc_toast_passes=4)
+    assert rep["repaired"] == len(bad_lsns)
+    assert table.watermark_lsn == wm
+
+    want = (duckdb.sql(gen.duckdb_final_state_sql(P_KC, with_sha=False)).df()
+            .sort_values(["repo", "path"]).reset_index(drop=True))
+    got = (table.read().toPandas()
+           .sort_values(["repo", "path"]).reset_index(drop=True))
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)

@@ -419,16 +419,18 @@ def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cdc_repair_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dead-letter repair under the driver harness: the transport
-    delivers ~1/7 of the DML payloads truncated to 2 bytes
-    (undecodable); non-strict ingest quarantines them as op='E' dead
-    letters and commits the rest, so the mirror diverges from the
-    source. ``streaming.repair.replay_quarantine`` then re-decodes the
-    affected window from the intact durable frame store, LWW-collapses
-    it for the affected keys ONLY, and folds the result back as a
-    watermark-neutral repair commit (repair never acks new LSNs). The
-    oracle is the UNCHANGED final-state SQL: a hash match proves repair
-    restored the exact uncorrupted semantics — late deletes, TOAST
-    carriers and the in-window truncate included."""
+    delivers ~1/7 of the DML payloads in the last four WAL segments
+    truncated to 2 bytes (undecodable); non-strict ingest quarantines
+    them as op='E' dead letters and commits the rest, so the mirror
+    diverges from the source. ``streaming.repair.replay_quarantine``
+    then re-decodes the affected WINDOW (earliest pending segment
+    onward — here the tail ~40% of the stream, pinning the
+    cost-∝-window property) from the intact durable frame store,
+    LWW-collapses it for the affected keys ONLY, and folds the result
+    back as a watermark-neutral repair commit (repair never acks new
+    LSNs). The oracle is the UNCHANGED final-state SQL: a hash match
+    proves repair restored the exact uncorrupted semantics — late
+    deletes and TOAST carriers included."""
     from pyspark.sql import functions as F
 
     from pypgoutput_spark.streaming.repair import replay_quarantine
@@ -443,7 +445,8 @@ def q_cdc_repair_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     corrupted = good.withColumn(
         "payload",
         F.when(
-            F.col("mtype").isin("I", "U", "D") & (F.col("lsn") % 7 == 0),
+            F.col("mtype").isin("I", "U", "D") & (F.col("lsn") % 7 == 0)
+            & (F.col("segment") >= 6),
             F.expr("substring(payload, 1, 2)"),
         ).otherwise(F.col("payload")),
     )

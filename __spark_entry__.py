@@ -78,9 +78,23 @@ P_MVIEW = _gen.GenParams(
 )
 
 
+#: per-process memo of ingested fixtures: several entries consume the
+#: IDENTICAL deterministic ingest (P_ENTRY feeds final-state,
+#: time-travel, point-lookup and version-diff; P_FEED feeds the change
+#: feed and SCD2) — read-only consumers share one table instead of each
+#: re-running the same 8-15 s ingest. Mutating consumers (rebucket)
+#: pass fresh=True.
+_INGEST_MEMO: dict = {}
+
+
 def _ingest_cdc(spark: SparkSession, p: _gen.GenParams,
                 kc_toast_passes: int = 0, strict: bool = True,
-                n_batches: int = 3) -> LakeTable:
+                n_batches: int = 3, fresh: bool = False) -> LakeTable:
+    key = (p, kc_toast_passes, strict, n_batches)
+    if not fresh:
+        hit = _INGEST_MEMO.get(key)
+        if hit is not None and hit[0] is spark:
+            return hit[1]
     tmp = tempfile.mkdtemp(prefix="pypgoutput_spark_lake_")
     table = LakeTable.create(
         spark, f"{tmp}/lake",
@@ -90,6 +104,8 @@ def _ingest_cdc(spark: SparkSession, p: _gen.GenParams,
     frames = _gen.spark_frames_df(spark, p)
     _pipeline.run_ingest(spark, frames, table, n_batches=n_batches,
                          kc_toast_passes=kc_toast_passes, strict=strict)
+    if not fresh:
+        _INGEST_MEMO[key] = (spark, table)
     return table
 
 
@@ -471,7 +487,7 @@ def q_cdc_rebucket_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarded against racing commits), then read back. The oracle is the
     UNCHANGED final-state SQL: a hash match proves the rewrite changed
     the layout and nothing else."""
-    table = _ingest_cdc(spark, P_ENTRY)
+    table = _ingest_cdc(spark, P_ENTRY, fresh=True)  # rebucket mutates
     table.rebucket(32)
     assert table.snapshot()["n_buckets"] == 32
     return table.read().selectExpr(

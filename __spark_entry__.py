@@ -31,6 +31,7 @@ from pypgoutput_spark.operators import (
     sketches as _sketches,
     dedup as _dedup,
     multimodal as _multimodal,
+    outbox as _outbox,
     similarity as _similarity,
     text as _text,
 )
@@ -540,7 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2_history": q_cdc_scd2_history,
     }
     for mod in (_text, _dedup, _similarity, _multimodal, _analytics, _asof,
-                _corpus_cdc, _sketches):
+                _corpus_cdc, _sketches, _outbox):
         for name, (fn, _sql) in mod.QUERIES.items():
             out[name] = fn
     return out
@@ -575,7 +576,7 @@ def oracle_sql() -> dict[str, str]:
         ),
     }
     for mod in (_text, _dedup, _similarity, _multimodal, _analytics, _asof,
-                _corpus_cdc, _sketches):
+                _corpus_cdc, _sketches, _outbox):
         for name, (_fn, sql) in mod.QUERIES.items():
             if sql is not None:
                 out[name] = sql

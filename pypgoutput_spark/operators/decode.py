@@ -328,6 +328,49 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
         if t in (82, 79, 89):  # 'R' (driver-side), 'O', 'Y' (reference stubs)
             continue
 
+        if t == 77:  # 'M' logical decoding message (pg_logical_emit_message)
+            if len(b) < 15:
+                raise ValueError(
+                    f"truncated pgoutput 'M' message ({len(b)} bytes; "
+                    "corrupt frame)"
+                )
+            flags = b[1]
+            nul = b.find(0, 10)
+            if nul < 0 or nul + 5 > len(b):
+                raise ValueError(
+                    "Message prefix/length overruns the frame (corrupt frame)"
+                )
+            prefix = b[10:nul].decode("utf-8")
+            (clen,) = _unpack_i32(b, nul + 1)
+            if clen < 0 or nul + 5 + clen > len(b):
+                raise ValueError(
+                    f"Message content overruns the frame (len={clen}, "
+                    f"{len(b)} bytes; corrupt frame)"
+                )
+            # the engine surfaces content as text (the outbox pattern
+            # carries JSON); undecodable bytes raise → dead-letter in
+            # non-strict mode rather than a silently corrupt string
+            content = b[nul + 5 : nul + 5 + clen].decode("utf-8")
+            transactional = flags & 1 == 1
+            bk = "t" if transactional else "n"
+            vals = [prefix, content]
+            if in_stream:
+                # in-chunk messages follow their chunk's transaction fate
+                # (PG only places transactional messages inside chunks)
+                streams.streams[(seg, top_xid)][1].append(
+                    (int(lsn), "M", None, None, bk, None, vals, None, sub_xid)
+                )
+                continue
+            tx = open_tx.get(seg) if transactional else None
+            a_lsn(int(lsn)); a_op("M"); a_rid(None)
+            a_xid(tx[0] if tx else None)
+            a_blsn(tx[1] if tx else None)
+            a_cts(tx[2] if tx else None)
+            a_ver(None); a_bk(bk)
+            a_bv(None); a_nv(vals); a_num(None)
+            a_seg(int(seg)); a_err(None)
+            continue
+
         if t == 84:  # 'T' truncate: fan out per relation (reader.py:307-320)
             if in_stream:
                 # the pipeline's truncate barrier is planned driver-side

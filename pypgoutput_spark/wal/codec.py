@@ -166,6 +166,18 @@ def encode_truncate(relation_ids: Sequence[int], option_bits: int = 0) -> bytes:
     return b"".join(out)
 
 
+def encode_logical_message(transactional: bool, lsn: int, prefix: str,
+                           content: bytes) -> bytes:
+    """Logical decoding message 'M' (``pg_logical_emit_message`` — the
+    transactional-outbox carrier): flags Int8 (bit 0 = transactional),
+    the message's WAL LSN, a cstring prefix, then length-framed content
+    bytes. Grammar per the published logical-replication message spec;
+    the reference decoder predates 'M' support, so this is parity-plus
+    (like the v2 stream grammar)."""
+    return (b"M" + _I8.pack(1 if transactional else 0) + _I64.pack(lsn)
+            + _cstring(prefix) + _I32.pack(len(content)) + content)
+
+
 # ---- protocol v2: streamed in-progress transactions -----------------------
 # (PostgreSQL 14+ `streaming = on`: large transactions stream in chunks
 # before commit. Grammar per the published logical-replication message
@@ -346,6 +358,34 @@ def decode_message(payload: bytes) -> dict:
         (option_bits,) = _I8.unpack_from(mv, pos + 4)
         rids = list(struct.unpack_from(f">{n_rel}i", mv, pos + 5))
         return {"msg_type": "T", "option_bits": option_bits, "relation_ids": rids}
+    if t == "M":  # logical decoding message (pg_logical_emit_message)
+        if len(mv) < 15:
+            raise ValueError(
+                f"truncated pgoutput 'M' message ({len(mv)} bytes; corrupt frame)"
+            )
+        (flags,) = _I8.unpack_from(mv, pos)
+        (msg_lsn,) = _I64.unpack_from(mv, pos + 1)
+        nul = bytes(mv).find(b"\x00", pos + 9)
+        if nul < 0 or nul + 5 > len(mv):
+            raise ValueError(
+                "Message prefix/length overruns the frame (corrupt frame)"
+            )
+        prefix, pos = _read_cstring(mv, pos + 9)
+        (clen,) = _I32.unpack_from(mv, pos)
+        pos += 4
+        if clen < 0 or pos + clen > len(mv):
+            raise ValueError(
+                f"Message content overruns the frame (len={clen}, "
+                f"{len(mv)} bytes; corrupt frame)"
+            )
+        return {
+            "msg_type": "M",
+            "flags": flags,
+            "transactional": bool(flags & 1),
+            "message_lsn": msg_lsn,
+            "prefix": prefix,
+            "content": bytes(mv[pos : pos + clen]),
+        }
     if t == "S":  # protocol v2: Stream Start
         (xid,) = _I32.unpack_from(mv, pos)
         (first,) = _I8.unpack_from(mv, pos + 4)

@@ -81,7 +81,7 @@ RAW_PA_SCHEMA = pa.schema(
     ]
 )
 
-_B, _C, _I, _U, _D, _T, _R, _O, _Y = (ord(x) for x in "BCIUDTROY")
+_B, _C, _I, _U, _D, _T, _R, _O, _Y, _M = (ord(x) for x in "BCIUDTROYM")
 _N, _K, _OLD_O, _t, _n, _u = (ord(x) for x in "NKOtnu")
 #: protocol-v2 stream control bytes (Start / Stop / Commit / Abort)
 _S2, _E2, _c2, _A2 = (ord(x) for x in "SEcA")
@@ -629,7 +629,7 @@ def process_batch(rb: pa.RecordBatch, open_tx: dict,
     first = data[starts]
 
     known = np.isin(
-        first, [_B, _C, _I, _U, _D, _T, _R, _O, _Y, _S2, _E2, _c2, _A2]
+        first, [_B, _C, _I, _U, _D, _T, _R, _O, _Y, _M, _S2, _E2, _c2, _A2]
     )
     if not known.all():
         i = int(np.nonzero(~known)[0][0])
@@ -643,7 +643,7 @@ def process_batch(rb: pa.RecordBatch, open_tx: dict,
     lens_b = offs[1:] - starts
     min_len = np.ones(n, dtype=np.int64)
     for tb, ml in ((_B, 21), (_C, 26), (_I, 8), (_U, 7), (_D, 8),
-                   (_T, 6), (_R, 7), (_S2, 6), (_c2, 30), (_A2, 9)):
+                   (_T, 6), (_R, 7), (_M, 15), (_S2, 6), (_c2, 30), (_A2, 9)):
         min_len[first == tb] = ml
     short = lens_b < min_len
     if short.any():
@@ -840,6 +840,75 @@ def process_batch(rb: pa.RecordBatch, open_tx: dict,
                 pa.array(_schema_versions(registry_plain, rid, lsn[rows])),
                 bk, b_vals, _null_list(m), _null_masks(m),
                 pa.array(seg[rows]), pa.nulls(m, pa.string()),
+            ],
+            schema=RAW_PA_SCHEMA,
+        )
+
+    # ---- Message cohort ('M', pg_logical_emit_message): rare → scalar
+    # (outbox messages are a vanishing fraction of WAL bytes; the DML
+    # wavefront stays untouched). Stamping honors the transactional
+    # flag: flags&1 stamps the governing transaction, non-transactional
+    # messages stamp NULL even inside a B..C block; an in-chunk message
+    # follows its chunk's transaction fate (loop-kernel parity).
+    sel = cohort(_M)
+    if sel.any():
+        rows = idx[sel]
+        st = sh_starts(rows)
+        m = rows.size
+        o_lsn: list = []; o_xid: list = []; o_blsn: list = []
+        o_cts: list = []; o_bk: list = []; o_vals: list = []; o_seg: list = []
+        for r, s in zip(rows, st):
+            end = int(offs[r + 1])
+            s = int(s)
+            if s + 15 > end:
+                raise ValueError(
+                    f"truncated pgoutput 'M' message at lsn={lsn[r]} "
+                    "(corrupt frame)"
+                )
+            flags = int(data[s + 1])
+            nul_rel = np.nonzero(data[s + 10 : end] == 0)[0]
+            if nul_rel.size == 0 or s + 10 + int(nul_rel[0]) + 5 > end:
+                raise ValueError(
+                    f"Message prefix/length overruns the frame at "
+                    f"lsn={lsn[r]} (corrupt frame)"
+                )
+            nul = s + 10 + int(nul_rel[0])
+            clen = int(_be(data, np.array([nul + 1]), 4)[0])
+            if clen < 0 or nul + 5 + clen > end:
+                raise ValueError(
+                    f"Message content overruns the frame at lsn={lsn[r]} "
+                    f"(len={clen}; corrupt frame)"
+                )
+            # text surface (outbox JSON); undecodable bytes raise a typed
+            # error — never a silently corrupt string column
+            try:
+                prefix = bytes(data[s + 10 : nul]).decode("utf-8")
+                content = bytes(data[nul + 5 : nul + 5 + clen]).decode("utf-8")
+            except UnicodeDecodeError as exc:
+                raise ValueError(
+                    f"Message prefix/content is not UTF-8 at lsn={lsn[r]}: {exc}"
+                ) from None
+            transactional = flags & 1 == 1
+            in_chunk_r = shift is not None and int(shift[r]) == 4
+            stamped = bool(ev_has_tx[r]) and (transactional or in_chunk_r)
+            o_lsn.append(int(lsn[r]))
+            o_xid.append(int(ev_xid[r]) if stamped else None)
+            o_blsn.append(int(ev_blsn[r]) if stamped else None)
+            o_cts.append(int(ev_cts[r]) if stamped else None)
+            o_bk.append("t" if transactional else "n")
+            o_vals.append([prefix, content])
+            o_seg.append(int(seg[r]))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(o_lsn, type=pa.int64()), _const_str("M", m),
+                pa.nulls(m, pa.int32()),
+                pa.array(o_xid, type=pa.int64()),
+                pa.array(o_blsn, type=pa.int64()),
+                pa.array(o_cts, type=pa.int64()),
+                pa.nulls(m, pa.int32()),
+                pa.array(o_bk, type=pa.string()), _null_list(m),
+                pa.array(o_vals, type=pa.list_(pa.string())), _null_masks(m),
+                pa.array(o_seg, type=pa.int64()), pa.nulls(m, pa.string()),
             ],
             schema=RAW_PA_SCHEMA,
         )

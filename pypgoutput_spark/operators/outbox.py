@@ -189,6 +189,38 @@ SELECT * FROM txn_msgs UNION ALL SELECT * FROM audit_msgs
 """.strip()
 
 
+def q_outbox_sink(spark, sf_dir: str):
+    """Full-pipeline outbox delivery: the same stream ingested with
+    ``run_ingest(messages_dir=...)`` — table merge AND message delivery
+    out of ONE decode pass — then consumed with
+    :func:`pipeline.read_messages` (LSN-deduped, effectively-once).
+    Must equal the decode-level message set, so it shares the WAL-free
+    oracle."""
+    import tempfile
+
+    from pypgoutput_spark.lake.table import LakeTable
+    from pypgoutput_spark.streaming import pipeline as _pipeline
+    from pypgoutput_spark.wal.generator import FRAMES_SCHEMA
+
+    frames = spark.createDataFrame(
+        encode_outbox_frames(sf_dir), schema=FRAMES_SCHEMA
+    )
+    tmp = tempfile.mkdtemp(prefix="pypgoutput_spark_outbox_")
+    table = LakeTable.create(
+        spark, f"{tmp}/lake",
+        schema=[("doc_id", "string"), ("lang", "string")],
+        key_cols=["doc_id"], n_buckets=8,
+    )
+    _pipeline.run_ingest(
+        spark, frames, table, relation_id=REL_ID, n_batches=N_SEGMENTS,
+        messages_dir=f"{tmp}/messages",
+    )
+    return _pipeline.read_messages(spark, f"{tmp}/messages").select(
+        "lsn", "xid", "commit_ts_us", "transactional", "prefix", "content"
+    )
+
+
 QUERIES = {
     "cdc_outbox_messages": (q_outbox_messages, outbox_messages_oracle()),
+    "cdc_outbox_sink": (q_outbox_sink, outbox_messages_oracle()),
 }

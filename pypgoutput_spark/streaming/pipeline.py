@@ -256,9 +256,19 @@ def apply_frames_batch(
     kc_toast_passes: int = 0,
     late_wm: Optional[int] = None,
     registry_merge: bool = False,
+    messages_dir: Optional[str] = None,
 ) -> dict:
     """One micro-batch: frames → decode once → route per relation →
     LWW → merge each table. Returns metrics (incl. ``open_tx`` carry-out).
+
+    ``messages_dir``: when set, delivered logical-decoding messages
+    (op='M' — pg_logical_emit_message, the transactional-outbox
+    carrier) are appended as parquet alongside the merge, out of the
+    SAME decode pass (no second WAL scan). Delivery is at-least-once
+    across crash-replays (a batch replayed after a crash between the
+    message append and the merge commit re-appends); a message's
+    identity is its LSN, so :func:`read_messages` collapses replays
+    exactly — the consumer contract is effectively-once.
 
     ``late_wm``: when set (≥ 0), frames at or below it are *late replays*
     under the monotone-delivery contract — they are counted per batch
@@ -460,8 +470,10 @@ def apply_frames_batch(
         n_projections > 1
         or (not strict and quarantine_dir is not None)
         or kc_toast_passes > 0
+        or messages_dir is not None
     )
     dead_letters = 0
+    n_messages = 0
     try:
         if staged:
             raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
@@ -472,8 +484,21 @@ def apply_frames_batch(
                     dead.select("segment", "lsn", "error").write.mode(
                         "append"
                     ).parquet(quarantine_dir)
-            elif n_projections > 1:
+            elif n_projections > 1 or messages_dir is not None:
                 raw.count()  # materialize once before fan-out
+        if messages_dir is not None:
+            # outbox delivery: the decoded messages this batch surfaced
+            # (transactional ones only if their transaction committed —
+            # the kernels already dropped aborted streams' messages)
+            msgs = raw.filter(F.col("op") == "M").select(
+                "segment", "lsn", "xid", "commit_ts_us",
+                (F.col("before_kind") == "t").alias("transactional"),
+                F.col("new_vals")[0].alias("prefix"),
+                F.col("new_vals")[1].alias("content"),
+            ).withColumn("batch_wm", F.lit(int(watermark_lsn)))
+            n_messages = msgs.count()  # scans the cache, not the kernel
+            if n_messages:
+                msgs.write.mode("append").parquet(messages_dir)
 
         out: dict = {
             "skipped": False,
@@ -484,6 +509,8 @@ def apply_frames_batch(
             "lineage": lineage,
             "relations": {},
         }
+        if messages_dir is not None:
+            out["messages"] = int(n_messages)
         base_cols = ["lsn", "op", "xid", "begin_lsn", "commit_ts_us"]
         for rid, tbl in managed.items():
             keys, value_cols = table_cols[rid]
@@ -554,6 +581,7 @@ def run_ingest(
     quarantine_dir: Optional[str] = None,
     kc_toast_passes: int = 0,
     epoch_log=None,
+    messages_dir: Optional[str] = None,
 ) -> List[dict]:
     """Replay a frames DataFrame into the table(s) in ``n_batches``
     micro-batches. ``split='segment'`` cuts on WAL-segment boundaries;
@@ -617,7 +645,7 @@ def run_ingest(
             tables, batch_frames, registry, relation_id,
             salt_buckets=salt_buckets, strict=strict, clustered=clustered,
             open_tx=open_tx, quarantine_dir=quarantine_dir,
-            kc_toast_passes=kc_toast_passes,
+            kc_toast_passes=kc_toast_passes, messages_dir=messages_dir,
         )
         open_tx = metrics.get("open_tx", {})
         if epoch_log is not None:
@@ -626,6 +654,23 @@ def run_ingest(
         if on_batch:
             on_batch(metrics)
     return out
+
+
+def read_messages(spark, messages_dir: str):
+    """The outbox-consumer read over a ``messages_dir`` sink: collapses
+    crash-replay duplicates exactly (a message's identity is its LSN —
+    replays carry identical payload, so any-row-per-LSN is exact) and
+    returns delivered messages ordered-ready on
+    (segment, lsn, xid, commit_ts_us, transactional, prefix, content).
+
+    One dropDuplicates shuffle over the message volume — messages are a
+    vanishing fraction of WAL traffic, so this never approaches the
+    table-merge cost."""
+    return (
+        spark.read.parquet(messages_dir)
+        .dropDuplicates(["lsn"])
+        .drop("batch_wm")
+    )
 
 
 def _empty_replay(epoch_log, table_map, on_batch) -> List[dict]:
@@ -676,6 +721,7 @@ def stream_ingest(
     kc_toast_passes: int = 0,
     clustered: bool = False,
     epoch_log=None,
+    messages_dir: Optional[str] = None,
 ):
     """Structured-Streaming variant: parquet frame files → foreachBatch merge.
 
@@ -743,7 +789,7 @@ def stream_ingest(
             table_map, batch_df, registry, relation_id, strict=False,
             clustered=clustered, open_tx=state["open_tx"],
             quarantine_dir=quarantine_dir, kc_toast_passes=kc_toast_passes,
-            late_wm=wm, registry_merge=True,
+            late_wm=wm, registry_merge=True, messages_dir=messages_dir,
         )
         n_late = m.get("late_frames", 0)
         if n_late:

@@ -213,3 +213,75 @@ def test_outbox_frames_shape():
     # streams never straddle segments: per segment, S/E counts balance
     for _seg, g in pdf.groupby("segment"):
         assert (g["mtype"] == "S").sum() == (g["mtype"] == "E").sum()
+
+
+def test_outbox_sink_delivery_and_replay(spark, tmp_path):
+    """run_ingest(messages_dir=...): messages delivered alongside the
+    merge out of one decode pass; a fully-replayed second run appends
+    nothing (watermark skip); a crash-replay double-append collapses
+    exactly under read_messages (identity = LSN)."""
+    import duckdb
+    import pandas as pd
+
+    from pypgoutput_spark.functions.detsql import DUCKDB
+    from pypgoutput_spark.lake.table import LakeTable
+    from pypgoutput_spark.operators import outbox as O
+    from pypgoutput_spark.streaming import pipeline as P
+    from pypgoutput_spark.wal.generator import FRAMES_SCHEMA
+
+    frames = spark.createDataFrame(
+        O.encode_outbox_frames(SF), schema=FRAMES_SCHEMA
+    )
+    mdir = str(tmp_path / "messages")
+
+    def mk_table(name):
+        return LakeTable.create(
+            spark, str(tmp_path / name),
+            schema=[("doc_id", "string"), ("lang", "string")],
+            key_cols=["doc_id"], n_buckets=8,
+        )
+
+    t1 = mk_table("lake1")
+    ms = P.run_ingest(spark, frames, t1, relation_id=O.REL_ID,
+                      n_batches=4, messages_dir=mdir)
+    n_delivered = sum(m.get("messages", 0) for m in ms)
+    assert n_delivered > 0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    want = (
+        con.execute(O.outbox_messages_oracle(DUCKDB)).df()
+        .sort_values("lsn").reset_index(drop=True)
+    )
+    assert n_delivered == len(want)
+
+    def check():
+        got = (
+            P.read_messages(spark, mdir)
+            .select("lsn", "xid", "commit_ts_us", "transactional",
+                    "prefix", "content")
+            .toPandas().sort_values("lsn").reset_index(drop=True)
+        )
+        assert len(got) == len(want)
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)].astype(str),
+            want[sorted(got.columns)].astype(str),
+            check_dtype=False,
+        )
+
+    check()
+    # fully-replayed run: watermark skips every frame — nothing appended
+    ms2 = P.run_ingest(spark, frames, t1, relation_id=O.REL_ID,
+                       n_batches=4, messages_dir=mdir)
+    assert all(m.get("skipped") for m in ms2)
+    check()
+    # crash-replay shape: the same stream appended AGAIN (fresh table,
+    # same sink) — duplicates on disk, exact set after the LSN dedup
+    P.run_ingest(spark, frames, mk_table("lake2"), relation_id=O.REL_ID,
+                 n_batches=4, messages_dir=mdir)
+    raw_rows = spark.read.parquet(mdir).count()
+    assert raw_rows == 2 * len(want)
+    check()

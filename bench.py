@@ -144,6 +144,7 @@ BENCH_QUERIES = (
     "cdc_change_feed",
     "cdc_version_diff",
     "cdc_scd2_history",
+    "cdc_outbox_messages",
     "text_fingerprint",
     "text_quality_score",
     "text_repetition",

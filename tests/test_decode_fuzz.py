@@ -210,3 +210,78 @@ def test_short_truncate_frame_raises_typed():
         pdf = pd.DataFrame({"segment": [1], "lsn": [10], "payload": [short]})
         with pytest.raises(ValueError):
             decode_op._loop_decode_pdf(pdf, {}, plain, strict=True)
+
+
+def _message_fixture():
+    """Single-segment stream dense with 'M' frames: plain-txn
+    transactional + non-transactional messages, an in-chunk message in
+    a committed stream and one in an aborted stream (test_outbox's
+    grammar, here as fuzz prey)."""
+    rel = codec.encode_relation(
+        99, "public", "t", "d",
+        [(1, "k", 25, -1), (0, "v", 25, -1)],
+    )
+    reg = RelationRegistry()
+    reg.add_relation(1, codec.decode_message(rel))
+    x1, x2 = 9901, 9902
+    ins = codec.encode_insert(99, [("t", "a"), ("t", "b")])
+    payloads = [
+        rel,
+        codec.encode_begin(10, 111000, 700),
+        ins,
+        codec.encode_logical_message(True, 12, "outbox", b'{"k":1}'),
+        codec.encode_logical_message(False, 13, "audit", b"tick"),
+        codec.encode_commit(13, 14, 111000),
+        codec.encode_logical_message(False, 20, "audit", b"tock"),
+        codec.encode_stream_start(x1, True),
+        codec.add_stream_xid(ins, x1),
+        codec.add_stream_xid(
+            codec.encode_logical_message(True, 32, "outbox", b'{"k":2}'), x1),
+        codec.encode_stream_stop(),
+        codec.encode_stream_commit(x1, 33, 34, 222000),
+        codec.encode_stream_start(x2, True),
+        codec.add_stream_xid(
+            codec.encode_logical_message(True, 41, "outbox", b'{"k":3}'), x2),
+        codec.encode_stream_stop(),
+        codec.encode_stream_abort(x2),
+    ]
+    return payloads, reg.to_plain()
+
+
+def test_message_corruption_never_escapes_typed_errors():
+    """Corruption landing on 'M' frames (truncated header, broken nul,
+    overrunning length, non-UTF-8 content, flipped type byte) obeys the
+    same contract as DML corruption on BOTH kernels: quarantine or a
+    typed ValueError/UnsupportedStreamOp — never an escaping
+    IndexError/struct.error/UnicodeDecodeError-as-crash."""
+    import pandas as pd
+
+    payloads, plain = _message_fixture()
+    pdf = pd.DataFrame({
+        "segment": [1] * len(payloads),
+        "lsn": list(range(10, 10 + len(payloads))),
+    })
+    rng = random.Random(20260818)
+    opt_done = opt_raised = strict_raised = 0
+    for t in range(300):
+        corrupted = _corrupt(payloads, rng)
+        try:
+            outs = _run_kernel(pdf, corrupted, plain)
+        except (ValueError, codec.UnsupportedStreamOp) as exc:
+            assert str(exc)
+            opt_raised += 1
+        else:
+            opt_done += 1
+            for rb in outs:
+                ops = rb.column(rb.schema.get_field_index("op")).to_pylist()
+                errs = rb.column(rb.schema.get_field_index("error")).to_pylist()
+                for op, err in zip(ops, errs):
+                    assert (op == "E") == (err is not None)
+        try:
+            _strict_run(corrupted, plain)
+        except (ValueError, codec.UnsupportedStreamOp) as exc:
+            assert str(exc)
+            strict_raised += 1
+        # any other exception type propagates and fails the test
+    assert opt_done > 30 and opt_raised > 30, (opt_done, opt_raised)
+    assert strict_raised > 100, strict_raised

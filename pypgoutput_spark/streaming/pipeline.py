@@ -268,7 +268,11 @@ def apply_frames_batch(
     across crash-replays (a batch replayed after a crash between the
     message append and the merge commit re-appends); a message's
     identity is its LSN, so :func:`read_messages` collapses replays
-    exactly — the consumer contract is effectively-once.
+    exactly — the consumer contract is effectively-once. Delivery rides
+    the managed decode: a batch skipped as ``no-relation`` (its
+    relations never announced a schema) delivers nothing — the outbox
+    pattern always ships the business table's Relation frame alongside
+    its messages.
 
     ``late_wm``: when set (≥ 0), frames at or below it are *late replays*
     under the monotone-delivery contract — they are counted per batch

@@ -25,6 +25,7 @@ from pypgoutput_spark.lake.table import LakeTable
 from pypgoutput_spark.operators import (
     analytics as _analytics,
     asof as _asof,
+    bloomjoin as _bloomjoin,
     corpus_cdc as _corpus_cdc,
     decode as _decode,
     scd as _scd,
@@ -541,7 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2_history": q_cdc_scd2_history,
     }
     for mod in (_text, _dedup, _similarity, _multimodal, _analytics, _asof,
-                _corpus_cdc, _sketches, _outbox):
+                _corpus_cdc, _sketches, _outbox, _bloomjoin):
         for name, (fn, _sql) in mod.QUERIES.items():
             out[name] = fn
     return out
@@ -576,7 +577,7 @@ def oracle_sql() -> dict[str, str]:
         ),
     }
     for mod in (_text, _dedup, _similarity, _multimodal, _analytics, _asof,
-                _corpus_cdc, _sketches, _outbox):
+                _corpus_cdc, _sketches, _outbox, _bloomjoin):
         for name, (_fn, sql) in mod.QUERIES.items():
             if sql is not None:
                 out[name] = sql

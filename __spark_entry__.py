@@ -505,6 +505,46 @@ SELECT * FROM final_state WHERE md5(repo || '|' || path) < '20'
 """.strip()
 
 
+#: bootstrap fixture: full history WITHOUT truncates (a truncate in the
+#: catch-up span would wipe the evidence that catch-up TOAST-'u'/LWW
+#: events resolve against the bulk-loaded base) …
+P_BOOT = _gen.GenParams(
+    n_txns=150, ops_per_txn=8, n_repos=50, n_paths=30,
+    toast_pct=30, txns_per_segment=15,
+)
+#: … and the 105-txn prefix (segments 0-6) that "already exists" in the
+#: source database when the replication slot is created
+P_BOOT_PREFIX = _gen.GenParams(
+    n_txns=105, ops_per_txn=8, n_repos=50, n_paths=30,
+    toast_pct=30, txns_per_segment=15,
+)
+
+
+def q_cdc_snapshot_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial-snapshot onboarding (Debezium two-phase start): bulk-load
+    a consistent snapshot of the source table at the slot's consistent
+    LSN (``LakeTable.bootstrap_load``), then catch up from the retained
+    WAL — the snapshot/WAL overlap replays as a watermark-pruned no-op,
+    and catch-up TOAST-'u' cells resolve against the bulk-loaded base.
+    The oracle replays the FULL history serially, so a hash match proves
+    snapshot + catch-up converges to exactly the full-replay state."""
+    src = _ingest_cdc(spark, P_BOOT_PREFIX, n_batches=2)
+    tmp = tempfile.mkdtemp(prefix="pypgoutput_spark_boot_")
+    mirror = LakeTable.create(
+        spark, f"{tmp}/lake",
+        schema=[(c, "string") for c in _gen.ALL_COLUMNS],
+        key_cols=list(_gen.KEY_COLUMNS), n_buckets=8,
+    )
+    mirror.bootstrap_load(src.read(), watermark_lsn=src.watermark_lsn)
+    _pipeline.run_ingest(
+        spark, _gen.spark_frames_df(spark, P_BOOT), mirror, n_batches=2
+    )
+    return mirror.read().selectExpr(
+        "repo", "path", "`commit`", "lang", "content",
+        "sha2(content, 256) AS content_sha",
+    )
+
+
 def _cdc_decoded_events_oracle(p: _gen.GenParams) -> str:
     stride = p.lsn_stride
     return f"""
@@ -540,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_change_feed": q_cdc_change_feed,
         "cdc_version_diff": q_cdc_version_diff,
         "cdc_scd2_history": q_cdc_scd2_history,
+        "cdc_snapshot_bootstrap": q_cdc_snapshot_bootstrap,
     }
     for mod in (_text, _dedup, _similarity, _multimodal, _analytics, _asof,
                 _corpus_cdc, _sketches, _outbox, _bloomjoin):
@@ -575,6 +616,7 @@ def oracle_sql() -> dict[str, str]:
             _cdc_change_feed_oracle(P_FEED, _FEED_BATCHES),
             ["repo", "path"], ["commit", "lang", "content"],
         ),
+        "cdc_snapshot_bootstrap": _gen.duckdb_final_state_sql(P_BOOT, with_sha=True),
     }
     for mod in (_text, _dedup, _similarity, _multimodal, _analytics, _asof,
                 _corpus_cdc, _sketches, _outbox, _bloomjoin):

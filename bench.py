@@ -144,6 +144,7 @@ BENCH_QUERIES = (
     "cdc_change_feed",
     "cdc_version_diff",
     "cdc_scd2_history",
+    "cdc_snapshot_bootstrap",
     "cdc_outbox_messages",
     "text_fingerprint",
     "text_quality_score",
@@ -187,6 +188,7 @@ BENCH_QUERIES = (
     "join_order_rollup",
     "join_events_asof_promos",
     "join_events_range_promos",
+    "join_bloom_semijoin",
     "cdc_incremental_mview",
     "cdc_documents_corpus",
     "cdc_embeddings_index",

@@ -653,6 +653,56 @@ class LakeTable:
         _maybe_crash("post_publish")
         return version
 
+    def bootstrap_load(self, rows_df, watermark_lsn: int) -> int:
+        """Initial-snapshot bulk load — the CDC onboarding path.
+
+        The reference tails a slot against an already-empty target
+        (reference reader.py:334-390 starts consuming at the slot's
+        position; it has no snapshot mode), but a real onboarding of an
+        existing table needs the Debezium-style two-phase start:
+        ``rows_df`` is a consistent ``SELECT *`` of the source taken at
+        ``watermark_lsn`` — in PostgreSQL, the exported snapshot of
+        ``CREATE_REPLICATION_SLOT``, which sees exactly the transactions
+        committed at or below the slot's consistent point. One bucketed
+        bulk write + one commit: the rows become the full base (every
+        bucket clean), and the watermark advances to ``watermark_lsn``
+        so the catch-up ingest of the slot's WAL applies only
+        ``lsn > watermark`` — the snapshot/WAL overlap replays as a
+        scan-pruned no-op (``run_ingest`` filters at the source), never
+        as duplicate or resurrected rows.
+
+        The change feed covers the load: :meth:`changes` emits the
+        bootstrap commit's rows as 'U' events stamped ``max_lsn =
+        watermark_lsn`` (the Debezium snapshot-'r' analog), so a
+        downstream consumer starting from version 0 sees snapshot rows
+        then deltas in order.
+
+        Refuses a non-empty table loudly: bulk-replacing live data is a
+        repair/rebuild decision, not an onboarding one.
+
+        Scale: one repartition-by-bucket shuffle (the same write any
+        base commit pays); nothing collects on the driver; snapshot
+        size is unbounded.
+        """
+        snap = self.snapshot()
+        if snap["buckets"] or snap.get("deltas") or snap["watermark_lsn"] >= 0:
+            raise ValueError(
+                "bootstrap_load requires an empty table: version "
+                f"{snap['version']} has data or watermark_lsn="
+                f"{snap['watermark_lsn']} (use repair/rebuild paths to "
+                "replace live data)"
+            )
+        if watermark_lsn < 0:
+            raise ValueError(f"watermark_lsn must be >= 0, got {watermark_lsn}")
+        cols = [F.col(n).cast(t).alias(n) for n, t in snap["schema"]]
+        staged = self.with_bucket(rows_df.select(*cols))
+        new_buckets, dbytes = self.write_buckets(staged, snap["version"] + 1)
+        return self.commit(
+            new_buckets, replaced_buckets=[],
+            watermark_lsn=watermark_lsn, dir_bytes=dbytes,
+            metrics={"mode": "bootstrap"},
+        )
+
     # ------------------------------------------------------------ compaction
 
     def buckets_to_compact(

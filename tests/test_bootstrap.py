@@ -1,0 +1,127 @@
+"""Initial-snapshot bootstrap + WAL catch-up (LakeTable.bootstrap_load).
+
+The Debezium-style two-phase onboarding the reference lacks (reference
+reader.py:334-390 tails a slot with no snapshot mode): bulk-load a
+consistent snapshot of the source table at the slot's consistent LSN,
+then catch up from WAL — the snapshot/WAL overlap must replay as a
+no-op, TOAST-'u' catch-up events must resolve against the bulk-loaded
+base, and the result must equal a full-history replay.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from pypgoutput_spark.lake.table import LakeTable
+from pypgoutput_spark.streaming import pipeline
+from pypgoutput_spark.wal import generator as gen
+
+#: full history: 40 txns, no truncates (a truncate mid-catch-up would
+#: wipe the evidence that catch-up resolves against the loaded base)
+P_FULL = gen.GenParams(
+    n_txns=40, ops_per_txn=8, n_repos=16, n_paths=10,
+    toast_pct=40, txns_per_segment=10,
+)
+#: the source table "exists" through txn 20 (segments 0-1); the slot's
+#: consistent point S is that prefix's max LSN
+P_PREFIX = gen.GenParams(
+    n_txns=20, ops_per_txn=8, n_repos=16, n_paths=10,
+    toast_pct=40, txns_per_segment=10,
+)
+
+
+def _mk_table(spark, tmp_path, name: str) -> LakeTable:
+    return LakeTable.create(
+        spark,
+        str(tmp_path / name),
+        schema=[(c, "string") for c in gen.ALL_COLUMNS],
+        key_cols=list(gen.KEY_COLUMNS),
+        n_buckets=8,
+    )
+
+
+def _sorted_state(table: LakeTable) -> pd.DataFrame:
+    df = table.read().toPandas()
+    return df.sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def booted(spark, tmp_path_factory):
+    """(bootstrapped table, snapshot LSN S, snapshot row count) shared by
+    the read-only assertions below."""
+    tmp = tmp_path_factory.mktemp("bootstrap")
+    # the "existing database table": replay the prefix into a scratch
+    # mirror and SELECT * from it — the sandbox analog of the exported
+    # consistent snapshot a real CREATE_REPLICATION_SLOT hands back
+    src = _mk_table(spark, tmp, "src")
+    pipeline.run_ingest(spark, gen.spark_frames_df(spark, P_PREFIX), src)
+    snapshot_rows = src.read()
+    s_lsn = src.watermark_lsn
+    assert s_lsn >= 0
+    n_snap = snapshot_rows.count()
+    assert n_snap > 0
+
+    mirror = _mk_table(spark, tmp, "mirror")
+    v = mirror.bootstrap_load(snapshot_rows, watermark_lsn=s_lsn)
+    assert v == 1 and mirror.watermark_lsn == s_lsn
+    # catch-up over the FULL retained WAL: the prefix overlap must be
+    # skipped by the watermark, txns 21-40 applied
+    pipeline.run_ingest(
+        spark, gen.spark_frames_df(spark, P_FULL), mirror, n_batches=2
+    )
+    return mirror, s_lsn, n_snap
+
+
+def test_bootstrap_catchup_equals_full_replay(spark, booted, tmp_path):
+    mirror, _s, _n = booted
+    full = _mk_table(spark, tmp_path, "full")
+    pipeline.run_ingest(spark, gen.spark_frames_df(spark, P_FULL), full,
+                        n_batches=2)
+    got, want = _sorted_state(mirror), _sorted_state(full)
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got, want[got.columns.tolist()],
+                                  check_dtype=False)
+    # the catch-up really exercised TOAST-'u' against the loaded base:
+    # the tail must carry 'u' events for keys present in the snapshot
+    ev = duckdb.sql(gen.duckdb_events_sql(P_FULL)).df()
+    tail_u = ev[(ev["lsn"] > _s) & ev["content_unchanged"]]
+    assert len(tail_u) > 0, "fixture lost its TOAST catch-up coverage"
+
+
+def test_bootstrap_overlap_replay_is_noop(spark, booted):
+    mirror, s_lsn, _n = booted
+    v_before = mirror.current_version()
+    wm_before = mirror.watermark_lsn
+    # replaying the already-applied prefix (and the already-caught-up
+    # full stream) must not move the table: exactly-once across the
+    # snapshot/WAL overlap
+    pipeline.run_ingest(spark, gen.spark_frames_df(spark, P_PREFIX), mirror)
+    pipeline.run_ingest(spark, gen.spark_frames_df(spark, P_FULL), mirror)
+    assert mirror.current_version() == v_before
+    assert mirror.watermark_lsn == wm_before
+    assert s_lsn <= wm_before
+
+
+def test_bootstrap_change_feed_covers_the_load(spark, booted):
+    mirror, s_lsn, n_snap = booted
+    feed = mirror.changes(0).toPandas()
+    boot = feed[feed["_commit_version"] == 1]
+    # every snapshot row surfaces as an upsert stamped at the consistent
+    # point (the Debezium snapshot-'r' analog), ordered before catch-up
+    assert len(boot) == n_snap
+    assert set(boot["final_op"]) == {"U"}
+    assert set(boot["max_lsn"]) == {s_lsn}
+    tail = feed[feed["_commit_version"] > 1]
+    assert len(tail) > 0 and (tail["max_lsn"] > s_lsn).all()
+
+
+def test_bootstrap_refuses_nonempty_and_bad_watermark(spark, tmp_path):
+    t = _mk_table(spark, tmp_path, "guard")
+    rows = t.read()  # empty, right schema
+    with pytest.raises(ValueError, match="watermark_lsn"):
+        t.bootstrap_load(rows, watermark_lsn=-1)
+    pipeline.run_ingest(spark, gen.spark_frames_df(spark, P_PREFIX), t)
+    with pytest.raises(ValueError, match="empty table"):
+        t.bootstrap_load(rows, watermark_lsn=t.watermark_lsn + 1)

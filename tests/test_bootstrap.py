@@ -117,6 +117,39 @@ def test_bootstrap_change_feed_covers_the_load(spark, booted):
     assert len(tail) > 0 and (tail["max_lsn"] > s_lsn).all()
 
 
+def test_bootstrap_then_stream_catchup(spark, tmp_path):
+    """The production onboarding shape: bulk snapshot load, then a
+    Structured-Streaming tail over the slot's retained WAL files —
+    including files wholly below the consistent point, which the
+    per-micro-batch watermark guard must skip as late replays."""
+    src = _mk_table(spark, tmp_path, "src")
+    pipeline.run_ingest(spark, gen.spark_frames_df(spark, P_PREFIX), src)
+    mirror = _mk_table(spark, tmp_path, "mirror")
+    mirror.bootstrap_load(src.read(), watermark_lsn=src.watermark_lsn)
+
+    frames_dir = str(tmp_path / "frames")
+    frames = gen.spark_frames_df(spark, P_FULL)
+    for seg_lo in range(0, 4):  # one file per segment, LSN-monotone
+        (
+            frames.filter(f"segment = {seg_lo}")
+            .coalesce(1).write.mode("append").parquet(frames_dir)
+        )
+    q = pipeline.stream_ingest(
+        spark, frames_dir, mirror, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    got = _sorted_state(mirror)
+    want = (
+        duckdb.sql(gen.duckdb_final_state_sql(P_FULL, with_sha=False))
+        .df().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )
+
+
 def test_bootstrap_refuses_nonempty_and_bad_watermark(spark, tmp_path):
     t = _mk_table(spark, tmp_path, "guard")
     rows = t.read()  # empty, right schema

@@ -505,6 +505,38 @@ SELECT * FROM final_state WHERE md5(repo || '|' || path) < '20'
 """.strip()
 
 
+def q_cdc_erasure_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten under the driver harness: ingest the CDC
+    mirror, then ``LakeTable.erase`` the deterministic ~1/8 key subset
+    whose ``md5(repo|path)`` starts below '20' — a key-scoped hard
+    delete that rewrites only the victims' hash buckets (folding their
+    pending deltas), feeds downstream mirrors value-free 'D' rows, and
+    leaves the watermark untouched. The oracle is the final-state SQL
+    with the INVERSE predicate, so the hash match proves erase removed
+    exactly the victims and disturbed nothing else. (Physical purge
+    after ``expire_snapshots`` is pinned byte-level in
+    tests/test_erasure.py.)"""
+    table = _ingest_cdc(spark, P_ENTRY, fresh=True)  # erase mutates
+    victims = (
+        table.read().selectExpr("repo", "path")
+        .where("md5(concat(repo, '|', path)) < '20'").distinct()
+    )
+    wm = table.watermark_lsn
+    assert table.erase(victims) is not None
+    assert table.watermark_lsn == wm, "erase must be watermark-neutral"
+    return table.read().selectExpr(
+        "repo", "path", "`commit`", "lang", "content",
+        "sha2(content, 256) AS content_sha",
+    )
+
+
+def _cdc_erasure_oracle(p: _gen.GenParams) -> str:
+    return f"""
+WITH final_state AS ({_gen.duckdb_final_state_sql(p, with_sha=True)})
+SELECT * FROM final_state WHERE md5(repo || '|' || path) >= '20'
+""".strip()
+
+
 #: bootstrap fixture: full history WITHOUT truncates (a truncate in the
 #: catch-up span would wipe the evidence that catch-up TOAST-'u'/LWW
 #: events resolve against the bulk-loaded base) …
@@ -575,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_mview": q_cdc_incremental_mview,
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_point_lookup": q_cdc_point_lookup,
+        "cdc_erasure_final_state": q_cdc_erasure_final_state,
         "cdc_rebucket_final_state": q_cdc_rebucket_final_state,
         "cdc_repair_final_state": q_cdc_repair_final_state,
         "cdc_change_feed": q_cdc_change_feed,
@@ -608,6 +641,7 @@ def oracle_sql() -> dict[str, str]:
             P_ENTRY_PREFIX, with_sha=True
         ),
         "cdc_point_lookup": _cdc_point_lookup_oracle(P_ENTRY),
+        "cdc_erasure_final_state": _cdc_erasure_oracle(P_ENTRY),
         "cdc_rebucket_final_state": _gen.duckdb_final_state_sql(P_ENTRY, with_sha=True),
         "cdc_repair_final_state": _gen.duckdb_final_state_sql(P_ENTRY, with_sha=True),
         "cdc_change_feed": _cdc_change_feed_oracle(P_FEED, _FEED_BATCHES),

@@ -139,6 +139,7 @@ BENCH_QUERIES = (
     "cdc_pipeline_final_state",
     "cdc_streamed_final_state",
     "cdc_point_lookup",
+    "cdc_erasure_final_state",
     "cdc_rebucket_final_state",
     "cdc_repair_final_state",
     "cdc_change_feed",

@@ -703,6 +703,121 @@ class LakeTable:
             metrics={"mode": "bootstrap"},
         )
 
+    def erase(self, keys_df) -> Optional[int]:
+        """Key-scoped hard delete — the right-to-be-forgotten / takedown
+        path a training-data lake needs (the reference has no deletion
+        story at all; this is the Delta ``DELETE`` + ``VACUUM`` /
+        Iceberg ``DeleteFiles`` analog for compliance erasure, which a
+        CDC 'D' event cannot express: a WAL delete upserts a tombstone
+        into history, while erasure must make the content physically
+        unrecoverable).
+
+        ``keys_df`` carries the key columns of rows to remove. The
+        operation is key-scoped end-to-end: only the hash buckets the
+        keys map to are read, rewritten without the victims (their
+        pending deltas fold in — the rewrite is fully resolved), and
+        swapped in one atomic commit. Untouched buckets cannot contain
+        the keys (same hash modulus), so at 100 TB the cost is
+        O(affected buckets), never O(table).
+
+        Downstream mirrors stay consistent: the commit writes a
+        feed-only sidecar (``cdf_buckets``) of one 'D' row per erased
+        key that actually existed, so :meth:`changes` consumers delete
+        the same rows — they never learn the erased values (sidecar
+        ``r_<col>`` structs are NULL).
+
+        The commit is watermark- and checkpoint-neutral (no WAL position
+        was consumed) and concurrency-safe with ingest exactly like
+        compaction: ``expected_base`` aborts with :class:`CommitConflict`
+        if a racing rewrite landed, and deltas appended concurrently to
+        an affected bucket survive the fold... UNLESS they carry a
+        victim key again, which is the operator's re-run contract
+        (re-issue ``erase`` after quiescing the key, as with any engine:
+        erasure of a key still being written is not well-defined).
+
+        **Physical purge requires retention to pass**: prior snapshots
+        still reference files holding the victims' bytes until
+        ``expire_snapshots`` drops them (the Delta VACUUM-after-DELETE
+        contract) — ``tests/test_erasure.py`` pins that after
+        ``erase + expire_snapshots(keep_last=1)`` no parquet byte under
+        the table contains the erased content. WAL archives upstream of
+        the table are out of scope by definition.
+
+        Returns the committed version, or None when no victim row
+        exists (nothing to erase → nothing rewritten, nothing fed).
+        """
+        snap = self.snapshot()
+        ver = snap["version"]
+        keys = snap["key_cols"]
+        key_types = {n: t for n, t in snap["schema"] if n in keys}
+        value_cols = [n for n, _ in snap["schema"] if n not in keys]
+        probe = (
+            keys_df.select(*[F.col(k).cast(key_types[k]).alias(k) for k in keys])
+            .distinct()
+            .withColumn("_bucket", _bucket_col(keys, snap["n_buckets"]))
+            .persist()
+        )
+        try:
+            n_keys = probe.count()  # also materializes the persist
+            present = set(int(b) for b in snap["buckets"]) | set(
+                int(b) for b in snap.get("deltas", {})
+            )
+            affected = sorted(
+                b for (b,) in probe.select("_bucket").distinct().collect()
+                if int(b) in present
+            )
+            if not affected:
+                return None
+            resolved = self.read(version=ver, buckets=affected)
+            # feed sidecar source: 'D' per victim that existed; values
+            # stay NULL (the feed must not re-disclose what is erased).
+            # Zero live victims → no rewrite at all (a content-identical
+            # base swap would burn I/O and feed nothing).
+            erased = resolved.join(
+                probe.select(*keys), on=list(keys), how="left_semi"
+            )
+            n_erased = erased.count()
+            if n_erased == 0:
+                return None
+            kept = resolved.join(probe.select(*keys), on=list(keys), how="left_anti")
+            staged, dbytes = self.write_buckets(
+                kept.withColumn("_bucket", _bucket_col(keys, snap["n_buckets"])),
+                ver + 1,
+            )
+            for b in affected:  # victim-only bucket: base must drop
+                staged.setdefault(str(b), [])
+            sidecar = erased.select(
+                *keys,
+                F.lit("D").alias("final_op"),
+                F.lit(snap["watermark_lsn"]).cast("bigint").alias("max_lsn"),
+                *[
+                    F.lit(None).cast("struct<v: string>").alias(f"r_{c}")
+                    for c in value_cols
+                ],
+            ).withColumn("_bucket", _bucket_col(keys, snap["n_buckets"]))
+            cdf_staged, cdf_bytes = self.write_buckets(sidecar, ver + 1)
+            folded = {
+                str(b): list(snap.get("deltas", {}).get(str(b), []))
+                for b in affected
+            }
+            expected = {
+                str(b): list(snap["buckets"].get(str(b), [])) for b in affected
+            }
+            return self.commit(
+                staged, replaced_buckets=[],
+                metrics={"erasure": {
+                    "buckets": [int(b) for b in affected],
+                    "n_keys": int(n_keys), "n_erased": int(n_erased),
+                }},
+                dir_bytes={**dbytes, **cdf_bytes},
+                folded_deltas=folded, expected_base=expected,
+                cdf_buckets=cdf_staged,
+                expected_n_buckets=snap["n_buckets"],
+                carry_metrics=("open_tx",),
+            )
+        finally:
+            probe.unpersist()
+
     # ------------------------------------------------------------ compaction
 
     def buckets_to_compact(

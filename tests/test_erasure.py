@@ -1,0 +1,151 @@
+"""Key-scoped erasure (right-to-be-forgotten / takedown).
+
+`LakeTable.erase` must remove the victims from the resolved state AND
+from every physical file once retention passes (the Delta
+DELETE + VACUUM contract), while feeding downstream mirrors 'D' rows
+that never re-disclose the erased values. A CDC 'D' event cannot do
+this job: it upserts a tombstone into history; erasure makes the bytes
+unrecoverable.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from pypgoutput_spark.lake.table import LakeTable
+from pypgoutput_spark.operators.merge import merge_into
+
+
+def _mk(spark, tmp_path, name="lake") -> LakeTable:
+    return LakeTable.create(
+        spark, str(tmp_path / name),
+        schema=[("k", "string"), ("a", "string"), ("b", "string")],
+        key_cols=["k"], n_buckets=4,
+    )
+
+
+def _changes(spark, rows):
+    data = [
+        (k, op, lsn,
+         {"v": a[1]} if a is not None else None,
+         {"v": b[1]} if b is not None else None)
+        for k, op, lsn, a, b in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        schema="k STRING, final_op STRING, max_lsn BIGINT, "
+               "r_a STRUCT<v: STRING>, r_b STRUCT<v: STRING>",
+    )
+
+
+SENTINEL = "ERASE_ME_SENTINEL"
+
+
+def _seed(spark, t: LakeTable):
+    """Initial load + one MOR delta batch so erase exercises the fold:
+    k1 (victim, updated in the delta), k2 (victim, base-only),
+    k3/k4 survivors."""
+    merge_into(t, _changes(spark, [
+        ("k1", "I", 10, ("v", f"{SENTINEL}_k1_base"), ("v", "b1")),
+        ("k2", "I", 11, ("v", f"{SENTINEL}_k2_base"), ("v", "b2")),
+        ("k3", "I", 12, ("v", "keep_a3"), ("v", "keep_b3")),
+        ("k4", "I", 13, ("v", "keep_a4"), ("v", "keep_b4")),
+    ]), watermark_lsn=13)
+    merge_into(t, _changes(spark, [
+        ("k1", "U", 20, ("v", f"{SENTINEL}_k1_delta"), None),
+        ("k3", "U", 21, ("v", "keep_a3v2"), None),
+    ]), watermark_lsn=21)
+
+
+def test_erase_final_state_metrics_and_watermark(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    ver_before = t.current_version()
+    wm_before = t.watermark_lsn
+
+    victims = spark.createDataFrame([("k1",), ("k2",)], "k STRING")
+    ver = t.erase(victims)
+    assert ver == ver_before + 1
+
+    state = {r["k"]: (r["a"], r["b"]) for r in t.read().collect()}
+    assert state == {
+        "k3": ("keep_a3v2", "keep_b3"),
+        "k4": ("keep_a4", "keep_b4"),
+    }
+    snap = t.snapshot()
+    assert snap["watermark_lsn"] == wm_before, "erase is watermark-neutral"
+    m = snap["metrics"]["erasure"]
+    assert m["n_keys"] == 2 and m["n_erased"] == 2
+    # the victims' pending delta folded into the rewrite: affected
+    # buckets carry no delta dirs anymore
+    for b in m["buckets"]:
+        assert not snap.get("deltas", {}).get(str(b))
+
+
+def test_erase_feeds_deletes_without_values(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    ver_before = t.current_version()
+    t.erase(spark.createDataFrame([("k1",), ("nope",)], "k STRING"))
+
+    feed = t.changes(ver_before).collect()
+    assert len(feed) == 1, "one D row per victim that existed — no row for 'nope'"
+    r = feed[0]
+    assert (r["k"], r["final_op"]) == ("k1", "D")
+    # the feed must not re-disclose what is being erased
+    assert r["a"] is None and r["b"] is None
+    assert not r["upd_a"] and not r["upd_b"]
+    assert r["_commit_version"] == ver_before + 1
+
+
+def test_erase_missing_keys_is_noop(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    ver = t.current_version()
+    assert t.erase(spark.createDataFrame([("ghost",)], "k STRING")) is None
+    assert t.current_version() == ver
+
+
+def _all_parquet_values(path: str) -> str:
+    out = []
+    for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        out.append(str(pq.read_table(f).to_pylist()))
+    return "\n".join(out)
+
+
+def test_erase_physical_purge_after_retention(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    t.erase(spark.createDataFrame([("k1",), ("k2",)], "k STRING"))
+
+    # before retention passes, prior snapshots still reference files
+    # holding the victims' bytes — erasure alone is logical
+    blob = _all_parquet_values(t.path)
+    assert SENTINEL in blob
+
+    t.expire_snapshots(keep_last=1, orphan_grace_sec=0.0)
+
+    blob = _all_parquet_values(t.path)
+    assert SENTINEL not in blob, "victim content must be physically gone"
+    # detection sanity: survivors' content is still readable in the files
+    assert "keep_a3v2" in blob and "keep_b4" in blob
+    # and the table still reads correctly
+    assert {r["k"] for r in t.read().collect()} == {"k3", "k4"}
+
+
+def test_erase_then_reingest_key(spark, tmp_path):
+    """A key erased and later re-written by CDC is a NEW row — erase
+    must not leave state that blocks or corrupts a later upsert."""
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    t.erase(spark.createDataFrame([("k1",)], "k STRING"))
+    merge_into(t, _changes(spark, [
+        ("k1", "I", 30, ("v", "fresh_a"), ("v", "fresh_b")),
+    ]), watermark_lsn=30)
+    state = {r["k"]: (r["a"], r["b"]) for r in t.read().collect()}
+    assert state["k1"] == ("fresh_a", "fresh_b")
+    assert t.watermark_lsn == 30

@@ -537,6 +537,38 @@ SELECT * FROM final_state WHERE md5(repo || '|' || path) >= '20'
 """.strip()
 
 
+def q_cdc_redaction_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-scoped redaction under the driver harness: ingest the CDC
+    mirror, then ``LakeTable.redact`` the ~1/16 key subset below
+    md5 '10' — content replaced in place (the PII-remediation path: the
+    row/document survives, the offending bytes do not), rows preserved,
+    watermark untouched, downstream feed carrying only the replacement.
+    The oracle applies the same CASE to the final-state SQL, so the
+    hash match proves redact changed exactly the victims' named column
+    and nothing else."""
+    table = _ingest_cdc(spark, P_ENTRY, fresh=True)  # redact mutates
+    victims = (
+        table.read().selectExpr("repo", "path")
+        .where("md5(concat(repo, '|', path)) < '10'").distinct()
+    )
+    assert table.redact(victims, {"content": "__REDACTED__"}) is not None
+    return table.read().selectExpr(
+        "repo", "path", "`commit`", "lang", "content",
+        "sha2(content, 256) AS content_sha",
+    )
+
+
+def _cdc_redaction_oracle(p: _gen.GenParams) -> str:
+    red = ("CASE WHEN md5(repo || '|' || path) < '10' "
+           "THEN '__REDACTED__' ELSE content END")
+    return f"""
+WITH final_state AS ({_gen.duckdb_final_state_sql(p, with_sha=False)})
+SELECT repo, path, "commit", lang, {red} AS content,
+  sha256({red}) AS content_sha
+FROM final_state
+""".strip()
+
+
 #: bootstrap fixture: full history WITHOUT truncates (a truncate in the
 #: catch-up span would wipe the evidence that catch-up TOAST-'u'/LWW
 #: events resolve against the bulk-loaded base) …
@@ -608,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_point_lookup": q_cdc_point_lookup,
         "cdc_erasure_final_state": q_cdc_erasure_final_state,
+        "cdc_redaction_final_state": q_cdc_redaction_final_state,
         "cdc_rebucket_final_state": q_cdc_rebucket_final_state,
         "cdc_repair_final_state": q_cdc_repair_final_state,
         "cdc_change_feed": q_cdc_change_feed,
@@ -642,6 +675,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cdc_point_lookup": _cdc_point_lookup_oracle(P_ENTRY),
         "cdc_erasure_final_state": _cdc_erasure_oracle(P_ENTRY),
+        "cdc_redaction_final_state": _cdc_redaction_oracle(P_ENTRY),
         "cdc_rebucket_final_state": _gen.duckdb_final_state_sql(P_ENTRY, with_sha=True),
         "cdc_repair_final_state": _gen.duckdb_final_state_sql(P_ENTRY, with_sha=True),
         "cdc_change_feed": _cdc_change_feed_oracle(P_FEED, _FEED_BATCHES),

@@ -746,6 +746,92 @@ class LakeTable:
         Returns the committed version, or None when no victim row
         exists (nothing to erase → nothing rewritten, nothing fed).
         """
+        return self._key_scoped_rewrite(
+            keys_df,
+            new_rows_fn=lambda kept, victims: kept,
+            sidecar_op="D",
+            sidecar_cols_fn=lambda _snap, value_cols: [
+                F.lit(None).cast("struct<v: string>").alias(f"r_{c}")
+                for c in value_cols
+            ],
+            metrics_key="erasure",
+            count_key="n_erased",
+        )
+
+    def redact(self, keys_df, replacements: Dict[str, Optional[str]]) -> Optional[int]:
+        """Column-scoped redaction — erase's row-preserving sibling: the
+        PII-remediation / partial-takedown path where the ROW stays (the
+        document still exists) but named value columns are replaced (or
+        NULLed) in place. A CDC update cannot do this job for the same
+        reason a CDC delete cannot erase: it adds a new version while
+        the offending bytes persist in history; redaction rewrites the
+        victims' buckets and — once ``expire_snapshots`` passes — leaves
+        no physical byte of the original values.
+
+        ``replacements`` maps value-column name → replacement value
+        (``None`` = set NULL). Key columns cannot be redacted (that
+        would be a key change, i.e. delete+insert — use CDC or
+        :meth:`erase`).
+
+        Feed contract: downstream mirrors receive one 'U' row per
+        redacted key carrying ONLY the replacement values
+        (``upd_<col>`` true for redacted columns, false elsewhere — "no
+        information", prior values stand) — consumers converge to the
+        redacted state and never re-learn the originals.
+
+        Same scale/concurrency/retention envelope as :meth:`erase`:
+        O(affected buckets), fold-safe, conflict-guarded,
+        watermark-neutral; physical purge completes at
+        ``expire_snapshots`` (pinned in tests/test_erasure.py).
+
+        Returns the committed version, or None when no victim row exists.
+        """
+        snap = self.snapshot()
+        keys = snap["key_cols"]
+        col_types = dict(snap["schema"])
+        bad = [c for c in replacements if c in keys or c not in col_types]
+        if bad:
+            raise ValueError(
+                f"redact targets must be value columns; bad: {bad} "
+                f"(keys {list(keys)}, columns {list(col_types)})"
+            )
+
+        def _new_rows(kept, victims):
+            redacted = victims.select(*[
+                (F.lit(replacements[c]).cast(col_types[c]) if c in replacements
+                 else F.col(c)).alias(c)
+                for c, _ in snap["schema"]
+            ])
+            return kept.unionByName(redacted)
+
+        def _sidecar_cols(s, value_cols):
+            return [
+                (F.struct(
+                    F.lit(replacements[c]).cast("string").alias("v")
+                 ) if c in replacements
+                 else F.lit(None).cast("struct<v: string>")).alias(f"r_{c}")
+                for c in value_cols
+            ]
+
+        return self._key_scoped_rewrite(
+            keys_df,
+            new_rows_fn=_new_rows,
+            sidecar_op="U",
+            sidecar_cols_fn=_sidecar_cols,
+            metrics_key="redaction",
+            count_key="n_redacted",
+            extra_metrics={"columns": sorted(replacements)},
+        )
+
+    def _key_scoped_rewrite(self, keys_df, *, new_rows_fn, sidecar_op: str,
+                            sidecar_cols_fn, metrics_key: str, count_key: str,
+                            extra_metrics: Optional[dict] = None) -> Optional[int]:
+        """Shared machinery of :meth:`erase` and :meth:`redact`: typed +
+        deduped victim keys → affected hash buckets only → resolved read
+        (deltas fold) → ``new_rows_fn(kept, victims)`` rebuilds the
+        buckets → feed-only sidecar (one ``sidecar_op`` row per victim,
+        value structs from ``sidecar_cols_fn``) → one atomic,
+        watermark/checkpoint-neutral, conflict-guarded commit."""
         snap = self.snapshot()
         ver = snap["version"]
         keys = snap["key_cols"]
@@ -769,31 +855,31 @@ class LakeTable:
             if not affected:
                 return None
             resolved = self.read(version=ver, buckets=affected)
-            # feed sidecar source: 'D' per victim that existed; values
-            # stay NULL (the feed must not re-disclose what is erased).
-            # Zero live victims → no rewrite at all (a content-identical
-            # base swap would burn I/O and feed nothing).
-            erased = resolved.join(
+            # victims = probe keys that actually exist. Zero live victims
+            # → no rewrite at all (a content-identical base swap would
+            # burn I/O and feed nothing).
+            victims = resolved.join(
                 probe.select(*keys), on=list(keys), how="left_semi"
             )
-            n_erased = erased.count()
-            if n_erased == 0:
+            n_hit = victims.count()
+            if n_hit == 0:
                 return None
             kept = resolved.join(probe.select(*keys), on=list(keys), how="left_anti")
             staged, dbytes = self.write_buckets(
-                kept.withColumn("_bucket", _bucket_col(keys, snap["n_buckets"])),
+                new_rows_fn(kept, victims).withColumn(
+                    "_bucket", _bucket_col(keys, snap["n_buckets"])
+                ),
                 ver + 1,
             )
-            for b in affected:  # victim-only bucket: base must drop
+            for b in affected:  # bucket rebuilt to empty: base must drop
                 staged.setdefault(str(b), [])
-            sidecar = erased.select(
+            # feed sidecar: value structs must never re-disclose what is
+            # being removed (erase: NULL structs; redact: replacements)
+            sidecar = victims.select(
                 *keys,
-                F.lit("D").alias("final_op"),
+                F.lit(sidecar_op).alias("final_op"),
                 F.lit(snap["watermark_lsn"]).cast("bigint").alias("max_lsn"),
-                *[
-                    F.lit(None).cast("struct<v: string>").alias(f"r_{c}")
-                    for c in value_cols
-                ],
+                *sidecar_cols_fn(snap, value_cols),
             ).withColumn("_bucket", _bucket_col(keys, snap["n_buckets"]))
             cdf_staged, cdf_bytes = self.write_buckets(sidecar, ver + 1)
             folded = {
@@ -805,9 +891,10 @@ class LakeTable:
             }
             return self.commit(
                 staged, replaced_buckets=[],
-                metrics={"erasure": {
+                metrics={metrics_key: {
                     "buckets": [int(b) for b in affected],
-                    "n_keys": int(n_keys), "n_erased": int(n_erased),
+                    "n_keys": int(n_keys), count_key: int(n_hit),
+                    **(extra_metrics or {}),
                 }},
                 dir_bytes={**dbytes, **cdf_bytes},
                 folded_deltas=folded, expected_base=expected,

@@ -149,3 +149,60 @@ def test_erase_then_reingest_key(spark, tmp_path):
     state = {r["k"]: (r["a"], r["b"]) for r in t.read().collect()}
     assert state["k1"] == ("fresh_a", "fresh_b")
     assert t.watermark_lsn == 30
+
+
+def test_redact_state_feed_and_purge(spark, tmp_path):
+    """Column-scoped redaction: the row survives, the named columns are
+    replaced (or NULLed), the feed carries only the replacements, and
+    after retention no original byte remains."""
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    ver_before = t.current_version()
+
+    ver = t.redact(
+        spark.createDataFrame([("k1",)], "k STRING"),
+        {"a": "[REDACTED]", "b": None},
+    )
+    assert ver == ver_before + 1
+
+    state = {r["k"]: (r["a"], r["b"]) for r in t.read().collect()}
+    assert state["k1"] == ("[REDACTED]", None), "row stays, values replaced"
+    assert state["k3"] == ("keep_a3v2", "keep_b3"), "others untouched"
+    assert len(state) == 4
+
+    m = t.snapshot()["metrics"]["redaction"]
+    assert m["n_keys"] == 1 and m["n_redacted"] == 1
+    assert m["columns"] == ["a", "b"]
+
+    feed = t.changes(ver_before).collect()
+    assert len(feed) == 1
+    r = feed[0]
+    assert (r["k"], r["final_op"]) == ("k1", "U")
+    # the feed carries ONLY the replacements — never the originals
+    assert r["a"] == "[REDACTED]" and r["upd_a"]
+    assert r["b"] is None and r["upd_b"], "None replacement = explicit NULL"
+
+    t.expire_snapshots(keep_last=1, orphan_grace_sec=0.0)
+    blob = _all_parquet_values(t.path)
+    assert f"{SENTINEL}_k1" not in blob, "original bytes physically gone"
+    assert f"{SENTINEL}_k2_base" in blob, "non-victim rows keep their bytes"
+    assert "[REDACTED]" in blob
+
+
+def test_redact_key_column_raises(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    with pytest.raises(ValueError, match="value columns"):
+        t.redact(spark.createDataFrame([("k1",)], "k STRING"), {"k": "x"})
+    with pytest.raises(ValueError, match="value columns"):
+        t.redact(spark.createDataFrame([("k1",)], "k STRING"), {"nope": "x"})
+
+
+def test_redact_missing_keys_is_noop(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _seed(spark, t)
+    ver = t.current_version()
+    assert t.redact(
+        spark.createDataFrame([("ghost",)], "k STRING"), {"a": "x"}
+    ) is None
+    assert t.current_version() == ver

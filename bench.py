@@ -159,6 +159,8 @@ BENCH_QUERIES = (
     "corpus_ngram_counts",
     "corpus_mixture_plan",
     "corpus_mixture_apply",
+    "corpus_chunk",
+    "corpus_split",
     "text_bigram_familiarity",
     "dedup_ngram_jaccard",
     "dedup_shared_passages",
@@ -181,6 +183,7 @@ BENCH_QUERIES = (
     "events_windowed_stats",
     "events_funnel",
     "events_retention",
+    "events_anomaly",
     "sketch_kmv_distinct",
     "sketch_sample_quantiles",
     "sketch_kmv_union",

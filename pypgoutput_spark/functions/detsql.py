@@ -171,6 +171,21 @@ class Dialect:
             return f"CASE WHEN {hi} >= {lo} THEN sequence({lo}, {hi}) ELSE array() END"
         return f"CASE WHEN {hi} >= {lo} THEN generate_series({lo}, {hi}) ELSE [] END"
 
+    def array_slice(self, arr: str, start: str, end: str) -> str:
+        """1-based INCLUSIVE slice [start, end] (Spark's slice takes a
+        length; DuckDB's list_slice takes inclusive endpoints)."""
+        if self.name == "spark":
+            return (
+                f"slice({arr}, CAST({start} AS INT), "
+                f"CAST({end} - ({start}) + 1 AS INT))"
+            )
+        return f"list_slice({arr}, {start}, {end})"
+
+    def array_join(self, arr: str, sep: str = " ") -> str:
+        if self.name == "spark":
+            return f"array_join({arr}, '{sep}')"
+        return f"array_to_string({arr}, '{sep}')"
+
 
 SPARK = Dialect("spark")
 DUCKDB = Dialect("duckdb")

@@ -273,6 +273,46 @@ GROUP BY c.cohort_idx, a.day_idx - c.cohort_idx
 """.strip()
 
 
+def events_anomaly_sql(d: Dialect, min_events: int = 5, z_cut: int = 2) -> str:
+    """Per-user z-score outlier detection over ``events.value`` — the
+    metric-anomaly sweep a pipeline runs before trusting ingested
+    telemetry as training signal.
+
+    Determinism across engines: the per-user moments are ORDER-FREE
+    exact-decimal sums (``exact_sum``); mean/variance/z are then a fixed
+    IEEE-754 expression tree over those exact inputs, so Spark and DuckDB
+    produce bit-identical doubles (a plain float SUM would be
+    order-dependent and break the oracle hash). A near-zero variance that
+    rounds negative yields NaN identically in both engines and is
+    filtered by ``std_v > 0``.
+
+    Scale: one map-side-combining groupBy for the moments (shuffled rows
+    ∝ users), then a user-keyed join back — at 100 TB the stats side is
+    tiny relative to events and AQE picks a broadcast when it fits;
+    output rows ∝ anomalies only.
+    """
+    return f"""
+WITH stats AS (
+  SELECT user_id, count(*) AS n,
+    {d.exact_sum('value')} AS sum_v,
+    {d.exact_sum('value * value')} AS sum_sq
+  FROM events
+  GROUP BY user_id
+  HAVING count(*) >= {min_events}
+),
+scored AS (
+  SELECT e.event_id, e.user_id, e.value,
+    s.sum_v / s.n AS mean_v,
+    sqrt((s.sum_sq - s.sum_v * s.sum_v / s.n) / s.n) AS std_v
+  FROM events e JOIN stats s ON e.user_id = s.user_id
+)
+SELECT event_id, user_id, value, mean_v, std_v,
+  (value - mean_v) / std_v AS zscore
+FROM scored
+WHERE std_v > 0 AND abs(value - mean_v) > {z_cut} * std_v
+""".strip()
+
+
 QUERIES = {
     "cdc_events_latest_by_user": (
         _runner(events_latest_by_user_sql, ("events",)),
@@ -300,6 +340,10 @@ QUERIES = {
     "events_retention": (
         _runner(events_retention_sql, ("events",)),
         events_retention_sql(DUCKDB),
+    ),
+    "events_anomaly": (
+        _runner(events_anomaly_sql, ("events",)),
+        events_anomaly_sql(DUCKDB),
     ),
     "agg_pricing_summary": (
         _runner(pricing_summary_sql, ("lineitem",)),

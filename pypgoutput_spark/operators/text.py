@@ -714,7 +714,97 @@ GROUP BY d2.source
 """.strip()
 
 
-# ---- Spark runners (one per queries() entry) --------------------------------
+#: RAG-style chunking parameters: 64-token chunks, stride 48 (16-token
+#: overlap) — single source of truth for chunk_sql and its tests
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_sql(d: Dialect, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE) -> str:
+    """Fixed-size overlapping token chunks per document (RAG/pre-training
+    sequence prep): every document becomes ``1 + ceil((n_toks - size) /
+    stride)`` chunks of up to ``size`` whitespace tokens, consecutive
+    chunks overlapping by ``size - stride`` tokens, each with its token
+    span, text, and an md5-derived content fingerprint for downstream
+    chunk-level dedup.
+
+    Scale: one narrow per-row explode — no shuffle at all; row growth is
+    bounded by ~n_toks/stride per document. At 100 TB it parallelizes
+    with the scan (only doc_id/text are read) and the chunk fingerprint
+    makes the output directly joinable against the dedup operators.
+    The chunk count, spans, and fingerprints are exact integer/string
+    computation — bit-identical in both engines.
+    """
+    toks = d.split_ws("text")
+    n_chunks_m1 = (
+        f"CASE WHEN n_toks <= {size} THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST({d.idiv(f'(n_toks - {size} + {stride} - 1)', str(stride))} AS BIGINT) END"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks,
+    CAST({d.array_len(toks)} AS BIGINT) AS n_toks
+  FROM documents WHERE n_chars > 0
+),
+idx AS (
+  SELECT doc_id, toks, n_toks,
+    {d.unnest(d.sequence("CAST(0 AS BIGINT)", n_chunks_m1))} AS chunk_idx
+  FROM t WHERE n_toks > 0
+),
+spans AS (
+  SELECT doc_id, toks, n_toks, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+    CAST(chunk_idx * {stride} + 1 AS BIGINT) AS tok_start,
+    CAST(least(chunk_idx * {stride} + {size}, n_toks) AS BIGINT) AS tok_end
+  FROM idx
+),
+chunks AS (
+  SELECT doc_id, chunk_idx, tok_start, tok_end,
+    {d.array_join(d.array_slice('toks', 'tok_start', 'tok_end'))} AS chunk_text
+  FROM spans
+)
+SELECT doc_id, chunk_idx, tok_start, tok_end,
+  CAST(tok_end - tok_start + 1 AS BIGINT) AS n_chunk_toks,
+  chunk_text,
+  {d.md5_int(f"concat({d.s('doc_id')}, ':', {d.s('chunk_idx')}, ':', chunk_text)")} AS chunk_fp
+FROM chunks
+""".strip()
+
+
+#: per-mille split thresholds: 90% train / 5% val / 5% test
+SPLIT_TRAIN_PM = 900
+SPLIT_VAL_PM = 950
+
+
+def corpus_split_sql(d: Dialect) -> str:
+    """Deterministic stratified train/val/test assignment: each document
+    draws an md5-derived per-mille value (seeded, independent of the
+    sampling/mixture draws) and lands in train/val/test by fixed
+    thresholds; the output is the per-(source, split) manifest a
+    training job consumes.
+
+    Scale: the assignment is a pure per-row map on the scan (content-
+    hash-seeded, so it is stable under repartition, backfill, and
+    re-runs — the property that keeps eval sets leak-free as the corpus
+    grows); the only shuffle is the tiny map-side-combining rollup.
+    """
+    toks = d.split_ws("text")
+    draw = f"({d.md5_int(f_concat('split:', d.s('doc_id')))} % 1000)"
+    return f"""
+WITH assigned AS (
+  SELECT source,
+    CAST({d.array_len(toks)} AS BIGINT) AS n_toks,
+    CASE WHEN {draw} < {SPLIT_TRAIN_PM} THEN 'train'
+         WHEN {draw} < {SPLIT_VAL_PM} THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents WHERE n_chars > 0
+)
+SELECT source, split,
+  count(*) AS n_docs,
+  CAST(sum(n_toks) AS BIGINT) AS n_tokens
+FROM assigned
+GROUP BY source, split
+""".strip()
+
 
 
 def q_token_count(spark, sf_dir: str):
@@ -780,6 +870,14 @@ def q_corpus_stats(spark, sf_dir: str):
     return run_sql(spark, sf_dir, corpus_stats_sql(SPARK), tables=("documents",), spread=("documents",))
 
 
+def q_chunk(spark, sf_dir: str):
+    return run_sql(spark, sf_dir, chunk_sql(SPARK), tables=("documents",), spread=("documents",))
+
+
+def q_corpus_split(spark, sf_dir: str):
+    return run_sql(spark, sf_dir, corpus_split_sql(SPARK), tables=("documents",))
+
+
 QUERIES = {
     "text_token_count": (q_token_count, token_count_sql(DUCKDB)),
     "text_quality_score": (q_quality_score, quality_score_sql(DUCKDB)),
@@ -796,4 +894,6 @@ QUERIES = {
     "text_bigram_familiarity": (q_bigram_familiarity, bigram_familiarity_sql(DUCKDB)),
     "corpus_mixture_plan": (q_mixture_plan, mixture_plan_sql(DUCKDB)),
     "corpus_mixture_apply": (q_mixture_apply, mixture_apply_sql(DUCKDB)),
+    "corpus_chunk": (q_chunk, chunk_sql(DUCKDB)),
+    "corpus_split": (q_corpus_split, corpus_split_sql(DUCKDB)),
 }

@@ -66,6 +66,8 @@ SQL_FNS = [
     text_ops.corpus_training_ready_sql,
     text_ops.training_pipeline_sql,
     text_ops.corpus_stats_sql,
+    text_ops.chunk_sql,
+    text_ops.corpus_split_sql,
 ]
 
 

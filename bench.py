@@ -176,6 +176,7 @@ BENCH_QUERIES = (
     "sim_lsh_topk",
     "sim_ivf_topk",
     "sim_pq_topk",
+    "sim_ivf_pq_topk",
     "mm_payload_meta",
     "mm_frame_sample",
     "cdc_events_latest_by_user",

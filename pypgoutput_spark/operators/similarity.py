@@ -220,9 +220,12 @@ def _ivf_cells_ctes(d: Dialect, n_centroids: int, n_iters: int = N_ITERS) -> str
     positions = d.unnest(d.sequence("0", str(DIM - 1)))
     cell_val = d.array_get("en.qv", "p.pos + 1")
     rebuild = d.array_agg_ordered("val", "pos")
+    # internal CTE names carry an iv prefix so this prefix composes with
+    # _pq_ctes in one statement (IVF-PQ) without name collisions; the
+    # externally referenced names (en/scored/best/cells/seed) are stable
     parts = [
-        f"e AS (SELECT vec_id, {_quant(d)} AS qv FROM embeddings)",
-        f"en AS (SELECT vec_id, qv, {na} AS nrm FROM e)",
+        f"ive AS (SELECT vec_id, {_quant(d)} AS qv FROM embeddings)",
+        f"en AS (SELECT vec_id, qv, {na} AS nrm FROM ive)",
         f"""seed AS (
   SELECT vec_id AS c_id, qv AS cv, nrm AS cnrm
   FROM en ORDER BY {d.md5_int(d.s('vec_id'))}, vec_id LIMIT {n_centroids}
@@ -238,23 +241,23 @@ def _ivf_cells_ctes(d: Dialect, n_centroids: int, n_iters: int = N_ITERS) -> str
     CAST({dot_t} AS DOUBLE) / sqrt(CAST({ct}.cnrm AS DOUBLE)) AS score
   FROM en CROSS JOIN {ct}
 )""",
-            f"b{t} AS (SELECT vec_id, max(score) AS ms FROM s{t} GROUP BY vec_id)",
-            f"""a{t} AS (
+            f"ivb{t} AS (SELECT vec_id, max(score) AS ms FROM s{t} GROUP BY vec_id)",
+            f"""iva{t} AS (
   SELECT s.vec_id, min(s.c_id) AS c_id
-  FROM s{t} s JOIN b{t} b ON s.vec_id = b.vec_id AND s.score = b.ms
+  FROM s{t} s JOIN ivb{t} b ON s.vec_id = b.vec_id AND s.score = b.ms
   GROUP BY s.vec_id
 )""",
-            f"""lng{t} AS (
-  SELECT a{t}.c_id, p.pos, {cell_val} AS val
-  FROM a{t} JOIN en ON a{t}.vec_id = en.vec_id
+            f"""ivlng{t} AS (
+  SELECT iva{t}.c_id, p.pos, {cell_val} AS val
+  FROM iva{t} JOIN en ON iva{t}.vec_id = en.vec_id
   CROSS JOIN (SELECT {positions} AS pos) p
 )""",
-            f"""upd{t} AS (
+            f"""ivupd{t} AS (
   SELECT c_id, pos,
     CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS val
-  FROM lng{t} GROUP BY c_id, pos
+  FROM ivlng{t} GROUP BY c_id, pos
 )""",
-            f"centl{t + 1} AS (SELECT c_id, {rebuild} AS cv FROM upd{t} GROUP BY c_id)",
+            f"centl{t + 1} AS (SELECT c_id, {rebuild} AS cv FROM ivupd{t} GROUP BY c_id)",
             f"cent{t + 1} AS (SELECT c_id, cv, {dot_cc} AS cnrm FROM centl{t + 1})",
         ]
     cf = f"cent{n_iters}"
@@ -486,14 +489,26 @@ WITH {_pq_ctes(d)},
 
 def _pq_topk_tail(d: Dialect, k: int, q_offset: int, refine: int,
                   e_tbl: str, subs_tbl: str, cbf_tbl: str,
-                  codes_tbl: str) -> str:
+                  codes_tbl: str, extra_ctes: str = "",
+                  cand_tbl: str = "") -> str:
     """qid → query subvectors → ADC distance table → shortlist → exact
     re-rank; parameterized on table names so the oracle's inline CTEs
-    and the Spark runner's staged views share one definition."""
+    and the Spark runner's staged views share one definition.
+
+    ``extra_ctes``/``cand_tbl``: optional candidate pre-filter inserted
+    after ``qid`` — the IVF-PQ composition scores only the codes whose
+    vec_id survives ``cand_tbl`` (which must already exclude the query
+    itself)."""
     l2_q = _l2_bigint(d, "qs.sv", "cb.cv", PQ_SUB)
     l2_full = _l2_bigint(d, "a.qv", "q.qv", DIM)
+    if cand_tbl:
+        cand_join = f"JOIN {cand_tbl} ON c.vec_id = {cand_tbl}.vec_id"
+        self_filter = ""
+    else:
+        cand_join = "CROSS JOIN qid"
+        self_filter = "\n  WHERE c.vec_id <> qid.q_id"
     return f"""qid AS (SELECT vec_id AS q_id FROM {e_tbl} ORDER BY vec_id LIMIT 1 OFFSET {q_offset}),
-qs AS (SELECT s.m, s.sv FROM {subs_tbl} s JOIN qid ON s.vec_id = qid.q_id),
+{extra_ctes}qs AS (SELECT s.m, s.sv FROM {subs_tbl} s JOIN qid ON s.vec_id = qid.q_id),
 dtab AS (
   SELECT cb.m, cb.c_id, {l2_q} AS dist
   FROM {cbf_tbl} cb JOIN qs ON cb.m = qs.m
@@ -501,9 +516,8 @@ dtab AS (
 score AS (
   SELECT c.vec_id, CAST(sum(t.dist) AS BIGINT) AS adist
   FROM {codes_tbl} c
-  JOIN dtab t ON c.m = t.m AND c.code = t.c_id
-  CROSS JOIN qid
-  WHERE c.vec_id <> qid.q_id
+  {cand_join}
+  JOIN dtab t ON c.m = t.m AND c.code = t.c_id{self_filter}
   GROUP BY c.vec_id
 ),
 short AS (
@@ -515,6 +529,67 @@ JOIN {e_tbl} a ON a.vec_id = s.vec_id
 JOIN {e_tbl} q ON q.vec_id = (SELECT q_id FROM qid)
 ORDER BY dist ASC, a.vec_id
 LIMIT {k}"""
+
+
+def _ivf_probe_ctes(n_probes: int) -> str:
+    """qprobe/cand CTEs over the IVF prefix's ``scored``/``cells``
+    (candidates = vectors in the query's ``n_probes`` best cells, query
+    excluded) — shared by the oracle and the Spark runner so the
+    candidate rule cannot drift."""
+    return f"""qprobe AS (
+  SELECT s.c_id FROM scored s JOIN qid ON s.vec_id = qid.q_id
+  ORDER BY s.score DESC, s.c_id LIMIT {n_probes}
+),
+cand AS (
+  SELECT DISTINCT cells.vec_id
+  FROM cells JOIN qprobe ON cells.c_id = qprobe.c_id
+  CROSS JOIN qid WHERE cells.vec_id <> qid.q_id
+),
+"""
+
+
+def ivf_pq_topk_sql(d: Dialect, k: int = 10, n_centroids: int = N_CENTROIDS,
+                    n_probes: int = N_PROBES, q_offset: int = 0,
+                    refine: int = 10, n_iters: int = N_ITERS) -> str:
+    """IVF-PQ top-k (the FAISS ``IndexIVFPQ`` + refine composition — the
+    shape a 100 TB vector store actually deploys): the IVF coarse
+    quantizer prunes the corpus to the query's ``n_probes`` cells, PQ
+    ADC scores ONLY those candidates from their compressed codes (no
+    raw-vector reads), and the ``k × refine`` shortlist is re-ranked by
+    exact integer L2.
+
+    Scale: the scan is cut twice — cell pruning bounds candidates at
+    ~corpus × n_probes / n_centroids, and the ADC pass over them reads
+    ``PQ_M`` small ints per vector instead of the raw array; the exact
+    pass touches O(k·refine) rows regardless of corpus size. Both index
+    structures (cells, codes) are CDC-maintainable tables. Exact integer
+    arithmetic throughout, ties to the smallest id — bit-identical in
+    both engines.
+    """
+    return f"""
+WITH {_ivf_cells_ctes(d, n_centroids, n_iters)},
+{_pq_ctes(d)},
+{_pq_topk_tail(d, k, q_offset, refine, "e", "subs", "cbf", "codes",
+               extra_ctes=_ivf_probe_ctes(n_probes), cand_tbl="cand")}
+""".strip()
+
+
+def q_ivf_pq_topk(spark, sf_dir: str):
+    """Spark runner: staged PQ views (build-once index tables) + inline
+    IVF prefix; the probe/candidate CTEs and the ADC/refine tail are the
+    same text the oracle runs."""
+    from pypgoutput_spark.operators.qlib import register_views
+
+    nm = _pq_stage_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("embeddings",), spread=("embeddings",))
+    return spark.sql(
+        f"WITH {_ivf_cells_ctes(SPARK, N_CENTROIDS, N_ITERS)},\n"
+        + _pq_topk_tail(SPARK, 10, 0, 10,
+                        nm["pq_e"], nm["pq_subs"], nm["pq_cbf"],
+                        nm["pq_codes_v"],
+                        extra_ctes=_ivf_probe_ctes(N_PROBES),
+                        cand_tbl="cand")
+    )
 
 
 def _pq_view_names(sf_dir: str) -> dict:
@@ -602,6 +677,7 @@ QUERIES = {
     "sim_ivf_topk": (_runner(ivf_topk_sql), ivf_topk_sql(DUCKDB)),
     "sim_pq_codes": (q_pq_codes, pq_codes_sql(DUCKDB)),
     "sim_pq_topk": (q_pq_topk, pq_topk_sql(DUCKDB)),
+    "sim_ivf_pq_topk": (q_ivf_pq_topk, ivf_pq_topk_sql(DUCKDB)),
 }
 
 

@@ -72,6 +72,52 @@ def test_pq_refined_recall_floors(tmp_path):
     assert r20 >= r10, "larger shortlist can only help"
 
 
+def _ivf_pq_recall(con, n_q=15, **kw):
+    tot = 0.0
+    for q in range(n_q):
+        exact = set(con.execute(_exact_l2_sql(DUCKDB, q_offset=q)).df()["vec_id"])
+        approx = set(
+            con.execute(S.ivf_pq_topk_sql(DUCKDB, q_offset=q, **kw))
+            .df()["vec_id"]
+        )
+        tot += len(exact & approx) / len(exact)
+    return tot / n_q
+
+
+def test_ivf_pq_candidates_and_recall(tmp_path):
+    """IVF-PQ composition invariants: every returned neighbor lies in
+    the query's probed IVF cells (pruning is real, not decorative), and
+    clustered-corpus recall stays at the PQ-refine ceiling — on a
+    clustered corpus the true neighbors share the query's cell, so cell
+    pruning costs ~nothing while cutting the ADC scan to
+    ~n_probes/n_centroids of the corpus."""
+    con = duckdb.connect()
+    clustered = str(tmp_path / "c")
+    S.write_clustered_embeddings(clustered, n=2000)
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{clustered}/embeddings.parquet')"
+    )
+    # containment: result ⊆ the probed cells' members
+    top = con.execute(S.ivf_pq_topk_sql(DUCKDB)).df()
+    assert len(top) == 10
+    cells = con.execute(S.ivf_cells_sql(DUCKDB)).df()
+    probe_sql = f"""
+WITH {S._ivf_cells_ctes(DUCKDB, S.N_CENTROIDS, S.N_ITERS)},
+qid AS (SELECT vec_id AS q_id FROM en ORDER BY vec_id LIMIT 1 OFFSET 0)
+SELECT s.c_id FROM scored s JOIN qid ON s.vec_id = qid.q_id
+ORDER BY s.score DESC, s.c_id LIMIT {S.N_PROBES}
+""".strip()
+    probed = set(con.execute(probe_sql).df()["c_id"])
+    member = set(cells[cells.c_id.isin(probed)].vec_id)
+    assert set(top.vec_id) <= member
+    # recall floor at the default (probes=4/16, refine=10): measured 0.86
+    # on this corpus — identical to un-pruned PQ refine=10, i.e. the IVF
+    # cut is free here
+    r = _ivf_pq_recall(con)
+    assert r >= 0.75, r
+
+
 def test_pq_staging_isolated_per_corpus(spark, tmp_path):
     """Regression: the staging memo was (id(spark), sf_dir) over
     session-GLOBAL view names — staging corpus B overwrote A's views

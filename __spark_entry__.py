@@ -71,6 +71,20 @@ P_STREAMED = _gen.GenParams(
     interleave_streams=True,
 )
 
+#: mid-stream DDL: at txn 70 (a segment boundary's first txn) the
+#: relation gains a trailing BIGINT ``stars`` column — the wire carries
+#: a Relation re-send and 6-cell tuples from there on; the merge must
+#: evolve the lake table, type the new column from its OID, and leave
+#: rows last written before the boundary NULL-aligned
+#: (no truncate here: a post-boundary truncate would wipe every
+#: pre-boundary row and the NULL-alignment behavior would vanish from
+#: the final state; truncate×evolution decode is pinned in
+#: tests/test_schema_evolution_gen.py instead)
+P_EVOLVE = _gen.GenParams(
+    n_txns=140, ops_per_txn=8, n_repos=45, n_paths=28,
+    toast_pct=30, txns_per_segment=14, evolve_at_txn=70,
+)
+
 #: MV-maintenance run: ingested in FIVE batches so the commit history
 #: mixes an initial base load, three merge-on-read delta commits (the
 #: pre-image path), and one truncate rewrite (txn 130 → batch 5)
@@ -133,6 +147,20 @@ def q_cdc_streamed_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     stamp begin/commit metadata from S/c — final state ≡ the serial
     oracle with aborted txns excluded."""
     return _run_cdc_pipeline(spark, P_STREAMED, strict=False)
+
+
+def q_cdc_schema_evolution_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream schema evolution end-to-end (reference last-Relation-
+    wins, reader.py:222-243): a Relation re-send at txn 70 adds a BIGINT
+    ``stars`` column; earlier events decode under v0 via the
+    LSN-versioned registry, the merge evolves the lake table (typed from
+    OID 20), pre-boundary rows read NULL, and truncates/TOAST semantics
+    carry through unchanged."""
+    table = _ingest_cdc(spark, P_EVOLVE)
+    return table.read().selectExpr(
+        "repo", "path", "`commit`", "lang", "content", "stars",
+        "sha2(content, 256) AS content_sha",
+    )
 
 
 def q_cdc_decoded_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -636,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_decoded_events_split": q_cdc_decoded_events_split,
         "cdc_keychange_final_state": q_cdc_keychange_final_state,
         "cdc_streamed_final_state": q_cdc_streamed_final_state,
+        "cdc_schema_evolution_final_state": q_cdc_schema_evolution_final_state,
         "cdc_incremental_mview": q_cdc_incremental_mview,
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_point_lookup": q_cdc_point_lookup,
@@ -668,6 +697,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cdc_streamed_final_state": _gen.duckdb_final_state_sql(
             P_STREAMED, with_sha=True
+        ),
+        "cdc_schema_evolution_final_state": _gen.duckdb_final_state_sql(
+            P_EVOLVE, with_sha=True
         ),
         "cdc_incremental_mview": _cdc_incremental_mview_oracle(P_MVIEW),
         "cdc_time_travel": _gen.duckdb_final_state_sql(

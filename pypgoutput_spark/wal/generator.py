@@ -60,6 +60,8 @@ RELATION_COLUMNS: Tuple[Tuple[int, str, int, int], ...] = (
 KEY_COLUMNS = ("repo", "path")
 VALUE_COLUMNS = ("commit", "lang", "content")
 ALL_COLUMNS = KEY_COLUMNS + VALUE_COLUMNS
+#: the relation after ``evolve_at_txn``'s DDL: trailing BIGINT ``stars``
+EVOLVED_COLUMNS = RELATION_COLUMNS + ((0, "stars", 20, -1),)
 
 
 @dataclass(frozen=True)
@@ -108,6 +110,14 @@ class GenParams:
     #: the same closed-form expression on BOTH the frame side and the
     #: oracle side, so the serial replay-by-LSN oracle still holds.
     interleave_streams: bool = False
+    #: schema evolution: from txn k on, the relation carries a trailing
+    #: ``stars`` BIGINT column (OID 20) — a Relation re-send (the DDL's
+    #: wire echo, reference reader.py:222-243) lands in the LSN gap
+    #: before txn k, and every later I/U frame encodes the 6th cell
+    #: (D before-images pad it with 'n'). Events before the boundary
+    #: decode under v0; the merge evolves the lake table and aligns old
+    #: rows with NULL. 0 = never.
+    evolve_at_txn: int = 0
 
     def __post_init__(self):
         if self.interleave_streams and self.txns_per_segment % 2:
@@ -115,6 +125,13 @@ class GenParams:
                 "interleave_streams requires an even txns_per_segment "
                 "(a chunk pair must not straddle a segment boundary — "
                 "streams must commit within their decode partition)"
+            )
+        if self.evolve_at_txn > 0 and (
+            self.stream_pct > 0 or self.key_change_pct > 0 or self.n_relations > 1
+        ):
+            raise ValueError(
+                "evolve_at_txn composes only with the plain v1 layout "
+                "(no streamed txns, key changes, or multi-relation fanout)"
             )
 
     @property
@@ -127,8 +144,12 @@ class GenParams:
             # a pair's window must fit 2*ops DML + 8 chunk delimiters +
             # 2 commits: 2*stride >= 2*ops + 10
             return self.ops_per_txn + 5
-        # streamed txns need slots for E and c/A after the DML run
-        return self.ops_per_txn + (3 if self.stream_pct > 0 else 2)
+        # streamed txns need slots for E and c/A after the DML run;
+        # schema evolution keeps one spare LSN per txn window so the
+        # Relation re-send frame has a home between two transactions
+        return self.ops_per_txn + (
+            3 if self.stream_pct > 0 or self.evolve_at_txn > 0 else 2
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -274,6 +295,15 @@ def event_exprs(p: GenParams, dialect: str) -> dict:
 
     streamed, aborted = stream_exprs(p, d, txn)
 
+    out_extra = {}
+    if p.evolve_at_txn > 0:
+        # the evolved column's value for post-boundary I/U events;
+        # pre-boundary events never carry it (they encode 5 cells)
+        h_stars = d.h(seed, q(":stars:"), i_s)
+        out_extra["stars"] = (
+            f"CASE WHEN {txn} >= {p.evolve_at_txn} THEN {h_stars} % 1000 END"
+        )
+
     return {
         "i": "i",
         "txn": txn,
@@ -292,6 +322,7 @@ def event_exprs(p: GenParams, dialect: str) -> dict:
         "old_path": old_path,
         "streamed": streamed,
         "aborted": aborted,
+        **out_extra,
     }
 
 
@@ -413,6 +444,12 @@ def _encode_stream_pandas(batches: Iterator, p: GenParams) -> Iterator:
     D_MIDS = [b"D" + rb + b"K\x00\x05" for rb in rid_bes]
     T_PAYLOADS = [b"T" + pk_i32(1) + b"\x00" + rb for rb in rid_bes]
     B_PFX = b"B"
+    # post-evolution headers: the relation is 6 columns wide from txn
+    # evolve_at_txn on (evolve composes only with n_relations == 1)
+    evolve_k = p.evolve_at_txn if p.evolve_at_txn > 0 else None
+    I_HDR6 = b"I" + rid_bes[0] + b"N\x00\x06"
+    U_HDR6 = b"U" + rid_bes[0] + b"N\x00\x06"
+    D_MID6 = b"D" + rid_bes[0] + b"K\x00\x06"
 
     def t_cell(s: str) -> bytes:
         b = s.encode("utf-8")
@@ -426,13 +463,20 @@ def _encode_stream_pandas(batches: Iterator, p: GenParams) -> Iterator:
             pdf["streamed"].tolist() if "streamed" in pdf.columns
             else [False] * len(pdf)
         )
-        for kind, lsn, cts, xid, rel, op, repo, path, commit, lang, content, unch, orepo, opath, strm in zip(
+        if evolve_k is not None:
+            evolved_col = (pdf["txn"].values >= evolve_k).tolist()
+            stars_col = pdf["stars"].tolist()
+        else:
+            evolved_col = [False] * len(pdf)
+            stars_col = [None] * len(pdf)
+        for kind, lsn, cts, xid, rel, op, repo, path, commit, lang, content, unch, orepo, opath, strm, evo, stars in zip(
             pdf["kind"].tolist(), pdf["lsn"].tolist(), pdf["commit_ts_us"].tolist(),
             pdf["xid"].tolist(), pdf["rel"].tolist(), pdf["op"].tolist(),
             pdf["repo"].tolist(),
             pdf["path"].tolist(), pdf["commit"].tolist(), pdf["lang"].tolist(),
             pdf["content"].tolist(), pdf["content_unchanged"].tolist(),
             pdf["old_repo"].tolist(), pdf["old_path"].tolist(), streamed_col,
+            evolved_col, stars_col,
         ):
             if kind == "B":
                 ap(B_PFX + pk_bc(lsn, cts, xid))
@@ -463,6 +507,14 @@ def _encode_stream_pandas(batches: Iterator, p: GenParams) -> Iterator:
                     + (t_cell(lang) if lang is not None else b"n")
                     + (b"u" if (op == "U" and unch) else t_cell(content))
                 )
+                if evo:
+                    ap(
+                        (I_HDR6 if op == "I" else U_HDR6)[0:1] + pfx
+                        + (I_HDR6 if op == "I" else U_HDR6)[1:]
+                        + cells + t_cell(str(int(stars)))
+                    )
+                    am(op.lower() if strm else op)
+                    continue
                 if op == "U" and orepo is not None:
                     # key-change update: 'K' before-image with the OLD key
                     # (pgoutput sends it when key columns changed; reference
@@ -480,7 +532,10 @@ def _encode_stream_pandas(batches: Iterator, p: GenParams) -> Iterator:
                 am(op.lower() if strm else op)
             elif op == "D":
                 pfx = pk_i32(xid) if strm else b""
-                ap(b"D" + pfx + D_MIDS[rel][1:] + t_cell(repo) + t_cell(path) + b"nnn")
+                if evo:
+                    ap(b"D" + D_MID6[1:] + t_cell(repo) + t_cell(path) + b"nnnn")
+                else:
+                    ap(b"D" + pfx + D_MIDS[rel][1:] + t_cell(repo) + t_cell(path) + b"nnn")
                 am("d" if strm else "D")
             elif op == "T":
                 pfx = pk_i32(xid) if strm else b""
@@ -608,6 +663,8 @@ def spark_frames_df(spark, p: GenParams, n_partitions: int = 0, include_relation
             f"CASE WHEN kind = 'O' THEN {ex['content_unchanged']} ELSE false END AS content_unchanged",
             f"CASE WHEN kind = 'O' THEN {ex['old_repo']} END AS old_repo",
             f"CASE WHEN kind = 'O' THEN {ex['old_path']} END AS old_path",
+            f"CASE WHEN kind = 'O' THEN "
+            f"{ex.get('stars', 'CAST(NULL AS BIGINT)')} END AS stars",
         )
     )
     frames = slots.mapInPandas(lambda it: _encode_stream_pandas(it, p), schema=FRAMES_SCHEMA)
@@ -630,6 +687,25 @@ def spark_frames_df(spark, p: GenParams, n_partitions: int = 0, include_relation
             )
             for r in range(max(1, p.n_relations))
         ]
+        if p.evolve_at_txn > 0:
+            # the DDL's wire echo: Relation re-sent with the new trailing
+            # column, on the spare LSN after txn k-1's commit — every
+            # event from txn k on resolves to this version in the
+            # LSN-ordered registry
+            k = p.evolve_at_txn
+            rel_rows.append(
+                (
+                    (k - 1) // p.txns_per_segment,
+                    10 + (k - 1) * p.lsn_stride + p.ops_per_txn + 2,
+                    "R",
+                    bytearray(
+                        codec.encode_relation(
+                            RELATION_ID, RELATION_NAMESPACE, RELATION_NAME,
+                            "d", EVOLVED_COLUMNS,
+                        )
+                    ),
+                )
+            )
         rel = spark.createDataFrame(rel_rows, schema=FRAMES_SCHEMA)
         frames = rel.unionByName(frames)
     return frames
@@ -731,6 +807,17 @@ def duckdb_final_state_sql(
     sha = ", sha256(content) AS content_sha" if with_sha else ""
     rel_out = f"{RELATION_ID} + rel AS relation_id, " if with_relation else ""
     kc_ctes, eff_name = _kc_toast_resolution_ctes(p, kc_toast_passes)
+    # schema evolution: the evolved column is a plain (non-TOASTable)
+    # value column — same LWW rule as lang; rows last written before the
+    # boundary read NULL (the merge aligns old rows with NULL)
+    evolving = p.evolve_at_txn > 0
+    ev_stars = ", stars" if evolving else ""
+    ev_stars_null = ", CAST(NULL AS BIGINT) AS stars" if evolving else ""
+    ev_stars_agg = (
+        ",\n    max_by({'v': stars}, lsn) FILTER (WHERE op <> 'D') AS stars_s"
+        if evolving else ""
+    )
+    ev_stars_out = ", stars_s.v AS stars" if evolving else ""
     # aborted streamed transactions (protocol v2) never committed — their
     # events must not exist for any purpose, truncate cuts included
     ab = " AND NOT ev.aborted" if p.stream_pct > 0 else ""
@@ -745,11 +832,11 @@ eff AS MATERIALIZED (
 ),{kc_ctes}
 -- a key-change U replays as DELETE(old key) + upsert(new key)
 eff2 AS (
-  SELECT rel, lsn, op, repo, path, "commit", lang, content, content_unchanged FROM {eff_name}
+  SELECT rel, lsn, op, repo, path, "commit", lang, content, content_unchanged{ev_stars} FROM {eff_name}
   UNION ALL
   SELECT rel, lsn, 'D' AS op, old_repo AS repo, old_path AS path,
     CAST(NULL AS VARCHAR) AS "commit", CAST(NULL AS VARCHAR) AS lang,
-    CAST(NULL AS VARCHAR) AS content, false AS content_unchanged
+    CAST(NULL AS VARCHAR) AS content, false AS content_unchanged{ev_stars_null}
   FROM {eff_name}
   WHERE old_repo IS NOT NULL AND (old_repo <> repo OR old_path <> path)
 ),
@@ -759,11 +846,11 @@ lww AS (
     max_by({{'v': "commit"}}, lsn) FILTER (WHERE op <> 'D') AS commit_s,
     max_by({{'v': lang}}, lsn) FILTER (WHERE op <> 'D') AS lang_s,
     max_by({{'v': CASE WHEN op = 'D' THEN NULL ELSE content END}}, lsn)
-      FILTER (WHERE op = 'D' OR NOT content_unchanged) AS content_s
+      FILTER (WHERE op = 'D' OR NOT content_unchanged) AS content_s{ev_stars_agg}
   FROM eff2
   GROUP BY rel, repo, path
 )
-SELECT {rel_out}repo, path, commit_s.v AS "commit", lang_s.v AS lang, content_s.v AS content{sha}
+SELECT {rel_out}repo, path, commit_s.v AS "commit", lang_s.v AS lang, content_s.v AS content{ev_stars_out}{sha}
 FROM lww
 WHERE final_op <> 'D'
 """.strip()

@@ -189,6 +189,7 @@ BENCH_QUERIES = (
     "sketch_kmv_distinct",
     "sketch_sample_quantiles",
     "sketch_kmv_union",
+    "sketch_cms_heavy_hitters",
     "agg_pricing_summary",
     "join_nation_revenue",
     "join_order_rollup",

@@ -227,6 +227,65 @@ JOIN src_est sb ON sb.source = ex.src_b
 """.strip()
 
 
+#: count-min sketch geometry: D independent hash rows × W buckets.
+#: Overcount bound: est ≤ true + e·N/W per row (min over D rows); W must
+#: scale with the live item count — at ~1.5 items/bucket the min over 4
+#: rows is almost always exact (test-pinned)
+CMS_D = 4
+CMS_W = 1024
+
+
+def cms_heavy_hitters_sql(d: Dialect, n_rows: int = CMS_D, width: int = CMS_W,
+                          num: int = 6, den: int = 5) -> str:
+    """Heavy hitters via a count-min sketch (Cormode & Muthukrishnan):
+    every event increments one bucket per hash row; an item's estimate
+    is the MIN of its D bucket counters — always ≥ the true count, over
+    by at most the bucket's collision mass. Output: users whose
+    estimated event count is ≥ ``num/den`` × the per-user mean.
+
+    Scale: the sketch is ``D × W`` mergeable integer counters — a
+    map-side-combining groupBy whose output size is FIXED regardless of
+    event count (the whole point vs an exact per-user groupBy whose
+    shuffle grows with the key space); the probe side joins candidates
+    against the broadcast-sized sketch. Here the candidate set is all
+    distinct users (the verification harness); a 100 TB deployment
+    probes a bounded candidate stream (e.g. per-partition local heavy
+    hitters) against the same sketch. Everything is md5-derived integer
+    arithmetic — bit-identical in both engines, so the oracle verifies
+    the estimator end to end.
+    """
+    js = d.unnest(d.sequence("0", str(n_rows - 1)))
+
+    def bucket(j_expr: str, user_expr: str) -> str:
+        key = f"concat('cms:', {d.s(j_expr)}, ':', {d.s(user_expr)})"
+        return f"({d.md5_int(key)} % {width})"
+
+    return f"""
+WITH rows_j AS (
+  SELECT user_id, {js} AS j FROM events
+),
+sketch AS (
+  SELECT j, {bucket('j', 'user_id')} AS b, count(*) AS c
+  FROM rows_j GROUP BY j, {bucket('j', 'user_id')}
+),
+probe AS (
+  SELECT u.user_id, js.j,
+    {bucket('js.j', 'u.user_id')} AS b
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (SELECT {js} AS j) js
+),
+est AS (
+  SELECT p.user_id, min(s.c) AS est_count
+  FROM probe p JOIN sketch s ON p.j = s.j AND p.b = s.b
+  GROUP BY p.user_id
+),
+tot AS (SELECT count(*) AS n, count(DISTINCT user_id) AS u FROM events)
+SELECT e.user_id, e.est_count
+FROM est e CROSS JOIN tot
+WHERE e.est_count * tot.u * {den} >= tot.n * {num}
+""".strip()
+
+
 def _runner(sql_builder, tables=("documents",)):
     def run(spark, sf_dir: str):
         return run_sql(spark, sf_dir, sql_builder(SPARK), tables=tables,
@@ -241,4 +300,8 @@ QUERIES = {
         _runner(sample_quantiles_sql), sample_quantiles_sql(DUCKDB),
     ),
     "sketch_kmv_union": (_runner(kmv_union_sql), kmv_union_sql(DUCKDB)),
+    "sketch_cms_heavy_hitters": (
+        _runner(cms_heavy_hitters_sql, tables=("events",)),
+        cms_heavy_hitters_sql(DUCKDB),
+    ),
 }

@@ -134,3 +134,37 @@ def test_kmv_union_estimates_within_band():
     sk = df[df.exact_union >= SK.KMV_UNION_K]
     mean_rel = (abs(sk.union_est - sk.exact_union) / sk.exact_union).mean()
     assert mean_rel < 0.35, mean_rel
+
+
+def test_cms_heavy_hitters_properties():
+    """Count-min guarantees, checked against exact counts: estimates
+    never undercount, every TRUE heavy hitter is reported (the sketch
+    can only add false positives, never drop a real one), and the
+    sketch itself stays within its fixed D×W footprint."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF}/events.parquet')"
+    )
+    got = con.execute(SK.cms_heavy_hitters_sql(DUCKDB)).df()
+    exact = con.execute(
+        "SELECT user_id, count(*) AS c FROM events GROUP BY user_id"
+    ).df()
+    n = int(exact.c.sum())
+    u = len(exact)
+    true_heavy = set(exact[exact.c * u * 5 >= n * 6].user_id)
+    assert true_heavy, "fixture must contain real heavy hitters"
+    assert true_heavy <= set(got.user_id), "CMS must not drop a true heavy hitter"
+    est = dict(zip(got.user_id, got.est_count))
+    truth = dict(zip(exact.user_id, exact.c))
+    for uid, e in est.items():
+        assert e >= truth[uid], (uid, e, truth[uid])
+    # at ~0.15 items/bucket the min-of-4 estimate is exact for nearly all
+    exact_frac = sum(1 for uid, e in est.items() if e == truth[uid]) / len(est)
+    assert exact_frac >= 0.9, exact_frac
+    # the sketch is a fixed-size object regardless of event count
+    width = con.execute(
+        f"WITH {SK.cms_heavy_hitters_sql(DUCKDB).split('WITH ', 1)[1].rsplit('tot AS', 1)[0].rstrip().rstrip(',')} "
+        "SELECT count(*) FROM sketch"
+    ).fetchall()[0][0]
+    assert width <= SK.CMS_D * SK.CMS_W

@@ -282,9 +282,12 @@ def events_anomaly_sql(d: Dialect, min_events: int = 5, z_cut: int = 2) -> str:
     exact-decimal sums (``exact_sum``); mean/variance/z are then a fixed
     IEEE-754 expression tree over those exact inputs, so Spark and DuckDB
     produce bit-identical doubles (a plain float SUM would be
-    order-dependent and break the oracle hash). A near-zero variance that
-    rounds negative yields NaN identically in both engines and is
-    filtered by ``std_v > 0``.
+    order-dependent and break the oracle hash). A tiny variance can
+    round NEGATIVE after the decimal quantization (e.g. constant values
+    whose square underflows the DECIMAL scale); DuckDB's sqrt() throws
+    on a negative radicand where Spark returns NaN, so the radicand is
+    clamped with greatest(var, 0) — the resulting std_v = 0 rows are
+    then excluded by ``std_v > 0``.
 
     Scale: one map-side-combining groupBy for the moments (shuffled rows
     ∝ users), then a user-keyed join back — at 100 TB the stats side is
@@ -303,7 +306,7 @@ WITH stats AS (
 scored AS (
   SELECT e.event_id, e.user_id, e.value,
     s.sum_v / s.n AS mean_v,
-    sqrt((s.sum_sq - s.sum_v * s.sum_v / s.n) / s.n) AS std_v
+    sqrt(greatest((s.sum_sq - s.sum_v * s.sum_v / s.n) / s.n, 0)) AS std_v
   FROM events e JOIN stats s ON e.user_id = s.user_id
 )
 SELECT event_id, user_id, value, mean_v, std_v,

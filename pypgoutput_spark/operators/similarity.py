@@ -303,15 +303,7 @@ def ivf_topk_sql(d: Dialect, k: int = 10, n_centroids: int = N_CENTROIDS,
     return f"""
 WITH {_ivf_cells_ctes(d, n_centroids, n_iters)},
 qid AS (SELECT vec_id AS q_id FROM en ORDER BY vec_id LIMIT 1 OFFSET {q_offset}),
-qprobe AS (
-  SELECT s.c_id FROM scored s JOIN qid ON s.vec_id = qid.q_id
-  ORDER BY s.score DESC, s.c_id LIMIT {n_probes}
-),
-cand AS (
-  SELECT DISTINCT cells.vec_id
-  FROM cells JOIN qprobe ON cells.c_id = qprobe.c_id
-  CROSS JOIN qid WHERE cells.vec_id <> qid.q_id
-)
+{_ivf_probe_ctes(n_probes).rstrip().rstrip(',')}
 SELECT a.vec_id,
   CAST({dot_aq} AS DOUBLE) / sqrt(CAST(a.nrm AS DOUBLE) * CAST(q.nrm AS DOUBLE)) AS score
 FROM cand c
@@ -748,11 +740,8 @@ def ivf_recall_at_k(sf_dir: str, k: int = 10, n_centroids: int = N_CENTROIDS,
         cand_sql = f"""
 WITH {_ivf_cells_ctes(d, n_centroids, n_iters)},
 qid AS (SELECT vec_id AS q_id FROM en ORDER BY vec_id LIMIT 1 OFFSET {off}),
-qprobe AS (
-  SELECT s.c_id FROM scored s JOIN qid ON s.vec_id = qid.q_id
-  ORDER BY s.score DESC, s.c_id LIMIT {n_probes}
-)
-SELECT count(*) FROM cells JOIN qprobe ON cells.c_id = qprobe.c_id"""
+{_ivf_probe_ctes(n_probes).rstrip().rstrip(',')}
+SELECT count(*) FROM cand"""
         cands.append(con.sql(cand_sql).fetchall()[0][0])
     return {
         "recall_at_k": round(sum(recalls) / len(recalls), 4),

@@ -302,6 +302,25 @@ FROM x
 """.strip()
 
 
+#: the suite's ONE train/val/test rule (per-cent thresholds on the
+#: 'split:'-salted doc_id draw) — shared by corpus_sample, the training
+#: pipeline, and the corpus_split manifest so no two operators can ever
+#: assign a document to different splits
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 90
+
+
+def split_case_expr(d: Dialect, draw: str = "") -> str:
+    """The canonical split assignment CASE over a % 100 draw expression
+    (default: the 'split:'-salted md5 of doc_id)."""
+    if not draw:
+        draw = f"({d.md5_int(f_concat('split:', d.s('doc_id')))} % 100)"
+    return (
+        f"CASE WHEN {draw} < {SPLIT_TRAIN_PCT} THEN 'train' "
+        f"WHEN {draw} < {SPLIT_VAL_PCT} THEN 'val' ELSE 'test' END"
+    )
+
+
 def corpus_sample_sql(d: Dialect) -> str:
     """Deterministic stratified corpus sampling: an md5 draw on doc_id
     assigns every document a stable train/val/test split (80/10/10),
@@ -325,9 +344,7 @@ WITH x AS (
   FROM documents WHERE n_chars > 0
 )
 SELECT doc_id, source, lang,
-  CASE WHEN split_draw < 80 THEN 'train'
-       WHEN split_draw < 90 THEN 'val'
-       ELSE 'test' END AS split,
+  {split_case_expr(d, 'split_draw')} AS split,
   CASE WHEN lang = 'en' THEN CASE WHEN keep_draw < 50 THEN 1 ELSE 0 END
        ELSE 1 END AS sampled
 FROM x
@@ -500,9 +517,7 @@ survivors AS (
 ),
 sampled AS (
   SELECT doc_id, source, lang, n_tok,
-    CASE WHEN {draw_split} < 80 THEN 'train'
-         WHEN {draw_split} < 90 THEN 'val'
-         ELSE 'test' END AS split
+    {split_case_expr(d, draw_split)} AS split
   FROM survivors
   WHERE CASE WHEN lang = 'en' THEN {draw_keep} < 50 ELSE TRUE END
 ),
@@ -770,32 +785,25 @@ FROM chunks
 """.strip()
 
 
-#: per-mille split thresholds: 90% train / 5% val / 5% test
-SPLIT_TRAIN_PM = 900
-SPLIT_VAL_PM = 950
-
-
 def corpus_split_sql(d: Dialect) -> str:
-    """Deterministic stratified train/val/test assignment: each document
-    draws an md5-derived per-mille value (seeded, independent of the
-    sampling/mixture draws) and lands in train/val/test by fixed
-    thresholds; the output is the per-(source, split) manifest a
-    training job consumes.
+    """Per-(source, split) train/val/test manifest — doc and token
+    counts of THE suite's canonical split assignment
+    (:func:`split_case_expr`, the identical 'split:'-salted draw and
+    thresholds `corpus_sample` and the training pipeline apply), so the
+    manifest can never disagree with the split the pipeline actually
+    trains on.
 
-    Scale: the assignment is a pure per-row map on the scan (content-
+    Scale: the assignment is a pure per-row map on the scan (doc-id-
     hash-seeded, so it is stable under repartition, backfill, and
     re-runs — the property that keeps eval sets leak-free as the corpus
     grows); the only shuffle is the tiny map-side-combining rollup.
     """
     toks = d.split_ws("text")
-    draw = f"({d.md5_int(f_concat('split:', d.s('doc_id')))} % 1000)"
     return f"""
 WITH assigned AS (
   SELECT source,
     CAST({d.array_len(toks)} AS BIGINT) AS n_toks,
-    CASE WHEN {draw} < {SPLIT_TRAIN_PM} THEN 'train'
-         WHEN {draw} < {SPLIT_VAL_PM} THEN 'val'
-         ELSE 'test' END AS split
+    {split_case_expr(d)} AS split
   FROM documents WHERE n_chars > 0
 )
 SELECT source, split,
@@ -875,7 +883,7 @@ def q_chunk(spark, sf_dir: str):
 
 
 def q_corpus_split(spark, sf_dir: str):
-    return run_sql(spark, sf_dir, corpus_split_sql(SPARK), tables=("documents",))
+    return run_sql(spark, sf_dir, corpus_split_sql(SPARK), tables=("documents",), spread=("documents",))
 
 
 QUERIES = {

@@ -246,6 +246,14 @@ def encode_frames_pdf(p: GenParams, txn_lo: int = 0, txn_hi: Optional[int] = Non
     params (parity pinned by tests)."""
     import pandas as pd
 
+    if p.evolve_at_txn > 0:
+        # the slot frames carry no stars column and this layout has no
+        # home for the mid-stream Relation re-send — refuse rather than
+        # spool a stream that silently decodes 6-cell tuples against
+        # the 5-column relation
+        raise ValueError(
+            "evolve_at_txn is not supported by the receiver producer"
+        )
     slots = logical_slots_pdf(p, txn_lo, txn_hi)
     frames = pd.concat(list(_encode_stream_pandas(iter([slots]), p)), ignore_index=True)
     if include_relation:

@@ -463,7 +463,10 @@ def _encode_stream_pandas(batches: Iterator, p: GenParams) -> Iterator:
             pdf["streamed"].tolist() if "streamed" in pdf.columns
             else [False] * len(pdf)
         )
-        if evolve_k is not None:
+        if evolve_k is not None and "stars" in pdf.columns:
+            # the receiver's slot frames never carry stars/txn (and its
+            # layout has no home for the Relation re-send) — evolve
+            # params are refused there, not silently mis-encoded
             evolved_col = (pdf["txn"].values >= evolve_k).tolist()
             stars_col = pdf["stars"].tolist()
         else:
@@ -533,7 +536,7 @@ def _encode_stream_pandas(batches: Iterator, p: GenParams) -> Iterator:
             elif op == "D":
                 pfx = pk_i32(xid) if strm else b""
                 if evo:
-                    ap(b"D" + D_MID6[1:] + t_cell(repo) + t_cell(path) + b"nnnn")
+                    ap(b"D" + pfx + D_MID6[1:] + t_cell(repo) + t_cell(path) + b"nnnn")
                 else:
                     ap(b"D" + pfx + D_MIDS[rel][1:] + t_cell(repo) + t_cell(path) + b"nnn")
                 am("d" if strm else "D")

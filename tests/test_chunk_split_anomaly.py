@@ -105,10 +105,21 @@ def test_corpus_split_partition_invariant_and_proportional(spark, tmp_path):
     pd.testing.assert_frame_equal(base, again)
     tot = base.groupby("split").n_docs.sum()
     assert set(tot.index) == {"train", "val", "test"}
-    assert 0.85 <= tot["train"] / 3000 <= 0.95
-    assert tot["val"] / 3000 <= 0.10 and tot["test"] / 3000 <= 0.10
+    assert 0.75 <= tot["train"] / 3000 <= 0.85
+    assert tot["val"] / 3000 <= 0.15 and tot["test"] / 3000 <= 0.15
     # every (source, split) cell present → stratification is real
     assert len(base) == 9
+    # the manifest MUST agree with the split corpus_sample assigns —
+    # one rule, one salt, no train/eval leakage between operators
+    sample = spark.sql(text_ops.corpus_sample_sql(SPARK)).toPandas()
+    cross = (
+        sample.groupby(["source", "split"]).size().rename("n_docs").reset_index()
+        .sort_values(["source", "split"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        base[["source", "split", "n_docs"]].astype({"n_docs": "int64"}),
+        cross.astype({"n_docs": "int64"}),
+    )
 
 
 def test_events_anomaly_math_and_parity(spark, tmp_path):
@@ -120,6 +131,13 @@ def test_events_anomaly_math_and_parity(spark, tmp_path):
         + [(9, "2024-01-01 00:01:00", 1, "m", 100.0, "{}")]
         + [(10 + i, "2024-01-01 00:00:%02d" % i, 2, "m", 5.0, "{}") for i in range(6)]
         + [(20, "2024-01-01 00:00:00", 3, "m", 999.0, "{}")]
+        # user 4: constant 1.2e-5 — its square underflows the decimal
+        # quantization so the raw variance rounds NEGATIVE; without the
+        # greatest(var, 0) clamp DuckDB's sqrt() throws (Spark gives
+        # NaN, and NaN > 0 is TRUE in both engines, so the clamp is
+        # also what makes the std_v > 0 filter actually exclude it)
+        + [(30 + i, "2024-01-01 00:00:%02d" % i, 4, "m", 1.2e-5, "{}")
+           for i in range(7)]
     )
     d = str(tmp_path)
     spark.createDataFrame(

@@ -143,6 +143,24 @@ class RelationRegistry:
     def versions(self, relation_id: int) -> List[RelationVersion]:
         return list(self._versions.get(relation_id, []))
 
+    def versions_in_range(self, relation_id: int, lo_lsn: int,
+                          hi_lsn: int) -> List[RelationVersion]:
+        """Versions LIVE for events in [lo_lsn, hi_lsn]: an event at L
+        resolves to the last version with v.lsn <= L, so version i is
+        live iff it starts at or before hi AND its successor (if any)
+        starts after lo. Lets a micro-batch project only the schema
+        versions its LSN span can actually contain — a batch wholly on
+        one side of a DDL stays a single-projection (unstaged,
+        single-pass) plan even though the global registry holds every
+        version of the stream."""
+        vs = self.versions(relation_id)
+        out = []
+        for i, v in enumerate(vs):
+            nxt = vs[i + 1].lsn if i + 1 < len(vs) else None
+            if v.lsn <= hi_lsn and (nxt is None or nxt > lo_lsn):
+                out.append(v)
+        return out
+
     def lookup(self, relation_id: int, lsn: int) -> Optional[RelationVersion]:
         """Version in effect for an event at ``lsn`` (last Relation frame at
         or before it — reader.py:222-224 last-wins parity)."""

@@ -217,13 +217,16 @@ def _explode_key_changes(proj, keys, value_cols, base_cols, guard_kc_toast=False
     )
 
 
-def project_all_versions(raw, registry, rid: int, keys, value_cols, base_cols):
+def project_all_versions(raw, registry, rid: int, keys, value_cols, base_cols,
+                         versions=None):
     """Union the flat projections of every schema version of ``rid`` over
     decoded raw events, aligning columns to the table schema (missing →
     NULL/false carriers) and keeping the old-key columns for key-change
-    explode. Truncate rows are metadata, not DML — dropped here."""
+    explode. Truncate rows are metadata, not DML — dropped here.
+    ``versions``: restrict to these versions (the batch's LSN-live
+    subset from ``RelationRegistry.versions_in_range``); default all."""
     parts = []
-    for rv in registry.versions(rid):
+    for rv in (versions if versions is not None else registry.versions(rid)):
         p_df = decode_op.project_relation(raw, rv, with_old_keys=True)
         sel = list(base_cols)
         for c in list(keys) + list(value_cols):
@@ -421,17 +424,30 @@ def apply_frames_batch(
         }
 
     # stream-driven schema evolution (last-Relation-wins, reference
-    # reader.py:222-243): align each table schema to its newest Relation
-    # version before merging — adds/drops are metadata-only commits
+    # reader.py:222-243): align each table schema to the newest Relation
+    # version LIVE within this batch's LSN span — adds/drops are
+    # metadata-only commits, and they land with the batch that carries
+    # the DDL, not eagerly from a registry that (in batch mode) already
+    # knows the whole stream's future. The LSN-range pruning also keeps
+    # a batch wholly on one side of a DDL at ONE projection — the
+    # unstaged single-pass decode→LWW plan — instead of paying the
+    # staged persist+materialize path for a version it cannot contain.
+    lo_lsn, hi_lsn = lineage["lsn_range"]
     table_cols: Dict[int, tuple] = {}
+    vs_by_rid: Dict[int, list] = {}
     n_projections = 0
     for rid, tbl in managed.items():
+        vs = (
+            registry.versions_in_range(rid, int(lo_lsn), int(hi_lsn))
+            or registry.versions(rid)  # pathological: no live version — keep old behavior
+        )
+        vs_by_rid[rid] = vs
         snap = tbl.snapshot()
         keys = snap["key_cols"]
-        evolve_to_relation(tbl, registry.versions(rid)[-1], keys)
+        evolve_to_relation(tbl, vs[-1], keys)
         snap = tbl.snapshot()
         table_cols[rid] = (keys, [n for n, _ in snap["schema"] if n not in keys])
-        n_projections += len(registry.versions(rid))
+        n_projections += len(vs)
 
     raw = decode_op.decode_frames_raw(
         eff_frames, registry, strict=strict, clustered=clustered, open_tx=open_tx
@@ -519,7 +535,8 @@ def apply_frames_batch(
         for rid, tbl in managed.items():
             keys, value_cols = table_cols[rid]
             proj = project_all_versions(
-                raw, registry, rid, keys, value_cols, base_cols
+                raw, registry, rid, keys, value_cols, base_cols,
+                versions=vs_by_rid[rid],
             )
             truncated = rid in t_lsn_by_rid
             if truncated:

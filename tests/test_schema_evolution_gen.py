@@ -65,6 +65,28 @@ def test_evolve_frame_grammar_and_registry_versions(spark):
     assert all(v[5] is not None for v in post.new_vals)
 
 
+def test_evolve_lands_with_its_batch_not_eagerly(spark, tmp_path):
+    """Version pruning by batch LSN span: the batch-mode registry knows
+    the whole stream's future, but the table must evolve with the batch
+    that CARRIES the DDL — and batches wholly on one side of it must
+    run the single-projection plan (their schema snapshot is the pin;
+    the perf effect is the unstaged single-pass decode)."""
+    p = gen.GenParams(n_txns=60, ops_per_txn=6, n_repos=30, n_paths=20,
+                      toast_pct=30, txns_per_segment=10, evolve_at_txn=30)
+    table = _mk_table(spark, tmp_path)
+    schemas = []
+    pipeline.run_ingest(
+        spark, gen.spark_frames_df(spark, p), table, n_batches=3,
+        on_batch=lambda m: schemas.append(
+            [c for c, _t in table.snapshot()["schema"]]
+        ),
+    )
+    # 6 segments / 3 batches; boundary at txn 30 = segment 3 = batch 2
+    assert "stars" not in schemas[0], "batch 1 is wholly pre-DDL"
+    assert "stars" in schemas[1] and "stars" in schemas[2]
+    _assert_table_matches_oracle(spark, table, p)
+
+
 def test_evolve_rejects_streamed_combo():
     with pytest.raises(ValueError, match="evolve_at_txn"):
         gen.GenParams(n_txns=20, stream_pct=40, evolve_at_txn=10,

@@ -310,11 +310,18 @@ SPLIT_TRAIN_PCT = 80
 SPLIT_VAL_PCT = 90
 
 
+def split_draw_expr(d: Dialect) -> str:
+    """THE split draw: the 'split:'-salted md5 of doc_id, per-cent.
+    Every operator that draws a split must call this — a second salt or
+    modulus anywhere recreates cross-operator train/eval leakage."""
+    return f"({d.md5_int(f_concat('split:', d.s('doc_id')))} % 100)"
+
+
 def split_case_expr(d: Dialect, draw: str = "") -> str:
     """The canonical split assignment CASE over a % 100 draw expression
-    (default: the 'split:'-salted md5 of doc_id)."""
+    (default: :func:`split_draw_expr`)."""
     if not draw:
-        draw = f"({d.md5_int(f_concat('split:', d.s('doc_id')))} % 100)"
+        draw = split_draw_expr(d)
     return (
         f"CASE WHEN {draw} < {SPLIT_TRAIN_PCT} THEN 'train' "
         f"WHEN {draw} < {SPLIT_VAL_PCT} THEN 'val' ELSE 'test' END"
@@ -334,7 +341,7 @@ def corpus_sample_sql(d: Dialect) -> str:
     partition-by, so downstream writers can partition however they like.
     """
     doc_s = d.s("doc_id")
-    draw_split = f"({d.md5_int(f_concat('split:', doc_s))} % 100)"
+    draw_split = split_draw_expr(d)
     draw_keep = f"({d.md5_int(f_concat('sample:', doc_s))} % 100)"
     return f"""
 WITH x AS (
@@ -479,7 +486,7 @@ def training_pipeline_sql(d: Dialect, seq_len: int = PACK_SEQ_LEN) -> str:
     counts = _rep_count_fields(d, lines="lines", toks="toks", n_toks="n_tok")
     count_cols = ",\n    ".join(f"{sql} AS {name}" for name, sql in counts.items())
     doc_s = d.s("doc_id")
-    draw_split = f"({d.md5_int(f_concat('split:', doc_s))} % 100)"
+    draw_split = split_draw_expr(d)
     draw_keep = f"({d.md5_int(f_concat('sample:', doc_s))} % 100)"
     return f"""
 WITH x AS (

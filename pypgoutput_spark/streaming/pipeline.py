@@ -444,7 +444,15 @@ def apply_frames_batch(
         vs_by_rid[rid] = vs
         snap = tbl.snapshot()
         keys = snap["key_cols"]
-        evolve_to_relation(tbl, vs[-1], keys)
+        # never evolve from a batch wholly at-or-below the table's
+        # watermark: a redelivered pre-DDL span's newest LIVE version is
+        # an OLD schema, and aligning to it would drop the evolved
+        # column (and its data) from a table that has already moved on —
+        # the merge below skips such a batch anyway. A batch with any
+        # new frames (hi > watermark) always contains the newest version
+        # at or before its hi, so forward evolution is unaffected.
+        if int(hi_lsn) > tbl.watermark_lsn:
+            evolve_to_relation(tbl, vs[-1], keys)
         snap = tbl.snapshot()
         table_cols[rid] = (keys, [n for n, _ in snap["schema"] if n not in keys])
         n_projections += len(vs)

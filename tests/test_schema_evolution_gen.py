@@ -87,6 +87,40 @@ def test_evolve_lands_with_its_batch_not_eagerly(spark, tmp_path):
     _assert_table_matches_oracle(spark, table, p)
 
 
+def test_replayed_pre_ddl_batch_never_downgrades_schema(spark, tmp_path):
+    """At-least-once redelivery of a PRE-DDL span to an already-evolved
+    table must not align the table back to the old version: the batch's
+    newest LIVE version is the 5-column schema, and evolving to it
+    would DROP the stars column and its data. The watermark guard skips
+    both the evolve and (as always) the merge."""
+    from pypgoutput_spark.plans.registry import RelationRegistry
+
+    p = gen.GenParams(n_txns=60, ops_per_txn=6, n_repos=30, n_paths=20,
+                      toast_pct=30, txns_per_segment=10, evolve_at_txn=30)
+    table = _ingest(spark, tmp_path, p)
+    cols = [c for c, _t in table.snapshot()["schema"]]
+    assert "stars" in cols
+    before = (
+        table.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    assert before["stars"].notna().any()
+
+    frames = gen.spark_frames_df(spark, p)
+    early = frames.filter(f"lsn < {10 + p.evolve_at_txn * p.lsn_stride}")
+    reg = RelationRegistry.from_frames(early)
+    m = pipeline.apply_frames_batch(table, early, reg)
+    assert m.get("skipped") or m["relations"][gen.RELATION_ID].get("skipped")
+    assert "stars" in [c for c, _t in table.snapshot()["schema"]], (
+        "replayed pre-DDL batch downgraded the schema"
+    )
+    after = (
+        table.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(before, after)
+
+
 def test_evolve_rejects_streamed_combo():
     with pytest.raises(ValueError, match="evolve_at_txn"):
         gen.GenParams(n_txns=20, stream_pct=40, evolve_at_txn=10,

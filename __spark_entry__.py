@@ -71,6 +71,18 @@ P_STREAMED = _gen.GenParams(
     interleave_streams=True,
 )
 
+#: two-phase commit (PG15+ ``two_phase``): 35% of txns PREPARE ('b'..'P')
+#: and their decision — Commit Prepared 'K', or Rollback Prepared 'r'
+#: for a quarter of them — lands 30 txn windows later: with 14 txns per
+#: segment and a 3-batch ingest, decisions routinely arrive in a LATER
+#: micro-batch, so the engine must stage the prepared events and resolve
+#: them when the 'K'/'r' lands (rolled-back events must vanish)
+P_TWO_PHASE = _gen.GenParams(
+    n_txns=140, ops_per_txn=8, n_repos=45, n_paths=28,
+    toast_pct=30, txns_per_segment=14,
+    two_phase_pct=35, two_phase_rollback_pct=25, two_phase_gap=30,
+)
+
 #: mid-stream DDL: at txn 70 (a segment boundary's first txn) the
 #: relation gains a trailing BIGINT ``stars`` column — the wire carries
 #: a Relation re-send and 6-cell tuples from there on; the merge must
@@ -147,6 +159,21 @@ def q_cdc_streamed_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     stamp begin/commit metadata from S/c — final state ≡ the serial
     oracle with aborted txns excluded."""
     return _run_cdc_pipeline(spark, P_STREAMED, strict=False)
+
+
+def q_cdc_two_phase_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase commit end-to-end (PG15+ ``two_phase``; parity-plus —
+    the reference decoder predates 'b'/'P'/'K'/'r'): prepared
+    transactions' bodies decode like any B..C span, their events are
+    STAGED until the Commit/Rollback Prepared decision arrives (here 30
+    txn windows later — routinely a later micro-batch), committed ones
+    merge with the 'K' commit timestamp re-stamped, rolled-back ones
+    vanish. Late resolution stays exact because every merge is
+    LSN-resolved, mirroring PostgreSQL's own guarantee that a prepared
+    transaction's row locks block conflicting writers until the
+    decision. Final state ≡ the serial replay-by-LSN oracle with
+    rolled-back transactions excluded."""
+    return _run_cdc_pipeline(spark, P_TWO_PHASE)
 
 
 def q_cdc_schema_evolution_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -664,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_decoded_events_split": q_cdc_decoded_events_split,
         "cdc_keychange_final_state": q_cdc_keychange_final_state,
         "cdc_streamed_final_state": q_cdc_streamed_final_state,
+        "cdc_two_phase_final_state": q_cdc_two_phase_final_state,
         "cdc_schema_evolution_final_state": q_cdc_schema_evolution_final_state,
         "cdc_incremental_mview": q_cdc_incremental_mview,
         "cdc_time_travel": q_cdc_time_travel,
@@ -697,6 +725,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cdc_streamed_final_state": _gen.duckdb_final_state_sql(
             P_STREAMED, with_sha=True
+        ),
+        "cdc_two_phase_final_state": _gen.duckdb_final_state_sql(
+            P_TWO_PHASE, with_sha=True
         ),
         "cdc_schema_evolution_final_state": _gen.duckdb_final_state_sql(
             P_EVOLVE, with_sha=True

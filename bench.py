@@ -138,6 +138,7 @@ def bench_cdc(spark, sf: float, salt_buckets: int = 0, params=None,
 BENCH_QUERIES = (
     "cdc_pipeline_final_state",
     "cdc_streamed_final_state",
+    "cdc_two_phase_final_state",
     "cdc_schema_evolution_final_state",
     "cdc_point_lookup",
     "cdc_erasure_final_state",

@@ -235,6 +235,40 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
         if t == 67:  # 'C'
             open_tx.pop(seg, None)
             continue
+        if t in (98, 80, 75, 114, 112):  # two-phase 'b'/'P'/'K'/'r'/'p'
+            if t == 112:  # 'p' Stream Prepare (streamed two-phase)
+                # a streamed transaction sealing as PREPARED would need
+                # its buffered events staged with an unknown fate — the
+                # engine supports two-phase only in the plain layout;
+                # refuse loudly (same policy as in-stream Truncate)
+                raise UnsupportedStreamOp(
+                    f"Stream Prepare (streamed two-phase) at lsn={lsn} "
+                    "is not supported — disable streaming or two_phase"
+                )
+            m = codec.decode_message(b)
+            if t == 98:  # 'b' Begin Prepare: opens the span like a 'B'
+                open_tx[seg] = (m["xid"], int(lsn), m["prepare_ts_us"])
+                mk = ("b", int(lsn), m["prepare_ts_us"])
+            elif t == 80:  # 'P' Prepare: seals the span like a 'C'
+                tx = open_tx.pop(seg, None)
+                if tx is not None and tx[0] != m["xid"]:
+                    raise ValueError(
+                        f"Prepare for xid={m['xid']} at lsn={lsn} closes a "
+                        f"span opened by xid={tx[0]} (mis-sequenced frame)"
+                    )
+                mk = ("P", None, m["prepare_ts_us"])
+            elif t == 75:  # 'K' Commit Prepared (the later decision)
+                mk = ("K", None, m["commit_ts_us"])
+            else:  # 'r' Rollback Prepared
+                mk = ("r", None, m["rollback_ts_us"])
+            # marker row: the pipeline plans prepared-transaction staging
+            # and resolution from this tiny cohort (gid rides new_vals)
+            a_lsn(int(lsn)); a_op(mk[0]); a_rid(None)
+            a_xid(m["xid"]); a_blsn(mk[1]); a_cts(mk[2])
+            a_ver(None); a_bk(None)
+            a_bv(None); a_nv([m["gid"]]); a_num(None)
+            a_seg(int(seg)); a_err(None)
+            continue
         if t == 83:  # 'S' stream start (v2)
             (sxid,) = _unpack_i32(b, 1)
             first = b[5] != 0

@@ -254,6 +254,13 @@ def encode_frames_pdf(p: GenParams, txn_lo: int = 0, txn_hi: Optional[int] = Non
         raise ValueError(
             "evolve_at_txn is not supported by the receiver producer"
         )
+    if p.two_phase_pct > 0:
+        # the slot layout here has no home for the decision frame that
+        # lands gap windows later — refuse rather than spool a stream
+        # whose prepared transactions never resolve
+        raise ValueError(
+            "two_phase_pct is not supported by the receiver producer"
+        )
     slots = logical_slots_pdf(p, txn_lo, txn_hi)
     frames = pd.concat(list(_encode_stream_pandas(iter([slots]), p)), ignore_index=True)
     if include_relation:

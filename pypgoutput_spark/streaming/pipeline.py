@@ -36,6 +36,8 @@ apply through ``foreachBatch`` over a file-source stream.
 from __future__ import annotations
 
 import math
+import os
+import shutil
 from typing import Callable, Dict, List, Optional, Union
 
 from pyspark.sql import functions as F
@@ -93,6 +95,55 @@ def _r_pred(frames):
     return pred
 
 
+def _p2_pred(frames):
+    """Two-phase control frames (PG15+ ``two_phase``): Begin Prepare 'b',
+    Prepare 'P', Commit Prepared 'K', Rollback Prepared 'r'. Rollback's
+    METADATA letter is 'x' — the capture layer must not collide with the
+    in-chunk-Relation stamp 'r' (see ``_r_pred``); the payload byte stays
+    the spec's 'r'."""
+    if "mtype" in frames.columns:
+        return F.col("mtype").isin("b", "P", "K", "x")
+    return F.expr("substring(payload, 1, 1) IN (X'62', X'50', X'4B', X'72')")
+
+
+def _span_open_pred(frames):
+    """Transaction-span openers: Begin 'B' plus Begin Prepare 'b' — the
+    b..P body grammar is exactly the B..C body grammar, so the
+    open-transaction carry treats them identically."""
+    if "mtype" in frames.columns:
+        return F.col("mtype").isin("B", "b")
+    return F.expr("substring(payload, 1, 1) IN (X'42', X'62')")
+
+
+def _span_close_pred(frames):
+    """Transaction-span closers: Commit 'C' plus Prepare 'P'."""
+    if "mtype" in frames.columns:
+        return F.col("mtype").isin("C", "P")
+    return F.expr("substring(payload, 1, 1) IN (X'43', X'50')")
+
+
+def _empty_pending() -> dict:
+    return {"xids": {}, "t_void": {}}
+
+
+def stored_pending_2pc(tables) -> dict:
+    """Pending PREPARED-transaction state persisted by the last
+    commit(s) — read from the managed table with the highest watermark
+    (the same convention as :func:`stored_open_tx`). Shape:
+    ``{"xids": {str(xid): {gid, b_lsn, segment, sealed}}, "t_void":
+    {str(relation_id): max_truncate_lsn}}``."""
+    tabs = list(tables.values()) if isinstance(tables, dict) else [tables]
+    best: dict = _empty_pending()
+    best_wm = -1
+    for t in tabs:
+        snap = t.snapshot()
+        if snap["watermark_lsn"] > best_wm:
+            best_wm = snap["watermark_lsn"]
+            best = snap["metrics"].get("pending_2pc") or _empty_pending()
+    return {"xids": dict(best.get("xids") or {}),
+            "t_void": dict(best.get("t_void") or {})}
+
+
 def _serialize_tx(open_tx: Optional[dict]) -> dict:
     return {str(k): list(v) for k, v in (open_tx or {}).items()}
 
@@ -133,20 +184,23 @@ def _carry_from_stats(frames, seg_rows, open_tx: Optional[dict]) -> dict:
     ]
     if open_b_lsns:
         for row in (
-            frames.filter(_mtype_pred(frames, "B") & F.col("lsn").isin(open_b_lsns))
+            frames.filter(_span_open_pred(frames) & F.col("lsn").isin(open_b_lsns))
             .select("segment", "lsn", "payload")
             .collect()
         ):
             m = _codec.decode_message(bytes(row["payload"]))
-            carry[int(row["segment"])] = (m["xid"], int(row["lsn"]), m["commit_ts_us"])
+            cts = m["commit_ts_us"] if m["msg_type"] == "B" else m["prepare_ts_us"]
+            carry[int(row["segment"])] = (m["xid"], int(row["lsn"]), cts)
     return carry
 
 
 def open_tx_carry(frames, open_tx: Optional[dict] = None) -> dict:
     """Standalone carry computation for a frames batch (metadata-only scan
     plus at most one tiny B-frame lookup) — what ``apply_frames_batch``
-    derives internally; exposed for decode-only consumers and tests."""
-    b_pred, c_pred = _mtype_pred(frames, "B"), _mtype_pred(frames, "C")
+    derives internally; exposed for decode-only consumers and tests.
+    Begin Prepare 'b' opens a span exactly like 'B' and Prepare 'P'
+    closes it like 'C' (the kernels stamp b..P bodies identically)."""
+    b_pred, c_pred = _span_open_pred(frames), _span_close_pred(frames)
     seg_rows = (
         frames.groupBy("segment")
         .agg(
@@ -260,6 +314,8 @@ def apply_frames_batch(
     late_wm: Optional[int] = None,
     registry_merge: bool = False,
     messages_dir: Optional[str] = None,
+    pending_2pc: Optional[dict] = None,
+    pending_dir: Optional[str] = None,
 ) -> dict:
     """One micro-batch: frames → decode once → route per relation →
     LWW → merge each table. Returns metrics (incl. ``open_tx`` carry-out).
@@ -298,6 +354,26 @@ def apply_frames_batch(
     stream straight into the LWW aggregation; with several (multiple
     relations or schema versions) the raw decode output is persisted so
     the Python kernel never re-runs per consumer.
+
+    Two-phase commit (PG15+ ``two_phase``): a prepared transaction's
+    body (Begin Prepare 'b' .. Prepare 'P') decodes like any B..C span,
+    but its events must not merge until the DECISION — Commit Prepared
+    'K' or Rollback Prepared 'r' — arrives, possibly micro-batches
+    later. The tiny 2PC control cohort is planned driver-side (it rides
+    the same metadata stats scan + fused aux lookup the truncate
+    barrier uses): decided-in-batch transactions resolve inline (commit
+    → re-stamp ``commit_ts_us`` from 'K' and merge; rollback → drop);
+    undecided ones have their decoded events STAGED under
+    ``pending_dir`` (cost ∝ prepared events, never table size) and the
+    ``pending_2pc`` state — carried like ``open_tx`` and persisted in
+    the same snapshot commit — resolves them when the decision lands.
+    Late resolution stays exact because every merge is LSN-resolved
+    (MOR ``max_by(lsn)``), and truncates committed while a transaction
+    was pending void its staged events via the carried per-relation
+    ``t_void`` floor (serial replay-by-LSN semantics). A Truncate
+    INSIDE an open prepared span is refused loudly (its fate is
+    unknown when the barrier is planned — same policy as in-stream
+    Truncate).
     """
     single = isinstance(tables, LakeTable)
     table_map: Dict[int, LakeTable] = {relation_id: tables} if single else dict(tables)
@@ -306,8 +382,12 @@ def apply_frames_batch(
     # (Truncate LSNs ride along as a collect_list over the lsn column, so
     # the rare T/B payload lookup below can prune by lsn — frames files
     # are LSN-sorted, so row-group stats skip everything else — instead
-    # of re-reading the whole payload column on an mtype-only filter)
-    b_pred, c_pred, t_pred = (_mtype_pred(frames, x) for x in "BCT")
+    # of re-reading the whole payload column on an mtype-only filter.
+    # Two-phase control LSNs ride the same scan; 'b'/'P' additionally
+    # count as span open/close for the open-transaction carry.)
+    t_pred = _mtype_pred(frames, "T")
+    b_pred, c_pred = _span_open_pred(frames), _span_close_pred(frames)
+    p2_pred = _p2_pred(frames)
     r_pred = _r_pred(frames)
     # late-replay gate: R frames are schema (exempt); everything else at
     # or below late_wm is excluded from stats/decode but counted here
@@ -323,6 +403,7 @@ def apply_frames_batch(
             F.max(F.when(b_pred & live, F.col("lsn"))).alias("b_lsn"),
             F.max(F.when(c_pred & live, F.col("lsn"))).alias("c_lsn"),
             F.collect_list(F.when(t_pred & live, F.col("lsn"))).alias("t_lsns"),
+            F.collect_list(F.when(p2_pred & live, F.col("lsn"))).alias("p2_lsns"),
             F.count(F.when(r_pred, 1)).alias("n_r"),
         )
         .collect()
@@ -339,6 +420,7 @@ def apply_frames_batch(
         return {
             "skipped": True, "reason": "empty",
             "open_tx": dict(open_tx or {}),
+            "pending_2pc": pending_2pc or _empty_pending(),
             "late_frames": late_frames,
             "watermark_lsn": max(t.watermark_lsn for t in table_map.values()),
         }
@@ -368,24 +450,137 @@ def apply_frames_batch(
         and (r["c_lsn"] is None or r["b_lsn"] > r["c_lsn"])
     ]
     t_all_lsns = [lsn for r in seg_rows for lsn in (r["t_lsns"] or [])]
+    p2_all_lsns = [lsn for r in seg_rows for lsn in (r["p2_lsns"] or [])]
     t_lsn_by_rid: Dict[int, int] = {}
-    if t_all_lsns or open_b_lsns:
+    t_frames: list = []   # (segment, lsn) of live Truncate frames
+    p2_rows: list = []    # (segment, lsn, decoded) of 2PC control frames
+    if t_all_lsns or open_b_lsns or p2_all_lsns:
         aux = (
             frames.filter(
-                F.col("lsn").isin([*t_all_lsns, *open_b_lsns]) & (t_pred | b_pred)
+                F.col("lsn").isin([*t_all_lsns, *open_b_lsns, *p2_all_lsns])
+                & (t_pred | b_pred | p2_pred)
             )
             .select("segment", "lsn", "payload")
             .collect()
         )
         for row in aux:
             payload = bytes(row["payload"])
-            if payload[0:1] == b"T":
+            first = payload[0:1]
+            if first == b"T":
                 decoded = _codec.decode_message(payload)
+                t_frames.append((int(row["segment"]), int(row["lsn"])))
                 for rid in decoded["relation_ids"]:
                     t_lsn_by_rid[rid] = max(t_lsn_by_rid.get(rid, -1), row["lsn"])
+            elif first in (b"b", b"P", b"K", b"r"):
+                m = _codec.decode_message(payload)
+                p2_rows.append((int(row["segment"]), int(row["lsn"]), m))
+                if first == b"b" and row["lsn"] in open_b_lsns:
+                    carry[int(row["segment"])] = (
+                        m["xid"], int(row["lsn"]), m["prepare_ts_us"]
+                    )
             elif row["lsn"] in open_b_lsns:
                 m = _codec.decode_message(payload)
                 carry[int(row["segment"])] = (m["xid"], int(row["lsn"]), m["commit_ts_us"])
+
+    # ---- two-phase planning: driver-side resolution of the tiny control
+    # cohort (see docstring). All state is JSON-shaped for the snapshot.
+    pend_state = pending_2pc or _empty_pending()
+    pend_xids: Dict[str, dict] = {
+        k: dict(v) for k, v in (pend_state.get("xids") or {}).items()
+    }
+    t_void: Dict[str, int] = {
+        str(k): int(v) for k, v in (pend_state.get("t_void") or {}).items()
+    }
+    opened_now: Dict[int, dict] = {}
+    commit_now: Dict[int, int] = {}
+    rollback_now: set = set()
+    p_seal: Dict[int, int] = {}
+    for seg_, lsn_, m in sorted(p2_rows, key=lambda x: x[1]):
+        mt, x = m["msg_type"], int(m["xid"])
+        if mt == "b":
+            opened_now[x] = {"gid": m["gid"], "b_lsn": lsn_,
+                             "segment": seg_, "sealed": False}
+        elif mt == "P":
+            if x in opened_now:
+                opened_now[x]["sealed"] = True
+            elif str(x) in pend_xids:
+                pend_xids[str(x)]["sealed"] = True
+            else:
+                raise ValueError(
+                    f"Prepare for unknown xid={x} at lsn={lsn_} "
+                    "(no Begin Prepare in this stream or carried state)"
+                )
+            p_seal[x] = lsn_
+        elif mt == "K":
+            commit_now[x] = int(m["commit_ts_us"])
+        else:  # 'r' Rollback Prepared
+            rollback_now.add(x)
+    twopc_active = bool(p2_rows or pend_xids)
+    all_prepared: set = set()
+    still_pending: set = set()
+    stage_xids: list = []
+    staged_commit: list = []
+    excl: list = []
+    if twopc_active:
+        all_prepared = {int(xs) for xs in pend_xids} | set(opened_now)
+        still_pending = all_prepared - set(commit_now) - rollback_now
+        # resolution reads staging for every decided xid whose 'b' is NOT
+        # in this batch — deliberately independent of the carried state,
+        # so a partially-committed batch (crash between two tables'
+        # merges) re-resolves from the surviving staged files on replay
+        # even though the committed table's state already dropped the xid
+        staged_commit = sorted(x for x in commit_now if x not in opened_now)
+        staged_rollback = sorted(x for x in rollback_now if x not in opened_now)
+        # only spans alive in THIS batch can have decoded rows here:
+        # carried-and-already-sealed xids' events live in staging only
+        sealed_before = {
+            int(xs) for xs, info in (pend_state.get("xids") or {}).items()
+            if info.get("sealed")
+        }
+        stage_xids = sorted(x for x in still_pending if x not in sealed_before)
+        excl = sorted(
+            x for x in (still_pending | rollback_now) if x not in sealed_before
+        )
+        for x in staged_commit + staged_rollback:
+            if str(x) not in pend_xids and not (
+                pending_dir and os.path.isdir(pending_dir)
+            ):
+                raise ValueError(
+                    f"two-phase decision for unknown xid={x} "
+                    "(never prepared in this stream or carried state)"
+                )
+        for x in sorted(set(commit_now) | rollback_now):
+            info = opened_now.get(x) or pend_xids.get(str(x))
+            if info is not None and not info.get("sealed", False):
+                raise ValueError(
+                    f"two-phase decision for xid={x} before its Prepare"
+                )
+        # a Truncate INSIDE an open prepared span: its fate is unknown
+        # when the barrier is planned — refuse loudly (in-stream-Truncate
+        # policy). Spans open at batch start (carried, unsealed) extend
+        # from -inf; spans sealed this batch end at their 'P' LSN.
+        spans = []
+        for x, info in opened_now.items():
+            spans.append((int(info["segment"]), int(info["b_lsn"]),
+                          p_seal.get(x, float("inf")), x))
+        for xs, info in pend_xids.items():
+            xi = int(xs)
+            if xi in opened_now:
+                continue
+            if not info.get("sealed") or xi in p_seal:
+                spans.append((int(info["segment"]), -1,
+                              p_seal.get(xi, float("inf")), xi))
+        for t_seg, t_lsn in t_frames:
+            for s_seg, s_b, s_p, xi in spans:
+                if t_seg == s_seg and s_b < t_lsn < s_p:
+                    raise decode_op.UnsupportedStreamOp(
+                        f"Truncate at lsn={t_lsn} inside the open prepared "
+                        f"transaction xid={xi} is not supported"
+                    )
+        if pending_dir is None:
+            pending_dir = os.path.join(
+                table_map[min(table_map)].meta_dir, "pending2pc"
+            )
 
     # ---- pre-decode filter: drop DML made dead by a later same-relation
     # truncate (relation id read JVM-side from the payload header)
@@ -419,6 +614,7 @@ def apply_frames_batch(
         return {
             "skipped": True, "reason": "no-relation",
             "open_tx": carry,
+            "pending_2pc": pending_2pc or _empty_pending(),
             "late_frames": late_frames,
             "watermark_lsn": max(t.watermark_lsn for t in table_map.values()),
         }
@@ -494,11 +690,16 @@ def apply_frames_batch(
     # deciding to write them). Plain strict=False with no quarantine dir
     # counts dead letters as an observation riding the single merge job —
     # no second action, so no cache
+    # two-phase persist rule: only a batch that actually STAGES has two
+    # raw consumers (the staging write + the merges); marker/exclusion
+    # filters and the staged-parquet union are streaming single-consumer
+    # plan nodes that need no cache
     staged = (
         n_projections > 1
         or (not strict and quarantine_dir is not None)
         or kc_toast_passes > 0
         or messages_dir is not None
+        or bool(stage_xids)
     )
     dead_letters = 0
     n_messages = 0
@@ -514,11 +715,91 @@ def apply_frames_batch(
                     ).parquet(quarantine_dir)
             elif n_projections > 1 or messages_dir is not None:
                 raw.count()  # materialize once before fan-out
+
+        # ---- two-phase staging and resolution (see docstring) ----------
+        events_src = raw
+        new_pending = pend_state
+        two_metrics: dict = {}
+        if twopc_active:
+            markers = ("b", "P", "K", "r")
+            if p2_rows:
+                events_src = events_src.filter(~F.col("op").isin(*markers))
+            if excl:
+                events_src = events_src.filter(
+                    F.col("xid").isNull() | ~F.col("xid").isin(excl)
+                )
+            if staged_commit and os.path.isdir(pending_dir):
+                spark = frames.sparkSession
+                stg = (
+                    spark.read.schema(decode_op.RAW_SCHEMA)
+                    .parquet(pending_dir)
+                    .filter(F.col("xid").isin(staged_commit))
+                    # crash-replayed staging appends are exact duplicates;
+                    # a DML event's identity is its LSN
+                    .dropDuplicates(["lsn"])
+                )
+                if t_void:
+                    cases = " ".join(
+                        f"WHEN {rid} THEN lsn > {tl}"
+                        for rid, tl in t_void.items()
+                    )
+                    stg = stg.filter(
+                        F.expr(f"CASE relation_id {cases} ELSE true END")
+                    )
+                events_src = events_src.unionByName(stg)
+            if commit_now:
+                # stamp the true commit timestamp from 'K' onto the
+                # resolved transactions' events (decode stamped the
+                # prepare timestamp — all it could know)
+                pairs: list = []
+                for x, cts in commit_now.items():
+                    pairs += [F.lit(int(x)).cast("bigint"),
+                              F.lit(int(cts)).cast("bigint")]
+                stamp = F.create_map(*pairs)
+                events_src = events_src.withColumn(
+                    "commit_ts_us",
+                    F.coalesce(stamp[F.col("xid")], F.col("commit_ts_us")),
+                )
+            # stage this batch's events of still-undecided transactions;
+            # cost ∝ prepared events (the count doubles as the cache
+            # materializer — staging is what forced the persist)
+            n_staged_rows = 0
+            if stage_xids:
+                pend_df = raw.filter(
+                    F.col("xid").isin(stage_xids) & ~F.col("op").isin(*markers)
+                )
+                n_staged_rows = pend_df.count()
+                if n_staged_rows:
+                    pend_df.write.mode("append").parquet(pending_dir)
+            nxids: Dict[str, dict] = {}
+            for x in sorted(still_pending):
+                info = opened_now.get(x) or pend_xids[str(x)]
+                nxids[str(x)] = {
+                    "gid": info["gid"], "b_lsn": int(info["b_lsn"]),
+                    "segment": int(info["segment"]),
+                    "sealed": bool(info.get("sealed")),
+                }
+            nvoid: Dict[str, int] = {}
+            if nxids:
+                nvoid = dict(t_void)
+                for rid, tl in t_lsn_by_rid.items():
+                    nvoid[str(rid)] = max(int(nvoid.get(str(rid), -1)), int(tl))
+            new_pending = {"xids": nxids, "t_void": nvoid}
+            two_metrics = {
+                "prepared": sorted(all_prepared),
+                "committed": sorted(commit_now),
+                "rolled_back": sorted(rollback_now),
+                "pending": sorted(still_pending),
+                "staged_rows": int(n_staged_rows),
+            }
+
         if messages_dir is not None:
             # outbox delivery: the decoded messages this batch surfaced
             # (transactional ones only if their transaction committed —
-            # the kernels already dropped aborted streams' messages)
-            msgs = raw.filter(F.col("op") == "M").select(
+            # the kernels already dropped aborted streams' messages, and
+            # the two-phase filter above holds back / releases prepared
+            # transactions' messages with their events)
+            msgs = events_src.filter(F.col("op") == "M").select(
                 "segment", "lsn", "xid", "commit_ts_us",
                 (F.col("before_kind") == "t").alias("transactional"),
                 F.col("new_vals")[0].alias("prefix"),
@@ -532,18 +813,21 @@ def apply_frames_batch(
             "skipped": False,
             "watermark_lsn": watermark_lsn,
             "open_tx": carry,
+            "pending_2pc": new_pending,
             "dead_letters": int(dead_letters),
             "late_frames": late_frames,
             "lineage": lineage,
             "relations": {},
         }
+        if twopc_active:
+            out["two_phase"] = two_metrics
         if messages_dir is not None:
             out["messages"] = int(n_messages)
         base_cols = ["lsn", "op", "xid", "begin_lsn", "commit_ts_us"]
         for rid, tbl in managed.items():
             keys, value_cols = table_cols[rid]
             proj = project_all_versions(
-                raw, registry, rid, keys, value_cols, base_cols,
+                events_src, registry, rid, keys, value_cols, base_cols,
                 versions=vs_by_rid[rid],
             )
             truncated = rid in t_lsn_by_rid
@@ -561,15 +845,24 @@ def apply_frames_batch(
                 guard_kc_toast=kc_toast_passes == 0,
             )
             changes = lww_changes_flat(proj, keys, value_cols, salt_buckets=salt_buckets)
+            extra = {
+                "lineage": lineage,
+                "open_tx": _serialize_tx(carry),
+                "dead_letters": int(dead_letters),
+            }
+            if twopc_active or (pending_2pc or {}).get("xids"):
+                extra["pending_2pc"] = new_pending
             m = merge_into(
                 tbl, changes, watermark_lsn, truncate=truncated,
-                extra_metrics={
-                    "lineage": lineage,
-                    "open_tx": _serialize_tx(carry),
-                    "dead_letters": int(dead_letters),
-                },
+                extra_metrics=extra,
             )
             out["relations"][rid] = m
+        # staging GC: with nothing pending any more, the staged files are
+        # unreferenced (PG xids never recur). Strictly AFTER the merges:
+        # a crash before the commits must leave the files for the replay.
+        if twopc_active and not new_pending["xids"] and pending_dir \
+                and os.path.isdir(pending_dir):
+            shutil.rmtree(pending_dir, ignore_errors=True)
         # observations resolve only if some job actually ran over `raw`
         # (all-skipped batches never execute the decode — .get would block)
         ran_any = any(not m.get("skipped") for m in out["relations"].values())
@@ -631,6 +924,7 @@ def run_ingest(
     registry = RelationRegistry.from_frames(frames)  # full R cohort, resume-safe
     watermark = min(t.watermark_lsn for t in table_map.values())
     open_tx = stored_open_tx(table_map)
+    pending_2pc = stored_pending_2pc(table_map)
     if watermark >= 0:
         frames = frames.filter(F.col("lsn") > watermark)
 
@@ -675,8 +969,10 @@ def run_ingest(
             salt_buckets=salt_buckets, strict=strict, clustered=clustered,
             open_tx=open_tx, quarantine_dir=quarantine_dir,
             kc_toast_passes=kc_toast_passes, messages_dir=messages_dir,
+            pending_2pc=pending_2pc,
         )
         open_tx = metrics.get("open_tx", {})
+        pending_2pc = metrics.get("pending_2pc", pending_2pc)
         if epoch_log is not None:
             metrics["epoch"] = _publish_epoch(epoch_log, table_map, metrics)
         out.append(metrics)
@@ -803,7 +1099,8 @@ def stream_ingest(
         registry.merge_frames(spark.read.schema(FRAMES_SCHEMA).parquet(frames_dir))
     except Exception:  # noqa: BLE001 — empty/not-yet-created dir: stream-seeded
         pass
-    state = {"open_tx": stored_open_tx(table_map)}
+    state = {"open_tx": stored_open_tx(table_map),
+             "pending_2pc": stored_pending_2pc(table_map)}
 
     def _apply(batch_df, batch_id: int) -> None:
         # mid-stream R frames merge into the registry inside
@@ -819,6 +1116,7 @@ def stream_ingest(
             clustered=clustered, open_tx=state["open_tx"],
             quarantine_dir=quarantine_dir, kc_toast_passes=kc_toast_passes,
             late_wm=wm, registry_merge=True, messages_dir=messages_dir,
+            pending_2pc=state["pending_2pc"],
         )
         n_late = m.get("late_frames", 0)
         if n_late:
@@ -828,6 +1126,7 @@ def stream_ingest(
                     (F.col("lsn") <= wm) & ~_r_pred(batch_df)
                 ).write.mode("append").parquet(quarantine_dir + "/late_frames")
         state["open_tx"] = m.get("open_tx", {})
+        state["pending_2pc"] = m.get("pending_2pc", state["pending_2pc"])
         m["late_frames"] = state.get("late_frames", 0)
         if epoch_log is not None:
             m["epoch"] = _publish_epoch(epoch_log, table_map, m)

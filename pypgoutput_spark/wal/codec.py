@@ -178,6 +178,52 @@ def encode_logical_message(transactional: bool, lsn: int, prefix: str,
             + _cstring(prefix) + _I32.pack(len(content)) + content)
 
 
+# ---- two-phase commit (PG15+ ``two_phase`` slot option) -------------------
+# (Grammar per the published logical-replication message spec: a prepared
+# transaction's body arrives between Begin Prepare 'b' and Prepare 'P' —
+# the exact B..C body grammar — and its DECISION arrives later, possibly
+# much later, as Commit Prepared 'K' or Rollback Prepared 'r'. Stream
+# Prepare 'p' is the streamed-transaction spelling of 'P'. The reference
+# decoder predates two-phase support (decoders.py handles B/C/O/R/Y/I/U/
+# D/T only), so this is parity-plus, like 'M' and the v2 stream grammar.)
+
+
+def encode_begin_prepare(prepare_lsn: int, end_lsn: int, prepare_ts_us: int,
+                         xid: int, gid: str) -> bytes:
+    return (b"b" + struct.pack(">qqq", prepare_lsn, end_lsn, prepare_ts_us)
+            + _I32.pack(xid) + _cstring(gid))
+
+
+def encode_prepare(prepare_lsn: int, end_lsn: int, prepare_ts_us: int,
+                   xid: int, gid: str, flags: int = 0) -> bytes:
+    return (b"P" + _I8.pack(flags)
+            + struct.pack(">qqq", prepare_lsn, end_lsn, prepare_ts_us)
+            + _I32.pack(xid) + _cstring(gid))
+
+
+def encode_commit_prepared(commit_lsn: int, end_lsn: int, commit_ts_us: int,
+                           xid: int, gid: str, flags: int = 0) -> bytes:
+    return (b"K" + _I8.pack(flags)
+            + struct.pack(">qqq", commit_lsn, end_lsn, commit_ts_us)
+            + _I32.pack(xid) + _cstring(gid))
+
+
+def encode_rollback_prepared(prepare_end_lsn: int, rollback_end_lsn: int,
+                             prepare_ts_us: int, rollback_ts_us: int,
+                             xid: int, gid: str, flags: int = 0) -> bytes:
+    return (b"r" + _I8.pack(flags)
+            + struct.pack(">qqqq", prepare_end_lsn, rollback_end_lsn,
+                          prepare_ts_us, rollback_ts_us)
+            + _I32.pack(xid) + _cstring(gid))
+
+
+def encode_stream_prepare(prepare_lsn: int, end_lsn: int, prepare_ts_us: int,
+                          xid: int, gid: str, flags: int = 0) -> bytes:
+    return (b"p" + _I8.pack(flags)
+            + struct.pack(">qqq", prepare_lsn, end_lsn, prepare_ts_us)
+            + _I32.pack(xid) + _cstring(gid))
+
+
 # ---- protocol v2: streamed in-progress transactions -----------------------
 # (PostgreSQL 14+ `streaming = on`: large transactions stream in chunks
 # before commit. Grammar per the published logical-replication message
@@ -403,6 +449,64 @@ def decode_message(payload: bytes) -> dict:
     if t == "A":  # Stream Abort
         xid, subxid = struct.unpack_from(">ii", mv, pos)
         return {"msg_type": "A", "xid": xid, "subxid": subxid}
+    if t in ("b", "P", "K", "r", "p"):  # two-phase commit family
+        def _gid(at: int) -> str:
+            if at + 1 > len(mv):
+                raise ValueError(
+                    f"truncated pgoutput {t!r} message ({len(mv)} bytes; "
+                    "corrupt frame)"
+                )
+            end = bytes(mv).find(b"\x00", at)
+            if end < 0:
+                raise ValueError(
+                    f"two-phase gid overruns the frame in {t!r} message "
+                    "(corrupt frame)"
+                )
+            return bytes(mv[at:end]).decode("utf-8")
+
+        if t == "b":  # Begin Prepare: qqq + xid + gid
+            if len(mv) < 30:
+                raise ValueError(
+                    f"truncated pgoutput 'b' message ({len(mv)} bytes; "
+                    "corrupt frame)"
+                )
+            plsn, elsn, ts = struct.unpack_from(">qqq", mv, pos)
+            (xid,) = _I32.unpack_from(mv, pos + 24)
+            return {
+                "msg_type": "b", "prepare_lsn": plsn, "end_lsn": elsn,
+                "prepare_ts_us": ts, "xid": xid, "gid": _gid(pos + 28),
+            }
+        if t == "r":  # Rollback Prepared: flags + qqqq + xid + gid
+            if len(mv) < 39:
+                raise ValueError(
+                    f"truncated pgoutput 'r' message ({len(mv)} bytes; "
+                    "corrupt frame)"
+                )
+            (flags,) = _I8.unpack_from(mv, pos)
+            pelsn, relsn, pts, rts = struct.unpack_from(">qqqq", mv, pos + 1)
+            (xid,) = _I32.unpack_from(mv, pos + 33)
+            return {
+                "msg_type": "r", "flags": flags,
+                "prepare_end_lsn": pelsn, "rollback_end_lsn": relsn,
+                "prepare_ts_us": pts, "rollback_ts_us": rts,
+                "xid": xid, "gid": _gid(pos + 37),
+            }
+        # 'P' / 'K' / 'p': flags + qqq + xid + gid
+        if len(mv) < 31:
+            raise ValueError(
+                f"truncated pgoutput {t!r} message ({len(mv)} bytes; "
+                "corrupt frame)"
+            )
+        (flags,) = _I8.unpack_from(mv, pos)
+        lsn_a, lsn_b, ts = struct.unpack_from(">qqq", mv, pos + 1)
+        (xid,) = _I32.unpack_from(mv, pos + 25)
+        out = {"msg_type": t, "flags": flags, "end_lsn": lsn_b,
+               "xid": xid, "gid": _gid(pos + 29)}
+        if t == "K":
+            out["commit_lsn"], out["commit_ts_us"] = lsn_a, ts
+        else:  # 'P' / 'p'
+            out["prepare_lsn"], out["prepare_ts_us"] = lsn_a, ts
+        return out
     raise ValueError(f"unknown pgoutput message type byte {t!r}")
 
 

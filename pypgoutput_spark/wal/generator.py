@@ -118,6 +118,17 @@ class GenParams:
     #: decode under v0; the merge evolves the lake table and aligns old
     #: rows with NULL. 0 = never.
     evolve_at_txn: int = 0
+    #: % of txns emitted as PREPARED transactions (PG15+ ``two_phase``
+    #: slot option): the body arrives as Begin Prepare 'b' .. Prepare 'P'
+    #: at the txn's own slot window, and the DECISION — Commit Prepared
+    #: 'K', or Rollback Prepared 'r' for ``two_phase_rollback_pct`` % of
+    #: them — lands ``two_phase_gap`` txn windows LATER (possibly a later
+    #: segment, and with multi-batch ingest a later micro-batch: the
+    #: engine must stage the prepared events until the decision arrives).
+    #: Rolled-back transactions' events must vanish from the final state.
+    two_phase_pct: int = 0
+    two_phase_rollback_pct: int = 0
+    two_phase_gap: int = 4
 
     def __post_init__(self):
         if self.interleave_streams and self.txns_per_segment % 2:
@@ -133,6 +144,17 @@ class GenParams:
                 "evolve_at_txn composes only with the plain v1 layout "
                 "(no streamed txns, key changes, or multi-relation fanout)"
             )
+        if self.two_phase_pct > 0 and (
+            self.stream_pct > 0 or self.key_change_pct > 0
+            or self.evolve_at_txn > 0
+        ):
+            raise ValueError(
+                "two_phase_pct composes only with the plain v1 layout "
+                "(streamed two-phase / key-change / evolution mixes are "
+                "out of scope — Stream Prepare is refused by the engine)"
+            )
+        if self.two_phase_pct > 0 and self.two_phase_gap < 1:
+            raise ValueError("two_phase_gap must be >= 1")
 
     @property
     def n_ops(self) -> int:
@@ -146,9 +168,13 @@ class GenParams:
             return self.ops_per_txn + 5
         # streamed txns need slots for E and c/A after the DML run;
         # schema evolution keeps one spare LSN per txn window so the
-        # Relation re-send frame has a home between two transactions
+        # Relation re-send frame has a home between two transactions;
+        # two-phase keeps one spare slot per window as the home of the
+        # decision frame TARGETING it (txn t's K/r lands at window t+gap,
+        # slot ops+2 — windows collide for no two source txns)
         return self.ops_per_txn + (
-            3 if self.stream_pct > 0 or self.evolve_at_txn > 0 else 2
+            3 if self.stream_pct > 0 or self.evolve_at_txn > 0
+            or self.two_phase_pct > 0 else 2
         )
 
 
@@ -214,13 +240,16 @@ def event_exprs(p: GenParams, dialect: str) -> dict:
         f"WHEN {h_op} % 100 < {p.insert_pct + p.update_pct} THEN 'U' ELSE 'D' END"
     )
     if p.truncate_every > 0:
-        # a truncate inside a STREAMED transaction is refused by the
-        # decoder (its commit/abort is unknown when the driver plans the
-        # truncate barrier) — streamed txns draw plain DML instead
+        # a truncate inside a STREAMED or PREPARED transaction is refused
+        # by the engine (its commit/abort is unknown when the driver
+        # plans the truncate barrier) — such txns draw plain DML instead
         t_guard = ""
         if p.stream_pct > 0:
             streamed_t, _ = stream_exprs(p, d, txn)
-            t_guard = f" AND NOT {streamed_t}"
+            t_guard += f" AND NOT {streamed_t}"
+        if p.two_phase_pct > 0:
+            prepared_t, _ = two_phase_exprs(p, d, txn)
+            t_guard += f" AND NOT {prepared_t}"
         op = (
             f"CASE WHEN ({txn} % {p.truncate_every}) = 0 AND {op_idx} = 0"
             f"{t_guard} THEN 'T' ELSE {op_core} END"
@@ -236,6 +265,24 @@ def event_exprs(p: GenParams, dialect: str) -> dict:
         f"ELSE {h_repo} % {p.n_repos} END"
     )
     repo = f"concat('repo-', lpad({d.s(repo_idx)}, 5, '0'))"
+    if p.two_phase_pct > 0:
+        # LOCK-FAITHFULNESS: a prepared transaction holds its row locks
+        # until COMMIT/ROLLBACK PREPARED, so no other transaction can
+        # write the same key while it is pending — a stream violating
+        # that cannot come out of PostgreSQL (and the engine's staged
+        # late-resolution relies on it: see pipeline.apply_frames_batch).
+        # Prepared txns therefore draw keys from a namespace disjoint
+        # from plain txns, sharded by txn % (gap+1): any two prepared
+        # txns whose pendency windows can overlap (|t1-t2| <= gap) have
+        # different residues, so they never contend either. Same-residue
+        # prepared txns (>= gap+1 apart) DO share keys — LWW across
+        # resolutions stays exercised.
+        prepared_e, _rb = two_phase_exprs(p, d, txn)
+        res = f"({txn} % {p.two_phase_gap + 1})"
+        repo = (
+            f"(CASE WHEN {prepared_e} THEN concat('repo-2pc', {d.s(res)}, "
+            f"'-', lpad({d.s(repo_idx)}, 5, '0')) ELSE {repo} END)"
+        )
 
     h_path = d.h(seed, q(":path:"), i_s)
     path_idx = f"({h_path} % {p.n_paths})"
@@ -294,6 +341,12 @@ def event_exprs(p: GenParams, dialect: str) -> dict:
         rel = "0"
 
     streamed, aborted = stream_exprs(p, d, txn)
+    if p.two_phase_pct > 0:
+        # a rolled-back PREPARED transaction's events vanish exactly like
+        # an aborted streamed transaction's — one `aborted` flag serves
+        # the serial oracle for both grammars
+        _prepared, rolled = two_phase_exprs(p, d, txn)
+        aborted = f"({aborted} OR {rolled})"
 
     out_extra = {}
     if p.evolve_at_txn > 0:
@@ -338,6 +391,20 @@ def stream_exprs(p: GenParams, d: "_Dialect", txn_expr: str):
     h_ab = d.h(seed, "':abort:'", d.s(txn_expr))
     aborted = f"({streamed} AND {h_ab} % 100 < {p.stream_abort_pct})"
     return streamed, aborted
+
+
+def two_phase_exprs(p: GenParams, d: "_Dialect", txn_expr: str):
+    """(prepared, rolled_back) SQL booleans for a txn expression —
+    txn-level md5 draws shared by the event stream, the frame layout,
+    and the serial DuckDB oracle."""
+    if p.two_phase_pct <= 0:
+        return "false", "false"
+    seed = f"'{p.seed}'"
+    h_tp = d.h(seed, "':2pc:'", d.s(txn_expr))
+    prepared = f"({h_tp} % 100 < {p.two_phase_pct})"
+    h_rb = d.h(seed, "':2pcrb:'", d.s(txn_expr))
+    rolled = f"({prepared} AND {h_rb} % 100 < {p.two_phase_rollback_pct})"
+    return prepared, rolled
 
 
 def interleave_exprs(p: GenParams, d: "_Dialect", txn_expr: str) -> str:
@@ -417,6 +484,10 @@ def spark_events_df(spark, p: GenParams, n_partitions: int = 0):
 #: treat them as v1 frames. Protocol-v2 streams therefore REQUIRE
 #: mtype-stamped frames (the receiver knows stream state at capture; the
 #: payload-byte fallback predicates cannot tell v2 from v1).
+#: Two-phase control frames stamp their own byte ('b'/'P'/'K') EXCEPT
+#: Rollback Prepared, stamped 'x': its wire byte 'r' would collide with
+#: the in-chunk-Relation metadata letter above (mtype is a capture-layer
+#: convention, not the wire byte — the payload keeps the spec's 'r').
 FRAMES_SCHEMA = "segment BIGINT, lsn BIGINT, mtype STRING, payload BINARY"
 
 
@@ -487,6 +558,21 @@ def _encode_stream_pandas(batches: Iterator, p: GenParams) -> Iterator:
             elif kind == "C":
                 ap(b"C" + pk_c(0, lsn - 1, lsn, cts))
                 am("C")
+            elif kind == "b":  # Begin Prepare (two-phase, PG15+)
+                ap(codec.encode_begin_prepare(lsn, lsn, cts, xid, f"gid-{xid}"))
+                am("b")
+            elif kind == "P":  # Prepare — seals the span; decision later
+                ap(codec.encode_prepare(lsn - 1, lsn, cts, xid, f"gid-{xid}"))
+                am("P")
+            elif kind == "K":  # Commit Prepared (the decision)
+                ap(codec.encode_commit_prepared(lsn - 1, lsn, cts, xid, f"gid-{xid}"))
+                am("K")
+            elif kind == "r":  # Rollback Prepared — mtype stamped 'x':
+                # the capture-layer metadata letter must not collide with
+                # the in-chunk-Relation stamp 'r' (registry predicates)
+                ap(codec.encode_rollback_prepared(lsn - 1, lsn, cts, cts,
+                                                  xid, f"gid-{xid}"))
+                am("x")
             elif kind == "S":  # protocol v2 stream start (first chunk)
                 ap(b"S" + pk_i32(xid) + b"\x01")
                 am("S")
@@ -585,20 +671,36 @@ def spark_frames_df(spark, p: GenParams, n_partitions: int = 0, include_relation
     d_spark = _Dialect("spark")
     streamed_e, aborted_e = stream_exprs(p, d_spark, "txn")
     il_e = interleave_exprs(p, d_spark, "txn")
+    two_e, two_rb_e = two_phase_exprs(p, d_spark, "txn")
+    twop = p.two_phase_pct > 0
+    gap = p.two_phase_gap
     interleaving = p.interleave_streams and p.stream_pct > 0
     if interleaving:
         max_slot = ops + 4
     else:
-        max_slot = ops + 2 if p.stream_pct > 0 else ops + 1
+        max_slot = ops + 2 if p.stream_pct > 0 or twop else ops + 1
     kind = (
-        f"CASE WHEN slot = 0 THEN (CASE WHEN {streamed_e} THEN 'S' ELSE 'B' END) "
-        f"WHEN slot = {ops + 1} THEN (CASE WHEN {streamed_e} THEN 'E' ELSE 'C' END) "
+        f"CASE WHEN slot = 0 THEN (CASE WHEN {streamed_e} THEN 'S' "
+        f"WHEN {two_e} THEN 'b' ELSE 'B' END) "
+        f"WHEN slot = {ops + 1} THEN (CASE WHEN {streamed_e} THEN 'E' "
+        f"WHEN {two_e} THEN 'P' ELSE 'C' END) "
     )
     if p.stream_pct > 0:
         kind += (
             f"WHEN slot = {ops + 2} THEN (CASE WHEN {il_e} THEN 's' "
             f"WHEN {aborted_e} THEN 'A' "
             f"WHEN {streamed_e} THEN 'c' ELSE 'X' END) "
+        )
+    if twop:
+        # the DECISION frame for a prepared txn t lives in the spare slot
+        # of window t+gap (its own LSN/segment are overridden below) —
+        # no two source txns target the same window, so slots never
+        # collide; decisions of the last ``gap`` txns land in windows
+        # past n_txns (decision-only trailing segments)
+        kind += (
+            f"WHEN slot = {ops + 2} THEN (CASE "
+            f"WHEN {two_e} AND {two_rb_e} THEN 'r' "
+            f"WHEN {two_e} THEN 'K' ELSE 'X' END) "
         )
     if interleaving:
         kind += (
@@ -633,8 +735,28 @@ def spark_frames_df(spark, p: GenParams, n_partitions: int = 0, include_relation
             f"+ (CASE WHEN txn % 2 = 0 THEN {off_p0} ELSE {off_p1} END) "
             f"ELSE 10 + txn * {stride} + slot END AS BIGINT)"
         )
+    elif twop:
+        lsn_sql = (
+            f"CAST(CASE WHEN slot = {ops + 2} THEN "
+            f"10 + (txn + {gap}) * {stride} + {ops + 2} "
+            f"ELSE 10 + txn * {stride} + slot END AS BIGINT)"
+        )
     else:
         lsn_sql = f"CAST(10 + txn * {stride} + slot AS BIGINT)"
+    if twop:
+        seg_sql = (
+            f"CAST(CASE WHEN slot = {ops + 2} THEN "
+            f"(txn + {gap}) DIV {p.txns_per_segment} "
+            f"ELSE segment END AS BIGINT)"
+        )
+        cts_sql = (
+            f"CAST(CASE WHEN slot = {ops + 2} THEN "
+            f"(txn + {gap}) * 1000000 + 1 "
+            f"ELSE txn * 1000000 END AS BIGINT)"
+        )
+    else:
+        seg_sql = "segment"
+        cts_sql = "CAST(txn * 1000000 AS BIGINT)"
     slots = (
         spark.range(0, n_segments, 1, min(n_part, max(1, n_segments)))
         .withColumnRenamed("id", "seg")
@@ -645,10 +767,10 @@ def spark_frames_df(spark, p: GenParams, n_partitions: int = 0, include_relation
         )
         .selectExpr("segment", "txn", f"explode(sequence(0, {max_slot})) AS slot")
         .selectExpr(
-            "segment", "txn", "slot",
+            f"{seg_sql} AS segment", "txn", "slot",
             f"{kind} AS kind",
             f"{lsn_sql} AS lsn",
-            "CAST(txn * 1000000 AS BIGINT) AS commit_ts_us",
+            f"{cts_sql} AS commit_ts_us",
             "CAST(1000 + txn AS BIGINT) AS xid",
             f"CASE WHEN slot BETWEEN 1 AND {ops} THEN txn * {ops} + slot - 1 END AS i",
             f"{streamed_e} AS streamed",
@@ -821,10 +943,12 @@ def duckdb_final_state_sql(
         if evolving else ""
     )
     ev_stars_out = ", stars_s.v AS stars" if evolving else ""
-    # aborted streamed transactions (protocol v2) never committed — their
-    # events must not exist for any purpose, truncate cuts included
-    ab = " AND NOT ev.aborted" if p.stream_pct > 0 else ""
-    ab_cut = " WHERE NOT aborted" if p.stream_pct > 0 else ""
+    # aborted streamed transactions (protocol v2) and rolled-back
+    # PREPARED transactions (two-phase) never committed — their events
+    # must not exist for any purpose, truncate cuts included
+    has_aborts = p.stream_pct > 0 or p.two_phase_pct > 0
+    ab = " AND NOT ev.aborted" if has_aborts else ""
+    ab_cut = " WHERE NOT aborted" if has_aborts else ""
     return f"""
 WITH ev AS ({events}),
 cut AS (SELECT rel, coalesce(max(lsn), -1) AS tlsn

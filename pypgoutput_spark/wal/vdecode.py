@@ -85,6 +85,9 @@ _B, _C, _I, _U, _D, _T, _R, _O, _Y, _M = (ord(x) for x in "BCIUDTROYM")
 _N, _K, _OLD_O, _t, _n, _u = (ord(x) for x in "NKOtnu")
 #: protocol-v2 stream control bytes (Start / Stop / Commit / Abort)
 _S2, _E2, _c2, _A2 = (ord(x) for x in "SEcA")
+#: two-phase commit family (PG15+ ``two_phase``): Begin Prepare /
+#: Prepare / Commit Prepared / Rollback Prepared / Stream Prepare
+_BP, _PP, _KP, _RP, _SP = (ord(x) for x in "bPKrp")
 
 
 def _be(data: np.ndarray, starts: np.ndarray, width: int) -> np.ndarray:
@@ -544,6 +547,13 @@ def _resolve_streams(data, offs, seg, lsn, first, idx,
                 f"Truncate inside a streamed transaction at lsn={lsn[i]} "
                 "is not supported"
             )
+        bad2pc = np.isin(t_in, [_BP, _PP, _KP, _RP])
+        if bad2pc.any():
+            i = sr[bad2pc][0]
+            raise ValueError(
+                f"two-phase control frame {chr(first[i])!r} inside a "
+                f"stream chunk at lsn={lsn[i]} (mis-sequenced frame)"
+            )
         aux = np.isin(t_in, [_R, _O, _Y])
         drop[sr[aux]] = True
         dml = sr[~aux]
@@ -629,12 +639,22 @@ def process_batch(rb: pa.RecordBatch, open_tx: dict,
     first = data[starts]
 
     known = np.isin(
-        first, [_B, _C, _I, _U, _D, _T, _R, _O, _Y, _M, _S2, _E2, _c2, _A2]
+        first, [_B, _C, _I, _U, _D, _T, _R, _O, _Y, _M, _S2, _E2, _c2, _A2,
+                _BP, _PP, _KP, _RP, _SP]
     )
     if not known.all():
         i = int(np.nonzero(~known)[0][0])
         raise ValueError(
             f"unknown pgoutput message type byte {chr(first[i])!r} at lsn={lsn[i]}"
+        )
+    if (first == _SP).any():
+        i = int(np.nonzero(first == _SP)[0][0])
+        # a streamed transaction sealing as PREPARED would need its
+        # buffered events staged with an unknown fate — two-phase is
+        # supported only in the plain layout (loop-kernel parity)
+        raise _codec.UnsupportedStreamOp(
+            f"Stream Prepare (streamed two-phase) at lsn={lsn[i]} "
+            "is not supported — disable streaming or two_phase"
         )
     # per-type fixed-header minimums: a truncated frame must raise a
     # TYPED error here, not IndexError out of a header gather below
@@ -643,7 +663,8 @@ def process_batch(rb: pa.RecordBatch, open_tx: dict,
     lens_b = offs[1:] - starts
     min_len = np.ones(n, dtype=np.int64)
     for tb, ml in ((_B, 21), (_C, 26), (_I, 8), (_U, 7), (_D, 8),
-                   (_T, 6), (_R, 7), (_M, 15), (_S2, 6), (_c2, 30), (_A2, 9)):
+                   (_T, 6), (_R, 7), (_M, 15), (_S2, 6), (_c2, 30), (_A2, 9),
+                   (_BP, 30), (_PP, 31), (_KP, 31), (_RP, 39)):
         min_len[first == tb] = ml
     short = lens_b < min_len
     if short.any():
@@ -654,8 +675,13 @@ def process_batch(rb: pa.RecordBatch, open_tx: dict,
         )
 
     # ---- transaction scoping: vectorized B/C scan ----------------
+    # (Begin Prepare 'b' opens a span and Prepare 'P' seals it — the
+    # b..P body grammar is exactly the B..C body grammar, so they ride
+    # the same accumulate; only the header offsets differ. The pipeline
+    # decides the prepared events' FATE later from the marker rows.)
     idx = np.arange(n, dtype=np.int64)
-    is_b, is_c = first == _B, first == _C
+    is_b = (first == _B) | (first == _BP)
+    is_c = (first == _C) | (first == _PP)
     last_b = np.maximum.accumulate(np.where(is_b, idx, -1))
     last_c = np.maximum.accumulate(np.where(is_c, idx, -1))
     lb = np.clip(last_b, 0, None)
@@ -668,8 +694,9 @@ def process_batch(rb: pa.RecordBatch, open_tx: dict,
     xid_at = np.zeros(n, dtype=np.int64)
     cts_at = np.zeros(n, dtype=np.int64)
     if b_rows.size:
-        xid_at[b_rows] = _be(data, starts[b_rows] + 17, 4)
-        cts_at[b_rows] = _be(data, starts[b_rows] + 9, 8)
+        isp = first[b_rows] == _BP  # 'b': no flags byte, ts/xid sit later
+        xid_at[b_rows] = _be(data, starts[b_rows] + np.where(isp, 25, 17), 4)
+        cts_at[b_rows] = _be(data, starts[b_rows] + np.where(isp, 17, 9), 8)
     ev_xid = np.where(in_open, xid_at[lb], 0)
     ev_blsn = np.where(in_open, lsn[lb], 0)
     ev_cts = np.where(in_open, cts_at[lb], 0)
@@ -908,6 +935,55 @@ def process_batch(rb: pa.RecordBatch, open_tx: dict,
                 pa.nulls(m, pa.int32()),
                 pa.array(o_bk, type=pa.string()), _null_list(m),
                 pa.array(o_vals, type=pa.list_(pa.string())), _null_masks(m),
+                pa.array(o_seg, type=pa.int64()), pa.nulls(m, pa.string()),
+            ],
+            schema=RAW_PA_SCHEMA,
+        )
+
+    # ---- two-phase marker cohort ('b'/'P'/'K'/'r'): rare → scalar.
+    # One marker row per control frame (gid rides new_vals) — the
+    # pipeline plans prepared-transaction staging and resolution from
+    # this tiny cohort (loop-kernel row parity).
+    sel = cohort(_BP) | cohort(_PP) | cohort(_KP) | cohort(_RP)
+    if sel.any():
+        rows = idx[sel]
+        prev_c = np.concatenate([[np.int64(-1)], last_c[:-1]])
+        m = rows.size
+        o_lsn: list = []; o_op: list = []; o_xid: list = []
+        o_blsn: list = []; o_cts: list = []; o_nv: list = []; o_seg: list = []
+        for r in rows:
+            dec = _codec.decode_message(bytes(data[offs[r] : offs[r + 1]]))
+            t = dec["msg_type"]
+            if t == "b":
+                blsn, cts = int(lsn[r]), dec["prepare_ts_us"]
+            elif t == "P":
+                gb = int(last_b[r])
+                if gb >= 0 and gb > int(prev_c[r]) and seg[gb] == seg[r] \
+                        and int(xid_at[gb]) != dec["xid"]:
+                    raise ValueError(
+                        f"Prepare for xid={dec['xid']} at lsn={lsn[r]} "
+                        f"closes a span opened by xid={int(xid_at[gb])} "
+                        "(mis-sequenced frame)"
+                    )
+                blsn, cts = None, dec["prepare_ts_us"]
+            elif t == "K":
+                blsn, cts = None, dec["commit_ts_us"]
+            else:  # 'r'
+                blsn, cts = None, dec["rollback_ts_us"]
+            o_lsn.append(int(lsn[r])); o_op.append(t)
+            o_xid.append(dec["xid"]); o_blsn.append(blsn); o_cts.append(cts)
+            o_nv.append([dec["gid"]]); o_seg.append(int(seg[r]))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(o_lsn, type=pa.int64()),
+                pa.array(o_op, type=pa.string()),
+                pa.nulls(m, pa.int32()),
+                pa.array(o_xid, type=pa.int64()),
+                pa.array(o_blsn, type=pa.int64()),
+                pa.array(o_cts, type=pa.int64()),
+                pa.nulls(m, pa.int32()),
+                pa.nulls(m, pa.string()), _null_list(m),
+                pa.array(o_nv, type=pa.list_(pa.string())), _null_masks(m),
                 pa.array(o_seg, type=pa.int64()), pa.nulls(m, pa.string()),
             ],
             schema=RAW_PA_SCHEMA,

@@ -83,6 +83,20 @@ P_TWO_PHASE = _gen.GenParams(
     two_phase_pct=35, two_phase_rollback_pct=25, two_phase_gap=30,
 )
 
+#: streamed two-phase (PG15 ``streaming = on, two_phase = on``): 45% of
+#: txns stream as v2 chunks; of ALL txns 35% prepare — a txn drawing
+#: both seals its stream with Stream Prepare 'p' (the v2 spelling of
+#: 'P') instead of Stream Commit, and its K/r decision lands 30 txn
+#: windows (2+ segments, typically a later micro-batch) later. Plain
+#: streams keep their c/A fate; plain prepared txns keep b..P. All four
+#: transaction grammars interleave in one WAL.
+P_STREAM2PC = _gen.GenParams(
+    n_txns=140, ops_per_txn=8, n_repos=45, n_paths=28,
+    toast_pct=30, txns_per_segment=14,
+    stream_pct=45, stream_abort_pct=25,
+    two_phase_pct=35, two_phase_rollback_pct=25, two_phase_gap=30,
+)
+
 #: mid-stream DDL: at txn 70 (a segment boundary's first txn) the
 #: relation gains a trailing BIGINT ``stars`` column — the wire carries
 #: a Relation re-send and 6-cell tuples from there on; the merge must
@@ -174,6 +188,21 @@ def q_cdc_two_phase_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision. Final state ≡ the serial replay-by-LSN oracle with
     rolled-back transactions excluded."""
     return _run_cdc_pipeline(spark, P_TWO_PHASE)
+
+
+def q_cdc_streamed_two_phase_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed two-phase end-to-end (PG15 ``streaming=on, two_phase=on``;
+    parity-plus — the reference pins proto v1): large transactions stream
+    as v2 chunks and seal with Stream Prepare 'p' (the v2 spelling of
+    'P'); their buffered events release stamped with the prepare
+    timestamp and are STAGED until the Commit/Rollback Prepared decision
+    arrives ~2 segments (a later micro-batch) downstream. Plain streams
+    (c/A), plain prepared txns (b..P) and plain B..C txns interleave in
+    the same WAL. Decode stays on the vectorized kernel — 'p' merges
+    into the Stream Commit cohort with its own header offsets. Final
+    state ≡ the serial replay-by-LSN oracle with aborted streams and
+    rolled-back prepared transactions excluded."""
+    return _run_cdc_pipeline(spark, P_STREAM2PC)
 
 
 def q_cdc_schema_evolution_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -692,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_keychange_final_state": q_cdc_keychange_final_state,
         "cdc_streamed_final_state": q_cdc_streamed_final_state,
         "cdc_two_phase_final_state": q_cdc_two_phase_final_state,
+        "cdc_streamed_two_phase_final_state": q_cdc_streamed_two_phase_final_state,
         "cdc_schema_evolution_final_state": q_cdc_schema_evolution_final_state,
         "cdc_incremental_mview": q_cdc_incremental_mview,
         "cdc_time_travel": q_cdc_time_travel,
@@ -728,6 +758,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cdc_two_phase_final_state": _gen.duckdb_final_state_sql(
             P_TWO_PHASE, with_sha=True
+        ),
+        "cdc_streamed_two_phase_final_state": _gen.duckdb_final_state_sql(
+            P_STREAM2PC, with_sha=True
         ),
         "cdc_schema_evolution_final_state": _gen.duckdb_final_state_sql(
             P_EVOLVE, with_sha=True

@@ -139,6 +139,7 @@ BENCH_QUERIES = (
     "cdc_pipeline_final_state",
     "cdc_streamed_final_state",
     "cdc_two_phase_final_state",
+    "cdc_streamed_two_phase_final_state",
     "cdc_schema_evolution_final_state",
     "cdc_point_lookup",
     "cdc_erasure_final_state",

@@ -235,15 +235,11 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
         if t == 67:  # 'C'
             open_tx.pop(seg, None)
             continue
-        if t in (98, 80, 75, 114, 112):  # two-phase 'b'/'P'/'K'/'r'/'p'
-            if t == 112:  # 'p' Stream Prepare (streamed two-phase)
-                # a streamed transaction sealing as PREPARED would need
-                # its buffered events staged with an unknown fate — the
-                # engine supports two-phase only in the plain layout;
-                # refuse loudly (same policy as in-stream Truncate)
-                raise UnsupportedStreamOp(
-                    f"Stream Prepare (streamed two-phase) at lsn={lsn} "
-                    "is not supported — disable streaming or two_phase"
+        if t in (98, 80, 75, 114):  # two-phase 'b'/'P'/'K'/'r'
+            if seg in streams.open_chunk:
+                raise ValueError(
+                    f"two-phase control frame {chr(t)!r} inside a "
+                    f"stream chunk at lsn={lsn} (mis-sequenced frame)"
                 )
             m = codec.decode_message(b)
             if t == 98:  # 'b' Begin Prepare: opens the span like a 'B'
@@ -318,6 +314,44 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
                 a_seg(int(seg)); a_err(None)
             for dl_lsn, dl_err, _sub in st[2]:
                 emit_dead_letter_row(seg, dl_lsn, dl_err)
+            continue
+        if t == 112:  # 'p' Stream Prepare: seals a streamed txn as
+            # PREPARED (the v2 spelling of 'P' — PG15 streaming=on +
+            # two_phase=on). The buffered events are released stamped
+            # with (xid, first-S lsn, prepare ts) exactly like a plain
+            # b..P span's body; their FATE — merge or vanish — is the
+            # pipeline's call when the K/r decision arrives, planned
+            # from the 'p' marker row below (gid rides new_vals).
+            m = codec.decode_message(b)
+            sxid = m["xid"]
+            st = streams.streams.get((seg, sxid))
+            if st is None or seg in streams.open_chunk:
+                # validate BEFORE popping (Stream Commit policy)
+                raise ValueError(
+                    f"Stream Prepare for unknown xid={sxid} at lsn={lsn}"
+                    if st is None else
+                    f"Stream Prepare inside an open chunk at lsn={lsn}"
+                )
+            pts = m["prepare_ts_us"]
+            del streams.streams[(seg, sxid)]
+            for e_lsn, e_op, e_rid, e_ver, e_bk, e_bv, e_nv, e_nm, _sub in st[1]:
+                a_lsn(e_lsn); a_op(e_op); a_rid(e_rid)
+                a_xid(sxid); a_blsn(st[0]); a_cts(pts)
+                a_ver(e_ver); a_bk(e_bk)
+                a_bv(e_bv); a_nv(e_nv); a_num(e_nm)
+                a_seg(int(seg)); a_err(None)
+            # dead-letter candidates surface with the prepare (plain
+            # b..P parity: a corrupt FRAME inside a prepared span is
+            # recorded even if the transaction later rolls back — the
+            # frame physically existed; only an ABORTED stream's events
+            # never logically happened)
+            for dl_lsn, dl_err, _sub in st[2]:
+                emit_dead_letter_row(seg, dl_lsn, dl_err)
+            a_lsn(int(lsn)); a_op("p"); a_rid(None)
+            a_xid(sxid); a_blsn(None); a_cts(pts)
+            a_ver(None); a_bk(None)
+            a_bv(None); a_nv([m["gid"]]); a_num(None)
+            a_seg(int(seg)); a_err(None)
             continue
         if t == 65:  # 'A' stream abort: discard buffered events
             (sxid,) = _unpack_i32(b, 1)

@@ -112,6 +112,18 @@ def logical_slots_pdf(p: GenParams, txn_lo: int = 0, txn_hi: Optional[int] = Non
             (_txn_draw(p, ":abort:", txns) % 100) < p.stream_abort_pct
         )
 
+    def prepared_of(txns):
+        if p.two_phase_pct <= 0:
+            return np.zeros(len(np.asarray(txns)), dtype=bool)
+        return (_txn_draw(p, ":2pc:", txns) % 100) < p.two_phase_pct
+
+    def rolled_of(txns):
+        if p.two_phase_pct <= 0:
+            return np.zeros(len(np.asarray(txns)), dtype=bool)
+        return prepared_of(txns) & (
+            (_txn_draw(p, ":2pcrb:", txns) % 100) < p.two_phase_rollback_pct
+        )
+
     interleaving = p.interleave_streams and p.stream_pct > 0
 
     def interleaved_of(txns):
@@ -154,6 +166,8 @@ def logical_slots_pdf(p: GenParams, txn_lo: int = 0, txn_hi: Optional[int] = Non
     strm = streamed_of(txns)
     abrt = aborted_of(txns)
     il = interleaved_of(txns)
+    prep = prepared_of(txns)
+    rb = rolled_of(txns)
 
     def bc(kind_arr, slot: int, sel=None, il_off=None) -> "pd.DataFrame":
         tt = txns if sel is None else txns[sel]
@@ -194,16 +208,23 @@ def logical_slots_pdf(p: GenParams, txn_lo: int = 0, txn_hi: Optional[int] = Non
             }
         )
 
+    composed = p.two_phase_pct > 0 and p.stream_pct > 0
     parts = [
         o,
-        bc(np.where(strm, "S", "B"), 0, il_off=(0, h1 + 2)),
-        bc(np.where(strm, "E", "C"), ops + 1, il_off=(h1 + 1, 2 * h1 + 3)),
+        bc(np.where(strm, "S", np.where(prep, "b", "B")), 0,
+           il_off=(0, h1 + 2)),
+        bc(np.where(strm, "E", np.where(prep, "P", "C")), ops + 1,
+           il_off=(h1 + 1, 2 * h1 + 3)),
     ]
     if p.stream_pct > 0 and strm.any():
         # slot ops+2: interleaved pairs open their SECOND chunk ('s',
-        # first_segment=0); serial streams commit or abort here
+        # first_segment=0); serial streams commit, abort, or — drawing
+        # prepared too — seal with Stream Prepare 'p' here
+        closer = np.where(il, "s", np.where(abrt, "A", "c"))
+        if composed:
+            closer = np.where(prep, "p", closer)
         parts.append(bc(
-            np.where(il, "s", np.where(abrt, "A", "c")), ops + 2, sel=strm,
+            closer, ops + 2, sel=strm,
             il_off=(2 * h1 + 4, h1 + ops + 6),
         ))
         if interleaving and il.any():
@@ -211,6 +232,34 @@ def logical_slots_pdf(p: GenParams, txn_lo: int = 0, txn_hi: Optional[int] = Non
                             il_off=(h1 + ops + 5, 2 * ops + 7)))
             parts.append(bc(np.where(abrt, "A", "c"), ops + 4, sel=il,
                             il_off=(2 * ops + 8, 2 * ops + 9)))
+    if p.two_phase_pct > 0 and prep.any():
+        # the DECISION frame for prepared txn t lands in window t+gap
+        # (generator layout: slot ops+2, or ops+3 when composed), with
+        # that window's segment and a later commit timestamp
+        gap = p.two_phase_gap
+        dslot = ops + 3 if composed else ops + 2
+        tt = txns[prep]
+        parts.append(pd.DataFrame(
+            {
+                "segment": (tt + gap) // tps,
+                "txn": tt,
+                "kind": np.where(rb[prep], "r", "K"),
+                "lsn": 10 + (tt + gap) * stride + dslot,
+                "commit_ts_us": (tt + gap) * 1_000_000 + 1,
+                "xid": 1000 + tt,
+                "rel": 0,
+                "op": None,
+                "repo": None,
+                "path": None,
+                "commit": None,
+                "lang": None,
+                "content": None,
+                "content_unchanged": False,
+                "old_repo": None,
+                "old_path": None,
+                "streamed": strm[prep],
+            }
+        ))
     slots = pd.concat(parts, ignore_index=True)
     return slots.sort_values("lsn", kind="stable").reset_index(drop=True)
 
@@ -254,12 +303,14 @@ def encode_frames_pdf(p: GenParams, txn_lo: int = 0, txn_hi: Optional[int] = Non
         raise ValueError(
             "evolve_at_txn is not supported by the receiver producer"
         )
-    if p.two_phase_pct > 0:
-        # the slot layout here has no home for the decision frame that
-        # lands gap windows later — refuse rather than spool a stream
-        # whose prepared transactions never resolve
+    if p.two_phase_pct > 0 and (txn_lo != 0 or (txn_hi or p.n_txns) < p.n_txns):
+        # a prepared txn's decision frame lands ``two_phase_gap`` windows
+        # later: an incremental txn range would emit those decisions out
+        # of LSN order relative to later ranges' own frames — refuse
+        # rather than spool a non-monotone stream
         raise ValueError(
-            "two_phase_pct is not supported by the receiver producer"
+            "two_phase_pct requires spooling the full txn range in one "
+            "call (decision frames land two_phase_gap windows later)"
         )
     slots = logical_slots_pdf(p, txn_lo, txn_hi)
     frames = pd.concat(list(_encode_stream_pandas(iter([slots]), p)), ignore_index=True)

@@ -269,9 +269,9 @@ class SocketWalReceiver:
             # every message inside a chunk is stream-interior
             return t.lower()
         try:
-            if t == "B":
+            if t in ("B", "b"):  # Begin / Begin Prepare open a span
                 self._txn_open = True
-            elif t == "C":
+            elif t in ("C", "P"):  # Commit / Prepare close it
                 self._txn_open = False
             elif t == "S":
                 (xid,) = struct.unpack_from(">i", payload, 1)
@@ -284,10 +284,18 @@ class SocketWalReceiver:
             elif t == "c":
                 (xid,) = struct.unpack_from(">i", payload, 1)
                 self._open_streams.discard(xid)
+            elif t == "p":  # Stream Prepare seals its stream (v2 'P')
+                (xid,) = struct.unpack_from(">i", payload, 26)
+                self._open_streams.discard(xid)
             elif t == "A":
                 xid, sub = struct.unpack_from(">ii", payload, 1)
                 if xid == sub:  # whole-transaction abort closes the stream
                     self._open_streams.discard(xid)
+            elif t == "r":
+                # top-level 'r' is Rollback Prepared: stamp the capture
+                # convention's 'x' — the in-chunk-Relation stamp owns
+                # lowercase 'r' (the payload keeps the spec's byte)
+                return "x"
         except (struct.error, IndexError):
             # a TORN control frame (first byte says 'S'/'c'/'A', body
             # too short to parse) must not kill the receiver: land it

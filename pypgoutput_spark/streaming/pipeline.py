@@ -97,13 +97,17 @@ def _r_pred(frames):
 
 def _p2_pred(frames):
     """Two-phase control frames (PG15+ ``two_phase``): Begin Prepare 'b',
-    Prepare 'P', Commit Prepared 'K', Rollback Prepared 'r'. Rollback's
+    Prepare 'P', Commit Prepared 'K', Rollback Prepared 'r', and Stream
+    Prepare 'p' (the v2 spelling of 'P' — a streamed transaction sealing
+    as PREPARED under ``streaming = on, two_phase = on``). Rollback's
     METADATA letter is 'x' — the capture layer must not collide with the
     in-chunk-Relation stamp 'r' (see ``_r_pred``); the payload byte stays
     the spec's 'r'."""
     if "mtype" in frames.columns:
-        return F.col("mtype").isin("b", "P", "K", "x")
-    return F.expr("substring(payload, 1, 1) IN (X'62', X'50', X'4B', X'72')")
+        return F.col("mtype").isin("b", "P", "K", "x", "p")
+    return F.expr(
+        "substring(payload, 1, 1) IN (X'62', X'50', X'4B', X'72', X'70')"
+    )
 
 
 def _span_open_pred(frames):
@@ -471,7 +475,7 @@ def apply_frames_batch(
                 t_frames.append((int(row["segment"]), int(row["lsn"])))
                 for rid in decoded["relation_ids"]:
                     t_lsn_by_rid[rid] = max(t_lsn_by_rid.get(rid, -1), row["lsn"])
-            elif first in (b"b", b"P", b"K", b"r"):
+            elif first in (b"b", b"P", b"K", b"r", b"p"):
                 m = _codec.decode_message(payload)
                 p2_rows.append((int(row["segment"]), int(row["lsn"]), m))
                 if first == b"b" and row["lsn"] in open_b_lsns:
@@ -500,6 +504,18 @@ def apply_frames_batch(
         if mt == "b":
             opened_now[x] = {"gid": m["gid"], "b_lsn": lsn_,
                              "segment": seg_, "sealed": False}
+        elif mt == "p":
+            # Stream Prepare: a streamed transaction sealing as PREPARED
+            # — opens AND seals in one frame (the stream machinery
+            # buffered the body; decode released its events stamped with
+            # the prepare timestamp). From here the xid is a prepared
+            # transaction like any other: staged if undecided, resolved
+            # by K/r. The zero-width span also keeps the truncate-span
+            # check below inert (in-stream truncates are refused by the
+            # stream decode itself).
+            opened_now[x] = {"gid": m["gid"], "b_lsn": lsn_,
+                             "segment": seg_, "sealed": True}
+            p_seal[x] = lsn_
         elif mt == "P":
             if x in opened_now:
                 opened_now[x]["sealed"] = True
@@ -721,7 +737,7 @@ def apply_frames_batch(
         new_pending = pend_state
         two_metrics: dict = {}
         if twopc_active:
-            markers = ("b", "P", "K", "r")
+            markers = ("b", "P", "K", "r", "p")
             if p2_rows:
                 events_src = events_src.filter(~F.col("op").isin(*markers))
             if excl:

@@ -126,6 +126,13 @@ class GenParams:
     #: segment, and with multi-batch ingest a later micro-batch: the
     #: engine must stage the prepared events until the decision arrives).
     #: Rolled-back transactions' events must vanish from the final state.
+    #: Composes with ``stream_pct`` (PG15 ``streaming = on, two_phase =
+    #: on``): a txn drawing BOTH streamed and prepared seals its stream
+    #: with Stream Prepare 'p' instead of Stream Commit 'c' — the v2
+    #: spelling of 'P' — and its decision arrives as the same K/r frame
+    #: ``two_phase_gap`` windows later. Prepared streamed txns never
+    #: draw a Stream Abort (PG aborts a to-be-prepared txn BEFORE the
+    #: prepare; after 'p' only K/r can decide it).
     two_phase_pct: int = 0
     two_phase_rollback_pct: int = 0
     two_phase_gap: int = 4
@@ -145,13 +152,16 @@ class GenParams:
                 "(no streamed txns, key changes, or multi-relation fanout)"
             )
         if self.two_phase_pct > 0 and (
-            self.stream_pct > 0 or self.key_change_pct > 0
-            or self.evolve_at_txn > 0
+            self.key_change_pct > 0 or self.evolve_at_txn > 0
         ):
             raise ValueError(
                 "two_phase_pct composes only with the plain v1 layout "
-                "(streamed two-phase / key-change / evolution mixes are "
-                "out of scope — Stream Prepare is refused by the engine)"
+                "(key-change / evolution mixes are out of scope)"
+            )
+        if self.two_phase_pct > 0 and self.interleave_streams:
+            raise ValueError(
+                "two_phase_pct does not compose with interleave_streams "
+                "(the interleaved pair layout has no decision slot)"
             )
         if self.two_phase_pct > 0 and self.two_phase_gap < 1:
             raise ValueError("two_phase_gap must be >= 1")
@@ -171,7 +181,12 @@ class GenParams:
         # Relation re-send frame has a home between two transactions;
         # two-phase keeps one spare slot per window as the home of the
         # decision frame TARGETING it (txn t's K/r lands at window t+gap,
-        # slot ops+2 — windows collide for no two source txns)
+        # slot ops+2 — windows collide for no two source txns). The
+        # stream × two-phase composition needs BOTH: ops+2 for the
+        # stream closer ('c'/'A'/'p') and ops+3 for the decision frame
+        # targeting the window.
+        if self.two_phase_pct > 0 and self.stream_pct > 0:
+            return self.ops_per_txn + 4
         return self.ops_per_txn + (
             3 if self.stream_pct > 0 or self.evolve_at_txn > 0
             or self.two_phase_pct > 0 else 2
@@ -344,9 +359,14 @@ def event_exprs(p: GenParams, dialect: str) -> dict:
     if p.two_phase_pct > 0:
         # a rolled-back PREPARED transaction's events vanish exactly like
         # an aborted streamed transaction's — one `aborted` flag serves
-        # the serial oracle for both grammars
-        _prepared, rolled = two_phase_exprs(p, d, txn)
-        aborted = f"({aborted} OR {rolled})"
+        # the serial oracle for both grammars. A txn drawing BOTH
+        # streamed and prepared seals with Stream Prepare 'p' and never
+        # emits a Stream Abort: only its rollback draw can kill it.
+        prepared_, rolled = two_phase_exprs(p, d, txn)
+        if p.stream_pct > 0:
+            aborted = f"(({aborted} AND NOT {prepared_}) OR {rolled})"
+        else:
+            aborted = f"({aborted} OR {rolled})"
 
     out_extra = {}
     if p.evolve_at_txn > 0:
@@ -573,6 +593,12 @@ def _encode_stream_pandas(batches: Iterator, p: GenParams) -> Iterator:
                 ap(codec.encode_rollback_prepared(lsn - 1, lsn, cts, cts,
                                                   xid, f"gid-{xid}"))
                 am("x")
+            elif kind == "p":  # Stream Prepare — the v2 spelling of 'P':
+                # seals a STREAMED transaction as PREPARED (PG15
+                # streaming=on + two_phase=on); decision K/r arrives later
+                ap(codec.encode_stream_prepare(lsn - 1, lsn, cts, xid,
+                                               f"gid-{xid}"))
+                am("p")
             elif kind == "S":  # protocol v2 stream start (first chunk)
                 ap(b"S" + pk_i32(xid) + b"\x01")
                 am("S")
@@ -675,8 +701,11 @@ def spark_frames_df(spark, p: GenParams, n_partitions: int = 0, include_relation
     twop = p.two_phase_pct > 0
     gap = p.two_phase_gap
     interleaving = p.interleave_streams and p.stream_pct > 0
+    composed = twop and p.stream_pct > 0  # streaming=on AND two_phase=on
     if interleaving:
         max_slot = ops + 4
+    elif composed:
+        max_slot = ops + 3
     else:
         max_slot = ops + 2 if p.stream_pct > 0 or twop else ops + 1
     kind = (
@@ -685,18 +714,32 @@ def spark_frames_df(spark, p: GenParams, n_partitions: int = 0, include_relation
         f"WHEN slot = {ops + 1} THEN (CASE WHEN {streamed_e} THEN 'E' "
         f"WHEN {two_e} THEN 'P' ELSE 'C' END) "
     )
-    if p.stream_pct > 0:
+    # the DECISION frame for a prepared txn t lives in the spare slot
+    # of window t+gap (its own LSN/segment are overridden below) —
+    # no two source txns target the same window, so slots never
+    # collide; decisions of the last ``gap`` txns land in windows
+    # past n_txns (decision-only trailing segments). In the composed
+    # (stream × two-phase) layout slot ops+2 is the stream closer
+    # ('p' for prepared streamed txns — the v2 spelling of 'P';
+    # 'c'/'A' for plain streamed txns) and the decision moves to the
+    # extra slot ops+3, clear of every window's own closer.
+    if composed:
+        kind += (
+            f"WHEN slot = {ops + 2} THEN (CASE "
+            f"WHEN {streamed_e} AND {two_e} THEN 'p' "
+            f"WHEN {aborted_e} THEN 'A' "
+            f"WHEN {streamed_e} THEN 'c' ELSE 'X' END) "
+            f"WHEN slot = {ops + 3} THEN (CASE "
+            f"WHEN {two_e} AND {two_rb_e} THEN 'r' "
+            f"WHEN {two_e} THEN 'K' ELSE 'X' END) "
+        )
+    elif p.stream_pct > 0:
         kind += (
             f"WHEN slot = {ops + 2} THEN (CASE WHEN {il_e} THEN 's' "
             f"WHEN {aborted_e} THEN 'A' "
             f"WHEN {streamed_e} THEN 'c' ELSE 'X' END) "
         )
-    if twop:
-        # the DECISION frame for a prepared txn t lives in the spare slot
-        # of window t+gap (its own LSN/segment are overridden below) —
-        # no two source txns target the same window, so slots never
-        # collide; decisions of the last ``gap`` txns land in windows
-        # past n_txns (decision-only trailing segments)
+    elif twop:
         kind += (
             f"WHEN slot = {ops + 2} THEN (CASE "
             f"WHEN {two_e} AND {two_rb_e} THEN 'r' "
@@ -736,21 +779,23 @@ def spark_frames_df(spark, p: GenParams, n_partitions: int = 0, include_relation
             f"ELSE 10 + txn * {stride} + slot END AS BIGINT)"
         )
     elif twop:
+        dslot = ops + 3 if composed else ops + 2
         lsn_sql = (
-            f"CAST(CASE WHEN slot = {ops + 2} THEN "
-            f"10 + (txn + {gap}) * {stride} + {ops + 2} "
+            f"CAST(CASE WHEN slot = {dslot} THEN "
+            f"10 + (txn + {gap}) * {stride} + {dslot} "
             f"ELSE 10 + txn * {stride} + slot END AS BIGINT)"
         )
     else:
         lsn_sql = f"CAST(10 + txn * {stride} + slot AS BIGINT)"
     if twop:
+        dslot = ops + 3 if composed else ops + 2
         seg_sql = (
-            f"CAST(CASE WHEN slot = {ops + 2} THEN "
+            f"CAST(CASE WHEN slot = {dslot} THEN "
             f"(txn + {gap}) DIV {p.txns_per_segment} "
             f"ELSE segment END AS BIGINT)"
         )
         cts_sql = (
-            f"CAST(CASE WHEN slot = {ops + 2} THEN "
+            f"CAST(CASE WHEN slot = {dslot} THEN "
             f"(txn + {gap}) * 1000000 + 1 "
             f"ELSE txn * 1000000 END AS BIGINT)"
         )

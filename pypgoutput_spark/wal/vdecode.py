@@ -340,6 +340,7 @@ def _quick_scan(rb: pa.RecordBatch):
     has_v2 = bool(
         is_s.any() or (first == _E2).any()
         or (first == _c2).any() or (first == _A2).any()
+        or (first == _SP).any()
     )
     if not has_v2:
         return False, (), ()
@@ -360,6 +361,11 @@ def _quick_scan(rb: pa.RecordBatch):
         fa = axid == asub
         if fa.any():
             closed += _skey(seg[a_rows[fa]], axid[fa]).tolist()
+    # Stream Prepare 'p' seals its stream (the v2 spelling of 'P'):
+    # xid sits past the flags byte and the qqq header, at offset 26
+    p_rows = np.nonzero((first == _SP) & (lens >= 31))[0]
+    if p_rows.size:
+        closed += _skey(seg[p_rows], _be(data, starts[p_rows] + 26, 4)).tolist()
     return True, opened, closed
 
 
@@ -453,8 +459,9 @@ def _resolve_streams(data, offs, seg, lsn, first, idx,
     lens = offs[1:] - starts
     is_s, is_e = first == _S2, first == _E2
     is_cm, is_a = first == _c2, first == _A2
+    is_p = first == _SP
     if (is_s & (lens < 6)).any() or (is_cm & (lens < 30)).any() \
-            or (is_a & (lens < 9)).any():
+            or (is_a & (lens < 9)).any() or (is_p & (lens < 31)).any():
         raise ValueError("truncated protocol-v2 stream control frame")
 
     # ---- chunk membership: segment-aware S/E accumulate --------------
@@ -475,12 +482,12 @@ def _resolve_streams(data, offs, seg, lsn, first, idx,
     if bad.any():
         i = int(np.nonzero(bad)[0][0])
         raise ValueError(f"Stream Stop outside a stream block at lsn={lsn[i]}")
-    bad = (is_cm | is_a) & chunk_before
+    bad = (is_cm | is_a | is_p) & chunk_before
     if bad.any():
         i = int(np.nonzero(bad)[0][0])
+        what = "Commit" if is_cm[i] else ("Prepare" if is_p[i] else "Abort")
         raise ValueError(
-            f"Stream {'Commit' if is_cm[i] else 'Abort'} inside an open "
-            f"chunk at lsn={lsn[i]}"
+            f"Stream {what} inside an open chunk at lsn={lsn[i]}"
         )
 
     # ---- stream cohorts: first-S / continuation-S / commit / abort ---
@@ -498,20 +505,40 @@ def _resolve_streams(data, offs, seg, lsn, first, idx,
     cont_rows = s_rows[~s_first]
     if cont_rows.size:
         found, pos = _member(fs_keys_s, skey_at[cont_rows])
-        ok = found & (fs_rows_s[pos] < cont_rows)
+        ok = (found & (fs_rows_s[pos] < cont_rows)) if fs_rows_s.size \
+            else found
         if not ok.all():
             i = cont_rows[~ok][0]
             raise ValueError(
                 f"stream continuation for unknown xid="
                 f"{int(skey_at[i]) & 0xFFFFFFFF} at lsn={lsn[i]}"
             )
-    c_rows = np.nonzero(is_cm)[0]
-    c_keys = _skey(seg[c_rows], _be(data, starts[c_rows] + 1, 4))
+    # Stream Prepare 'p' seals its stream exactly like a Stream Commit —
+    # the buffered events release stamped with the PREPARE timestamp and
+    # the prepared transaction's fate is the pipeline's call (planned
+    # from the 'p' marker row, plain b..P parity) — so the two cohorts
+    # merge here; only the header offsets differ ('c': xid@+1 cts@+22;
+    # 'p': flags+qqq header, xid@+26 cts@+18).
+    cm_rows = np.nonzero(is_cm)[0]
+    p_rows = np.nonzero(is_p)[0]
+    c_rows = np.concatenate([cm_rows, p_rows])
+    c_keys = np.concatenate([
+        _skey(seg[cm_rows], _be(data, starts[cm_rows] + 1, 4)),
+        _skey(seg[p_rows], _be(data, starts[p_rows] + 26, 4)),
+    ])
+    c_cts = np.concatenate([
+        _be(data, starts[cm_rows] + 22, 8),
+        _be(data, starts[p_rows] + 18, 8),
+    ])
+    c_lbl = np.concatenate([
+        np.zeros(cm_rows.size, dtype=np.int8),
+        np.ones(p_rows.size, dtype=np.int8),
+    ])
     corder = np.argsort(c_keys)
     c_keys_s = c_keys[corder]
-    c_cts_s = _be(data, starts[c_rows] + 22, 8)[corder]
+    c_cts_s = c_cts[corder]
     if c_keys_s.size > 1 and (c_keys_s[1:] == c_keys_s[:-1]).any():
-        raise ValueError("duplicate Stream Commit for one xid")
+        raise ValueError("duplicate Stream Commit/Prepare for one xid")
     a_rows = np.nonzero(is_a)[0]
     a_xid = _be(data, starts[a_rows] + 1, 4)
     a_sub = _be(data, starts[a_rows] + 5, 4)
@@ -519,19 +546,29 @@ def _resolve_streams(data, offs, seg, lsn, first, idx,
     full_a = a_xid == a_sub
     fa_keys_s = np.sort(a_keys[full_a])
     sub_keys_s = np.sort(_skey(seg[a_rows[~full_a]], a_sub[~full_a]))
-    for what, keys, rows_ in (("Commit", c_keys, c_rows), ("Abort", a_keys, a_rows)):
+    for what, keys, rows_, lbl in (
+        ("Commit", c_keys, c_rows, c_lbl), ("Abort", a_keys, a_rows, None)
+    ):
         if keys.size:
             found, pos = _member(fs_keys_s, keys)
-            ok = found & (fs_rows_s[pos] < rows_)
+            # no first-chunk S in the batch at all: every seal/abort is
+            # for an unknown stream (found is all-False; the empty
+            # fs_rows_s cannot be indexed)
+            ok = found & (fs_rows_s[pos] < rows_) if fs_rows_s.size else found
             if not ok.all():
-                i = int(rows_[~ok][0])
-                bad_xid = int(_be(data, starts[[i]] + 1, 4)[0])
+                j = int(np.nonzero(~ok)[0][0])
+                i = int(rows_[j])
+                if lbl is not None and lbl[j]:
+                    what = "Prepare"
+                bad_xid = int(keys[j]) & 0xFFFFFFFF
                 raise ValueError(
                     f"Stream {what} for unknown xid={bad_xid} at lsn={lsn[i]}"
                 )
     both, _ = _member(fa_keys_s, c_keys_s)
     if both.any():
-        raise ValueError("stream has both a Stream Commit and a full Stream Abort")
+        raise ValueError(
+            "stream has both a Stream Commit/Prepare and a full Stream Abort"
+        )
 
     # ---- in-chunk messages: shift, validate, stamp, drop -------------
     drop = is_s | is_e | is_cm | is_a
@@ -547,7 +584,7 @@ def _resolve_streams(data, offs, seg, lsn, first, idx,
                 f"Truncate inside a streamed transaction at lsn={lsn[i]} "
                 "is not supported"
             )
-        bad2pc = np.isin(t_in, [_BP, _PP, _KP, _RP])
+        bad2pc = np.isin(t_in, [_BP, _PP, _KP, _RP, _SP])
         if bad2pc.any():
             i = sr[bad2pc][0]
             raise ValueError(
@@ -647,15 +684,6 @@ def process_batch(rb: pa.RecordBatch, open_tx: dict,
         raise ValueError(
             f"unknown pgoutput message type byte {chr(first[i])!r} at lsn={lsn[i]}"
         )
-    if (first == _SP).any():
-        i = int(np.nonzero(first == _SP)[0][0])
-        # a streamed transaction sealing as PREPARED would need its
-        # buffered events staged with an unknown fate — two-phase is
-        # supported only in the plain layout (loop-kernel parity)
-        raise _codec.UnsupportedStreamOp(
-            f"Stream Prepare (streamed two-phase) at lsn={lsn[i]} "
-            "is not supported — disable streaming or two_phase"
-        )
     # per-type fixed-header minimums: a truncated frame must raise a
     # TYPED error here, not IndexError out of a header gather below
     # (v1 minimums — in-chunk v2 frames are larger and length-checked
@@ -664,7 +692,7 @@ def process_batch(rb: pa.RecordBatch, open_tx: dict,
     min_len = np.ones(n, dtype=np.int64)
     for tb, ml in ((_B, 21), (_C, 26), (_I, 8), (_U, 7), (_D, 8),
                    (_T, 6), (_R, 7), (_M, 15), (_S2, 6), (_c2, 30), (_A2, 9),
-                   (_BP, 30), (_PP, 31), (_KP, 31), (_RP, 39)):
+                   (_BP, 30), (_PP, 31), (_KP, 31), (_RP, 39), (_SP, 31)):
         min_len[first == tb] = ml
     short = lens_b < min_len
     if short.any():
@@ -724,7 +752,7 @@ def process_batch(rb: pa.RecordBatch, open_tx: dict,
 
     # ---- protocol-v2 stream resolution (v1 batches skip entirely) ----
     drop = shift = None
-    if np.isin(first, [_S2, _E2, _c2, _A2]).any():
+    if np.isin(first, [_S2, _E2, _c2, _A2, _SP]).any():
         drop, shift = _resolve_streams(
             data, offs, seg, lsn, first, idx,
             ev_xid, ev_blsn, ev_cts, ev_has_tx,
@@ -940,11 +968,13 @@ def process_batch(rb: pa.RecordBatch, open_tx: dict,
             schema=RAW_PA_SCHEMA,
         )
 
-    # ---- two-phase marker cohort ('b'/'P'/'K'/'r'): rare → scalar.
+    # ---- two-phase marker cohort ('b'/'P'/'K'/'r'/'p'): rare → scalar.
     # One marker row per control frame (gid rides new_vals) — the
     # pipeline plans prepared-transaction staging and resolution from
-    # this tiny cohort (loop-kernel row parity).
-    sel = cohort(_BP) | cohort(_PP) | cohort(_KP) | cohort(_RP)
+    # this tiny cohort (loop-kernel row parity). Stream Prepare 'p'
+    # markers ride along: the stream resolver above already released
+    # and stamped the prepared stream's events.
+    sel = cohort(_BP) | cohort(_PP) | cohort(_KP) | cohort(_RP) | cohort(_SP)
     if sel.any():
         rows = idx[sel]
         prev_c = np.concatenate([[np.int64(-1)], last_c[:-1]])
@@ -968,6 +998,8 @@ def process_batch(rb: pa.RecordBatch, open_tx: dict,
                 blsn, cts = None, dec["prepare_ts_us"]
             elif t == "K":
                 blsn, cts = None, dec["commit_ts_us"]
+            elif t == "p":  # Stream Prepare (validated by the resolver)
+                blsn, cts = None, dec["prepare_ts_us"]
             else:  # 'r'
                 blsn, cts = None, dec["rollback_ts_us"]
             o_lsn.append(int(lsn[r])); o_op.append(t)

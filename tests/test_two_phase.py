@@ -150,22 +150,21 @@ def test_kernel_parity_rollback_marker():
         assert int(r.iloc[0]["commit_ts_us"]) == 9
 
 
-def test_stream_prepare_refused_by_all_kernels():
+def test_stream_prepare_for_unknown_stream_raises_all_kernels():
+    """A Stream Prepare with no open stream for its xid is a
+    mis-sequenced frame — loud on every kernel (it seals a stream the
+    decoder never buffered; see tests/test_streamed_2pc.py for the
+    supported streamed-two-phase grammar)."""
     frames = [(0, 100, codec.encode_stream_prepare(100, 110, 5, 777, "g"))]
     pdf = pd.DataFrame(
         {"segment": [0], "lsn": [100], "payload": [frames[0][2]]}
     )
     plain = _plain_registry()
-    with pytest.raises(codec.UnsupportedStreamOp):
+    with pytest.raises(ValueError, match="unknown xid=777"):
         decode_op._loop_decode_pdf(pdf, {}, plain, strict=True)
     rb = pa.RecordBatch.from_pandas(pdf)
-    with pytest.raises(codec.UnsupportedStreamOp):
+    with pytest.raises(ValueError, match="unknown xid=777"):
         list(vdecode.process_batch(rb, {}, plain))
-    # not quarantinable even in non-strict mode
-    with pytest.raises(codec.UnsupportedStreamOp):
-        list(decode_op._make_optimistic_kernel(plain)(iter([rb])))
-    with pytest.raises(codec.UnsupportedStreamOp):
-        decode_op._loop_decode_pdf(pdf, {}, plain, strict=False)
 
 
 def test_prepare_xid_mismatch_raises_both_kernels():
@@ -564,13 +563,45 @@ def test_two_phase_crash_soak(spark, tmp_path):
 
 def test_generator_guards():
     with pytest.raises(ValueError, match="two_phase_pct composes only"):
-        gen.GenParams(two_phase_pct=10, stream_pct=10)
+        gen.GenParams(two_phase_pct=10, key_change_pct=10)
+    with pytest.raises(ValueError, match="interleave_streams"):
+        gen.GenParams(two_phase_pct=10, stream_pct=10,
+                      interleave_streams=True, txns_per_segment=4)
     with pytest.raises(ValueError, match="two_phase_gap"):
         gen.GenParams(two_phase_pct=10, two_phase_gap=0)
 
 
-def test_receiver_refuses_two_phase_params():
+def test_receiver_producer_two_phase_byte_parity(spark):
+    """The Spark-free pandas producer emits byte-identical frames to
+    ``spark_frames_df`` for two-phase layouts — plain AND composed with
+    streams (Stream Prepare 'p'). Incremental txn ranges are refused
+    (decision frames land gap windows later, out of the range's own
+    LSN order)."""
     from pypgoutput_spark.sources import receiver
 
-    with pytest.raises(ValueError, match="two_phase_pct"):
-        receiver.encode_frames_pdf(gen.GenParams(two_phase_pct=10))
+    for p in (
+        gen.GenParams(n_txns=20, ops_per_txn=5, txns_per_segment=5,
+                      two_phase_pct=40, two_phase_rollback_pct=30,
+                      two_phase_gap=4),
+        gen.GenParams(n_txns=20, ops_per_txn=5, txns_per_segment=5,
+                      stream_pct=50, stream_abort_pct=25,
+                      two_phase_pct=40, two_phase_rollback_pct=30,
+                      two_phase_gap=4),
+    ):
+        got = (
+            receiver.encode_frames_pdf(p, include_relation=True)
+            .sort_values("lsn").reset_index(drop=True)
+        )
+        want = (
+            gen.spark_frames_df(spark, p).toPandas()
+            .sort_values("lsn").reset_index(drop=True)
+        )
+        assert list(got["lsn"]) == list(want["lsn"])
+        assert list(got["mtype"]) == list(want["mtype"])
+        assert [bytes(b) for b in got["payload"]] == [
+            bytes(b) for b in want["payload"]
+        ]
+    with pytest.raises(ValueError, match="full txn range"):
+        receiver.encode_frames_pdf(
+            gen.GenParams(n_txns=20, two_phase_pct=10), txn_hi=10
+        )

@@ -216,3 +216,55 @@ def test_handshake_refuses_non_replication_session(tmp_path):
     sock.close()
     with pytest.raises(ValueError, match="replication session"):
         srv.join()
+
+
+def test_socket_stream_two_phase_composed_matches_oracle(spark, tmp_path):
+    """The full wire path with every transaction grammar at once —
+    plain B..C, streams (c/A), plain prepared (b..P), streamed prepared
+    ('p') and their later K/r decisions: the receiver stamps 'p' frames
+    (and 'x' for Rollback Prepared — the in-chunk-Relation stamp owns
+    lowercase 'r'), closes streams on Stream Prepare for safe segment
+    cuts, and batch ingest over the landed files ≡ the serial oracle."""
+    p = gen.GenParams(n_txns=40, ops_per_txn=5, toast_pct=25,
+                      txns_per_segment=5, stream_pct=45, stream_abort_pct=25,
+                      two_phase_pct=40, two_phase_rollback_pct=30,
+                      two_phase_gap=7)
+    frames, want_mtypes = _frames_and_meta(p)
+    frames_dir = str(tmp_path / "frames")
+
+    srv = WalSocketServer(frames, keepalive_every=83).start()
+    rx = SocketWalReceiver(srv.addr, frames_dir, segment_frames=40)
+    rx.run()
+    srv.join()
+
+    import pyarrow.parquet as pq
+
+    files = sorted(os.listdir(frames_dir))
+    assert len(files) >= 3
+    got_mtypes = {}
+    for name in files:
+        t = pq.read_table(os.path.join(frames_dir, name))
+        mts = t.column("mtype").to_pylist()
+        got_mtypes.update(zip(t.column("lsn").to_pylist(), mts))
+        # whole streams per file: 'p' closes a stream like 'c'/'A'
+        opens = sum(1 for m, pl in zip(mts, t.column("payload").to_pylist())
+                    if m == "S" and bytes(pl)[5] != 0)
+        closes = sum(1 for m in mts if m in ("c", "A", "p"))
+        assert opens == closes, name
+    assert got_mtypes == want_mtypes  # incl. 'p', 'b', 'P', 'K', 'x'
+    assert "p" in got_mtypes.values() and "x" in got_mtypes.values()
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"),
+        schema=[(c, "string") for c in gen.ALL_COLUMNS],
+        key_cols=list(gen.KEY_COLUMNS), n_buckets=8,
+    )
+    frames_df = spark.read.schema(gen.FRAMES_SCHEMA).parquet(frames_dir)
+    pipeline.run_ingest(spark, frames_df, table, n_batches=3)
+    got = table.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    want = (
+        duckdb.sql(gen.duckdb_final_state_sql(p, with_sha=False))
+        .df().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got[want.columns.tolist()].equals(want)

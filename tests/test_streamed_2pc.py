@@ -186,6 +186,37 @@ def test_stream_prepare_grammar_edges():
             run()
 
 
+def test_in_chunk_dead_letter_surfaces_on_stream_prepare():
+    """strict=False: a corrupt frame inside a to-be-prepared chunk is
+    BUFFERED with the stream and its op='E' quarantine row surfaces when
+    'p' seals the stream (plain b..P parity — the corrupt frame
+    physically existed regardless of the transaction's later fate); the
+    good events release stamped, stream state drains."""
+    import struct
+
+    plain = _plain_registry()
+    corrupt = (b"I" + struct.pack(">i", RID)
+               + b"N\x00\x05t\x00\x00\x00\x63zz")  # cell overruns frame
+    bad = [
+        (0, 100, codec.encode_stream_start(7, True)),
+        (0, 101, _sx(_ins(("rA", "p1"), "v1"), 7)),
+        (0, 102, _sx(corrupt, 7)),
+        (0, 103, codec.encode_stream_stop()),
+        (0, 110, codec.encode_stream_prepare(109, 110, 5, 7, "g")),
+    ]
+    pdf = pd.DataFrame(
+        {"segment": [r[0] for r in bad], "lsn": [r[1] for r in bad],
+         "payload": [r[2] for r in bad]}
+    )
+    streams = decode_op.StreamState()
+    out = pd.DataFrame(decode_op._loop_decode_pdf(
+        pdf, {}, plain, strict=False, streams=streams))
+    assert not streams
+    assert list(out[out["op"] == "E"]["lsn"]) == [102]
+    good = out[out["op"] == "I"]
+    assert len(good) == 1 and int(good.iloc[0]["commit_ts_us"]) == 5
+
+
 # ---------------------------------------------------------------------------
 # pipeline: staging, cross-batch resolution, rollback, messages
 # ---------------------------------------------------------------------------
@@ -384,3 +415,66 @@ def test_composed_stream_decodes_wholly_vectorized(spark):
            raw.groupBy("op").agg({"*": "count"})
            .withColumnRenamed("count(1)", "n").collect()}
     assert "p" in ops and "K" in ops and ops.get("I", 0) > 0
+
+
+def test_streamed_two_phase_crash_soak(spark, tmp_path):
+    """Hard-kill the streaming child at the three commit points while a
+    COMPOSED stream (v2 chunks, 'p'-sealed prepared streams, plain
+    streams, plain prepared, decisions micro-batches later) is mid-
+    flight, then relaunch to completion: staged prepared events, the
+    pending map restored from the snapshot, and append-dedup at
+    resolution together still produce exactly the serial oracle."""
+    import subprocess
+    import sys as _sys
+
+    p = gen.GenParams(
+        n_txns=40, ops_per_txn=5, toast_pct=30, txns_per_segment=5,
+        stream_pct=45, stream_abort_pct=25,
+        two_phase_pct=40, two_phase_rollback_pct=25, two_phase_gap=7,
+    )
+    frames = gen.spark_frames_df(spark, p)
+    frames_dir = str(tmp_path / "frames")
+    n_segments = (p.n_txns + p.two_phase_gap) // p.txns_per_segment + 1
+    for seg in range(n_segments):
+        part = frames.filter(f"segment = {seg}")
+        if part.limit(1).count():
+            part.coalesce(1).write.mode("append").parquet(frames_dir)
+    lake_dir = str(tmp_path / "lake")
+    ckpt_dir = str(tmp_path / "ckpt")
+    repo = os.path.join(os.path.dirname(__file__), "..")
+
+    def run_child(crash_point=None):
+        env = dict(os.environ)
+        env.pop("PYPGOUT_CRASH_POINT", None)
+        if crash_point:
+            env["PYPGOUT_CRASH_POINT"] = crash_point
+        return subprocess.run(
+            [_sys.executable, os.path.join(repo, "tools", "crash_child.py"),
+             frames_dir, lake_dir, ckpt_dir],
+            cwd=repo, env=env, timeout=420,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        ).returncode
+
+    assert run_child("pre_snapshot:2") == 137
+    assert run_child("pre_publish:1") == 137
+    assert run_child("post_publish:1") == 137
+    assert run_child() == 0
+
+    table = LakeTable(spark, lake_dir)
+    assert pipe.stored_pending_2pc(table)["xids"] == {}
+    got = (
+        table.read().toPandas()
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(gen.duckdb_final_state_sql(p, with_sha=False)).df()
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["repo", "path", "commit", "lang", "content"]],
+        want[["repo", "path", "commit", "lang", "content"]],
+        check_dtype=False,
+    )
+    wms = [s["watermark_lsn"] for s in table.history()
+           if s.get("metrics", {}).get("lineage")]
+    assert wms == sorted(set(wms)), f"non-monotone watermarks: {wms}"

@@ -99,6 +99,16 @@ def main() -> None:
     plain = _registry_plain(p2)
     w_vec = _time_vectorized(rb2, plain, reps)
     w_loop = _time_loop(rb2, plain, reps)
+    # composed streamed two-phase: every txn streams, 30% seal with
+    # Stream Prepare 'p' (decisions in the same WAL, gap windows later) —
+    # the 'p' cohort must ride the same offset-math resolver at
+    # vectorized speed, not fall back to the loop kernel
+    p2c = GenParams(n_txns=n_txns, ops_per_txn=8, toast_pct=25,
+                    txns_per_segment=50, stream_pct=100, stream_abort_pct=10,
+                    two_phase_pct=30, two_phase_rollback_pct=20,
+                    two_phase_gap=4)
+    rb2c = _frames_batch(p2c)
+    w_vec2c = _time_vectorized(rb2c, plain, reps)
     # v1 control at the same event count
     p1 = GenParams(n_txns=n_txns, ops_per_txn=8, toast_pct=25,
                    txns_per_segment=50)
@@ -108,6 +118,7 @@ def main() -> None:
         "frames": rb2.num_rows,
         "v2_vectorized_fps": round(rb2.num_rows / w_vec),
         "v2_loop_fps": round(rb2.num_rows / w_loop),
+        "v2pc_vectorized_fps": round(rb2c.num_rows / w_vec2c),
         "v1_vectorized_fps": round(rb1.num_rows / w_v1),
         "speedup": round(w_loop / w_vec, 2),
     }))

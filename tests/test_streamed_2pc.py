@@ -186,6 +186,31 @@ def test_stream_prepare_grammar_edges():
             run()
 
 
+def test_subxid_abort_then_stream_prepare():
+    """A savepoint rolled back BEFORE the prepare (Stream Abort with
+    subxid != xid) discards only that subtransaction's buffered events;
+    the stream then seals with 'p' and the surviving events release —
+    both kernels."""
+    frames = [
+        (0, 100, codec.encode_stream_start(7, True)),
+        (0, 101, _sx(_ins(("rKeep", "p1"), "kept"), 7)),
+        # a subtransaction's change (savepoint): embedded xid 900
+        (0, 102, _sx(_ins(("rSub", "p1"), "doomed"), 900)),
+        (0, 103, codec.encode_stream_stop()),
+        (0, 104, codec.encode_stream_abort(7, subxid=900)),
+        (0, 106, codec.encode_stream_start(7, False)),
+        (0, 107, _sx(_ins(("rKeep", "p2"), "kept-2"), 7)),
+        (0, 108, codec.encode_stream_stop()),
+        (0, 110, codec.encode_stream_prepare(109, 110, 5, 7, "g")),
+        (0, 400, codec.encode_commit_prepared(400, 401, 9, 7, "g")),
+    ]
+    loop, vec, opt = _decode_all_kernels(frames, _plain_registry())
+    for df in (loop, vec, opt):
+        ev = df[df["op"] == "I"]
+        assert sorted(ev["lsn"]) == [101, 107], list(ev["lsn"])
+        assert set(ev["xid"]) == {7} and set(ev["commit_ts_us"]) == {5}
+
+
 def test_in_chunk_dead_letter_surfaces_on_stream_prepare():
     """strict=False: a corrupt frame inside a to-be-prepared chunk is
     BUFFERED with the stream and its op='E' quarantine row surfaces when

@@ -285,3 +285,66 @@ def test_message_corruption_never_escapes_typed_errors():
         # any other exception type propagates and fails the test
     assert opt_done > 30 and opt_raised > 30, (opt_done, opt_raised)
     assert strict_raised > 100, strict_raised
+
+
+def _fixture_2pc():
+    """Composed grammar corpus: v1 txns, v2 streams (c/A), plain
+    prepared (b..P + K/x decisions) and 'p'-sealed streamed-prepared
+    txns all in one WAL — corruption must land on two-phase control
+    frames and Stream Prepare headers too."""
+    p = GenParams(n_txns=16, ops_per_txn=3, toast_pct=20, txns_per_segment=8,
+                  stream_pct=50, stream_abort_pct=25,
+                  two_phase_pct=40, two_phase_rollback_pct=30,
+                  two_phase_gap=3)
+    pdf = encode_frames_pdf(p, include_relation=True)
+    pdf = pdf.sort_values(["segment", "lsn"]).reset_index(drop=True)
+    reg = RelationRegistry()
+    for _, row in pdf[pdf["mtype"] == "R"].iterrows():
+        reg.add_relation(int(row["lsn"]), codec.decode_message(bytes(row["payload"])))
+    return pdf, reg.to_plain()
+
+
+def test_composed_two_phase_corruption_never_escapes():
+    """The streamed-two-phase grammar under byte corruption: the
+    optimistic kernel quarantines or raises TYPED errors only; the
+    strict vectorized kernel fail-fasts typed only (the class of bug
+    this fuzz catches: a seal/abort cohort indexing an empty
+    first-chunk table was an IndexError until session 9's guard)."""
+    from pypgoutput_spark.wal import vdecode
+
+    pdf, plain = _fixture_2pc()
+    base = [bytes(b) for b in pdf["payload"]]
+    assert any(b[:1] == b"p" for b in base), "fixture must carry 'p' frames"
+    rng = random.Random(20260819)
+    completed = raised = 0
+    for _ in range(600):
+        payloads = _corrupt(base, rng)
+        try:
+            outs = _run_kernel(pdf, payloads, plain)
+        except (ValueError, codec.UnsupportedStreamOp) as exc:
+            assert str(exc)
+            raised += 1
+            continue
+        completed += 1
+        for rb in outs:
+            ops = rb.column(rb.schema.get_field_index("op")).to_pylist()
+            errs = rb.column(rb.schema.get_field_index("error")).to_pylist()
+            for op, err in zip(ops, errs):
+                assert (op == "E") == (err is not None)
+    assert completed > 30 and raised > 10, (completed, raised)
+    s_ok = s_raised = 0
+    for _ in range(400):
+        payloads = _corrupt(base, rng)
+        tbl = pa.table({
+            "segment": pa.array(pdf["segment"].tolist(), pa.int64()),
+            "lsn": pa.array(pdf["lsn"].tolist(), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+        kernel = vdecode.make_kernel(plain)
+        try:
+            list(kernel(iter(tbl.to_batches(max_chunksize=BATCH_ROWS))))
+            s_ok += 1
+        except (ValueError, codec.UnsupportedStreamOp) as exc:
+            assert str(exc)
+            s_raised += 1
+    assert s_raised > 50, (s_ok, s_raised)

@@ -83,6 +83,17 @@ P_TWO_PHASE = _gen.GenParams(
     two_phase_pct=35, two_phase_rollback_pct=25, two_phase_gap=30,
 )
 
+#: replication-origin filtering (active-active loop prevention): 40% of
+#: txns carry an Origin message 'O' right after Begin — their rows were
+#: replicated FROM another node; the engine ingests with
+#: ``skip_foreign_origins=True`` and must apply ONLY the locally-
+#: originated transactions. The oracle replays with the foreign txns
+#: excluded (the reference stubs 'O' — parity-plus).
+P_ORIGIN = _gen.GenParams(
+    n_txns=140, ops_per_txn=8, n_repos=45, n_paths=28,
+    toast_pct=30, txns_per_segment=14, origin_pct=40,
+)
+
 #: streamed two-phase (PG15 ``streaming = on, two_phase = on``): 45% of
 #: txns stream as v2 chunks; of ALL txns 35% prepare — a txn drawing
 #: both seals its stream with Stream Prepare 'p' (the v2 spelling of
@@ -131,8 +142,9 @@ _INGEST_MEMO: dict = {}
 
 def _ingest_cdc(spark: SparkSession, p: _gen.GenParams,
                 kc_toast_passes: int = 0, strict: bool = True,
-                n_batches: int = 3, fresh: bool = False) -> LakeTable:
-    key = (p, kc_toast_passes, strict, n_batches)
+                n_batches: int = 3, fresh: bool = False,
+                skip_foreign_origins: bool = False) -> LakeTable:
+    key = (p, kc_toast_passes, strict, n_batches, skip_foreign_origins)
     if not fresh:
         hit = _INGEST_MEMO.get(key)
         if hit is not None and hit[0] is spark:
@@ -145,15 +157,18 @@ def _ingest_cdc(spark: SparkSession, p: _gen.GenParams,
     )
     frames = _gen.spark_frames_df(spark, p)
     _pipeline.run_ingest(spark, frames, table, n_batches=n_batches,
-                         kc_toast_passes=kc_toast_passes, strict=strict)
+                         kc_toast_passes=kc_toast_passes, strict=strict,
+                         skip_foreign_origins=skip_foreign_origins)
     if not fresh:
         _INGEST_MEMO[key] = (spark, table)
     return table
 
 
 def _run_cdc_pipeline(spark: SparkSession, p: _gen.GenParams,
-                      kc_toast_passes: int = 0, strict: bool = True) -> DataFrame:
-    table = _ingest_cdc(spark, p, kc_toast_passes=kc_toast_passes, strict=strict)
+                      kc_toast_passes: int = 0, strict: bool = True,
+                      skip_foreign_origins: bool = False) -> DataFrame:
+    table = _ingest_cdc(spark, p, kc_toast_passes=kc_toast_passes, strict=strict,
+                        skip_foreign_origins=skip_foreign_origins)
     return table.read().selectExpr(
         "repo", "path", "`commit`", "lang", "content",
         "sha2(content, 256) AS content_sha",
@@ -203,6 +218,19 @@ def q_cdc_streamed_two_phase_final_state(spark: SparkSession, sf_dir: str) -> Da
     state ≡ the serial replay-by-LSN oracle with aborted streams and
     rolled-back prepared transactions excluded."""
     return _run_cdc_pipeline(spark, P_STREAM2PC)
+
+
+def q_cdc_origin_filtered_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication-origin filtering end-to-end (active-active loop
+    prevention; parity-plus — the reference stubs 'O'): 40% of
+    transactions carry an Origin message right after Begin (their rows
+    were replicated FROM another node). The engine ingests with
+    ``skip_foreign_origins=True``: both kernels drop the foreign
+    transactions' events (vectorized: one extra maximum.accumulate over
+    the 'O' cohort — no loop fallback), the span-carry survives
+    micro-batch cuts, and the final state equals the serial oracle over
+    LOCALLY-originated transactions only."""
+    return _run_cdc_pipeline(spark, P_ORIGIN, skip_foreign_origins=True)
 
 
 def q_cdc_schema_evolution_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -722,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_streamed_final_state": q_cdc_streamed_final_state,
         "cdc_two_phase_final_state": q_cdc_two_phase_final_state,
         "cdc_streamed_two_phase_final_state": q_cdc_streamed_two_phase_final_state,
+        "cdc_origin_filtered_final_state": q_cdc_origin_filtered_final_state,
         "cdc_schema_evolution_final_state": q_cdc_schema_evolution_final_state,
         "cdc_incremental_mview": q_cdc_incremental_mview,
         "cdc_time_travel": q_cdc_time_travel,
@@ -761,6 +790,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cdc_streamed_two_phase_final_state": _gen.duckdb_final_state_sql(
             P_STREAM2PC, with_sha=True
+        ),
+        "cdc_origin_filtered_final_state": _gen.duckdb_final_state_sql(
+            P_ORIGIN, with_sha=True, filter_foreign_origins=True
         ),
         "cdc_schema_evolution_final_state": _gen.duckdb_final_state_sql(
             P_EVOLVE, with_sha=True

@@ -140,6 +140,7 @@ BENCH_QUERIES = (
     "cdc_streamed_final_state",
     "cdc_two_phase_final_state",
     "cdc_streamed_two_phase_final_state",
+    "cdc_origin_filtered_final_state",
     "cdc_schema_evolution_final_state",
     "cdc_point_lookup",
     "cdc_erasure_final_state",

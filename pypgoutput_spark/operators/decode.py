@@ -94,13 +94,18 @@ class StreamState:
     open (between 'S' and 'E') in that segment, if any. Chunks never
     nest, so one slot per segment suffices even with many concurrent
     streams.
+
+    ``foreign``: (segment, xid) keys of streams that carried an
+    in-chunk Origin message — their events are dropped at seal when
+    ``skip_foreign_origins`` filtering is on.
     """
 
-    __slots__ = ("streams", "open_chunk")
+    __slots__ = ("streams", "open_chunk", "foreign")
 
     def __init__(self):
         self.streams: dict = {}
         self.open_chunk: dict = {}
+        self.foreign: set = set()
 
     def __bool__(self):
         return bool(self.streams) or bool(self.open_chunk)
@@ -155,12 +160,22 @@ def _parse_tuple(b: bytes, pos: int):
 
 
 def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
-                     streams: Optional[StreamState] = None):
+                     streams: Optional[StreamState] = None,
+                     skip_foreign_origins: bool = False,
+                     foreign_segs: Optional[set] = None):
     """Per-message loop decode of ONE pandas batch; mutates ``open_tx``
     (segment -> (xid, begin_lsn, commit_ts_us)) and ``streams`` (a
     :class:`StreamState`). Returns a dict of RAW column lists, or None
     when the batch emitted nothing. The per-message try/except is the
     dead-letter (op='E') isolation unit.
+
+    ``skip_foreign_origins``: drop every event of a transaction that
+    carries an Origin message 'O' (its rows were replicated FROM another
+    node — applying them again loops in an active-active mesh; PG sends
+    'O' precisely so subscribers can filter). ``foreign_segs`` is the
+    carried-in per-segment foreign flag for a span cut after its 'O'
+    (mutated like ``open_tx``). Default False keeps the reference-parity
+    skip (events applied, 'O' ignored).
 
     Protocol v2 (PG14+ ``streaming = on``): a large in-progress
     transaction arrives as chunks ``S(xid) DML... E`` (every in-chunk
@@ -177,6 +192,8 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
     """
     if streams is None:
         streams = StreamState()
+    if foreign_segs is None:
+        foreign_segs = set()
     cols = (
         "lsn", "op", "relation_id", "xid", "begin_lsn", "commit_ts_us",
         "schema_version", "before_kind", "before_vals",
@@ -231,9 +248,11 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
         if t == 66:  # 'B'
             blsn, cts, xid = _unpack_begin(b, 1)
             open_tx[seg] = (xid, int(lsn), cts)
+            foreign_segs.discard(seg)
             continue
         if t == 67:  # 'C'
             open_tx.pop(seg, None)
+            foreign_segs.discard(seg)
             continue
         if t in (98, 80, 75, 114):  # two-phase 'b'/'P'/'K'/'r'
             if seg in streams.open_chunk:
@@ -244,6 +263,7 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
             m = codec.decode_message(b)
             if t == 98:  # 'b' Begin Prepare: opens the span like a 'B'
                 open_tx[seg] = (m["xid"], int(lsn), m["prepare_ts_us"])
+                foreign_segs.discard(seg)
                 mk = ("b", int(lsn), m["prepare_ts_us"])
             elif t == 80:  # 'P' Prepare: seals the span like a 'C'
                 tx = open_tx.pop(seg, None)
@@ -252,6 +272,7 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
                         f"Prepare for xid={m['xid']} at lsn={lsn} closes a "
                         f"span opened by xid={tx[0]} (mis-sequenced frame)"
                     )
+                foreign_segs.discard(seg)
                 mk = ("P", None, m["prepare_ts_us"])
             elif t == 75:  # 'K' Commit Prepared (the later decision)
                 mk = ("K", None, m["commit_ts_us"])
@@ -306,6 +327,12 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
             # the committed transaction's events
             (cts,) = _unpack_i64(b, 22)
             del streams.streams[(seg, sxid)]
+            if (seg, sxid) in streams.foreign:
+                # foreign-origin stream under filtering: the committed
+                # events are intentionally NOT applied (loop prevention);
+                # quarantine rows still surface (the frames existed)
+                streams.foreign.discard((seg, sxid))
+                st = [st[0], [], st[2]]
             for e_lsn, e_op, e_rid, e_ver, e_bk, e_bv, e_nv, e_nm, _sub in st[1]:
                 a_lsn(e_lsn); a_op(e_op); a_rid(e_rid)
                 a_xid(sxid); a_blsn(st[0]); a_cts(cts)
@@ -334,6 +361,9 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
                 )
             pts = m["prepare_ts_us"]
             del streams.streams[(seg, sxid)]
+            if (seg, sxid) in streams.foreign:
+                streams.foreign.discard((seg, sxid))
+                st = [st[0], [], st[2]]
             for e_lsn, e_op, e_rid, e_ver, e_bk, e_bv, e_nv, e_nm, _sub in st[1]:
                 a_lsn(e_lsn); a_op(e_op); a_rid(e_rid)
                 a_xid(sxid); a_blsn(st[0]); a_cts(pts)
@@ -365,6 +395,7 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
                 )
             if sub == sxid:
                 del streams.streams[(seg, sxid)]  # whole-transaction abort
+                streams.foreign.discard((seg, sxid))
             else:
                 # subtransaction abort (pgoutput v2: only the named
                 # subxid's changes roll back — the reason in-chunk
@@ -394,6 +425,13 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
             b = b[0:1] + b[5:]  # strip the in-chunk xid → v1 payload
 
         if t in (82, 79, 89):  # 'R' (driver-side), 'O', 'Y' (reference stubs)
+            if t == 79 and skip_foreign_origins:
+                # Origin: this transaction's rows came FROM another node
+                # — mark its events for the drop (v1 span or v2 stream)
+                if in_stream:
+                    streams.foreign.add((seg, top_xid))
+                else:
+                    foreign_segs.add(seg)
             continue
 
         if t == 77:  # 'M' logical decoding message (pg_logical_emit_message)
@@ -429,6 +467,8 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
                     (int(lsn), "M", None, None, bk, None, vals, None, sub_xid)
                 )
                 continue
+            if transactional and seg in foreign_segs:
+                continue  # follows its foreign transaction's skip
             tx = open_tx.get(seg) if transactional else None
             a_lsn(int(lsn)); a_op("M"); a_rid(None)
             a_xid(tx[0] if tx else None)
@@ -463,6 +503,14 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
                 raise ValueError(
                     f"Truncate relation list overruns the frame "
                     f"(n_rel={n_rel}, {len(b)} bytes; corrupt frame)"
+                )
+            if seg in foreign_segs:
+                raise UnsupportedStreamOp(
+                    f"Truncate at lsn={lsn} inside a foreign-origin "
+                    "transaction is not supported with "
+                    "skip_foreign_origins (the truncate barrier is "
+                    "planned from frame metadata, which carries no "
+                    "origin)"
                 )
             tx = open_tx.get(seg)
             for k in range(n_rel):
@@ -530,6 +578,8 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
                 (int(lsn), op, rid, version, bk, b_vals, n_vals, n_mask, sub_xid)
             )
             continue
+        if seg in foreign_segs:
+            continue  # foreign-origin transaction under filtering
         tx = open_tx.get(seg)
         a_lsn(int(lsn)); a_op(op); a_rid(rid)
         a_xid(tx[0] if tx else None)
@@ -547,7 +597,9 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
 
 
 def _make_kernel(registry_plain: dict, strict: bool = True,
-                 init_tx: Optional[dict] = None):
+                 init_tx: Optional[dict] = None,
+                 skip_foreign_origins: bool = False,
+                 init_foreign: Optional[set] = None):
     """mapInPandas loop kernel. ``init_tx``: open-transaction state
     carried in from a previous micro-batch whose cut fell inside a
     transaction (B seen, no C yet) — the distributed analog of the
@@ -558,9 +610,14 @@ def _make_kernel(registry_plain: dict, strict: bool = True,
         import pandas as pd
 
         open_tx: dict = dict(init_tx) if init_tx else {}
+        foreign_segs: set = set(init_foreign) if init_foreign else set()
         streams = StreamState()
         for pdf in batches:
-            out = _loop_decode_pdf(pdf, open_tx, registry_plain, strict, streams)
+            out = _loop_decode_pdf(
+                pdf, open_tx, registry_plain, strict, streams,
+                skip_foreign_origins=skip_foreign_origins,
+                foreign_segs=foreign_segs,
+            )
             if out:  # empty pandas frames break Arrow type inference
                 yield pd.DataFrame(out)
         if streams:
@@ -574,7 +631,9 @@ def _make_kernel(registry_plain: dict, strict: bool = True,
 
 
 def _make_optimistic_kernel(registry_plain: dict, init_tx: Optional[dict] = None,
-                            forbid_loop: bool = False):
+                            forbid_loop: bool = False,
+                            skip_foreign_origins: bool = False,
+                            init_foreign: Optional[set] = None):
     """strict=False HOT path: decode each stream-closed group of Arrow
     batches with the vectorized kernel (protocol-v2 streams included —
     ``vdecode._group_stream_batches`` coalesces batches until every
@@ -597,6 +656,7 @@ def _make_optimistic_kernel(registry_plain: dict, init_tx: Optional[dict] = None
         import pandas as pd
 
         open_tx: dict = dict(init_tx) if init_tx else {}
+        foreign_segs: set = set(init_foreign) if init_foreign else set()
         streams = StreamState()
         for group in vdecode._group_stream_batches(batches):
             # once a fallback leaves loop-kernel stream state open, the
@@ -604,10 +664,13 @@ def _make_optimistic_kernel(registry_plain: dict, init_tx: Optional[dict] = None
             # the vectorized kernel cannot adopt half-buffered streams
             if not streams:
                 tx_try = dict(open_tx)
+                fg_try = set(foreign_segs)
                 try:
                     outs = list(
                         vdecode.process_batch(
-                            vdecode._combine(group), tx_try, registry_plain
+                            vdecode._combine(group), tx_try, registry_plain,
+                            skip_foreign_origins=skip_foreign_origins,
+                            foreign_segs=fg_try,
                         )
                     )
                 except UnsupportedStreamOp:
@@ -617,6 +680,8 @@ def _make_optimistic_kernel(registry_plain: dict, init_tx: Optional[dict] = None
                 else:
                     open_tx.clear()
                     open_tx.update(tx_try)
+                    foreign_segs.clear()
+                    foreign_segs.update(fg_try)
                     yield from outs
                     continue
             if forbid_loop:
@@ -627,6 +692,8 @@ def _make_optimistic_kernel(registry_plain: dict, init_tx: Optional[dict] = None
                 out = _loop_decode_pdf(
                     rb.to_pandas(), open_tx, registry_plain, strict=False,
                     streams=streams,
+                    skip_foreign_origins=skip_foreign_origins,
+                    foreign_segs=foreign_segs,
                 )
                 if out:
                     yield pa.RecordBatch.from_pandas(
@@ -647,7 +714,9 @@ def decode_frames_raw(frames_df, registry: Optional[RelationRegistry] = None,
                       strict: bool = True, clustered: bool = False,
                       open_tx: Optional[dict] = None,
                       vectorized: Optional[bool] = None,
-                      forbid_loop: bool = False):
+                      forbid_loop: bool = False,
+                      skip_foreign_origins: bool = False,
+                      open_foreign: Optional[set] = None):
     """frames → RAW decoded events (positional cell arrays, no maps).
 
     The hot-path form; use :func:`project_relation` for typed columns of
@@ -664,6 +733,13 @@ def decode_frames_raw(frames_df, registry: Optional[RelationRegistry] = None,
     ``forbid_loop`` (strict=False only; captured at plan time): turn any
     loop-kernel fallback into a hard failure — the test pin proving a
     workload decodes wholly on the vectorized path.
+
+    ``skip_foreign_origins``: drop every event of a transaction carrying
+    an Origin message 'O' — client-side loop prevention for active-active
+    replication meshes (the reference stubs 'O'; default False keeps that
+    parity). ``open_foreign``: segments whose carried-in open transaction
+    already saw its 'O' in a previous micro-batch (carried like
+    ``open_tx``).
     """
     if registry is None:
         registry = RelationRegistry.from_frames(frames_df)
@@ -684,17 +760,29 @@ def decode_frames_raw(frames_df, registry: Optional[RelationRegistry] = None,
         from pypgoutput_spark.wal import vdecode
 
         return partitioned.mapInArrow(
-            vdecode.make_kernel(plain, init_tx=open_tx), schema=RAW_SCHEMA
+            vdecode.make_kernel(
+                plain, init_tx=open_tx,
+                skip_foreign_origins=skip_foreign_origins,
+                init_foreign=open_foreign,
+            ),
+            schema=RAW_SCHEMA,
         )
     if vectorized:
         return partitioned.mapInArrow(
             _make_optimistic_kernel(
-                plain, init_tx=open_tx, forbid_loop=forbid_loop
+                plain, init_tx=open_tx, forbid_loop=forbid_loop,
+                skip_foreign_origins=skip_foreign_origins,
+                init_foreign=open_foreign,
             ),
             schema=RAW_SCHEMA,
         )
     return partitioned.mapInPandas(
-        _make_kernel(plain, strict, init_tx=open_tx), schema=RAW_SCHEMA
+        _make_kernel(
+            plain, strict, init_tx=open_tx,
+            skip_foreign_origins=skip_foreign_origins,
+            init_foreign=open_foreign,
+        ),
+        schema=RAW_SCHEMA,
     )
 
 

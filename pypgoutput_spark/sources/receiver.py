@@ -124,6 +124,11 @@ def logical_slots_pdf(p: GenParams, txn_lo: int = 0, txn_hi: Optional[int] = Non
             (_txn_draw(p, ":2pcrb:", txns) % 100) < p.two_phase_rollback_pct
         )
 
+    def foreign_of(txns):
+        if p.origin_pct <= 0:
+            return np.zeros(len(np.asarray(txns)), dtype=bool)
+        return (_txn_draw(p, ":origin:", txns) % 100) < p.origin_pct
+
     interleaving = p.interleave_streams and p.stream_pct > 0
 
     def interleaved_of(txns):
@@ -209,13 +214,21 @@ def logical_slots_pdf(p: GenParams, txn_lo: int = 0, txn_hi: Optional[int] = Non
         )
 
     composed = p.two_phase_pct > 0 and p.stream_pct > 0
+    originating = p.origin_pct > 0  # plain v1 only (GenParams guard)
+    closer_slot = ops + 2 if originating else ops + 1
     parts = [
         o,
         bc(np.where(strm, "S", np.where(prep, "b", "B")), 0,
            il_off=(0, h1 + 2)),
-        bc(np.where(strm, "E", np.where(prep, "P", "C")), ops + 1,
+        bc(np.where(strm, "E", np.where(prep, "P", "C")), closer_slot,
            il_off=(h1 + 1, 2 * h1 + 3)),
     ]
+    if originating:
+        fg = foreign_of(txns)
+        if fg.any():
+            # the Origin frame sits at slot 1, between Begin and the
+            # (shifted) first DML — the generator's origin layout
+            parts.append(bc("g", 1, sel=fg))
     if p.stream_pct > 0 and strm.any():
         # slot ops+2: interleaved pairs open their SECOND chunk ('s',
         # first_segment=0); serial streams commit, abort, or — drawing

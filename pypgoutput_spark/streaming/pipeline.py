@@ -170,6 +170,29 @@ def stored_open_tx(tables) -> dict:
     return _deserialize_tx(best)
 
 
+def stored_open_foreign(tables) -> set:
+    """Carried foreign-origin span flags (segments whose open
+    transaction already saw its Origin message) persisted by the last
+    commit(s) — the skip_foreign_origins sibling of stored_open_tx."""
+    tabs = list(tables.values()) if isinstance(tables, dict) else [tables]
+    best: list = []
+    best_wm = -1
+    for t in tabs:
+        snap = t.snapshot()
+        if snap["watermark_lsn"] > best_wm:
+            best_wm = snap["watermark_lsn"]
+            best = snap["metrics"].get("open_foreign", [])
+    return {int(x) for x in best}
+
+
+def _mtype_o_pred(frames):
+    """Top-level Origin frames 'O' (in-chunk origins are stamped 'o'
+    by the capture layer and resolve inside the stream machinery)."""
+    if "mtype" in frames.columns:
+        return F.col("mtype") == "O"
+    return F.expr("substring(payload, 1, 1) = X'4F'")
+
+
 def _carry_from_stats(frames, seg_rows, open_tx: Optional[dict]) -> dict:
     """Open-transaction state at the end of a batch, given per-segment
     max-B/max-C LSNs. A segment whose last B has no later C is open; its
@@ -320,6 +343,8 @@ def apply_frames_batch(
     messages_dir: Optional[str] = None,
     pending_2pc: Optional[dict] = None,
     pending_dir: Optional[str] = None,
+    skip_foreign_origins: bool = False,
+    open_foreign: Optional[set] = None,
 ) -> dict:
     """One micro-batch: frames → decode once → route per relation →
     LWW → merge each table. Returns metrics (incl. ``open_tx`` carry-out).
@@ -397,21 +422,25 @@ def apply_frames_batch(
     # or below late_wm is excluded from stats/decode but counted here
     gated = late_wm is not None and late_wm >= 0
     live = (F.col("lsn") > late_wm) if gated else F.lit(True)
-    seg_rows = (
-        frames.groupBy("segment")
-        .agg(
-            F.max(F.when(live, F.col("lsn"))).alias("max_lsn"),
-            F.min(F.when(live, F.col("lsn"))).alias("min_lsn"),
-            F.count(F.when(live, 1)).alias("n"),
-            F.count(F.when(~live & ~r_pred, 1)).alias("n_late"),
-            F.max(F.when(b_pred & live, F.col("lsn"))).alias("b_lsn"),
-            F.max(F.when(c_pred & live, F.col("lsn"))).alias("c_lsn"),
-            F.collect_list(F.when(t_pred & live, F.col("lsn"))).alias("t_lsns"),
-            F.collect_list(F.when(p2_pred & live, F.col("lsn"))).alias("p2_lsns"),
-            F.count(F.when(r_pred, 1)).alias("n_r"),
+    aggs = [
+        F.max(F.when(live, F.col("lsn"))).alias("max_lsn"),
+        F.min(F.when(live, F.col("lsn"))).alias("min_lsn"),
+        F.count(F.when(live, 1)).alias("n"),
+        F.count(F.when(~live & ~r_pred, 1)).alias("n_late"),
+        F.max(F.when(b_pred & live, F.col("lsn"))).alias("b_lsn"),
+        F.max(F.when(c_pred & live, F.col("lsn"))).alias("c_lsn"),
+        F.collect_list(F.when(t_pred & live, F.col("lsn"))).alias("t_lsns"),
+        F.collect_list(F.when(p2_pred & live, F.col("lsn"))).alias("p2_lsns"),
+        F.count(F.when(r_pred, 1)).alias("n_r"),
+    ]
+    if skip_foreign_origins:
+        # the foreign-span carry needs each segment's newest top-level
+        # Origin LSN — rides the same metadata-only scan
+        aggs.append(
+            F.max(F.when(_mtype_o_pred(frames) & live, F.col("lsn")))
+            .alias("o_lsn")
         )
-        .collect()
-    )
+    seg_rows = frames.groupBy("segment").agg(*aggs).collect()
     late_frames = int(sum(r["n_late"] for r in seg_rows))
     # mid-stream DDL: merge the batch's R cohort into the caller's registry
     # — but only when the stats scan saw R frames, so the common DML-only
@@ -421,13 +450,16 @@ def apply_frames_batch(
         registry.merge_frames(frames)
     seg_rows = [r for r in seg_rows if r["n"]]
     if not seg_rows:
-        return {
+        out = {
             "skipped": True, "reason": "empty",
             "open_tx": dict(open_tx or {}),
             "pending_2pc": pending_2pc or _empty_pending(),
             "late_frames": late_frames,
             "watermark_lsn": max(t.watermark_lsn for t in table_map.values()),
         }
+        if skip_foreign_origins:
+            out["open_foreign"] = sorted(open_foreign or ())
+        return out
     watermark_lsn = max(r["max_lsn"] for r in seg_rows)
     lineage = {
         "lsn_range": [min(r["min_lsn"] for r in seg_rows), watermark_lsn],
@@ -485,6 +517,28 @@ def apply_frames_batch(
             elif row["lsn"] in open_b_lsns:
                 m = _codec.decode_message(payload)
                 carry[int(row["segment"])] = (m["xid"], int(row["lsn"]), m["commit_ts_us"])
+
+    # ---- foreign-origin span carry (skip_foreign_origins): a span still
+    # open at batch end whose newest same-segment top-level 'O' follows
+    # its 'B' is foreign — carried exactly like open_tx; a span cut
+    # between B and O (carried span, O this batch) stays covered because
+    # the carried segment has no B/C activity but an o_lsn.
+    foreign_out: set = set(open_foreign or ())
+    if skip_foreign_origins:
+        for r in seg_rows:
+            seg_i = int(r["segment"])
+            has_span_activity = r["b_lsn"] is not None or r["c_lsn"] is not None
+            span_open = r["b_lsn"] is not None and (
+                r["c_lsn"] is None or r["b_lsn"] > r["c_lsn"]
+            )
+            o_l = r["o_lsn"]
+            if has_span_activity:
+                if span_open and o_l is not None and o_l > r["b_lsn"]:
+                    foreign_out.add(seg_i)
+                else:
+                    foreign_out.discard(seg_i)
+            elif o_l is not None and seg_i in carry:
+                foreign_out.add(seg_i)
 
     # ---- two-phase planning: driver-side resolution of the tiny control
     # cohort (see docstring). All state is JSON-shaped for the snapshot.
@@ -627,13 +681,16 @@ def apply_frames_batch(
         rid: tbl for rid, tbl in table_map.items() if registry.versions(rid)
     }
     if not managed:
-        return {
+        out = {
             "skipped": True, "reason": "no-relation",
             "open_tx": carry,
             "pending_2pc": pending_2pc or _empty_pending(),
             "late_frames": late_frames,
             "watermark_lsn": max(t.watermark_lsn for t in table_map.values()),
         }
+        if skip_foreign_origins:
+            out["open_foreign"] = sorted(foreign_out)
+        return out
 
     # stream-driven schema evolution (last-Relation-wins, reference
     # reader.py:222-243): align each table schema to the newest Relation
@@ -670,7 +727,9 @@ def apply_frames_batch(
         n_projections += len(vs)
 
     raw = decode_op.decode_frames_raw(
-        eff_frames, registry, strict=strict, clustered=clustered, open_tx=open_tx
+        eff_frames, registry, strict=strict, clustered=clustered,
+        open_tx=open_tx, skip_foreign_origins=skip_foreign_origins,
+        open_foreign=open_foreign,
     )
 
     # events for relations with a registered schema but no managed table
@@ -835,6 +894,8 @@ def apply_frames_batch(
             "lineage": lineage,
             "relations": {},
         }
+        if skip_foreign_origins:
+            out["open_foreign"] = sorted(foreign_out)
         if twopc_active:
             out["two_phase"] = two_metrics
         if messages_dir is not None:
@@ -866,6 +927,8 @@ def apply_frames_batch(
                 "open_tx": _serialize_tx(carry),
                 "dead_letters": int(dead_letters),
             }
+            if skip_foreign_origins:
+                extra["open_foreign"] = sorted(foreign_out)
             if twopc_active or (pending_2pc or {}).get("xids"):
                 extra["pending_2pc"] = new_pending
             m = merge_into(
@@ -920,6 +983,7 @@ def run_ingest(
     kc_toast_passes: int = 0,
     epoch_log=None,
     messages_dir: Optional[str] = None,
+    skip_foreign_origins: bool = False,
 ) -> List[dict]:
     """Replay a frames DataFrame into the table(s) in ``n_batches``
     micro-batches. ``split='segment'`` cuts on WAL-segment boundaries;
@@ -941,6 +1005,8 @@ def run_ingest(
     watermark = min(t.watermark_lsn for t in table_map.values())
     open_tx = stored_open_tx(table_map)
     pending_2pc = stored_pending_2pc(table_map)
+    open_foreign = stored_open_foreign(table_map) if skip_foreign_origins \
+        else set()
     if watermark >= 0:
         frames = frames.filter(F.col("lsn") > watermark)
 
@@ -986,9 +1052,13 @@ def run_ingest(
             open_tx=open_tx, quarantine_dir=quarantine_dir,
             kc_toast_passes=kc_toast_passes, messages_dir=messages_dir,
             pending_2pc=pending_2pc,
+            skip_foreign_origins=skip_foreign_origins,
+            open_foreign=open_foreign,
         )
         open_tx = metrics.get("open_tx", {})
         pending_2pc = metrics.get("pending_2pc", pending_2pc)
+        if skip_foreign_origins:
+            open_foreign = set(metrics.get("open_foreign", []))
         if epoch_log is not None:
             metrics["epoch"] = _publish_epoch(epoch_log, table_map, metrics)
         out.append(metrics)
@@ -1063,6 +1133,7 @@ def stream_ingest(
     clustered: bool = False,
     epoch_log=None,
     messages_dir: Optional[str] = None,
+    skip_foreign_origins: bool = False,
 ):
     """Structured-Streaming variant: parquet frame files → foreachBatch merge.
 
@@ -1116,7 +1187,8 @@ def stream_ingest(
     except Exception:  # noqa: BLE001 — empty/not-yet-created dir: stream-seeded
         pass
     state = {"open_tx": stored_open_tx(table_map),
-             "pending_2pc": stored_pending_2pc(table_map)}
+             "pending_2pc": stored_pending_2pc(table_map),
+             "open_foreign": stored_open_foreign(table_map)}
 
     def _apply(batch_df, batch_id: int) -> None:
         # mid-stream R frames merge into the registry inside
@@ -1133,6 +1205,8 @@ def stream_ingest(
             quarantine_dir=quarantine_dir, kc_toast_passes=kc_toast_passes,
             late_wm=wm, registry_merge=True, messages_dir=messages_dir,
             pending_2pc=state["pending_2pc"],
+            skip_foreign_origins=skip_foreign_origins,
+            open_foreign=state["open_foreign"],
         )
         n_late = m.get("late_frames", 0)
         if n_late:
@@ -1143,6 +1217,8 @@ def stream_ingest(
                 ).write.mode("append").parquet(quarantine_dir + "/late_frames")
         state["open_tx"] = m.get("open_tx", {})
         state["pending_2pc"] = m.get("pending_2pc", state["pending_2pc"])
+        if skip_foreign_origins:
+            state["open_foreign"] = set(m.get("open_foreign", []))
         m["late_frames"] = state.get("late_frames", 0)
         if epoch_log is not None:
             m["epoch"] = _publish_epoch(epoch_log, table_map, m)

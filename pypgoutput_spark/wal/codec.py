@@ -159,6 +159,14 @@ def encode_delete(
     return b"D" + _I32.pack(relation_id) + kind.encode("ascii") + encode_tuple_data(old_cells)
 
 
+def encode_origin(origin_commit_lsn: int, origin_name: str) -> bytes:
+    """Origin message 'O': the commit LSN on the ORIGIN node plus the
+    replication-origin name. PG sends it right after Begin (or inside a
+    stream's first chunk) for transactions whose rows were replicated
+    from another node — the loop-prevention signal in active-active."""
+    return b"O" + _I64.pack(origin_commit_lsn) + _cstring(origin_name)
+
+
 def encode_truncate(relation_ids: Sequence[int], option_bits: int = 0) -> bytes:
     out = [b"T", _I32.pack(len(relation_ids)), _I8.pack(option_bits)]
     for rid in relation_ids:
@@ -320,8 +328,19 @@ def decode_message(payload: bytes) -> dict:
             "lsn_end": lsn_end,
             "commit_ts_us": ts,
         }
-    if t == "O":  # origin — ignored, parity with reference stub (decoders.py:191-200)
-        return {"msg_type": "O"}
+    if t == "O":
+        # Origin: the transaction's rows were originally replicated FROM
+        # another node (replication-origin tracking). The reference stubs
+        # it (decoders.py:191-200); this engine decodes the body so the
+        # pipeline can SKIP foreign-origin transactions (loop prevention
+        # in active-active meshes — the reason PG sends the message).
+        # Tolerate the bare 1-byte form for old synthetic streams.
+        if len(mv) < 10:
+            return {"msg_type": "O"}
+        (oc_lsn,) = _I64.unpack_from(mv, pos)
+        name, _ = _read_cstring(mv, pos + 8)
+        return {"msg_type": "O", "origin_commit_lsn": oc_lsn,
+                "origin_name": name}
     if t == "Y":  # type — ignored, parity with reference stub (decoders.py:264-274)
         return {"msg_type": "Y"}
     if t == "R":

@@ -136,6 +136,15 @@ class GenParams:
     two_phase_pct: int = 0
     two_phase_rollback_pct: int = 0
     two_phase_gap: int = 4
+    #: % of txns carrying a replication-origin message 'O' right after
+    #: Begin (their rows were replicated FROM another node — the
+    #: active-active loop-prevention signal). The engine's
+    #: ``skip_foreign_origins`` filtering drops those txns' events; the
+    #: oracle replays with ``filter_foreign_origins=True``. Composes
+    #: only with the plain v1 layout (the DML slots shift by one to
+    #: make room for the 'O' frame between Begin and the first event).
+    origin_pct: int = 0
+    origin_name: str = "node_b"
 
     def __post_init__(self):
         if self.interleave_streams and self.txns_per_segment % 2:
@@ -165,6 +174,13 @@ class GenParams:
             )
         if self.two_phase_pct > 0 and self.two_phase_gap < 1:
             raise ValueError("two_phase_gap must be >= 1")
+        if self.origin_pct > 0 and (
+            self.stream_pct > 0 or self.two_phase_pct > 0
+            or self.evolve_at_txn > 0 or self.key_change_pct > 0
+        ):
+            raise ValueError(
+                "origin_pct composes only with the plain v1 layout"
+            )
 
     @property
     def n_ops(self) -> int:
@@ -187,6 +203,10 @@ class GenParams:
         # targeting the window.
         if self.two_phase_pct > 0 and self.stream_pct > 0:
             return self.ops_per_txn + 4
+        if self.origin_pct > 0:
+            # slot 1 is the 'O' frame; DML shifts to slots 2..ops+1,
+            # Commit to ops+2
+            return self.ops_per_txn + 3
         return self.ops_per_txn + (
             3 if self.stream_pct > 0 or self.evolve_at_txn > 0
             or self.two_phase_pct > 0 else 2
@@ -246,6 +266,8 @@ def event_exprs(p: GenParams, dialect: str) -> dict:
         lsn = _interleave_event_lsn(
             p, txn, op_idx, interleave_exprs(p, d, txn)
         )
+    elif p.origin_pct > 0:
+        lsn = f"(10 + {txn} * {p.lsn_stride} + 2 + {op_idx})"
     else:
         lsn = f"(10 + {txn} * {p.lsn_stride} + 1 + {op_idx})"
 
@@ -265,6 +287,11 @@ def event_exprs(p: GenParams, dialect: str) -> dict:
         if p.two_phase_pct > 0:
             prepared_t, _ = two_phase_exprs(p, d, txn)
             t_guard += f" AND NOT {prepared_t}"
+        if p.origin_pct > 0:
+            # a truncate inside a foreign-origin txn is refused by the
+            # engine under skip_foreign_origins — foreign txns draw
+            # plain DML instead
+            t_guard += f" AND NOT {origin_exprs(p, d, txn)}"
         op = (
             f"CASE WHEN ({txn} % {p.truncate_every}) = 0 AND {op_idx} = 0"
             f"{t_guard} THEN 'T' ELSE {op_core} END"
@@ -355,6 +382,7 @@ def event_exprs(p: GenParams, dialect: str) -> dict:
     else:
         rel = "0"
 
+    origin_foreign = origin_exprs(p, d, txn)
     streamed, aborted = stream_exprs(p, d, txn)
     if p.two_phase_pct > 0:
         # a rolled-back PREPARED transaction's events vanish exactly like
@@ -395,8 +423,20 @@ def event_exprs(p: GenParams, dialect: str) -> dict:
         "old_path": old_path,
         "streamed": streamed,
         "aborted": aborted,
+        "origin_foreign": origin_foreign,
         **out_extra,
     }
+
+
+def origin_exprs(p: GenParams, d: "_Dialect", txn_expr: str) -> str:
+    """SQL boolean: does this txn carry a replication-origin message
+    (its rows came from another node) — txn-level md5 draw shared by
+    the event stream, the frame layout, and the serial oracle."""
+    if p.origin_pct <= 0:
+        return "false"
+    seed = f"'{p.seed}'"
+    h_or = d.h(seed, "':origin:'", d.s(txn_expr))
+    return f"({h_or} % 100 < {p.origin_pct})"
 
 
 def stream_exprs(p: GenParams, d: "_Dialect", txn_expr: str):
@@ -593,6 +633,10 @@ def _encode_stream_pandas(batches: Iterator, p: GenParams) -> Iterator:
                 ap(codec.encode_rollback_prepared(lsn - 1, lsn, cts, cts,
                                                   xid, f"gid-{xid}"))
                 am("x")
+            elif kind == "g":  # Origin 'O': rows replicated FROM another
+                # node (the active-active loop-prevention signal)
+                ap(codec.encode_origin(lsn, p.origin_name))
+                am("O")
             elif kind == "p":  # Stream Prepare — the v2 spelling of 'P':
                 # seals a STREAMED transaction as PREPARED (PG15
                 # streaming=on + two_phase=on); decision K/r arrives later
@@ -698,6 +742,8 @@ def spark_frames_df(spark, p: GenParams, n_partitions: int = 0, include_relation
     streamed_e, aborted_e = stream_exprs(p, d_spark, "txn")
     il_e = interleave_exprs(p, d_spark, "txn")
     two_e, two_rb_e = two_phase_exprs(p, d_spark, "txn")
+    orig_e = origin_exprs(p, d_spark, "txn")
+    originating = p.origin_pct > 0
     twop = p.two_phase_pct > 0
     gap = p.two_phase_gap
     interleaving = p.interleave_streams and p.stream_pct > 0
@@ -706,14 +752,26 @@ def spark_frames_df(spark, p: GenParams, n_partitions: int = 0, include_relation
         max_slot = ops + 4
     elif composed:
         max_slot = ops + 3
+    elif originating:
+        max_slot = ops + 2  # slot 1 = 'O', DML at 2..ops+1, C at ops+2
     else:
         max_slot = ops + 2 if p.stream_pct > 0 or twop else ops + 1
-    kind = (
-        f"CASE WHEN slot = 0 THEN (CASE WHEN {streamed_e} THEN 'S' "
-        f"WHEN {two_e} THEN 'b' ELSE 'B' END) "
-        f"WHEN slot = {ops + 1} THEN (CASE WHEN {streamed_e} THEN 'E' "
-        f"WHEN {two_e} THEN 'P' ELSE 'C' END) "
-    )
+    if originating:
+        # origin layout (plain v1 only, enforced in __post_init__):
+        # slot 1 carries the Origin frame for foreign txns; the DML
+        # slots shift by one, matching event_exprs' +2 LSN offset
+        kind = (
+            f"CASE WHEN slot = 0 THEN 'B' "
+            f"WHEN slot = 1 THEN (CASE WHEN {orig_e} THEN 'g' ELSE 'X' END) "
+            f"WHEN slot = {ops + 2} THEN 'C' "
+        )
+    else:
+        kind = (
+            f"CASE WHEN slot = 0 THEN (CASE WHEN {streamed_e} THEN 'S' "
+            f"WHEN {two_e} THEN 'b' ELSE 'B' END) "
+            f"WHEN slot = {ops + 1} THEN (CASE WHEN {streamed_e} THEN 'E' "
+            f"WHEN {two_e} THEN 'P' ELSE 'C' END) "
+        )
     # the DECISION frame for a prepared txn t lives in the spare slot
     # of window t+gap (its own LSN/segment are overridden below) —
     # no two source txns target the same window, so slots never
@@ -817,7 +875,10 @@ def spark_frames_df(spark, p: GenParams, n_partitions: int = 0, include_relation
             f"{lsn_sql} AS lsn",
             f"{cts_sql} AS commit_ts_us",
             "CAST(1000 + txn AS BIGINT) AS xid",
-            f"CASE WHEN slot BETWEEN 1 AND {ops} THEN txn * {ops} + slot - 1 END AS i",
+            (f"CASE WHEN slot BETWEEN 2 AND {ops + 1} THEN "
+             f"txn * {ops} + slot - 2 END AS i" if originating else
+             f"CASE WHEN slot BETWEEN 1 AND {ops} THEN "
+             f"txn * {ops} + slot - 1 END AS i"),
             f"{streamed_e} AS streamed",
         )
         .filter("kind <> 'X'")
@@ -954,7 +1015,7 @@ eff_fx AS MATERIALIZED (
 
 def duckdb_final_state_sql(
     p: GenParams, with_sha: bool = True, with_relation: bool = False,
-    kc_toast_passes: int = 8,
+    kc_toast_passes: int = 8, filter_foreign_origins: bool = False,
 ) -> str:
     """DuckDB SQL computing the expected final table state after replaying
     the full stream with serial reference semantics (apply each event in
@@ -991,9 +1052,16 @@ def duckdb_final_state_sql(
     # aborted streamed transactions (protocol v2) and rolled-back
     # PREPARED transactions (two-phase) never committed — their events
     # must not exist for any purpose, truncate cuts included
-    has_aborts = p.stream_pct > 0 or p.two_phase_pct > 0
-    ab = " AND NOT ev.aborted" if has_aborts else ""
-    ab_cut = " WHERE NOT aborted" if has_aborts else ""
+    excl = []
+    if p.stream_pct > 0 or p.two_phase_pct > 0:
+        excl.append("aborted")
+    if filter_foreign_origins and p.origin_pct > 0:
+        # the engine ingests with skip_foreign_origins: foreign txns'
+        # events vanish exactly like aborted streams'
+        excl.append("origin_foreign")
+    ab = (" AND NOT (" + " OR ".join("ev." + c for c in excl) + ")") \
+        if excl else ""
+    ab_cut = (" WHERE NOT (" + " OR ".join(excl) + ")") if excl else ""
     return f"""
 WITH ev AS ({events}),
 cut AS (SELECT rel, coalesce(max(lsn), -1) AS tlsn

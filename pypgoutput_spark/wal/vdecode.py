@@ -439,7 +439,8 @@ def _member(sorted_keys: np.ndarray, query: np.ndarray):
 
 
 def _resolve_streams(data, offs, seg, lsn, first, idx,
-                     ev_xid, ev_blsn, ev_cts, ev_has_tx):
+                     ev_xid, ev_blsn, ev_cts, ev_has_tx,
+                     skip_foreign_origins: bool = False):
     """Vectorized protocol-v2 stream resolution over one (coalesced)
     batch in which every stream closes. Mutates the ``ev_*`` transaction
     stamp arrays for committed in-chunk DML and returns ``(drop,
@@ -453,6 +454,8 @@ def _resolve_streams(data, offs, seg, lsn, first, idx,
     Commit stamps (top xid, first-S lsn, commit ts); Stream Abort
     discards the whole transaction, or only the named subtransaction
     when subxid != xid; a Truncate inside a chunk is refused loudly.
+    With ``skip_foreign_origins``, streams whose chunks carry an Origin
+    message 'O' drop their events at seal (loop-kernel parity).
     """
     n = first.size
     starts = offs[:-1]
@@ -592,6 +595,12 @@ def _resolve_streams(data, offs, seg, lsn, first, idx,
                 f"stream chunk at lsn={lsn[i]} (mis-sequenced frame)"
             )
         aux = np.isin(t_in, [_R, _O, _Y])
+        fo_keys_s = np.empty(0, dtype=np.int64)
+        if skip_foreign_origins and (t_in == _O).any():
+            # streams whose chunks carry an Origin: foreign — their
+            # events drop at seal (client-side loop prevention)
+            o_sr = sr[t_in == _O]
+            fo_keys_s = np.sort(np.unique(skey_at[lsc[o_sr]]))
         drop[sr[aux]] = True
         dml = sr[~aux]
         emb = _be(data, starts[dml] + 1, 4)
@@ -615,6 +624,7 @@ def _resolve_streams(data, offs, seg, lsn, first, idx,
         committed, cpos = _member(c_keys_s, top_keys)
         full_aborted, _ = _member(fa_keys_s, top_keys)
         sub_aborted, _ = _member(sub_keys_s, emb_keys)
+        stream_foreign, _ = _member(fo_keys_s, top_keys)
         undecided = ~(committed | full_aborted)
         if undecided.any():
             i = dml[undecided][0]
@@ -623,7 +633,7 @@ def _resolve_streams(data, offs, seg, lsn, first, idx,
                 f" has neither Stream Commit nor Stream Abort in its group"
                 f" (first open event at lsn={lsn[i]})"
             )
-        drop_dml = full_aborted | sub_aborted
+        drop_dml = full_aborted | sub_aborted | stream_foreign
         drop[dml[drop_dml]] = True
         keep = dml[~drop_dml]
         if keep.size:
@@ -639,7 +649,9 @@ def _resolve_streams(data, offs, seg, lsn, first, idx,
     return drop, shift
 
 
-def make_kernel(registry_plain: dict, init_tx: Optional[dict] = None):
+def make_kernel(registry_plain: dict, init_tx: Optional[dict] = None,
+                skip_foreign_origins: bool = False,
+                init_foreign: Optional[set] = None):
     """mapInArrow kernel: frames RecordBatches -> RAW event RecordBatches.
     Protocol-v2 stream blocks are decoded vectorized: batches are grouped
     so every stream closes within its group (pure-v1 batches pass through
@@ -647,14 +659,21 @@ def make_kernel(registry_plain: dict, init_tx: Optional[dict] = None):
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         open_tx: dict = dict(init_tx) if init_tx else {}
+        foreign_segs: set = set(init_foreign) if init_foreign else set()
         for group in _group_stream_batches(batches):
-            yield from process_batch(_combine(group), open_tx, registry_plain)
+            yield from process_batch(
+                _combine(group), open_tx, registry_plain,
+                skip_foreign_origins=skip_foreign_origins,
+                foreign_segs=foreign_segs,
+            )
 
     return kernel
 
 
 def process_batch(rb: pa.RecordBatch, open_tx: dict,
-                  registry_plain: dict) -> Iterator[pa.RecordBatch]:
+                  registry_plain: dict,
+                  skip_foreign_origins: bool = False,
+                  foreign_segs: Optional[set] = None) -> Iterator[pa.RecordBatch]:
     """Vectorized decode of ONE Arrow batch; mutates ``open_tx`` (the
     per-segment open-transaction carry). The strict=False optimistic
     wrapper (operators.decode) calls this with a COPY of the carry state,
@@ -756,7 +775,59 @@ def process_batch(rb: pa.RecordBatch, open_tx: dict,
         drop, shift = _resolve_streams(
             data, offs, seg, lsn, first, idx,
             ev_xid, ev_blsn, ev_cts, ev_has_tx,
+            skip_foreign_origins=skip_foreign_origins,
         )
+
+    # ---- origin filtering (client-side loop prevention) --------------
+    # A transaction carrying an Origin message 'O' (rows replicated FROM
+    # another node) drops its events when skip_foreign_origins is on.
+    # Default off = reference-parity skip of the 'O' frame itself.
+    foreign_row = None
+    if skip_foreign_origins:
+        if foreign_segs is None:
+            foreign_segs = set()
+        is_o = first == _O
+        top_o = is_o if drop is None else (is_o & ~drop)
+        last_o = np.maximum.accumulate(np.where(top_o, idx, -1))
+        lo = np.clip(last_o, 0, None)
+        # in an open span whose Begin precedes a same-segment 'O'
+        foreign_row = (
+            in_open & (last_o >= 0) & (last_o >= last_b) & (seg[lo] == seg)
+        )
+        # a carried-in span whose 'O' lands in THIS batch (the cut fell
+        # between B and O — split='lsn' only; PG emits O right after B,
+        # so no DML precedes it)
+        foreign_row |= (~has_activity) & (last_o >= 0) & (seg[lo] == seg)
+        if foreign_segs.intersection(int(x) for x in np.unique(seg)):
+            # carried-in foreign spans: rows before any same-segment B/C
+            carry_rows = ~has_activity
+            for s_ in foreign_segs:
+                foreign_row |= carry_rows & (seg == s_)
+        bad_t = foreign_row & (first == _T)
+        if bad_t.any():
+            i = int(np.nonzero(bad_t)[0][0])
+            raise _codec.UnsupportedStreamOp(
+                f"Truncate at lsn={lsn[i]} inside a foreign-origin "
+                "transaction is not supported with skip_foreign_origins "
+                "(the truncate barrier is planned from frame metadata, "
+                "which carries no origin)"
+            )
+        # fold the span's events into drop — EXCEPT 'M' (a
+        # non-transactional message inside a foreign span still
+        # delivers; the M cohort applies the transactional check)
+        ev_drop = foreign_row & ~is_o & (first != _M)
+        if ev_drop.any():
+            drop = ev_drop if drop is None else (drop | ev_drop)
+        # carry-out, exactly like open_tx: per segment, the span still
+        # open at batch end is foreign iff its 'O' was seen
+        for s_, li in zip(useg, last_i):
+            if has_activity[li]:
+                if in_open[li] and foreign_row[li]:
+                    foreign_segs.add(int(s_))
+                else:
+                    foreign_segs.discard(int(s_))
+            elif foreign_row[li]:
+                foreign_segs.add(int(s_))  # carried span, 'O' this batch
 
     def cohort(type_byte: int) -> np.ndarray:
         sel = first == type_byte
@@ -909,7 +980,6 @@ def process_batch(rb: pa.RecordBatch, open_tx: dict,
     if sel.any():
         rows = idx[sel]
         st = sh_starts(rows)
-        m = rows.size
         o_lsn: list = []; o_xid: list = []; o_blsn: list = []
         o_cts: list = []; o_bk: list = []; o_vals: list = []; o_seg: list = []
         for r, s in zip(rows, st):
@@ -944,6 +1014,8 @@ def process_batch(rb: pa.RecordBatch, open_tx: dict,
                     f"Message prefix/content is not UTF-8 at lsn={lsn[r]}: {exc}"
                 ) from None
             transactional = flags & 1 == 1
+            if transactional and foreign_row is not None and foreign_row[r]:
+                continue  # follows its foreign transaction's skip
             in_chunk_r = shift is not None and int(shift[r]) == 4
             stamped = bool(ev_has_tx[r]) and (transactional or in_chunk_r)
             o_lsn.append(int(lsn[r]))
@@ -953,20 +1025,22 @@ def process_batch(rb: pa.RecordBatch, open_tx: dict,
             o_bk.append("t" if transactional else "n")
             o_vals.append([prefix, content])
             o_seg.append(int(seg[r]))
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(o_lsn, type=pa.int64()), _const_str("M", m),
-                pa.nulls(m, pa.int32()),
-                pa.array(o_xid, type=pa.int64()),
-                pa.array(o_blsn, type=pa.int64()),
-                pa.array(o_cts, type=pa.int64()),
-                pa.nulls(m, pa.int32()),
-                pa.array(o_bk, type=pa.string()), _null_list(m),
-                pa.array(o_vals, type=pa.list_(pa.string())), _null_masks(m),
-                pa.array(o_seg, type=pa.int64()), pa.nulls(m, pa.string()),
-            ],
-            schema=RAW_PA_SCHEMA,
-        )
+        m = len(o_lsn)  # foreign-span transactional messages were skipped
+        if m:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_lsn, type=pa.int64()), _const_str("M", m),
+                    pa.nulls(m, pa.int32()),
+                    pa.array(o_xid, type=pa.int64()),
+                    pa.array(o_blsn, type=pa.int64()),
+                    pa.array(o_cts, type=pa.int64()),
+                    pa.nulls(m, pa.int32()),
+                    pa.array(o_bk, type=pa.string()), _null_list(m),
+                    pa.array(o_vals, type=pa.list_(pa.string())), _null_masks(m),
+                    pa.array(o_seg, type=pa.int64()), pa.nulls(m, pa.string()),
+                ],
+                schema=RAW_PA_SCHEMA,
+            )
 
     # ---- two-phase marker cohort ('b'/'P'/'K'/'r'/'p'): rare → scalar.
     # One marker row per control frame (gid rides new_vals) — the

@@ -84,14 +84,18 @@ P_TWO_PHASE = _gen.GenParams(
 )
 
 #: replication-origin filtering (active-active loop prevention): 40% of
-#: txns carry an Origin message 'O' right after Begin — their rows were
-#: replicated FROM another node; the engine ingests with
-#: ``skip_foreign_origins=True`` and must apply ONLY the locally-
-#: originated transactions. The oracle replays with the foreign txns
-#: excluded (the reference stubs 'O' — parity-plus).
+#: txns carry an Origin message 'O' — their rows were replicated FROM
+#: another node; 35% of txns also stream as protocol-v2 chunks (a
+#: foreign streamed txn's 'O' rides its first chunk, xid-prefixed), so
+#: the entry exercises BOTH filter paths: v1 spans (per-segment flag,
+#: cut-carried) and v2 streams (dropped at seal). The engine ingests
+#: with ``skip_foreign_origins=True`` and must apply ONLY the locally-
+#: originated committed transactions. The oracle replays with foreign
+#: AND aborted txns excluded (the reference stubs 'O' — parity-plus).
 P_ORIGIN = _gen.GenParams(
     n_txns=140, ops_per_txn=8, n_repos=45, n_paths=28,
     toast_pct=30, txns_per_segment=14, origin_pct=40,
+    stream_pct=35, stream_abort_pct=20,
 )
 
 #: streamed two-phase (PG15 ``streaming = on, two_phase = on``): 45% of
@@ -223,13 +227,15 @@ def q_cdc_streamed_two_phase_final_state(spark: SparkSession, sf_dir: str) -> Da
 def q_cdc_origin_filtered_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replication-origin filtering end-to-end (active-active loop
     prevention; parity-plus — the reference stubs 'O'): 40% of
-    transactions carry an Origin message right after Begin (their rows
-    were replicated FROM another node). The engine ingests with
-    ``skip_foreign_origins=True``: both kernels drop the foreign
-    transactions' events (vectorized: one extra maximum.accumulate over
-    the 'O' cohort — no loop fallback), the span-carry survives
-    micro-batch cuts, and the final state equals the serial oracle over
-    LOCALLY-originated transactions only."""
+    transactions carry an Origin message (their rows were replicated
+    FROM another node) — right after Begin for v1 spans, inside the
+    first chunk (xid-prefixed) for the 35% that stream as protocol-v2.
+    The engine ingests with ``skip_foreign_origins=True``: both kernels
+    drop the foreign transactions' events on both paths (v1 spans: one
+    extra maximum.accumulate over the 'O' cohort; v2 streams: one extra
+    sorted-key membership at seal — no loop fallback), the span-carry
+    survives micro-batch cuts, and the final state equals the serial
+    oracle over LOCALLY-originated committed transactions only."""
     return _run_cdc_pipeline(spark, P_ORIGIN, skip_foreign_origins=True)
 
 

@@ -214,7 +214,9 @@ def logical_slots_pdf(p: GenParams, txn_lo: int = 0, txn_hi: Optional[int] = Non
         )
 
     composed = p.two_phase_pct > 0 and p.stream_pct > 0
-    originating = p.origin_pct > 0  # plain v1 only (GenParams guard)
+    # origin layout (v1 + serial streams; interleave/two-phase refused
+    # by the GenParams guard): 'O' at slot 1 shifts every closer by one
+    originating = p.origin_pct > 0
     closer_slot = ops + 2 if originating else ops + 1
     parts = [
         o,
@@ -237,7 +239,7 @@ def logical_slots_pdf(p: GenParams, txn_lo: int = 0, txn_hi: Optional[int] = Non
         if composed:
             closer = np.where(prep, "p", closer)
         parts.append(bc(
-            closer, ops + 2, sel=strm,
+            closer, ops + 3 if originating else ops + 2, sel=strm,
             il_off=(2 * h1 + 4, h1 + ops + 6),
         ))
         if interleaving and il.any():

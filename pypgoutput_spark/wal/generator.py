@@ -141,8 +141,10 @@ class GenParams:
     #: active-active loop-prevention signal). The engine's
     #: ``skip_foreign_origins`` filtering drops those txns' events; the
     #: oracle replays with ``filter_foreign_origins=True``. Composes
-    #: only with the plain v1 layout (the DML slots shift by one to
-    #: make room for the 'O' frame between Begin and the first event).
+    #: with the plain v1 layout and with serial v2 streams
+    #: (``stream_pct``, a foreign streamed txn carries an xid-prefixed
+    #: in-chunk 'O'); the DML slots shift by one to make room for the
+    #: 'O' frame between Begin/Stream-Start and the first event.
     origin_pct: int = 0
     origin_name: str = "node_b"
 
@@ -175,11 +177,13 @@ class GenParams:
         if self.two_phase_pct > 0 and self.two_phase_gap < 1:
             raise ValueError("two_phase_gap must be >= 1")
         if self.origin_pct > 0 and (
-            self.stream_pct > 0 or self.two_phase_pct > 0
+            self.interleave_streams or self.two_phase_pct > 0
             or self.evolve_at_txn > 0 or self.key_change_pct > 0
         ):
             raise ValueError(
-                "origin_pct composes only with the plain v1 layout"
+                "origin_pct composes with the plain v1 layout and serial "
+                "v2 streams only (no interleave/two-phase/evolve/"
+                "key-change)"
             )
 
     @property
@@ -205,8 +209,9 @@ class GenParams:
             return self.ops_per_txn + 4
         if self.origin_pct > 0:
             # slot 1 is the 'O' frame; DML shifts to slots 2..ops+1,
-            # Commit to ops+2
-            return self.ops_per_txn + 3
+            # Commit/Stream-Stop to ops+2 (+ the stream closer at ops+3
+            # when serial v2 streams compose in)
+            return self.ops_per_txn + (4 if self.stream_pct > 0 else 3)
         return self.ops_per_txn + (
             3 if self.stream_pct > 0 or self.evolve_at_txn > 0
             or self.two_phase_pct > 0 else 2
@@ -634,9 +639,16 @@ def _encode_stream_pandas(batches: Iterator, p: GenParams) -> Iterator:
                                                   xid, f"gid-{xid}"))
                 am("x")
             elif kind == "g":  # Origin 'O': rows replicated FROM another
-                # node (the active-active loop-prevention signal)
-                ap(codec.encode_origin(lsn, p.origin_name))
-                am("O")
+                # node (the active-active loop-prevention signal); a
+                # streamed txn's 'O' rides its first chunk — xid-prefixed
+                # like any in-chunk message, mtype-stamped lowercase
+                body = codec.encode_origin(lsn, p.origin_name)
+                if strm:
+                    ap(body[0:1] + pk_i32(xid) + body[1:])
+                    am("o")
+                else:
+                    ap(body)
+                    am("O")
             elif kind == "p":  # Stream Prepare — the v2 spelling of 'P':
                 # seals a STREAMED transaction as PREPARED (PG15
                 # streaming=on + two_phase=on); decision K/r arrives later
@@ -753,18 +765,29 @@ def spark_frames_df(spark, p: GenParams, n_partitions: int = 0, include_relation
     elif composed:
         max_slot = ops + 3
     elif originating:
-        max_slot = ops + 2  # slot 1 = 'O', DML at 2..ops+1, C at ops+2
+        # slot 1 = 'O', DML at 2..ops+1, C / Stream-Stop at ops+2, and
+        # — with serial streams composed in — the stream closer at ops+3
+        max_slot = ops + 3 if p.stream_pct > 0 else ops + 2
     else:
         max_slot = ops + 2 if p.stream_pct > 0 or twop else ops + 1
     if originating:
-        # origin layout (plain v1 only, enforced in __post_init__):
-        # slot 1 carries the Origin frame for foreign txns; the DML
-        # slots shift by one, matching event_exprs' +2 LSN offset
+        # origin layout (v1 + serial v2 streams, enforced in
+        # __post_init__): slot 1 carries the Origin frame for foreign
+        # txns ('g'; the encoder adds the in-chunk xid prefix for
+        # streamed ones); the DML slots shift by one, matching
+        # event_exprs' +2 LSN offset
         kind = (
-            f"CASE WHEN slot = 0 THEN 'B' "
+            f"CASE WHEN slot = 0 THEN (CASE WHEN {streamed_e} THEN 'S' "
+            f"ELSE 'B' END) "
             f"WHEN slot = 1 THEN (CASE WHEN {orig_e} THEN 'g' ELSE 'X' END) "
-            f"WHEN slot = {ops + 2} THEN 'C' "
+            f"WHEN slot = {ops + 2} THEN (CASE WHEN {streamed_e} THEN 'E' "
+            f"ELSE 'C' END) "
         )
+        if p.stream_pct > 0:
+            kind += (
+                f"WHEN slot = {ops + 3} THEN (CASE WHEN {aborted_e} THEN 'A' "
+                f"WHEN {streamed_e} THEN 'c' ELSE 'X' END) "
+            )
     else:
         kind = (
             f"CASE WHEN slot = 0 THEN (CASE WHEN {streamed_e} THEN 'S' "
@@ -791,7 +814,7 @@ def spark_frames_df(spark, p: GenParams, n_partitions: int = 0, include_relation
             f"WHEN {two_e} AND {two_rb_e} THEN 'r' "
             f"WHEN {two_e} THEN 'K' ELSE 'X' END) "
         )
-    elif p.stream_pct > 0:
+    elif p.stream_pct > 0 and not originating:
         kind += (
             f"WHEN slot = {ops + 2} THEN (CASE WHEN {il_e} THEN 's' "
             f"WHEN {aborted_e} THEN 'A' "

@@ -294,9 +294,45 @@ def test_generator_origin_layout(spark):
     # body decodes with the configured origin name
     m = codec.decode_message(bytes(o.iloc[0].payload))
     assert m["origin_name"] == p.origin_name
-    # composition guard: origin_pct is v1-only
-    with pytest.raises(ValueError, match="plain v1"):
-        gen.GenParams(origin_pct=10, stream_pct=10)
+    # composition guards: serial streams compose; interleave/2pc do not
+    with pytest.raises(ValueError, match="serial"):
+        gen.GenParams(origin_pct=10, two_phase_pct=10)
+    with pytest.raises(ValueError, match="serial"):
+        gen.GenParams(origin_pct=10, stream_pct=10,
+                      interleave_streams=True, txns_per_segment=4)
+
+
+def test_generator_origin_stream_composed_layout(spark):
+    """origin_pct × stream_pct: a foreign STREAMED txn's 'O' rides its
+    first chunk — xid-prefixed, mtype-stamped lowercase 'o' (metadata
+    paths must not read v2 payloads with v1 offsets); receiver slot
+    frames stay byte-identical."""
+    from pypgoutput_spark.sources import receiver as rcv
+
+    p = gen.GenParams(
+        n_txns=30, ops_per_txn=4, n_repos=10, n_paths=6,
+        txns_per_segment=6, origin_pct=50, stream_pct=40,
+        stream_abort_pct=25,
+    )
+    pdf = gen.spark_frames_df(spark, p).toPandas().sort_values("lsn")
+    o_top = pdf[pdf.mtype == "O"]
+    o_chunk = pdf[pdf.mtype == "o"]
+    assert len(o_top) > 0 and len(o_chunk) > 0
+    # in-chunk 'O': byte1 'O', then the stream xid, then the v1 body
+    raw = bytes(o_chunk.iloc[0].payload)
+    xid, body = codec.strip_stream_xid(raw)
+    m = codec.decode_message(body)
+    assert m["msg_type"] == "O" and m["origin_name"] == p.origin_name
+    # each in-chunk 'o' sits right after its stream's first 'S'
+    s_lsns = set(pdf[pdf.mtype == "S"].lsn)
+    assert all((lsn - 1) in s_lsns for lsn in o_chunk.lsn)
+    # receiver producer emits byte-identical frames for the composed layout
+    rpdf = rcv.encode_frames_pdf(p, include_relation=True) \
+        .sort_values("lsn").reset_index(drop=True)
+    gpdf = pdf.reset_index(drop=True)
+    assert len(rpdf) == len(gpdf)
+    assert (rpdf.mtype.values == gpdf.mtype.values).all()
+    assert all(bytes(a) == bytes(b) for a, b in zip(rpdf.payload, gpdf.payload))
 
 
 def test_generated_origin_stream_matches_filtered_oracle(spark):
@@ -339,6 +375,57 @@ def test_generated_origin_stream_matches_filtered_oracle(spark):
     assert pipe.stored_open_foreign(table) == set(
         ms[-1].get("open_foreign", [])
     )
+
+
+def test_generated_composed_origin_stream_matches_oracle(spark):
+    """origin_pct × stream_pct e2e: BOTH filter paths in one replay —
+    v1 spans (cut-carried per-segment flag) and v2 streams (in-chunk
+    'O', dropped at seal) — against the oracle with foreign AND aborted
+    transactions excluded."""
+    p = gen.GenParams(
+        n_txns=60, ops_per_txn=6, n_repos=20, n_paths=12,
+        txns_per_segment=10, toast_pct=25,
+        origin_pct=40, stream_pct=35, stream_abort_pct=20,
+    )
+    frames = gen.spark_frames_df(spark, p)
+    tmp = tempfile.mkdtemp(prefix="porigin_comp_")
+    table = LakeTable.create(
+        spark, f"{tmp}/lake",
+        schema=[(c, "string") for c in gen.ALL_COLUMNS],
+        key_cols=list(gen.KEY_COLUMNS), n_buckets=8,
+    )
+    pipe.run_ingest(
+        spark, frames, table, n_batches=4, skip_foreign_origins=True
+    )
+    got = (
+        table.read().toPandas()
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    exp = (
+        duckdb.sql(gen.duckdb_final_state_sql(
+            p, with_sha=False, filter_foreign_origins=True
+        )).df()
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    cols = ["repo", "path", "commit", "lang", "content"]
+    pd.testing.assert_frame_equal(got[cols], exp[cols], check_dtype=False)
+    # the default (parity) replay still matches the UNfiltered oracle
+    table2 = LakeTable.create(
+        spark, f"{tmp}/lake2",
+        schema=[(c, "string") for c in gen.ALL_COLUMNS],
+        key_cols=list(gen.KEY_COLUMNS), n_buckets=8,
+    )
+    pipe.run_ingest(spark, frames, table2, n_batches=4)
+    got2 = (
+        table2.read().toPandas()
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    exp2 = (
+        duckdb.sql(gen.duckdb_final_state_sql(p, with_sha=False)).df()
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got2[cols], exp2[cols], check_dtype=False)
+    assert len(exp) < len(exp2)
 
 
 def test_mid_span_lsn_cut_carries_foreign_flag_e2e(spark):

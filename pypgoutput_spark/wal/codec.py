@@ -254,8 +254,19 @@ def encode_stream_commit(xid: int, lsn_commit: int, lsn_end: int,
             + _I64.pack(lsn_end) + _I64.pack(commit_ts_us))
 
 
-def encode_stream_abort(xid: int, subxid: Optional[int] = None) -> bytes:
-    return b"A" + _I32.pack(xid) + _I32.pack(xid if subxid is None else subxid)
+def encode_stream_abort(xid: int, subxid: Optional[int] = None,
+                        abort_lsn: Optional[int] = None,
+                        abort_ts_us: Optional[int] = None) -> bytes:
+    """Stream Abort 'A'. With ``abort_lsn``/``abort_ts_us`` set (both or
+    neither), emits the protocol-v4 form (PG16 ``streaming = parallel``):
+    the v2 body plus the abort LSN and abort timestamp — parallel apply
+    workers need them to truncate their already-applied prefix."""
+    out = b"A" + _I32.pack(xid) + _I32.pack(xid if subxid is None else subxid)
+    if (abort_lsn is None) != (abort_ts_us is None):
+        raise ValueError("v4 Stream Abort needs BOTH abort_lsn and abort_ts_us")
+    if abort_lsn is not None:
+        out += _I64.pack(abort_lsn) + _I64.pack(abort_ts_us)
+    return out
 
 
 def add_stream_xid(payload: bytes, xid: int) -> bytes:
@@ -465,9 +476,14 @@ def decode_message(payload: bytes) -> dict:
             "msg_type": "c", "xid": xid, "flags": flags,
             "lsn_commit": lsn_commit, "lsn_end": lsn_end, "commit_ts_us": ts,
         }
-    if t == "A":  # Stream Abort
+    if t == "A":  # Stream Abort (v2: xid+subxid; v4 adds lsn+ts)
         xid, subxid = struct.unpack_from(">ii", mv, pos)
-        return {"msg_type": "A", "xid": xid, "subxid": subxid}
+        out = {"msg_type": "A", "xid": xid, "subxid": subxid}
+        if len(mv) >= pos + 24:  # protocol v4 (PG16 streaming=parallel)
+            a_lsn, a_ts = struct.unpack_from(">qq", mv, pos + 8)
+            out["abort_lsn"] = a_lsn
+            out["abort_ts_us"] = a_ts
+        return out
     if t in ("b", "P", "K", "r", "p"):  # two-phase commit family
         def _gid(at: int) -> str:
             if at + 1 > len(mv):

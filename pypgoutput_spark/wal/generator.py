@@ -147,6 +147,11 @@ class GenParams:
     #: 'O' frame between Begin/Stream-Start and the first event.
     origin_pct: int = 0
     origin_name: str = "node_b"
+    #: emit Stream Abort in its protocol-v4 form (PG16 ``streaming =
+    #: parallel``): the v2 xid+subxid body plus abort LSN + abort
+    #: timestamp. Decode-transparent (both kernels read the fixed v2
+    #: prefix); the trailer is surfaced by ``codec.decode_message``.
+    abort_v4: bool = False
 
     def __post_init__(self):
         if self.interleave_streams and self.txns_per_segment % 2:
@@ -668,7 +673,11 @@ def _encode_stream_pandas(batches: Iterator, p: GenParams) -> Iterator:
                 ap(b"c" + pk_i32(xid) + b"\x00" + struct.pack(">qqq", lsn - 1, lsn, cts))
                 am("c")
             elif kind == "A":
-                ap(b"A" + pk_i32(xid) + pk_i32(xid))
+                if p.abort_v4:  # PG16 streaming=parallel spelling
+                    ap(b"A" + pk_i32(xid) + pk_i32(xid)
+                       + struct.pack(">qq", lsn - 1, cts))
+                else:
+                    ap(b"A" + pk_i32(xid) + pk_i32(xid))
                 am("A")
             elif op == "I" or op == "U":
                 # in-chunk v2 messages carry the xid after the type byte

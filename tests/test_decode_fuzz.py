@@ -348,3 +348,88 @@ def test_composed_two_phase_corruption_never_escapes():
             assert str(exc)
             s_raised += 1
     assert s_raised > 50, (s_ok, s_raised)
+
+
+def _fixture_origin():
+    """Origin-bearing corpus: v1 foreign spans (top-level 'O'), foreign
+    v2 streams (in-chunk xid-prefixed 'O'), v4-form aborts — corruption
+    must land on Origin bodies and the filter machinery must stay typed
+    under skip_foreign_origins."""
+    p = GenParams(n_txns=16, ops_per_txn=3, toast_pct=20, txns_per_segment=8,
+                  origin_pct=50, stream_pct=40, stream_abort_pct=25,
+                  abort_v4=True)
+    pdf = encode_frames_pdf(p, include_relation=True)
+    pdf = pdf.sort_values(["segment", "lsn"]).reset_index(drop=True)
+    reg = RelationRegistry()
+    for _, row in pdf[pdf["mtype"] == "R"].iterrows():
+        reg.add_relation(int(row["lsn"]), codec.decode_message(bytes(row["payload"])))
+    return pdf, reg.to_plain()
+
+
+def test_origin_grammar_corruption_never_escapes():
+    """Byte corruption over the origin grammar with filtering ON: the
+    optimistic kernel quarantines or raises typed only; the strict
+    vectorized kernel fail-fasts typed only. A clean replay through the
+    filtering kernel stays the baseline (foreign events absent, no
+    quarantine rows)."""
+    from pypgoutput_spark.wal import vdecode
+
+    pdf, plain = _fixture_origin()
+    base = [bytes(b) for b in pdf["payload"]]
+    assert any(b[:1] == b"O" and len(b) > 1 for b in base), "need 'O' bodies"
+    assert any(len(b) == 25 and b[:1] == b"A" for b in base), "need v4 aborts"
+
+    # clean baseline through the FILTERING optimistic kernel
+    tbl = pa.table({
+        "segment": pa.array(pdf["segment"].tolist(), pa.int64()),
+        "lsn": pa.array(pdf["lsn"].tolist(), pa.int64()),
+        "payload": pa.array(base, pa.binary()),
+    })
+    kernel = decode_op._make_optimistic_kernel(plain, skip_foreign_origins=True)
+    outs = list(kernel(iter(tbl.to_batches(max_chunksize=BATCH_ROWS))))
+    clean_rows = sum(rb.num_rows for rb in outs)
+    assert clean_rows > 0
+    for rb in outs:
+        errs = rb.column(rb.schema.get_field_index("error")).to_pylist()
+        assert not any(errs), "clean stream must not quarantine"
+
+    rng = random.Random(20260820)
+    completed = raised = 0
+    for _ in range(600):
+        payloads = _corrupt(base, rng)
+        t = pa.table({
+            "segment": pa.array(pdf["segment"].tolist(), pa.int64()),
+            "lsn": pa.array(pdf["lsn"].tolist(), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+        k = decode_op._make_optimistic_kernel(plain, skip_foreign_origins=True)
+        try:
+            outs = list(k(iter(t.to_batches(max_chunksize=BATCH_ROWS))))
+        except (ValueError, codec.UnsupportedStreamOp) as exc:
+            assert str(exc)
+            raised += 1
+            continue
+        completed += 1
+        for rb in outs:
+            ops = rb.column(rb.schema.get_field_index("op")).to_pylist()
+            errs = rb.column(rb.schema.get_field_index("error")).to_pylist()
+            for op, err in zip(ops, errs):
+                assert (op == "E") == (err is not None)
+    assert completed > 30 and raised > 10, (completed, raised)
+
+    s_ok = s_raised = 0
+    for _ in range(400):
+        payloads = _corrupt(base, rng)
+        t = pa.table({
+            "segment": pa.array(pdf["segment"].tolist(), pa.int64()),
+            "lsn": pa.array(pdf["lsn"].tolist(), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+        k = vdecode.make_kernel(plain, skip_foreign_origins=True)
+        try:
+            list(k(iter(t.to_batches(max_chunksize=BATCH_ROWS))))
+            s_ok += 1
+        except (ValueError, codec.UnsupportedStreamOp) as exc:
+            assert str(exc)
+            s_raised += 1
+    assert s_raised > 50, (s_ok, s_raised)

@@ -659,3 +659,77 @@ def test_truncated_stream_commit_never_destroys_buffered_events(spark):
                 decode_op.decode_frames_raw(
                     frames, strict=strict, vectorized=vectorized, clustered=True
                 ).collect()
+
+
+def test_codec_stream_abort_v4_roundtrip():
+    """Protocol v4 (PG16 streaming=parallel): Stream Abort carries the
+    abort LSN + abort timestamp after the v2 xid/subxid body."""
+    m = codec.decode_message(
+        codec.encode_stream_abort(4242, abort_lsn=99, abort_ts_us=777000)
+    )
+    assert m == {
+        "msg_type": "A", "xid": 4242, "subxid": 4242,
+        "abort_lsn": 99, "abort_ts_us": 777000,
+    }
+    # subxid-scoped v4 abort
+    m = codec.decode_message(
+        codec.encode_stream_abort(4242, 4300, abort_lsn=98, abort_ts_us=1)
+    )
+    assert (m["subxid"], m["abort_lsn"]) == (4300, 98)
+    # half a trailer is a caller bug, not a wire form
+    with pytest.raises(ValueError, match="BOTH"):
+        codec.encode_stream_abort(4242, abort_lsn=99)
+    # v2 form still decodes without the trailer keys
+    assert "abort_lsn" not in codec.decode_message(codec.encode_stream_abort(1))
+
+
+@pytest.mark.parametrize("mode", ["loop", "strict-vec", "optimistic"])
+def test_v4_abort_decodes_on_all_kernels(spark, mode):
+    """A v4 Stream Abort discards its stream on every kernel — the
+    trailer is decode-transparent (fixed-offset v2 prefix)."""
+    rows = [
+        r if r[1] != 33 else
+        (0, 33, codec.encode_stream_abort(7002, abort_lsn=32, abort_ts_us=5))
+        for r in _stream_rows()
+    ]
+    frames = _mk_frames_df(spark, rows)
+    raw = decode_op.decode_frames_raw(
+        frames,
+        strict=(mode != "optimistic"),
+        vectorized=(mode != "loop"),
+        forbid_loop=(mode == "optimistic"),
+    )
+    assert {r["lsn"] for r in raw.collect()} == {11, 21, 22, 25}
+
+
+def test_generated_v4_abort_stream_matches_oracle(spark, tmp_path):
+    """abort_v4=True: the generator emits PG16-form aborts; the replay
+    still matches the serial oracle (aborted txns vanish either way)."""
+    import duckdb
+
+    from pypgoutput_spark.lake.table import LakeTable
+    from pypgoutput_spark.streaming import pipeline
+    from pypgoutput_spark.wal import generator as gen
+
+    p = gen.GenParams(n_txns=40, ops_per_txn=5, toast_pct=25,
+                      txns_per_segment=10, stream_pct=50,
+                      stream_abort_pct=30, abort_v4=True)
+    frames = gen.spark_frames_df(spark, p)
+    # the wire really is the 25-byte v4 form
+    a = frames.filter("mtype = 'A'").limit(1).collect()
+    assert a and len(bytes(a[0]["payload"])) == 25
+    m = codec.decode_message(bytes(a[0]["payload"]))
+    assert "abort_lsn" in m and "abort_ts_us" in m
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"),
+        schema=[(c, "string") for c in gen.ALL_COLUMNS],
+        key_cols=list(gen.KEY_COLUMNS), n_buckets=8,
+    )
+    pipeline.run_ingest(spark, frames, table, n_batches=3)
+    got = table.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    want = (
+        duckdb.sql(gen.duckdb_final_state_sql(p, with_sha=False))
+        .df().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got[want.columns.tolist()].equals(want)

@@ -48,6 +48,7 @@ from pypgoutput_spark.operators import decode as decode_op
 from pypgoutput_spark.operators.lww import lww_changes_flat
 from pypgoutput_spark.operators.merge import merge_into
 from pypgoutput_spark.plans.registry import RelationRegistry
+from pypgoutput_spark.sources.frames import check_continuity
 from pypgoutput_spark.wal import codec as _codec
 from pypgoutput_spark.wal.generator import RELATION_ID
 
@@ -984,6 +985,7 @@ def run_ingest(
     epoch_log=None,
     messages_dir: Optional[str] = None,
     skip_foreign_origins: bool = False,
+    verify_continuity: bool = False,
 ) -> List[dict]:
     """Replay a frames DataFrame into the table(s) in ``n_batches``
     micro-batches. ``split='segment'`` cuts on WAL-segment boundaries;
@@ -994,6 +996,12 @@ def run_ingest(
     Exactly-once: frames at or below the managed watermark are skipped;
     open-transaction state is restored from the last snapshot commit.
 
+    ``verify_continuity``: run :func:`sources.frames.check_continuity`
+    over the (unfiltered) frames first — a missing WAL segment or an
+    overlapping segment span raises :class:`WalContinuityError` before
+    any merge commits, instead of the watermark silently advancing past
+    a hole (lost committed transactions).
+
     ``epoch_log``: a :class:`pypgoutput_spark.lake.epochs.EpochLog` —
     after every table's merge for a batch has committed, one epoch
     record pinning ``{relation_id: table_version}`` publishes
@@ -1001,8 +1009,14 @@ def run_ingest(
     per batch (per-table commits alone publish at different instants).
     """
     table_map = {relation_id: tables} if isinstance(tables, LakeTable) else dict(tables)
-    registry = RelationRegistry.from_frames(frames)  # full R cohort, resume-safe
     watermark = min(t.watermark_lsn for t in table_map.values())
+    if verify_continuity:
+        # BEFORE the watermark cut: the watermark-containing segment
+        # anchors the dense-segment chain across the resume point, so a
+        # segment lost between the last applied batch and this one fails
+        # here instead of silently advancing the watermark past it
+        check_continuity(frames, after_lsn=watermark)
+    registry = RelationRegistry.from_frames(frames)  # full R cohort, resume-safe
     open_tx = stored_open_tx(table_map)
     pending_2pc = stored_pending_2pc(table_map)
     open_foreign = stored_open_foreign(table_map) if skip_foreign_origins \

@@ -299,6 +299,70 @@ def q_cdc_multi_relation_final_state(spark: SparkSession, sf_dir: str) -> DataFr
     return out
 
 
+#: epoch 2 of a 3-batch segment-split P_MULTI ingest covers segments
+#: [0, 2*ceil(n_segments/3)) — whole transactions, since plain B..C
+#: spans never cross segments. The oracle replays the stream capped at
+#: that transaction boundary.
+def _epoch2_txn_cut(p: _gen.GenParams, n_batches: int = 3) -> int:
+    import math
+
+    n_segs = math.ceil(p.n_txns / p.txns_per_segment)
+    span = math.ceil(n_segs / n_batches)
+    return min(n_segs, 2 * span) * p.txns_per_segment
+
+
+def q_cdc_epoch_consistent_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table consistent read AS OF a mid-stream epoch (multi-table
+    time travel — the capability Iceberg/Delta lack: per-table commits
+    publish at different instants, so version-level time travel alone
+    can return relation A at batch N joined with relation B at batch
+    N-1). The ingest publishes ONE epoch record per batch after ALL
+    tables' merges committed ({epoch, watermark_lsn, {rid: version}},
+    lake/epochs.py); this query resolves epoch 2 of 3 and reads BOTH
+    relations at their pinned versions. Oracle: the serial replay capped
+    at epoch 2's transaction boundary — a match proves the pinned pair
+    is exactly the state the WAL defined at that boundary, for both
+    tables at once. The ingest also runs the WAL continuity guard
+    (sources/frames.check_continuity)."""
+    from pyspark.sql import functions as F
+
+    from pypgoutput_spark.lake.epochs import EpochLog
+
+    key = ("epochs", P_MULTI)
+    hit = _INGEST_MEMO.get(key)
+    if hit is not None and hit[0] is spark:
+        tables, log = hit[1], hit[2]
+    else:
+        tmp = tempfile.mkdtemp(prefix="pypgoutput_spark_epochs_")
+        tables = {
+            _gen.RELATION_ID + r: LakeTable.create(
+                spark, f"{tmp}/lake_{r}",
+                schema=[(c, "string") for c in _gen.ALL_COLUMNS],
+                key_cols=list(_gen.KEY_COLUMNS), n_buckets=8,
+            )
+            for r in range(P_MULTI.n_relations)
+        }
+        log = EpochLog.create(f"{tmp}/epochs")
+        frames = _gen.spark_frames_df(spark, P_MULTI)
+        _pipeline.run_ingest(spark, frames, tables, n_batches=3,
+                             epoch_log=log, verify_continuity=True)
+        _INGEST_MEMO[key] = (spark, tables, log)
+    assert log.current_epoch() == 3, log.current_epoch()
+    pinned = log.read_all(tables, epoch=2)
+    parts = [
+        df.select(
+            F.lit(rid).cast("bigint").alias("relation_id"),
+            "repo", "path", "commit", "lang", "content",
+            F.expr("sha2(content, 256)").alias("content_sha"),
+        )
+        for rid, df in sorted(pinned.items())
+    ]
+    out = parts[0]
+    for p_df in parts[1:]:
+        out = out.unionByName(p_df)
+    return out
+
+
 def q_cdc_keychange_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-change updates: the 'K' before-image key is deleted and the
     new key upserted (reference old-key assertion,
@@ -751,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_pipeline_final_state": q_cdc_pipeline_final_state,
         "cdc_decoded_events": q_cdc_decoded_events,
         "cdc_multi_relation_final_state": q_cdc_multi_relation_final_state,
+        "cdc_epoch_consistent_read": q_cdc_epoch_consistent_read,
         "cdc_decoded_events_split": q_cdc_decoded_events_split,
         "cdc_keychange_final_state": q_cdc_keychange_final_state,
         "cdc_streamed_final_state": q_cdc_streamed_final_state,
@@ -783,6 +848,10 @@ def oracle_sql() -> dict[str, str]:
         "cdc_decoded_events": _cdc_decoded_events_oracle(P_ENTRY),
         "cdc_multi_relation_final_state": _gen.duckdb_final_state_sql(
             P_MULTI, with_sha=True, with_relation=True
+        ),
+        "cdc_epoch_consistent_read": _gen.duckdb_final_state_sql(
+            P_MULTI, with_sha=True, with_relation=True,
+            until_txn=_epoch2_txn_cut(P_MULTI),
         ),
         "cdc_decoded_events_split": _cdc_decoded_events_oracle(P_ENTRY),
         "cdc_keychange_final_state": _gen.duckdb_final_state_sql(

@@ -151,6 +151,7 @@ BENCH_QUERIES = (
     "cdc_scd2_history",
     "cdc_snapshot_bootstrap",
     "cdc_outbox_messages",
+    "cdc_epoch_consistent_read",
     "text_fingerprint",
     "text_quality_score",
     "text_repetition",

@@ -1048,6 +1048,7 @@ eff_fx AS MATERIALIZED (
 def duckdb_final_state_sql(
     p: GenParams, with_sha: bool = True, with_relation: bool = False,
     kc_toast_passes: int = 8, filter_foreign_origins: bool = False,
+    until_txn: Optional[int] = None,
 ) -> str:
     """DuckDB SQL computing the expected final table state after replaying
     the full stream with serial reference semantics (apply each event in
@@ -1067,6 +1068,19 @@ def duckdb_final_state_sql(
     Spark side uses (partial map-side combine, skew-resistant).
     """
     events = duckdb_events_sql(p)
+    if until_txn is not None:
+        # as-of replay: only transactions committed by the cut (an
+        # epoch / batch boundary falls on a whole-transaction edge for
+        # serial B..C spans, so txn < cut ≡ commit_lsn ≤ the boundary's
+        # watermark). Composes with plain spans only — streamed / 2PC
+        # grammars commit later than their DML and would need the
+        # decision LSN, not the txn index.
+        if p.stream_pct > 0 or p.two_phase_pct > 0:
+            raise ValueError(
+                "until_txn caps by txn index, exact only for plain "
+                "B..C spans (stream_pct = two_phase_pct = 0)"
+            )
+        events = f"SELECT * FROM ({events}) WHERE txn < {until_txn}"
     sha = ", sha256(content) AS content_sha" if with_sha else ""
     rel_out = f"{RELATION_ID} + rel AS relation_id, " if with_relation else ""
     kc_ctes, eff_name = _kc_toast_resolution_ctes(p, kc_toast_passes)

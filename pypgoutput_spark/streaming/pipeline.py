@@ -1098,6 +1098,54 @@ def read_messages(spark, messages_dir: str):
     )
 
 
+def lag_report(frames, tables: Union[LakeTable, Dict[int, LakeTable]],
+               relation_id: int = RELATION_ID) -> Dict[int, dict]:
+    """Replication-lag observability: how far each mirror's applied
+    watermark trails the spool (the applied/flushed split a real
+    deployment alarms on — the reference surfaces only the socket-level
+    flush ack, reader.py:268-283; once frames land durably the question
+    becomes *applied* lag, which only the sink side can answer).
+
+    ONE metadata-only aggregate over the spool (payload pruned — at
+    100 TB this scans two int64 columns): global max lsn + per-segment
+    max, then per table: lsn_lag (spool head − watermark),
+    segments_pending / frames_pending (strictly above the watermark).
+    Nothing proportional to frame count reaches the driver.
+
+    Returns {relation_id: {watermark_lsn, spool_max_lsn, lsn_lag,
+    segments_pending, frames_pending}} — lag 0 ≡ fully applied.
+    """
+    table_map = {relation_id: tables} if isinstance(tables, LakeTable) \
+        else dict(tables)
+    wms = {rid: t.watermark_lsn for rid, t in table_map.items()}
+    per_seg = frames.groupBy("segment").agg(
+        F.max("lsn").alias("hi"), F.count("*").alias("n")
+    )
+    # one conditional-aggregate row covering every distinct watermark —
+    # the per-segment relation never leaves the executors
+    aggs = [F.max("hi").alias("spool_max")]
+    for wm in sorted(set(wms.values())):
+        aggs.append(F.sum(F.when(F.col("hi") > wm, 1).otherwise(0))
+                    .alias(f"segs_{wm}"))
+        aggs.append(F.sum(F.when(F.col("hi") > wm, F.col("n")).otherwise(0))
+                    .alias(f"frames_{wm}"))
+    row = per_seg.agg(*aggs).collect()[0]
+    spool_max = row["spool_max"] if row["spool_max"] is not None else -1
+    out = {}
+    for rid, wm in wms.items():
+        # frames_pending over-counts inside the watermark's own segment
+        # only when a cut fell mid-segment; segment-split ingest never
+        # does, and the lsn_lag number is the alarmed-on quantity anyway
+        out[rid] = {
+            "watermark_lsn": wm,
+            "spool_max_lsn": spool_max,
+            "lsn_lag": max(0, spool_max - wm),
+            "segments_pending": int(row[f"segs_{wm}"] or 0),
+            "frames_pending": int(row[f"frames_{wm}"] or 0),
+        }
+    return out
+
+
 def _empty_replay(epoch_log, table_map, on_batch) -> List[dict]:
     """A fully-replayed run (every frame at or below the watermark): no
     batches to apply, but the epoch log must still heal — a crash

@@ -131,10 +131,12 @@ def _unpack_i64(b, pos):
     return struct.unpack_from(">q", b, pos)
 
 
-def _parse_tuple(b: bytes, pos: int):
+def _parse_tuple(b: bytes, pos: int, oids=None):
     """TupleData at pos → (u_mask_words, vals, end_pos). 'n'/'u' cells →
     None val; word i>>6 bit i&63 of the mask list set ⇔ cell i is
-    unchanged-TOAST (reference decoders.py:96-128 grammar; any width)."""
+    unchanged-TOAST (reference decoders.py:96-128 grammar; any width).
+    'b' cells (PG14+ ``binary = on``) convert to the text-mode spelling
+    via the relation's column ``oids`` (from the registry)."""
     (n_cols,) = _unpack_i16(b, pos)
     pos += 2
     words = [0] * ((n_cols + 63) >> 6)
@@ -152,6 +154,16 @@ def _parse_tuple(b: bytes, pos: int):
         elif c == 117:  # 'u'
             words[i >> 6] |= 1 << (i & 63)
             vals.append(None)
+        elif c == 98:  # 'b' — binary send format
+            (ln,) = _unpack_i32(b, pos)
+            pos += 4
+            if oids is None or i >= len(oids):
+                raise ValueError(
+                    f"binary TupleData cell at {pos - 5} but the relation's "
+                    "column oids are unknown (no Relation message?)"
+                )
+            vals.append(codec.binary_to_text(oids[i], b[pos : pos + ln]))
+            pos += ln
         else:
             raise ValueError(f"bad TupleData category byte {chr(c)!r} at {pos - 1}")
     # two's-complement into signed int64 (Arrow BIGINT): bit 63 set → negative
@@ -536,13 +548,14 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
                 )
             continue
         version = looked[0]
+        oids = looked[3]
         bk = None
         b_vals = n_vals = n_mask = None
 
         if t == 73:  # 'I'
             if b[5] != 78:  # 'N'
                 raise ValueError("Insert expects 'N' tuple marker")
-            n_mask, n_vals, _ = _parse_tuple(b, 6)
+            n_mask, n_vals, _ = _parse_tuple(b, 6, oids)
             op = "I"
         elif t == 85:  # 'U' — K/O optional old image, then mandatory N
             pos = 5
@@ -550,14 +563,14 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
             pos += 1
             if marker in (75, 79):  # 'K' / 'O'
                 bk = chr(marker)
-                _b_mask, b_vals, pos = _parse_tuple(b, pos)
+                _b_mask, b_vals, pos = _parse_tuple(b, pos, oids)
                 marker = b[pos]
                 pos += 1
             if marker != 78:
                 raise ValueError(
                     f"Update missing 'N' new-tuple marker, got {chr(marker)!r}"
                 )
-            n_mask, n_vals, _ = _parse_tuple(b, pos)
+            n_mask, n_vals, _ = _parse_tuple(b, pos, oids)
             op = "U"
         elif t == 68:  # 'D' — K or O required
             marker = b[5]
@@ -566,7 +579,7 @@ def _loop_decode_pdf(pdf, open_tx: dict, registry_plain: dict, strict: bool,
                     f"Delete tuple kind must be 'K' or 'O', got {chr(marker)!r}"
                 )
             bk = chr(marker)
-            _b_mask, b_vals, _ = _parse_tuple(b, 6)
+            _b_mask, b_vals, _ = _parse_tuple(b, 6, oids)
             op = "D"
         else:
             raise ValueError(f"unknown pgoutput message type byte {chr(t)!r}")

@@ -178,10 +178,12 @@ class RelationRegistry:
     # -- closure-shippable form ----------------------------------------------
 
     def to_plain(self) -> dict:
-        """Picklable {relation_id: [(lsn, version, (names...), (pkeys...))]}
-        for the decode UDF closure."""
+        """Picklable {relation_id: [(lsn, version, (names...), (pkeys...),
+        (type_oids...))]} for the decode UDF closure. The oids element
+        drives binary-mode ('b') TupleData cell conversion."""
         return {
-            rid: [(v.lsn, v.version, v.column_names, tuple(c[0] for c in v.columns))
+            rid: [(v.lsn, v.version, v.column_names, tuple(c[0] for c in v.columns),
+                   tuple(c[2] for c in v.columns))
                   for v in versions]
             for rid, versions in self._versions.items()
         }
@@ -212,11 +214,12 @@ class RelationRegistry:
 def plain_lookup(plain: dict, relation_id: int, lsn: int):
     """lookup() over the closure-shipped plain form; used inside UDFs.
 
-    Returns (version, column_names, pkey_flags) or None.
+    Returns (version, column_names, pkey_flags, type_oids) or None.
     """
     versions = plain.get(relation_id)
     if not versions:
         return None
-    idx = bisect.bisect_right([v[0] for v in versions], lsn) - 1
-    _, version, names, pkeys = versions[max(idx, 0)]
-    return version, names, pkeys
+    v = versions[max(bisect.bisect_right([v[0] for v in versions], lsn) - 1, 0)]
+    # legacy 4-tuples (no oids element) still resolve; binary-mode ('b')
+    # cell conversion then fails loudly in the kernels, which need oids
+    return v[1], v[2], v[3], (v[4] if len(v) > 4 else None)

@@ -81,11 +81,13 @@ def _cstring(s: str) -> bytes:
     return s.encode("utf-8") + b"\x00"
 
 
-def encode_tuple_data(cells: Sequence[Tuple[str, Optional[str]]]) -> bytes:
-    """cells: [(category, value)] with category in {'n','u','t'}.
+def encode_tuple_data(cells: Sequence[Tuple[str, Optional[object]]]) -> bytes:
+    """cells: [(category, value)] with category in {'n','u','t','b'}.
 
-    't' cells carry a text value; 'n' (NULL) and 'u' (unchanged TOAST)
-    carry none.
+    't' cells carry a text value; 'b' cells (PG14+ ``binary = on``
+    subscriptions) carry the type's binary *send* format as bytes (use
+    :func:`binary_cell` to build one from text); 'n' (NULL) and 'u'
+    (unchanged TOAST) carry none.
     """
     out = [_I16.pack(len(cells))]
     for category, value in cells:
@@ -94,6 +96,10 @@ def encode_tuple_data(cells: Sequence[Tuple[str, Optional[str]]]) -> bytes:
         elif category == "t":
             v = (value or "").encode("utf-8")
             out.append(b"t" + _I32.pack(len(v)) + v)
+        elif category == "b":
+            if not isinstance(value, (bytes, bytearray)):
+                raise ValueError("'b' cells carry bytes (see binary_cell)")
+            out.append(b"b" + _I32.pack(len(value)) + bytes(value))
         else:
             raise ValueError(f"bad tuple cell category {category!r}")
     return b"".join(out)
@@ -300,6 +306,12 @@ def _read_tuple(mv: memoryview, pos: int) -> Tuple[List[Tuple[str, Optional[str]
             (ln,) = _I32.unpack_from(mv, pos)
             pos += 4
             cells.append(("t", bytes(mv[pos : pos + ln]).decode("utf-8")))
+            pos += ln
+        elif cat == "b":  # binary-mode cell: surfaced raw (OID unknown here;
+            # the decode kernels convert via the relation registry)
+            (ln,) = _I32.unpack_from(mv, pos)
+            pos += 4
+            cells.append(("b", bytes(mv[pos : pos + ln])))
             pos += ln
         elif cat in ("n", "u"):
             cells.append((cat, None))
@@ -690,3 +702,187 @@ def spark_type_for_oid(oid: int, atttypmod: int = -1) -> str:
         return f"decimal({(mod >> 16) & 0xFFFF},{mod & 0xFFFF})"
     # text, varchar, json(b), uuid, unknown -> string (reader.py:97-98 parity)
     return "string"
+
+
+# ---------------------------------------------------------------------------
+# binary-mode TupleData cells (PG14+ ``binary = on`` subscriptions)
+#
+# With the ``binary`` publication option, the walsender sends column
+# values in the type's binary *send* format (category byte 'b' + Int32
+# length + the bytes pg_type.typsend would produce) instead of text
+# ('t'). The reference pins text mode (its decoders handle only n/u/t —
+# reference decoders.py:96-128); this engine decodes both. All formats
+# below are the public PostgreSQL wire representations (protocol docs +
+# the types' documented send functions). Types without a converter here
+# raise — a real subscriber falls back to text for such columns, so an
+# unknown-'b' cell is a corrupt or unsupported stream, not a skippable
+# value.
+# ---------------------------------------------------------------------------
+
+_F4 = struct.Struct(">f")
+_F8 = struct.Struct(">d")
+
+#: OIDs whose binary form IS the UTF-8 text (raw passthrough)
+BINARY_TEXT_OIDS = frozenset({25, 1043, 114})
+
+
+def _numeric_to_binary(text: str) -> bytes:
+    """Decimal text → PG binary ``numeric``: ndigits/weight/sign/dscale
+    Int16 header + base-10000 digit groups, most significant first."""
+    from decimal import Decimal
+
+    d = Decimal(text)
+    if d.is_nan():
+        return struct.pack(">hhHh", 0, 0, 0xC000, 0)
+    t = d.as_tuple()  # exact — Decimal arithmetic would round at context prec
+    sign = 0x4000 if t.sign else 0x0000
+    dscale = max(0, -t.exponent)
+    digits = "".join(map(str, t.digits))
+    if t.exponent > 0:  # e.g. 1E+3 — materialize the trailing zeros
+        digits += "0" * t.exponent
+        frac = ""
+        intp = digits
+    else:
+        cut = len(digits) - dscale
+        intp = digits[:cut] if cut > 0 else ""
+        frac = ("0" * -cut + digits) if cut < 0 else digits[cut:]
+    intp = intp.lstrip("0")
+    intp = "0" * (-len(intp) % 4) + intp         # left-pad to 4-groups
+    frac = frac + "0" * (-len(frac) % 4)         # right-pad to 4-groups
+    groups = [int(intp[i : i + 4]) for i in range(0, len(intp), 4)]
+    weight = len(groups) - 1
+    groups += [int(frac[i : i + 4]) for i in range(0, len(frac), 4)]
+    # strip leading zero groups (weight counts from the first nonzero)
+    while groups and groups[0] == 0:
+        groups.pop(0)
+        weight -= 1
+    while groups and groups[-1] == 0:            # trailing zero groups
+        groups.pop()
+    if not groups:
+        return struct.pack(">hhHh", 0, 0, sign, dscale)
+    return struct.pack(">hhHh", len(groups), weight, sign, dscale) + struct.pack(
+        f">{len(groups)}h", *groups
+    )
+
+
+def _binary_to_numeric_text(raw: bytes) -> str:
+    """PG binary ``numeric`` → the text PG would print (dscale decimals)."""
+    from decimal import Decimal
+
+    ndigits, weight, sign, dscale = struct.unpack_from(">hhHh", raw, 0)
+    if sign == 0xC000:
+        return "NaN"
+    if sign not in (0x0000, 0x4000):
+        raise ValueError(f"bad numeric sign word 0x{sign:04x}")
+    groups = struct.unpack_from(f">{ndigits}h", raw, 8)
+    from decimal import localcontext
+
+    with localcontext() as ctx:
+        ctx.prec = 4 * (ndigits + abs(weight) + 2) + dscale + 10
+        val = Decimal(0)
+        for i, g in enumerate(groups):
+            if not 0 <= g <= 9999:
+                raise ValueError(f"numeric digit group {g} out of base-10000 range")
+            val += Decimal(g).scaleb(4 * (weight - i))
+        val = val.quantize(Decimal(1).scaleb(-dscale))
+    if sign == 0x4000:
+        val = val.copy_negate()  # exact — '-' would round at context prec
+    return format(val, "f")
+
+
+def _pg_ts_text(us: int) -> str:
+    """PG-epoch µs → 'YYYY-MM-DD HH:MM:SS.ffffff' (UTC, naive render —
+    the engine normalizes timestamptz to UTC). Always prints the 6-digit
+    fraction: byte-parity with the vectorized kernel's Arrow
+    timestamp→string cast (CASTs identically either way)."""
+    dt = PG_EPOCH + timedelta(microseconds=us)
+    return dt.strftime("%Y-%m-%d %H:%M:%S") + f".{dt.microsecond:06d}"
+
+
+def binary_cell(oid: int, text: Optional[str]) -> Tuple[str, Optional[bytes]]:
+    """Text value → a ('b', bytes) TupleData cell in the type's binary
+    send format (None → ('n', None)). The generator-side inverse of
+    :func:`binary_to_text`."""
+    if text is None:
+        return ("n", None)
+    if oid in BINARY_TEXT_OIDS:
+        return ("b", text.encode("utf-8"))
+    if oid == 3802:  # jsonb: 1-byte version header, then the JSON text
+        return ("b", b"\x01" + text.encode("utf-8"))
+    if oid == 16:
+        if text not in ("t", "f", "true", "false", "1", "0"):
+            raise ValueError(f"bad boolean text {text!r}")
+        return ("b", b"\x01" if text in ("t", "true", "1") else b"\x00")
+    if oid == 21:
+        return ("b", _I16.pack(int(text)))
+    if oid == 23:
+        return ("b", _I32.pack(int(text)))
+    if oid == 20:
+        return ("b", _I64.pack(int(text)))
+    if oid == 700:
+        return ("b", _F4.pack(float(text)))
+    if oid == 701:
+        return ("b", _F8.pack(float(text)))
+    if oid == 1082:
+        d = datetime.fromisoformat(text + "T00:00:00").replace(tzinfo=timezone.utc)
+        return ("b", _I32.pack((d - PG_EPOCH).days))
+    if oid in (1114, 1184):
+        dt = datetime.fromisoformat(text)
+        dt = dt.replace(tzinfo=timezone.utc) if dt.tzinfo is None else dt
+        return ("b", _I64.pack(datetime_to_pg_ts(dt)))
+    if oid == 1700:
+        return ("b", _numeric_to_binary(text))
+    if oid == 2950:
+        import uuid as _uuid
+
+        return ("b", _uuid.UUID(text).bytes)
+    raise ValueError(f"no binary send format implemented for type oid {oid}")
+
+
+def binary_to_text(oid: int, raw: bytes) -> str:
+    """Binary send format → the text spelling the engine's typed-cast
+    layer expects (identical to what the same column carries in text
+    mode, so binary- and text-mode streams resolve to identical typed
+    tables). Used by the loop kernel per cell and by the vectorized
+    kernel's rare-type fallback (ints/floats/timestamps/dates/bools are
+    converted vectorized in wal.vdecode, never through here)."""
+    if oid in BINARY_TEXT_OIDS:
+        return raw.decode("utf-8")
+    if oid == 3802:
+        if not raw or raw[0] != 1:
+            raise ValueError("bad jsonb binary version byte")
+        return raw[1:].decode("utf-8")
+    if oid == 16:
+        if len(raw) != 1 or raw[0] not in (0, 1):
+            raise ValueError("bad boolean binary cell")
+        return "t" if raw[0] else "f"
+    if oid == 21:
+        return str(_I16.unpack(raw)[0])
+    if oid == 23:
+        return str(_I32.unpack(raw)[0])
+    if oid == 20:
+        return str(_I64.unpack(raw)[0])
+    if oid in (700, 701):
+        # format through Arrow so the loop kernel's spelling is
+        # byte-identical to the vectorized kernel's columnar cast
+        # (shortest round-trip; Arrow prints integral floats as '3',
+        # Python repr as '3.0' — both CAST equal, but RAW parity matters)
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        v = np.frombuffer(raw, dtype=">f4" if oid == 700 else ">f8")
+        return pc.cast(
+            pa.array(v.astype("=f4" if oid == 700 else "=f8")), pa.string()
+        )[0].as_py()
+    if oid == 1082:
+        return (PG_EPOCH + timedelta(days=_I32.unpack(raw)[0])).strftime("%Y-%m-%d")
+    if oid in (1114, 1184):
+        return _pg_ts_text(_I64.unpack(raw)[0])
+    if oid == 1700:
+        return _binary_to_numeric_text(raw)
+    if oid == 2950:
+        import uuid as _uuid
+
+        return str(_uuid.UUID(bytes=raw))
+    raise ValueError(f"no binary receive format implemented for type oid {oid}")

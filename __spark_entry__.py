@@ -25,6 +25,7 @@ from pypgoutput_spark.lake.table import LakeTable
 from pypgoutput_spark.operators import (
     analytics as _analytics,
     asof as _asof,
+    binary_cdc as _binary_cdc,
     bloomjoin as _bloomjoin,
     corpus_cdc as _corpus_cdc,
     decode as _decode,
@@ -836,7 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_bootstrap": q_cdc_snapshot_bootstrap,
     }
     for mod in (_text, _dedup, _similarity, _multimodal, _analytics, _asof,
-                _corpus_cdc, _sketches, _outbox, _bloomjoin):
+                _corpus_cdc, _binary_cdc, _sketches, _outbox, _bloomjoin):
         for name, (fn, _sql) in mod.QUERIES.items():
             out[name] = fn
     return out
@@ -890,7 +891,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_snapshot_bootstrap": _gen.duckdb_final_state_sql(P_BOOT, with_sha=True),
     }
     for mod in (_text, _dedup, _similarity, _multimodal, _analytics, _asof,
-                _corpus_cdc, _sketches, _outbox, _bloomjoin):
+                _corpus_cdc, _binary_cdc, _sketches, _outbox, _bloomjoin):
         for name, (_fn, sql) in mod.QUERIES.items():
             if sql is not None:
                 out[name] = sql

@@ -268,6 +268,144 @@ _BIN_FIXED = {16: 1, 21: 2, 23: 4, 20: 8, 700: 4, 701: 8, 1082: 4, 1114: 8, 1184
 _PG_EPOCH_DAYS = 10957
 
 
+_HEX = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+
+
+def _uuid_texts(data: np.ndarray, gs: np.ndarray):
+    """(m,) binary uuid cells at ``gs`` → flat hyphenated-hex text buffer
+    + per-cell length (always 36), fully vectorized."""
+    m = gs.size
+    raw = data[gs[:, None] + np.arange(16)]               # (m, 16)
+    hx = np.empty((m, 32), dtype=np.uint8)
+    hx[:, 0::2] = _HEX[raw >> 4]
+    hx[:, 1::2] = _HEX[raw & 0x0F]
+    out = np.empty((m, 36), dtype=np.uint8)
+    dash = np.uint8(ord("-"))
+    out[:, 0:8] = hx[:, 0:8];    out[:, 8] = dash
+    out[:, 9:13] = hx[:, 8:12];  out[:, 13] = dash
+    out[:, 14:18] = hx[:, 12:16]; out[:, 18] = dash
+    out[:, 19:23] = hx[:, 16:20]; out[:, 23] = dash
+    out[:, 24:36] = hx[:, 20:32]
+    return out.ravel(), np.full(m, 36, dtype=np.int64)
+
+
+def _numeric_texts(data: np.ndarray, gs: np.ndarray, gl: np.ndarray):
+    """(m,) binary ``numeric`` cells → flat decimal-text buffer +
+    per-cell lengths, vectorized over the canonical wire form (leading
+    zero groups stripped, digits beyond dscale zero — what PG and the
+    in-repo encoder emit). Non-canonical cells fall back to the exact
+    per-cell Decimal path (wal.codec), keeping semantics identical.
+
+    Layout per cell: optional '-', integer digits (first group printed
+    without zero padding, later positions 4-padded, zero-filled past the
+    stripped trailing groups), then '.' + exactly dscale fraction digits
+    when dscale > 0. 'NaN' for the NaN sign word.
+    """
+    m = gs.size
+    if (gl < 8).any():
+        raise ValueError("truncated binary numeric cell (corrupt frame)")
+    nd = _be(data, gs, 2)
+    w = _be(data, gs + 2, 2)
+    sign = _be(data, gs + 4, 2) & 0xFFFF
+    sc = _be(data, gs + 6, 2)
+    bad = ~np.isin(sign, (0x0000, 0x4000, 0xC000))
+    if bad.any():
+        raise ValueError(
+            f"bad numeric sign word 0x{int(sign[bad][0]):04x}"
+        )
+    if ((gl - 8) != 2 * nd).any() or (nd < 0).any() or (sc < 0).any():
+        raise ValueError("binary numeric digit count mismatch (corrupt frame)")
+    nd_max = int(nd.max()) if m else 0
+    # digit-group matrix, zero-padded past each cell's ndigits
+    G = np.zeros((m, nd_max), dtype=np.int64)
+    for j in range(nd_max):
+        has = nd > j
+        G[has, j] = _be(data, gs[has] + 8 + 2 * j, 2)
+    if ((G < 0) | (G > 9999)).any():
+        raise ValueError("numeric digit group out of base-10000 range")
+    is_nan = sign == 0xC000
+    # char rows: each group as 4 decimal chars
+    C = np.empty((m, max(4 * nd_max, 1)), dtype=np.uint8)
+    if nd_max:
+        C[:, 0::4] = 48 + G // 1000
+        C[:, 1::4] = 48 + (G // 100) % 10
+        C[:, 2::4] = 48 + (G // 10) % 10
+        C[:, 3::4] = 48 + G % 10
+    # leading zeros of group 0 (first group prints unpadded)
+    g0 = G[:, 0] if nd_max else np.zeros(m, dtype=np.int64)
+    lz0 = np.where(g0 >= 1000, 0, np.where(g0 >= 100, 1,
+                   np.where(g0 >= 10, 2, 3)))
+    # canonical ⇔ no leading zero group (or no groups at all); fraction
+    # digits past dscale must be zero — verified below via the gather
+    canon = (nd == 0) | (g0 > 0)
+    neg = (sign == 0x4000) & ~is_nan
+    intlen = np.where(is_nan, 0,
+                      np.where((w < 0) | (nd == 0), 1, 4 * (w + 1) - lz0))
+    has_frac = (sc > 0) & ~is_nan
+    L = neg + intlen + np.where(has_frac, 1 + sc, 0) + np.where(is_nan, 3, 0)
+    offs = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(L, out=offs[1:])
+    total = int(offs[-1])
+    out = np.empty(total, dtype=np.uint8)
+    cell = np.repeat(np.arange(m, dtype=np.int64), L)
+    r = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], L)
+    nan_r = is_nan[cell]
+    # NaN cells: 'NaN'
+    if nan_r.any():
+        out[nan_r] = np.frombuffer(b"NaN", dtype=np.uint8)[r[nan_r]]
+    rr = r - neg[cell]
+    sign_pos = ~nan_r & (r == 0) & neg[cell]
+    int_pos = ~nan_r & (rr >= 0) & (rr < intlen[cell])
+    dot_pos = ~nan_r & (rr == intlen[cell]) & has_frac[cell]
+    frac_pos = ~nan_r & (rr > intlen[cell])
+    out[sign_pos] = ord("-")
+    out[dot_pos] = ord(".")
+    # integer digits: src char = lz0 + rr (w>=0 path); '0' when the cell
+    # has no integer groups (w<0 / nd==0) or past the stripped groups
+    ic = int_pos & (w[cell] >= 0) & (nd[cell] > 0)
+    src = np.clip(lz0[cell] + rr, 0, C.shape[1] - 1)
+    ch = C[cell, src]
+    in_groups = (lz0[cell] + rr) < 4 * nd[cell]
+    out[int_pos] = np.where(ic[int_pos] & in_groups[int_pos],
+                            ch[int_pos], ord("0"))
+    # fraction digits: logical position f (0-based after the point)
+    f = rr - intlen[cell] - 1
+    gap = 4 * np.clip(-w[cell] - 1, 0, None)      # zeros before group 0 (w<0)
+    fsrc_log = np.where(w[cell] >= 0, 4 * (w[cell] + 1) + f, f - gap)
+    have = frac_pos & (fsrc_log >= 0) & (fsrc_log < 4 * nd[cell])
+    fch = C[cell, np.clip(fsrc_log, 0, C.shape[1] - 1)]
+    out[frac_pos] = np.where(have[frac_pos], fch[frac_pos], ord("0"))
+    # canonical also requires: no nonzero digit beyond dscale (would need
+    # rounding — Decimal path) — check the DROPPED tail per cell
+    drop_bad = np.zeros(m, dtype=bool)
+    if nd_max:
+        # last logical fraction position covered by groups
+        pos_idx = np.arange(4 * nd_max)
+        # logical fraction position of each char column, per cell
+        logical = pos_idx[None, :] - 4 * (w[:, None] + 1)
+        beyond = (logical >= sc[:, None]) & (pos_idx[None, :] < 4 * nd[:, None])
+        drop_bad = ((C != ord("0")) & beyond).any(axis=1)
+    fallback = ~canon | drop_bad
+    if fallback.any():
+        # exact per-cell Decimal semantics for the non-canonical few
+        for i in np.nonzero(fallback)[0]:
+            t = _codec.binary_to_text(
+                1700, bytes(data[int(gs[i]) : int(gs[i]) + int(gl[i])])
+            ).encode()
+            seg = np.frombuffer(t, dtype=np.uint8)
+            lo, hi = int(offs[i]), int(offs[i + 1])
+            if seg.size == hi - lo:
+                out[lo:hi] = seg
+            else:
+                # length differs: rebuild ragged (rare corrupt shape)
+                parts = [out[: lo], seg, out[hi:]]
+                out = np.concatenate(parts)
+                delta = seg.size - (hi - lo)
+                offs[i + 1 :] += delta
+                L = np.diff(offs)
+    return out, np.diff(offs)
+
+
 def _bin_convert(data: np.ndarray, cat_m, vstart, vlen, rids, lsns, plain):
     """Vectorized binary-mode ('b') cell conversion: rewrite every 'b'
     cell IN PLACE to a 't' cell whose (vstart, vlen) point into an
@@ -279,12 +417,14 @@ def _bin_convert(data: np.ndarray, cat_m, vstart, vlen, rids, lsns, plain):
     gather + Arrow int→string cast, floats via ``.view('>f4/8')`` +
     Arrow cast (shortest round-trip spelling), dates/timestamps via
     epoch shift + Arrow temporal cast, bool via ``np.where``, text-like
-    oids (text/varchar/json) as raw passthrough and jsonb as a pure
-    offset bump past the version byte. Only ``numeric`` and ``uuid``
-    fall back to per-cell Python (wal.codec.binary_to_text) — documented
-    rare-type fallback, bounded to exactly those cells. Unknown oids
-    raise: a real subscriber would have received text for such columns,
-    so an unknown 'b' cell is a corrupt or unsupported stream.
+    oids (text/varchar/json) as raw passthrough, jsonb as a pure offset
+    bump past the version byte, uuid via a nibble-table hex build, and
+    ``numeric`` via a ragged offset-math digit build (_numeric_texts) —
+    per-cell Python survives ONLY for non-canonical numeric encodings
+    (leading zero groups / nonzero digits beyond dscale), which PG never
+    emits. Unknown oids raise: a real subscriber would have received
+    text for such columns, so an unknown 'b' cell is a corrupt or
+    unsupported stream.
     """
     import pyarrow.compute as pc
 
@@ -356,18 +496,16 @@ def _bin_convert(data: np.ndarray, cat_m, vstart, vlen, rids, lsns, plain):
             new_len[gsel] = gl - 1
             continue
         if oid in (1700, 2950):
-            enc = [
-                _codec.binary_to_text(
-                    oid, bytes(data[int(s) : int(s) + int(ln)])
-                ).encode("utf-8")
-                for s, ln in zip(gs, gl)
-            ]
-            lens2 = np.fromiter(map(len, enc), dtype=np.int64, count=len(enc))
-            o2 = np.zeros(len(enc) + 1, dtype=np.int64)
+            if oid == 2950:
+                if (gl != 16).any():
+                    raise ValueError("bad uuid binary cell width (corrupt frame)")
+                buf, lens2 = _uuid_texts(data, gs)
+            else:
+                buf, lens2 = _numeric_texts(data, gs, gl)
+            o2 = np.zeros(lens2.size + 1, dtype=np.int64)
             np.cumsum(lens2, out=o2[1:])
             new_start[gsel] = base + off + o2[:-1]
             new_len[gsel] = lens2
-            buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
             ext_chunks.append(buf)
             off += int(buf.size)
             continue

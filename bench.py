@@ -141,6 +141,7 @@ BENCH_QUERIES = (
     "cdc_two_phase_final_state",
     "cdc_streamed_two_phase_final_state",
     "cdc_origin_filtered_final_state",
+    "cdc_binary_typed_final_state",
     "cdc_schema_evolution_final_state",
     "cdc_point_lookup",
     "cdc_erasure_final_state",

@@ -290,3 +290,44 @@ def test_binary_cell_without_registry_oids_raises():
         _loop(pdf, legacy)
     with pytest.raises(ValueError, match="oids"):
         _vec(rb, legacy)
+
+
+def test_binary_cells_across_mid_stream_retype():
+    """A Relation re-send retypes a column (int4 → int8); binary cells
+    BEFORE the DDL decode with the old width, AFTER with the new — the
+    conversion must resolve the LSN-correct schema version's oids on
+    both kernels."""
+    rid = 9100
+    c0 = [(1, "id", 20, -1), (0, "n", 23, -1)]
+    c1 = [(1, "id", 20, -1), (0, "n", 20, -1)]
+    reg = RelationRegistry()
+    reg.add_relation(1, codec.decode_message(
+        codec.encode_relation(rid, "public", "t", "d", c0)))
+    reg.add_relation(50, codec.decode_message(
+        codec.encode_relation(rid, "public", "t", "d", c1)))
+    plain = reg.to_plain()
+    rows = [
+        (1, codec.encode_relation(rid, "public", "t", "d", c0)),
+        (10, codec.encode_begin(10, 0, 1)),
+        (11, codec.encode_insert(rid, [codec.binary_cell(20, "1"),
+                                       codec.binary_cell(23, "7")])),
+        (12, codec.encode_commit(11, 12, 0)),
+        (50, codec.encode_relation(rid, "public", "t", "d", c1)),
+        (60, codec.encode_begin(60, 0, 2)),
+        (61, codec.encode_insert(rid, [codec.binary_cell(20, "2"),
+                                       codec.binary_cell(20, "9")])),
+        (62, codec.encode_commit(61, 62, 0)),
+    ]
+    pdf, rb = _frames(rows)
+    ldf, vdf = _loop(pdf, plain), _vec(rb, plain)
+    _assert_rows_equal(ldf, vdf)
+    assert _aslist(vdf.new_vals[0]) == ["1", "7"]
+    assert _aslist(vdf.new_vals[1]) == ["2", "9"]
+    assert vdf.schema_version.tolist() == [0, 1]
+    # the pre-DDL width no longer matches post-DDL: a 4-byte cell for
+    # the retyped int8 column is a loud width error, not a mis-decode
+    bad = [(61, codec.encode_insert(rid, [codec.binary_cell(20, "2"),
+                                          codec.binary_cell(23, "9")]))]
+    pdf2, rb2 = _frames(rows[:6] + bad + rows[7:])
+    with pytest.raises(Exception):
+        _vec(rb2, plain)

@@ -433,3 +433,73 @@ def test_origin_grammar_corruption_never_escapes():
             assert str(exc)
             s_raised += 1
     assert s_raised > 50, (s_ok, s_raised)
+
+
+def _binary_fixture():
+    """Binary-mode typed frames (every value cell 'b' — 12 type oids
+    incl. numeric/uuid) from the orders-derived encoder, truncated to a
+    fuzz-sized prefix that still ends on a commit."""
+    from pypgoutput_spark.operators import binary_cdc as B
+
+    pdf = B.encode_binary_frames("/root/testdata/sf0.001")
+    pdf = pdf.sort_values(["segment", "lsn"]).reset_index(drop=True)
+    pdf = pdf[pdf["segment"] == 0].reset_index(drop=True)  # one C-closed segment
+    reg = RelationRegistry()
+    for _, row in pdf[pdf["mtype"] == "R"].iterrows():
+        reg.add_relation(int(row["lsn"]), codec.decode_message(bytes(row["payload"])))
+    return pdf.head(220), reg.to_plain()
+
+
+def test_binary_mode_corruption_never_escapes_typed_errors():
+    """Corruption fuzz over BINARY-mode frames ('b' cells, PG14+
+    binary=on): the optimistic kernel must quarantine or raise typed —
+    corrupt widths, bad numeric headers, bad jsonb version bytes and
+    truncated cells all route through the same contract as text mode."""
+    pdf, plain = _binary_fixture()
+    # (the head cut may leave the final B..C open — legal: open spans
+    # carry across batch ends, they don't raise)
+    base = [bytes(b) for b in pdf["payload"]]
+    rng = random.Random(20260819)
+    completed = quarantined = raised = 0
+    for _ in range(400):
+        payloads = _corrupt(base, rng)
+        try:
+            outs = _run_kernel(pdf, payloads, plain)
+        except (ValueError, codec.UnsupportedStreamOp) as exc:
+            assert str(exc)
+            raised += 1
+            continue
+        completed += 1
+        for rb in outs:
+            ops = rb.column(rb.schema.get_field_index("op")).to_pylist()
+            errs = rb.column(rb.schema.get_field_index("error")).to_pylist()
+            for op, err in zip(ops, errs):
+                assert (op == "E") == (err is not None)
+            if "E" in ops:
+                quarantined += 1
+    assert completed > 30, (completed, raised)
+    assert quarantined > 20, (completed, raised, quarantined)
+
+
+def test_binary_mode_strict_corruption_raises_typed_only():
+    from pypgoutput_spark.wal import vdecode
+
+    pdf, plain = _binary_fixture()
+    base = [bytes(b) for b in pdf["payload"]]
+    rng = random.Random(424242)
+    ok = raised = 0
+    for _ in range(300):
+        payloads = _corrupt(base, rng)
+        tbl = pa.table({
+            "segment": pa.array(pdf["segment"].tolist(), pa.int64()),
+            "lsn": pa.array(pdf["lsn"].tolist(), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+        kernel = vdecode.make_kernel(plain)
+        try:
+            list(kernel(iter(tbl.to_batches(max_chunksize=BATCH_ROWS))))
+            ok += 1
+        except (ValueError, codec.UnsupportedStreamOp) as exc:
+            assert str(exc)
+            raised += 1
+    assert raised > 50, (ok, raised)

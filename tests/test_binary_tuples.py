@@ -7,8 +7,9 @@ instead. Both kernels convert 'b' cells to the SAME text spelling the
 column would carry in text mode (via the relation registry's column
 oids), so binary- and text-mode streams resolve to identical typed
 tables. The vectorized kernel converts columnar per type oid
-(wal.vdecode._bin_convert); only numeric/uuid take the documented
-per-cell fallback.
+(wal.vdecode._bin_convert) — including numeric (ragged offset-math
+digit build) and uuid (nibble-table hex); per-cell Python survives only
+for non-canonical numeric encodings PG never emits.
 """
 
 from __future__ import annotations

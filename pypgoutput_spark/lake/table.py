@@ -70,6 +70,8 @@ only change-set bytes, and resolution touches only dirty buckets.
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import json
 import os
 import tempfile
@@ -77,10 +79,139 @@ import threading
 import time
 import uuid
 from typing import Dict, List, Optional, Sequence, Tuple
+from urllib.parse import unquote
 
 from pyspark.sql import functions as F
 
 CURRENT = "CURRENT"
+
+
+# --------------------------------------------------------------- zone maps
+#
+# Per-directory min/max column statistics ("zone maps", the Iceberg
+# manifest column-stats / Delta file-stats analog). Opt-in via
+# ``props["stats_cols"]``: every commit that stages base or delta
+# directories records min/max of those columns per directory in the
+# snapshot (``dir_stats``), and :meth:`LakeTable.scan` prunes
+# directories whose range provably cannot match before any file is
+# opened. Bucket hashing prunes the KEY dimension (``lookup``); zone
+# maps prune the TIME/VALUE dimension — per-commit directories of a CDC
+# mirror have tight ranges on monotone-with-time columns, so a
+# "recent window" scan at 100 TB touches only the trailing commits.
+# Stored values are JSON-normalized; comparisons are domain-checked and
+# CONSERVATIVE (incomparable / missing stats → the directory is kept).
+
+
+def _stat_store(v):
+    """Normalize a collected min/max into a JSON-storable value whose
+    comparison semantics are recoverable from the column's DDL type."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, decimal.Decimal):
+        return str(v)  # exact; re-parsed as Decimal at compare time
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()  # lexicographic == chronological
+    return str(v)
+
+
+def _stat_domain(ddl_type: str) -> Optional[str]:
+    """Comparison domain for a column DDL type; None = never prune."""
+    t = (ddl_type or "").strip().lower()
+    if t.startswith(("decimal", "numeric")):
+        return "dec"
+    if t in ("tinyint", "smallint", "int", "integer", "bigint", "long",
+             "float", "double", "real", "byte", "short"):
+        return "num"
+    if t in ("date", "timestamp", "timestamp_ntz", "timestamp_ltz"):
+        return "iso"
+    if t in ("string",) or t.startswith(("varchar", "char")):
+        return "str"
+    return None
+
+
+def _stat_coerce(v, domain: str):
+    """Coerce a stored stat or a caller bound into its domain, raising on
+    anything incomparable (the caller treats a raise as 'cannot prune').
+    Numeric coercion through float is safe for pruning because correctly
+    rounded conversion is monotone: float(a) < float(b) ⇒ a < b."""
+    if domain == "num":
+        if isinstance(v, bool):
+            return float(int(v))
+        if isinstance(v, (int, float)):
+            return float(v)
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+        raise TypeError(f"not numeric: {v!r}")
+    if domain == "dec":
+        if isinstance(v, (int, str, decimal.Decimal)):
+            return decimal.Decimal(str(v))
+        if isinstance(v, float):
+            return decimal.Decimal(str(v))
+        raise TypeError(f"not decimal-comparable: {v!r}")
+    if domain == "iso":
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        if isinstance(v, str):
+            return v
+        raise TypeError(f"not a date/timestamp bound: {v!r}")
+    if domain == "str":
+        if isinstance(v, str):
+            return v  # Python code-point order == Spark UTF8 binary order
+        raise TypeError(f"not a string: {v!r}")
+    raise TypeError(f"unknown domain {domain!r}")
+
+
+def _zones_may_match(entry: Optional[dict], ranges: dict, col_types: dict) -> bool:
+    """True unless the directory's recorded [min, max] provably cannot
+    intersect every requested [lo, hi]. Missing entry / missing column /
+    incomparable values keep the directory (conservative); a column whose
+    min and max are both NULL prunes it (a range predicate never matches
+    NULL under SQL semantics)."""
+    if not entry:
+        return True
+    for c, (lo, hi) in ranges.items():
+        st = entry.get(c)
+        if st is None:
+            continue
+        mn, mx = st
+        if mn is None and mx is None:
+            return False  # every value in this directory is NULL
+        dom = _stat_domain(col_types.get(c, ""))
+        if dom is None:
+            continue
+        try:
+            if lo is not None and mx is not None and _stat_coerce(mx, dom) < _stat_coerce(lo, dom):
+                return False
+            if hi is not None and mn is not None and _stat_coerce(mn, dom) > _stat_coerce(hi, dom):
+                return False
+        except Exception:  # noqa: BLE001 — incomparable: never prune on it
+            continue
+    return True
+
+
+def _normalize_ranges(ranges: dict) -> dict:
+    out = {}
+    for c, bounds in ranges.items():
+        if not isinstance(bounds, (tuple, list)) or len(bounds) != 2:
+            raise ValueError(f"range for {c!r} must be a (lo, hi) pair")
+        lo, hi = bounds
+        if lo is None and hi is None:
+            raise ValueError(f"range for {c!r} has no bound")
+        out[c] = (lo, hi)
+    return out
+
+
+def _dir_key(path: str) -> Tuple[str, ...]:
+    """Last two path components, URL-decoded — maps an executor-reported
+    file URI (file:///…/commit-XXXX-hash/_bucket=N/part-…) back to the
+    manifest's staging-dir path (…/commit-XXXX-hash/_bucket=N); the
+    commit dir's uuid suffix makes the pair unique within a commit."""
+    parts = unquote(path).rstrip("/").split("/")
+    return tuple(parts[-2:])
 
 
 class CommitConflict(RuntimeError):
@@ -326,6 +457,100 @@ class LakeTable:
         df = self.read(version=snap["version"], buckets=buckets, resolve=resolve)
         return df.join(F.broadcast(kdf), on=list(key_cols), how="left_semi")
 
+    def scan(self, ranges: Dict[str, Tuple], version: Optional[int] = None,
+             resolve: Optional[str] = None):
+        """Range scan with manifest zone-map pruning — the value/time-
+        dimension complement of :meth:`lookup`'s key-hash bucket pruning.
+
+        ``ranges``: ``{column: (lo, hi)}`` — inclusive bounds, either
+        side ``None`` for open. Returns the table state rows satisfying
+        EVERY range (rows with NULL in a ranged column never match, SQL
+        semantics). Requires nothing: without ``props["stats_cols"]``
+        this is exactly ``read().filter(...)``.
+
+        Pruning, all decided driver-side from the snapshot's
+        ``dir_stats`` before any file is opened:
+
+          - clean buckets: base directories whose recorded [min, max]
+            cannot intersect are skipped. Per-commit directories of a
+            CDC mirror have tight ranges on monotone-with-time columns,
+            so a trailing-window scan reads only the trailing commits.
+          - dirty buckets: resolved IN FULL by default — last-write-wins
+            needs every carrier, so value-range pruning before
+            resolution could surface a stale row whose latest version
+            lives in a pruned delta.
+          - ``props["append_only"] = True`` (caller contract: every key
+            written at most once, never updated or deleted — audit/event
+            mirrors) lifts that: resolution is the identity, so base AND
+            delta directories prune alike and delta rows project
+            straight to table rows.
+
+        The residual predicate is always applied (pruning is a superset
+        filter) and reaches the parquet readers as a pushed filter —
+        with ``props["sort_cols"]`` covering the ranged columns, row
+        groups inside surviving files are skipped too.
+        """
+        snap = self.snapshot(version)
+        col_types = dict(snap["schema"])
+        for c in ranges:
+            if c not in col_types:
+                raise ValueError(f"unknown column {c!r} (schema: {list(col_types)})")
+        ranges = _normalize_ranges(ranges)
+        stats = snap.get("dir_stats", {})
+        base: Dict[str, List[str]] = snap["buckets"]
+        deltas: Dict[str, List[str]] = snap.get("deltas", {})
+        append_only = bool(snap.get("props", {}).get("append_only"))
+        ddl = self.schema_ddl(snap)
+        keys = snap["key_cols"]
+        parts = []
+        clean_dirs = [d for b, dd in base.items() if b not in deltas for d in dd]
+        kept = [d for d in clean_dirs if _zones_may_match(stats.get(d), ranges, col_types)]
+        if kept:
+            parts.append(self.spark.read.schema(ddl).parquet(*kept))
+        if deltas:
+            if append_only:
+                dirty_base = [
+                    d for b in deltas for d in base.get(b, [])
+                    if _zones_may_match(stats.get(d), ranges, col_types)
+                ]
+                if dirty_base:
+                    parts.append(self.spark.read.schema(ddl).parquet(*dirty_base))
+                kept_delta = [
+                    d for dd in deltas.values() for d in dd
+                    if _zones_may_match(stats.get(d), ranges, col_types)
+                ]
+                if kept_delta:
+                    draw = self.spark.read.schema(
+                        self.delta_schema_ddl(snap)
+                    ).parquet(*kept_delta)
+                    sel = [
+                        (f"`{n}`" if n in keys
+                         else f"CAST(`r_{n}`.v AS {col_types[n]}) AS `{n}`")
+                        for n, _ in snap["schema"]
+                    ]
+                    # defensive: the contract forbids 'D' rows, but a
+                    # violating delete must not surface as a NULL row
+                    parts.append(draw.where("final_op <> 'D'").selectExpr(*sel))
+            else:
+                parts.append(self.read(
+                    version=snap["version"],
+                    buckets=[int(b) for b in deltas],
+                    resolve=resolve,
+                ))
+        if parts:
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+        else:
+            df = self.spark.createDataFrame([], schema=ddl)
+        cond = F.lit(True)
+        for c, (lo, hi) in ranges.items():
+            if lo is not None:
+                cond = cond & (F.col(c) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(c) <= F.lit(hi))
+        return df.filter(cond)
+
     def _dirty_union(self, snap: dict, base_dirs: List[str], delta_dirs: List[str]):
         """base rows (lsn = -1, all columns carried) ∪ delta rows (their
         commit max_lsn, carrier = struct present or a 'D' reset), typed.
@@ -474,16 +699,24 @@ class LakeTable:
 
         One shuffle co-locates each bucket's rows (one file per bucket,
         not #partitions × #buckets fragments); the dynamic-partition
-        writer does its own local sort on ``_bucket`` — an explicit
-        key sort here would only burn CPU (no key-range pruning exists
-        on read).
+        writer does its own local sort on ``_bucket``. With
+        ``props["sort_cols"]`` the local sort extends to those columns
+        (when present in ``df``), so every parquet ROW GROUP covers a
+        narrow value range and a :meth:`scan` range predicate — pushed to
+        the parquet reader — skips most of each file (the within-file
+        complement of the per-directory zone maps). Without the prop the
+        old behavior (bucket-only sort) is kept: an unrequested key sort
+        would only burn CPU.
         """
         stage = self._stage_dir(version)
-        (
-            df.repartition(F.col("_bucket"))
-            .write.partitionBy("_bucket")
-            .parquet(stage)
-        )
+        sort_cols = [
+            c for c in (self.snapshot().get("props", {}).get("sort_cols") or ())
+            if c in df.columns
+        ]
+        part = df.repartition(F.col("_bucket"))
+        if sort_cols:
+            part = part.sortWithinPartitions("_bucket", *sort_cols)
+        part.write.partitionBy("_bucket").parquet(stage)
         out: Dict[str, List[str]] = {}
         dir_bytes: Dict[str, int] = {}
         if os.path.exists(stage):
@@ -493,6 +726,62 @@ class LakeTable:
                     out[name.split("=", 1)[1]] = [d]
                     dir_bytes[d] = _scan_bytes(d)
         return out, dir_bytes
+
+    def _collect_dir_stats(
+        self,
+        dirmap: Optional[Dict[str, List[str]]],
+        stats_cols: Sequence[str],
+        schema: Sequence[Sequence[str]],
+        key_cols: Sequence[str],
+        delta: bool = False,
+    ) -> Dict[str, dict]:
+        """Per-directory min/max of ``stats_cols`` over freshly staged
+        dirs — ONE column-pruned Spark job over the just-written (page-
+        cache-warm) files, grouped by parent directory, collecting at
+        most one row per staged dir (≤ n_buckets). Delta files carry
+        value columns as ``r_<col>.v`` strings; they are cast back to
+        the table type so delta stats order identically to base stats.
+        Delete rows contribute nothing (their carriers are NULL, which
+        min/max ignore) — correct, since a range predicate cannot match
+        a deleted row either."""
+        dirs = [d for dd in (dirmap or {}).values() for d in dd]
+        col_types = {n: t for n, t in schema}
+        cols = [c for c in stats_cols if c in col_types and _stat_domain(col_types[c])]
+        if not dirs or not cols:
+            return {}
+        keys = set(key_cols)
+        if delta:
+            read_ddl = ", ".join(
+                [f"`{n}` {t}" for n, t in schema if n in keys]
+                + ["final_op STRING", "max_lsn BIGINT"]
+                + [f"`r_{n}` STRUCT<v: STRING>" for n, _ in schema if n not in keys]
+            )
+            exprs = {
+                c: (f"`{c}`" if c in keys else f"CAST(`r_{c}`.v AS {col_types[c]})")
+                for c in cols
+            }
+        else:
+            read_ddl = ", ".join(f"`{n}` {t}" for n, t in schema)
+            exprs = {c: f"`{c}`" for c in cols}
+        sel = [f"{exprs[c]} AS `{c}`" for c in cols]
+        sel.append("regexp_replace(input_file_name(), '/[^/]*$', '') AS __dir")
+        df = self.spark.read.schema(read_ddl).parquet(*dirs).selectExpr(*sel)
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(F.col(c)).alias(f"__mn_{c}"))
+            aggs.append(F.max(F.col(c)).alias(f"__mx_{c}"))
+        rows = df.groupBy("__dir").agg(*aggs).collect()
+        by_key = {_dir_key(d): d for d in dirs}
+        out: Dict[str, dict] = {}
+        for r in rows:
+            d = by_key.get(_dir_key(r["__dir"]))
+            if d is None:
+                continue
+            out[d] = {
+                c: [_stat_store(r[f"__mn_{c}"]), _stat_store(r[f"__mx_{c}"])]
+                for c in cols
+            }
+        return out
 
     def commit(
         self,
@@ -555,6 +844,24 @@ class LakeTable:
         modulus under the new layout would resolve keys against the
         wrong buckets: lost deletes, duplicate keys).
         """
+        # zone maps (props["stats_cols"]): per-dir min/max of the newly
+        # staged base/delta dirs, computed OUTSIDE the commit lock (one
+        # narrow Spark job over staged files; the critical section stays
+        # metadata-only). Props and key_cols are immutable across
+        # commits, so the pre-lock snapshot is authoritative for them;
+        # the effective schema is the one the staged files were written
+        # under (the ``schema`` argument when evolving).
+        pre = self.snapshot()
+        stats_cols = pre.get("props", {}).get("stats_cols") or ()
+        new_dir_stats: Dict[str, dict] = {}
+        if stats_cols:
+            eff_schema = [list(c) for c in (schema or pre["schema"])]
+            new_dir_stats.update(self._collect_dir_stats(
+                new_buckets, stats_cols, eff_schema, pre["key_cols"], delta=False,
+            ))
+            new_dir_stats.update(self._collect_dir_stats(
+                delta_buckets, stats_cols, eff_schema, pre["key_cols"], delta=True,
+            ))
         _maybe_crash("pre_snapshot")
         with _commit_lock(self.meta_dir):
             prev = self.snapshot()
@@ -620,6 +927,9 @@ class LakeTable:
             referenced |= {d for dd in deltas.values() for d in dd}
             referenced |= {d for dd in (cdf_buckets or {}).values() for d in dd}
             all_dir_bytes = {d: s for d, s in all_dir_bytes.items() if d in referenced}
+            all_dir_stats = dict(prev.get("dir_stats", {}))
+            all_dir_stats.update(new_dir_stats)
+            all_dir_stats = {d: s for d, s in all_dir_stats.items() if d in referenced}
             bucket_bytes = {
                 b: sum(all_dir_bytes.get(d, 0) for d in dd) for b, dd in buckets.items()
             }
@@ -641,6 +951,7 @@ class LakeTable:
                 "bucket_bytes": bucket_bytes,
                 "delta_bytes": delta_bytes,
                 "dir_bytes": all_dir_bytes,
+                "dir_stats": all_dir_stats,
                 "watermark_lsn": prev["watermark_lsn"] if watermark_lsn is None else watermark_lsn,
                 "parent": prev["version"],
                 "props": prev["props"],

@@ -16,6 +16,7 @@ encode → decode → merge end-to-end.
 
 from __future__ import annotations
 
+import json as _json
 import tempfile
 from collections.abc import Callable
 
@@ -148,8 +149,10 @@ _INGEST_MEMO: dict = {}
 def _ingest_cdc(spark: SparkSession, p: _gen.GenParams,
                 kc_toast_passes: int = 0, strict: bool = True,
                 n_batches: int = 3, fresh: bool = False,
-                skip_foreign_origins: bool = False) -> LakeTable:
-    key = (p, kc_toast_passes, strict, n_batches, skip_foreign_origins)
+                skip_foreign_origins: bool = False,
+                props: dict | None = None) -> LakeTable:
+    key = (p, kc_toast_passes, strict, n_batches, skip_foreign_origins,
+           _json.dumps(props, sort_keys=True) if props else None)
     if not fresh:
         hit = _INGEST_MEMO.get(key)
         if hit is not None and hit[0] is spark:
@@ -158,7 +161,7 @@ def _ingest_cdc(spark: SparkSession, p: _gen.GenParams,
     table = LakeTable.create(
         spark, f"{tmp}/lake",
         schema=[(c, "string") for c in _gen.ALL_COLUMNS],
-        key_cols=list(_gen.KEY_COLUMNS), n_buckets=8,
+        key_cols=list(_gen.KEY_COLUMNS), n_buckets=8, props=props,
     )
     frames = _gen.spark_frames_df(spark, p)
     _pipeline.run_ingest(spark, frames, table, n_batches=n_batches,
@@ -752,6 +755,37 @@ FROM final_state
 """.strip()
 
 
+def q_cdc_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest zone maps under the driver harness (the Iceberg
+    column-stats analog): the mirror is created with
+    ``stats_cols = sort_cols = ["commit"]`` — every commit records each
+    staged directory's min/max of ``commit`` in the snapshot, and base
+    files are written commit-sorted so the residual range reaches the
+    parquet reader as a pushed filter over tight row groups. After
+    ingest + compaction, ``scan({"commit": ('4', 'c')})`` prunes
+    directories driver-side and filters the survivors; the oracle is
+    the final-state SQL wrapped in the same predicate, so the hash
+    match proves pruning is a pure superset optimization (dirty buckets
+    resolve in full before filtering — LWW-safe; pruning effectiveness
+    and the stale-row trap are pinned in tests/test_zonemap.py)."""
+    table = _ingest_cdc(spark, P_ENTRY, props={
+        "stats_cols": ["commit"], "sort_cols": ["commit"],
+    })
+    table.wait_maintenance()  # let any auto-scheduled compaction land
+    table.compact()           # fold remaining deltas (idempotent)
+    return table.scan({"commit": ("4", "c")}).selectExpr(
+        "repo", "path", "`commit`", "lang", "content",
+        "sha2(content, 256) AS content_sha",
+    )
+
+
+def _cdc_zonemap_oracle(p: _gen.GenParams) -> str:
+    return f"""
+WITH final_state AS ({_gen.duckdb_final_state_sql(p, with_sha=True)})
+SELECT * FROM final_state WHERE "commit" >= '4' AND "commit" <= 'c'
+""".strip()
+
+
 #: bootstrap fixture: full history WITHOUT truncates (a truncate in the
 #: catch-up span would wipe the evidence that catch-up TOAST-'u'/LWW
 #: events resolve against the bulk-loaded base) …
@@ -828,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_point_lookup": q_cdc_point_lookup,
         "cdc_erasure_final_state": q_cdc_erasure_final_state,
+        "cdc_zonemap_scan": q_cdc_zonemap_scan,
         "cdc_redaction_final_state": q_cdc_redaction_final_state,
         "cdc_rebucket_final_state": q_cdc_rebucket_final_state,
         "cdc_repair_final_state": q_cdc_repair_final_state,
@@ -879,6 +914,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cdc_point_lookup": _cdc_point_lookup_oracle(P_ENTRY),
         "cdc_erasure_final_state": _cdc_erasure_oracle(P_ENTRY),
+        "cdc_zonemap_scan": _cdc_zonemap_oracle(P_ENTRY),
         "cdc_redaction_final_state": _cdc_redaction_oracle(P_ENTRY),
         "cdc_rebucket_final_state": _gen.duckdb_final_state_sql(P_ENTRY, with_sha=True),
         "cdc_repair_final_state": _gen.duckdb_final_state_sql(P_ENTRY, with_sha=True),

@@ -153,6 +153,8 @@ BENCH_QUERIES = (
     "cdc_snapshot_bootstrap",
     "cdc_outbox_messages",
     "cdc_epoch_consistent_read",
+    "cdc_time_travel",
+    "cdc_zonemap_scan",
     "text_fingerprint",
     "text_quality_score",
     "text_repetition",

@@ -729,7 +729,8 @@ def decode_frames_raw(frames_df, registry: Optional[RelationRegistry] = None,
                       vectorized: Optional[bool] = None,
                       forbid_loop: bool = False,
                       skip_foreign_origins: bool = False,
-                      open_foreign: Optional[set] = None):
+                      open_foreign: Optional[set] = None,
+                      stream_spill_bytes: Optional[int] = None):
     """frames → RAW decoded events (positional cell arrays, no maps).
 
     The hot-path form; use :func:`project_relation` for typed columns of
@@ -753,6 +754,13 @@ def decode_frames_raw(frames_df, registry: Optional[RelationRegistry] = None,
     parity). ``open_foreign``: segments whose carried-in open transaction
     already saw its 'O' in a previous micro-batch (carried like
     ``open_tx``).
+
+    ``stream_spill_bytes`` (strict vectorized path only): bounded-memory
+    decode of OVERSIZED streamed transactions — a stream group whose
+    buffered Arrow bytes exceed the threshold spools to a local disk
+    file and decodes via a two-pass fate map (wal.vspill, PostgreSQL's
+    apply-worker spill analog) instead of pinning the transaction's
+    whole byte range in executor memory. Identical output either way.
     """
     if registry is None:
         registry = RelationRegistry.from_frames(frames_df)
@@ -777,6 +785,7 @@ def decode_frames_raw(frames_df, registry: Optional[RelationRegistry] = None,
                 plain, init_tx=open_tx,
                 skip_foreign_origins=skip_foreign_origins,
                 init_foreign=open_foreign,
+                stream_spill_bytes=stream_spill_bytes,
             ),
             schema=RAW_SCHEMA,
         )

@@ -947,15 +947,47 @@ def _resolve_streams(data, offs, seg, lsn, first, idx,
 
 def make_kernel(registry_plain: dict, init_tx: Optional[dict] = None,
                 skip_foreign_origins: bool = False,
-                init_foreign: Optional[set] = None):
+                init_foreign: Optional[set] = None,
+                stream_spill_bytes: Optional[int] = None,
+                spill_dir: Optional[str] = None):
     """mapInArrow kernel: frames RecordBatches -> RAW event RecordBatches.
     Protocol-v2 stream blocks are decoded vectorized: batches are grouped
     so every stream closes within its group (pure-v1 batches pass through
-    one-to-one), then resolved with offset math — see module docstring."""
+    one-to-one), then resolved with offset math — see module docstring.
+
+    ``stream_spill_bytes``: bounded-memory mode for OVERSIZED streamed
+    transactions (wal.vspill — PG's apply-worker spill-to-disk analog):
+    a stream group whose buffered Arrow bytes exceed the threshold is
+    spooled to a local IPC file while a control-frame scan builds its
+    fate map, then re-read one batch at a time and stamped from the map
+    — peak memory O(threshold + one batch), never O(transaction size).
+    Default None keeps the in-memory grouping (identical output, pinned
+    by tests/test_stream_spill.py)."""
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         open_tx: dict = dict(init_tx) if init_tx else {}
         foreign_segs: set = set(init_foreign) if init_foreign else set()
+        if stream_spill_bytes is not None:
+            from pypgoutput_spark.wal import vspill
+
+            for group in vspill.group_stream_batches_spill(
+                batches, stream_spill_bytes,
+                skip_foreign_origins=skip_foreign_origins,
+                spill_dir=spill_dir,
+            ):
+                if isinstance(group, vspill.SpilledGroup):
+                    yield from vspill.decode_spilled_group(
+                        group, open_tx, registry_plain,
+                        skip_foreign_origins=skip_foreign_origins,
+                        foreign_segs=foreign_segs,
+                    )
+                else:
+                    yield from process_batch(
+                        _combine(group), open_tx, registry_plain,
+                        skip_foreign_origins=skip_foreign_origins,
+                        foreign_segs=foreign_segs,
+                    )
+            return
         for group in _group_stream_batches(batches):
             yield from process_batch(
                 _combine(group), open_tx, registry_plain,
@@ -969,12 +1001,19 @@ def make_kernel(registry_plain: dict, init_tx: Optional[dict] = None,
 def process_batch(rb: pa.RecordBatch, open_tx: dict,
                   registry_plain: dict,
                   skip_foreign_origins: bool = False,
-                  foreign_segs: Optional[set] = None) -> Iterator[pa.RecordBatch]:
+                  foreign_segs: Optional[set] = None,
+                  stream_resolver=None) -> Iterator[pa.RecordBatch]:
     """Vectorized decode of ONE Arrow batch; mutates ``open_tx`` (the
     per-segment open-transaction carry). The strict=False optimistic
     wrapper (operators.decode) calls this with a COPY of the carry state,
     committing it only when the whole batch decodes cleanly, and falls
-    back to the per-message loop kernel on error."""
+    back to the per-message loop kernel on error.
+
+    ``stream_resolver``: substitute for :func:`_resolve_streams` on the
+    spilled-group pass (wal.vspill) — called UNCONDITIONALLY (a chunk
+    can span batches without any control byte landing in this one, so
+    v2-byte detection cannot gate it; the substitute carries chunk
+    state across batches itself)."""
     data, offs, seg, lsn = _payload_arrays(rb)
     n = rb.num_rows
     if n == 0:
@@ -1067,7 +1106,13 @@ def process_batch(rb: pa.RecordBatch, open_tx: dict,
 
     # ---- protocol-v2 stream resolution (v1 batches skip entirely) ----
     drop = shift = None
-    if np.isin(first, [_S2, _E2, _c2, _A2, _SP]).any():
+    if stream_resolver is not None:
+        drop, shift = stream_resolver(
+            data, offs, seg, lsn, first, idx,
+            ev_xid, ev_blsn, ev_cts, ev_has_tx,
+            skip_foreign_origins=skip_foreign_origins,
+        )
+    elif np.isin(first, [_S2, _E2, _c2, _A2, _SP]).any():
         drop, shift = _resolve_streams(
             data, offs, seg, lsn, first, idx,
             ev_xid, ev_blsn, ev_cts, ev_has_tx,

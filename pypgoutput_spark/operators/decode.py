@@ -646,7 +646,9 @@ def _make_kernel(registry_plain: dict, strict: bool = True,
 def _make_optimistic_kernel(registry_plain: dict, init_tx: Optional[dict] = None,
                             forbid_loop: bool = False,
                             skip_foreign_origins: bool = False,
-                            init_foreign: Optional[set] = None):
+                            init_foreign: Optional[set] = None,
+                            stream_spill_bytes: Optional[int] = None,
+                            spill_dir: Optional[str] = None):
     """strict=False HOT path: decode each stream-closed group of Arrow
     batches with the vectorized kernel (protocol-v2 streams included —
     ``vdecode._group_stream_batches`` coalesces batches until every
@@ -660,7 +662,17 @@ def _make_optimistic_kernel(registry_plain: dict, init_tx: Optional[dict] = None
 
     ``forbid_loop=True`` (captured at plan time) turns any loop-kernel
     fallback into a hard failure — the test pin proving the vectorized
-    path carries a given workload end-to-end."""
+    path carries a given workload end-to-end.
+
+    ``stream_spill_bytes``: bounded-memory mode for OVERSIZED streamed
+    transactions (wal.vspill). Under-threshold groups keep the full
+    optimistic behavior above (vectorized, loop fallback, dead-letter
+    quarantine); a group that overflows the threshold spools to disk and
+    decodes STRICTLY — per-message quarantine isolation requires
+    buffering the group, which is exactly what the spill exists to
+    avoid, so a grammar error inside an oversized streamed transaction
+    fails the batch loudly (PostgreSQL's apply worker errors out there
+    too) instead of dead-lettering."""
     import pyarrow as pa
 
     from pypgoutput_spark.wal import vdecode
@@ -671,7 +683,32 @@ def _make_optimistic_kernel(registry_plain: dict, init_tx: Optional[dict] = None
         open_tx: dict = dict(init_tx) if init_tx else {}
         foreign_segs: set = set(init_foreign) if init_foreign else set()
         streams = StreamState()
-        for group in vdecode._group_stream_batches(batches):
+        if stream_spill_bytes is not None:
+            from pypgoutput_spark.wal import vspill
+
+            grouper = vspill.group_stream_batches_spill(
+                batches, stream_spill_bytes,
+                skip_foreign_origins=skip_foreign_origins,
+                spill_dir=spill_dir,
+            )
+        else:
+            vspill = None
+            grouper = vdecode._group_stream_batches(batches)
+        for group in grouper:
+            if vspill is not None and isinstance(group, vspill.SpilledGroup):
+                if streams:
+                    raise ValueError(
+                        "spilled stream group reached while the loop "
+                        "kernel holds open stream state (xids "
+                        f"{streams.open_xids()}) — quarantined stream "
+                        "control frames left the carry undrained"
+                    )
+                yield from vspill.decode_spilled_group(
+                    group, open_tx, registry_plain,
+                    skip_foreign_origins=skip_foreign_origins,
+                    foreign_segs=foreign_segs,
+                )
+                continue
             # once a fallback leaves loop-kernel stream state open, the
             # loop kernel must keep control until that state drains —
             # the vectorized kernel cannot adopt half-buffered streams
@@ -755,12 +792,16 @@ def decode_frames_raw(frames_df, registry: Optional[RelationRegistry] = None,
     already saw its 'O' in a previous micro-batch (carried like
     ``open_tx``).
 
-    ``stream_spill_bytes`` (strict vectorized path only): bounded-memory
-    decode of OVERSIZED streamed transactions — a stream group whose
-    buffered Arrow bytes exceed the threshold spools to a local disk
-    file and decodes via a two-pass fate map (wal.vspill, PostgreSQL's
-    apply-worker spill analog) instead of pinning the transaction's
-    whole byte range in executor memory. Identical output either way.
+    ``stream_spill_bytes`` (vectorized paths, strict or not): bounded-
+    memory decode of OVERSIZED streamed transactions — a stream group
+    whose buffered Arrow bytes exceed the threshold spools to a local
+    disk file and decodes via a two-pass fate map (wal.vspill,
+    PostgreSQL's apply-worker spill analog) instead of pinning the
+    transaction's whole byte range in executor memory. Identical output
+    either way. Under strict=False, under-threshold groups keep full
+    dead-letter quarantine; an OVERFLOWING group decodes strictly (see
+    ``_make_optimistic_kernel``). Ignored by the vectorized=False loop
+    kernel, which buffers per message, not per group.
     """
     if registry is None:
         registry = RelationRegistry.from_frames(frames_df)
@@ -795,6 +836,7 @@ def decode_frames_raw(frames_df, registry: Optional[RelationRegistry] = None,
                 plain, init_tx=open_tx, forbid_loop=forbid_loop,
                 skip_foreign_origins=skip_foreign_origins,
                 init_foreign=open_foreign,
+                stream_spill_bytes=stream_spill_bytes,
             ),
             schema=RAW_SCHEMA,
         )

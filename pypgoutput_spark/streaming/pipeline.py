@@ -346,9 +346,17 @@ def apply_frames_batch(
     pending_dir: Optional[str] = None,
     skip_foreign_origins: bool = False,
     open_foreign: Optional[set] = None,
+    stream_spill_bytes: Optional[int] = None,
 ) -> dict:
     """One micro-batch: frames → decode once → route per relation →
     LWW → merge each table. Returns metrics (incl. ``open_tx`` carry-out).
+
+    ``stream_spill_bytes``: bounded-memory decode of oversized
+    protocol-v2 streamed transactions — stream groups whose buffered
+    Arrow bytes exceed the threshold spool to executor-local disk and
+    decode via a two-pass fate map (wal.vspill) instead of pinning the
+    whole transaction in task memory. Identical output; see
+    ``decode_frames_raw``.
 
     ``messages_dir``: when set, delivered logical-decoding messages
     (op='M' — pg_logical_emit_message, the transactional-outbox
@@ -730,7 +738,7 @@ def apply_frames_batch(
     raw = decode_op.decode_frames_raw(
         eff_frames, registry, strict=strict, clustered=clustered,
         open_tx=open_tx, skip_foreign_origins=skip_foreign_origins,
-        open_foreign=open_foreign,
+        open_foreign=open_foreign, stream_spill_bytes=stream_spill_bytes,
     )
 
     # events for relations with a registered schema but no managed table
@@ -986,6 +994,7 @@ def run_ingest(
     messages_dir: Optional[str] = None,
     skip_foreign_origins: bool = False,
     verify_continuity: bool = False,
+    stream_spill_bytes: Optional[int] = None,
 ) -> List[dict]:
     """Replay a frames DataFrame into the table(s) in ``n_batches``
     micro-batches. ``split='segment'`` cuts on WAL-segment boundaries;
@@ -1068,6 +1077,7 @@ def run_ingest(
             pending_2pc=pending_2pc,
             skip_foreign_origins=skip_foreign_origins,
             open_foreign=open_foreign,
+            stream_spill_bytes=stream_spill_bytes,
         )
         open_tx = metrics.get("open_tx", {})
         pending_2pc = metrics.get("pending_2pc", pending_2pc)
@@ -1196,6 +1206,7 @@ def stream_ingest(
     epoch_log=None,
     messages_dir: Optional[str] = None,
     skip_foreign_origins: bool = False,
+    stream_spill_bytes: Optional[int] = None,
 ):
     """Structured-Streaming variant: parquet frame files → foreachBatch merge.
 
@@ -1269,6 +1280,7 @@ def stream_ingest(
             pending_2pc=state["pending_2pc"],
             skip_foreign_origins=skip_foreign_origins,
             open_foreign=state["open_foreign"],
+            stream_spill_bytes=stream_spill_bytes,
         )
         n_late = m.get("late_frames", 0)
         if n_late:

@@ -282,3 +282,69 @@ def test_spark_decode_with_spill_matches_default(spark):
         .toPandas().sort_values("lsn").reset_index(drop=True)[cols]
     )
     _assert_equal(base, spilled)
+
+
+def test_optimistic_spill_equals_default_and_keeps_quarantine():
+    """strict=False (the streaming-pipeline kernel): forced spill ≡
+    default on an interleaved streamed WAL, and an under-threshold
+    corrupt v1 frame STILL dead-letters (op='E') — quarantine isolation
+    is only traded away for groups that actually overflow."""
+    p = GenParams(n_txns=30, ops_per_txn=5, toast_pct=25,
+                  txns_per_segment=10, stream_pct=50, stream_abort_pct=25,
+                  interleave_streams=True)
+    rb = _frames_batch(p)
+    plain = _plain()
+
+    def run(batches, spill):
+        kernel = decode_op._make_optimistic_kernel(
+            plain, stream_spill_bytes=spill
+        )
+        outs = list(kernel(iter(batches)))
+        df = pa.Table.from_batches(outs).to_pandas()
+        return df.sort_values("lsn").reset_index(drop=True)
+
+    base = run([rb], None)
+    spilled = run(_slices(rb, 8), 1)
+    _assert_equal(base, spilled)
+
+    # corrupt v1 insert AFTER every stream closed (own batch, new
+    # segment): passes through the spill grouper in memory, optimistic
+    # decode fails, loop fallback dead-letters exactly that row
+    max_seg = int(pa.compute.max(rb.column("segment")).as_py())
+    bad = _rows_to_batch([(max_seg + 1, 10_000_000, b"I\x00\x00\xc8\x22Nxx")])
+    out = run(_slices(rb, 8) + [bad], 1)
+    dead = out[out["op"] == "E"]
+    assert len(dead) == 1 and int(dead["lsn"].iloc[0]) == 10_000_000
+    _assert_equal(base, out[out["op"] != "E"].reset_index(drop=True))
+
+
+@pytest.mark.parametrize("strict", [True, False])
+def test_run_ingest_with_spill_matches_oracle(spark, tmp_path, strict):
+    """End-to-end: the full decode → LWW → MOR-merge pipeline with a
+    forced 1-byte spill threshold lands the same final table state as
+    the serial DuckDB oracle, on both decode modes."""
+    import duckdb
+    import pandas as pd
+
+    from pypgoutput_spark.lake.table import LakeTable
+    from pypgoutput_spark.streaming import pipeline
+
+    p = GenParams(n_txns=60, ops_per_txn=6, n_repos=30, n_paths=20,
+                  toast_pct=25, txns_per_segment=10, stream_pct=60,
+                  stream_abort_pct=20, interleave_streams=True)
+    frames = gen.spark_frames_df(spark, p)
+    table = LakeTable.create(
+        spark, str(tmp_path / "lake"),
+        schema=[(c, "string") for c in gen.ALL_COLUMNS],
+        key_cols=list(gen.KEY_COLUMNS), n_buckets=8,
+    )
+    pipeline.run_ingest(spark, frames, table, n_batches=3, strict=strict,
+                        stream_spill_bytes=1)
+    got = (table.read().toPandas()
+           .sort_values(["repo", "path"]).reset_index(drop=True))
+    want = (duckdb.sql(gen.duckdb_final_state_sql(p, with_sha=False)).df()
+            .sort_values(["repo", "path"]).reset_index(drop=True))
+    assert len(want) > 0 and len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )

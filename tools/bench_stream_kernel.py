@@ -75,6 +75,24 @@ def _time_vectorized(rb: pa.RecordBatch, plain: dict, reps: int) -> float:
     return best
 
 
+def _time_kernel(rb: pa.RecordBatch, plain: dict, reps: int,
+                 spill, batch_rows: int = 8192) -> float:
+    """Full make_kernel path over Spark-shaped batch slices, with or
+    without the disk-spill threshold — the A/B for wal.vspill (a 1-byte
+    threshold forces EVERY stream group through the spool file + fate
+    map; None is the in-memory grouping on identical slices)."""
+    slices = [rb.slice(i, min(batch_rows, rb.num_rows - i))
+              for i in range(0, rb.num_rows, batch_rows)]
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        kernel = vdecode.make_kernel(plain, stream_spill_bytes=spill)
+        n = sum(out.num_rows for out in kernel(iter(slices)))
+        best = min(best, time.perf_counter() - t0)
+        assert n > 0
+    return best
+
+
 def _time_loop(rb: pa.RecordBatch, plain: dict, reps: int) -> float:
     best = float("inf")
     pdf = rb.to_pandas()
@@ -114,6 +132,10 @@ def main() -> None:
                    txns_per_segment=50)
     rb1 = _frames_batch(p1)
     w_v1 = _time_vectorized(rb1, plain, reps)
+    # disk-spill A/B (wal.vspill): identical Spark-shaped slices, forced
+    # spool-everything vs the in-memory grouping
+    w_mem = _time_kernel(rb2, plain, reps, spill=None)
+    w_spill = _time_kernel(rb2, plain, reps, spill=1)
     print(json.dumps({
         "frames": rb2.num_rows,
         "v2_vectorized_fps": round(rb2.num_rows / w_vec),
@@ -121,6 +143,9 @@ def main() -> None:
         "v2pc_vectorized_fps": round(rb2c.num_rows / w_vec2c),
         "v1_vectorized_fps": round(rb1.num_rows / w_v1),
         "speedup": round(w_loop / w_vec, 2),
+        "v2_inmem_kernel_fps": round(rb2.num_rows / w_mem),
+        "v2_spill_kernel_fps": round(rb2.num_rows / w_spill),
+        "spill_overhead": round(w_spill / w_mem, 2),
     }))
 
 

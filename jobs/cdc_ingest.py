@@ -69,6 +69,11 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="stream mode: processingTime trigger; default availableNow")
     ap.add_argument("--epoch-log", action="store_true",
                     help="publish one cross-table consistency epoch per batch")
+    ap.add_argument("--stream-spill-mb", type=int, default=None,
+                    help="spill oversized protocol-v2 streamed transactions "
+                         "to executor-local disk past this many MB of "
+                         "buffered Arrow bytes (bounded-memory decode; "
+                         "default: buffer in memory)")
     return ap
 
 
@@ -119,6 +124,10 @@ def main(argv=None) -> None:
         EpochLog(os.path.join(args.lake_root, "_epochs")) if args.epoch_log else None
     )
 
+    spill_bytes = (
+        args.stream_spill_mb * (1 << 20)
+        if args.stream_spill_mb is not None else None
+    )
     if args.mode == "batch":
         pipeline.run_ingest(
             spark, frames, tables,
@@ -129,6 +138,7 @@ def main(argv=None) -> None:
             quarantine_dir=args.quarantine_dir,
             kc_toast_passes=args.kc_toast_passes,
             epoch_log=epoch_log,
+            stream_spill_bytes=spill_bytes,
         )
     else:
         trigger = (
@@ -145,6 +155,7 @@ def main(argv=None) -> None:
             kc_toast_passes=args.kc_toast_passes,
             clustered=args.clustered,
             epoch_log=epoch_log,
+            stream_spill_bytes=spill_bytes,
         )
         q.awaitTermination()
 

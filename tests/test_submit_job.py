@@ -103,3 +103,33 @@ def test_spark_submit_stream_mode(spark, submit_env):
     (_, tinfo), = rep["tables"].items()
     assert tinfo["watermark_lsn"] > 0
     _assert_matches_oracle(spark, tinfo["path"])
+
+
+def test_spark_submit_with_stream_spill(spark, submit_env):
+    """--stream-spill-mb 0 forces every streamed transaction through the
+    disk-spill decode inside a real spark-submit run; the merged state
+    must still equal the serial oracle."""
+    tmp, zp = submit_env
+    p = gen.GenParams(
+        n_txns=40, ops_per_txn=6, n_repos=12, n_paths=8, toast_pct=30,
+        txns_per_segment=10, stream_pct=60, stream_abort_pct=20,
+        interleave_streams=True,
+    )
+    gen.spark_frames_df(spark, p).write.parquet(f"{tmp}/frames_streamed")
+    # a repeated --frames-dir takes the last occurrence under argparse
+    rep = _submit(
+        tmp, zp,
+        ["--frames-dir", f"{tmp}/frames_streamed", "--mode", "batch",
+         "--n-batches", "2", "--n-buckets", "8", "--stream-spill-mb", "0"],
+        lake="lake_spill",
+    )
+    (_, tinfo), = rep["tables"].items()
+    assert tinfo["watermark_lsn"] > 0
+    table = LakeTable(spark, tinfo["path"])
+    got = (table.read().toPandas()
+           .sort_values(["repo", "path"]).reset_index(drop=True))
+    want = (duckdb.sql(gen.duckdb_final_state_sql(p, with_sha=False)).df()
+            .sort_values(["repo", "path"]).reset_index(drop=True))
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)

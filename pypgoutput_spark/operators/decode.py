@@ -942,7 +942,8 @@ def project_relation_typed(raw_events, relation_version, table=None,
 
 
 def decode_frames(frames_df, registry: Optional[RelationRegistry] = None,
-                  strict: bool = True, open_tx: Optional[dict] = None):
+                  strict: bool = True, open_tx: Optional[dict] = None,
+                  stream_spill_bytes: Optional[int] = None):
     """frames (segment, lsn, payload) → canonical change events.
 
     One shuffle (repartition by segment for transaction co-location);
@@ -969,7 +970,8 @@ def decode_frames(frames_df, registry: Optional[RelationRegistry] = None,
         schema="relation_id INT, schema_version INT, col_names ARRAY<STRING>",
     )
 
-    raw = decode_frames_raw(frames_df, registry, strict, open_tx=open_tx)
+    raw = decode_frames_raw(frames_df, registry, strict, open_tx=open_tx,
+                            stream_spill_bytes=stream_spill_bytes)
     return (
         raw.join(F.broadcast(reg_df), ["relation_id", "schema_version"], "left")
         .withColumn(

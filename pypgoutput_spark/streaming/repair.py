@@ -39,7 +39,7 @@ landing rule (sources/receiver.py, sources/walsock.py).
 from __future__ import annotations
 
 import os
-from typing import Dict, Union
+from typing import Dict, Optional, Union
 
 from pyspark.sql import functions as F
 
@@ -68,11 +68,18 @@ def replay_quarantine(
     strict: bool = True,
     clustered: bool = False,
     kc_toast_passes: int = 0,
+    stream_spill_bytes: Optional[int] = None,
 ) -> dict:
     """Repair the quarantined messages' effects. Returns metrics:
     ``repaired`` (ledgered quarantine rows), ``affected_keys`` and merge
     metrics per relation. ``frames`` must be the same durable frame
-    source ingest consumes (repair re-reads payloads from it)."""
+    source ingest consumes (repair re-reads payloads from it).
+
+    Pass the INGEST run's ``stream_spill_bytes`` here too: the repair
+    window re-decodes the same frames, so a streamed transaction that
+    needed the bounded-memory spill during ingest needs it again during
+    repair — omitting it would re-buffer that transaction's whole byte
+    range in one task, the OOM the ingest config existed to avoid."""
     single = isinstance(tables, LakeTable)
     table_map = {relation_id: tables} if single else dict(tables)
 
@@ -104,7 +111,8 @@ def replay_quarantine(
             t_lsn_by_rid[rid] = max(t_lsn_by_rid.get(rid, -1), int(row["lsn"]))
 
     raw = decode_op.decode_frames_raw(
-        window, registry, strict=strict, clustered=clustered, open_tx=None
+        window, registry, strict=strict, clustered=clustered, open_tx=None,
+        stream_spill_bytes=stream_spill_bytes,
     )
     pend_lsns = pending.select("lsn")
 

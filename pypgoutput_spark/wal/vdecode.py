@@ -734,6 +734,78 @@ def _member(sorted_keys: np.ndarray, query: np.ndarray):
     return sorted_keys[posc] == query, posc
 
 
+def _classify_in_chunk(data, starts, lens, seg, lsn, first, sr, sr_top_keys,
+                       known_keys_fn, validate: bool = True,
+                       skip_foreign_origins: bool = False):
+    """The in-chunk half of the protocol-v2 grammar, shared by all three
+    stream resolvers — the buffering resolver below, the spill path's
+    pass-1 control scan (vspill.scan_stream_controls), and its pass-2
+    fate resolver (vspill.make_fate_resolver) — so the rules (xid-prefix
+    length, in-chunk Truncate refusal, two-phase frames inside chunks,
+    R/O/Y auxiliaries, foreign-origin marking, mis-sequenced-chunk
+    detection) exist exactly once: a grammar change applied here reaches
+    the in-memory and the spilled decode identically.
+
+    ``sr``: indices of the batch's in-chunk non-control rows.
+    ``sr_top_keys``: the open chunk's top-level (segment, xid) skey per
+    ``sr`` row. ``known_keys_fn(keys) -> bool mask``: whether each
+    queried skey is a known open stream (each resolver answers from its
+    own bookkeeping). ``validate=False`` skips the hard byte checks for
+    the spill's pass 2, which re-reads bytes pass 1 already validated —
+    the mis-sequence check still runs there because pass 1 could only
+    test against streams opened SO FAR in the group.
+
+    Returns ``(aux, dml, emb_keys, dml_top_keys, o_top_keys)``: the
+    R/O/Y mask over ``sr``; the DML row indices; their embedded
+    (sub)transaction skeys; their top-level skeys; and the sorted unique
+    top keys of chunks carrying an Origin message (empty unless
+    ``skip_foreign_origins``)."""
+    t_in = first[sr]
+    if validate:
+        if (lens[sr] < 5).any():
+            raise ValueError("truncated in-chunk message (no xid prefix)")
+        if (t_in == _T).any():
+            i = sr[t_in == _T][0]
+            raise _codec.UnsupportedStreamOp(
+                f"Truncate inside a streamed transaction at lsn={lsn[i]} "
+                "is not supported"
+            )
+        bad2pc = np.isin(t_in, [_BP, _PP, _KP, _RP, _SP])
+        if bad2pc.any():
+            i = sr[bad2pc][0]
+            raise ValueError(
+                f"two-phase control frame {chr(first[i])!r} inside a "
+                f"stream chunk at lsn={lsn[i]} (mis-sequenced frame)"
+            )
+    aux = np.isin(t_in, [_R, _O, _Y])
+    o_top_keys = np.empty(0, dtype=np.int64)
+    if skip_foreign_origins and (t_in == _O).any():
+        # streams whose chunks carry an Origin: foreign — their events
+        # drop at seal (client-side loop prevention); np.unique sorts
+        o_top_keys = np.unique(sr_top_keys[t_in == _O])
+    dml = sr[~aux]
+    dml_top_keys = sr_top_keys[~aux]
+    emb_keys = np.empty(0, dtype=np.int64)
+    if dml.size:
+        emb_keys = _skey(seg[dml], _be(data, starts[dml] + 1, 4))
+        foreign = emb_keys != dml_top_keys
+        if foreign.any():
+            # a foreign chunk's message mis-sequenced into this block
+            # would otherwise be silently committed with the WRONG
+            # transaction; a genuine subxid can never collide with
+            # another in-flight top-level xid (PG xids are unique)
+            hit = known_keys_fn(emb_keys[foreign])
+            if hit.any():
+                i = int(dml[foreign][hit][0])
+                raise ValueError(
+                    f"in-chunk message carries xid="
+                    f"{int(_be(data, starts[[i]] + 1, 4)[0])} of a "
+                    f"different open stream inside the chunk at "
+                    f"lsn={lsn[i]} (mis-sequenced chunk)"
+                )
+    return aux, dml, emb_keys, dml_top_keys, o_top_keys
+
+
 def _resolve_streams(data, offs, seg, lsn, first, idx,
                      ev_xid, ev_blsn, ev_cts, ev_has_tx,
                      skip_foreign_origins: bool = False):
@@ -874,49 +946,12 @@ def _resolve_streams(data, offs, seg, lsn, first, idx,
     shift = np.where(in_chunk & ~drop, 4, 0)
     sr = np.nonzero(in_chunk & ~drop)[0]
     if sr.size:
-        if (lens[sr] < 5).any():
-            raise ValueError("truncated in-chunk message (no xid prefix)")
-        t_in = first[sr]
-        if (t_in == _T).any():
-            i = sr[t_in == _T][0]
-            raise _codec.UnsupportedStreamOp(
-                f"Truncate inside a streamed transaction at lsn={lsn[i]} "
-                "is not supported"
-            )
-        bad2pc = np.isin(t_in, [_BP, _PP, _KP, _RP, _SP])
-        if bad2pc.any():
-            i = sr[bad2pc][0]
-            raise ValueError(
-                f"two-phase control frame {chr(first[i])!r} inside a "
-                f"stream chunk at lsn={lsn[i]} (mis-sequenced frame)"
-            )
-        aux = np.isin(t_in, [_R, _O, _Y])
-        fo_keys_s = np.empty(0, dtype=np.int64)
-        if skip_foreign_origins and (t_in == _O).any():
-            # streams whose chunks carry an Origin: foreign — their
-            # events drop at seal (client-side loop prevention)
-            o_sr = sr[t_in == _O]
-            fo_keys_s = np.sort(np.unique(skey_at[lsc[o_sr]]))
+        aux, dml, emb_keys, top_keys, fo_keys_s = _classify_in_chunk(
+            data, starts, lens, seg, lsn, first, sr, skey_at[lsc[sr]],
+            lambda q: _member(fs_keys_s, q)[0],
+            skip_foreign_origins=skip_foreign_origins,
+        )
         drop[sr[aux]] = True
-        dml = sr[~aux]
-        emb = _be(data, starts[dml] + 1, 4)
-        emb_keys = _skey(seg[dml], emb)
-        top_keys = skey_at[lsc[dml]]
-        foreign = emb_keys != top_keys
-        if foreign.any():
-            # a foreign chunk's message mis-sequenced into this block
-            # would otherwise be silently committed with the WRONG
-            # transaction; a genuine subxid can never collide with
-            # another in-flight top-level xid (PG xids are unique)
-            hit, _ = _member(fs_keys_s, emb_keys[foreign])
-            if hit.any():
-                i = int(dml[foreign][hit][0])
-                raise ValueError(
-                    f"in-chunk message carries xid="
-                    f"{int(_be(data, starts[[i]] + 1, 4)[0])} inside the "
-                    f"chunk of a different open stream at lsn={lsn[i]} "
-                    "(mis-sequenced chunk)"
-                )
         committed, cpos = _member(c_keys_s, top_keys)
         full_aborted, _ = _member(fa_keys_s, top_keys)
         sub_aborted, _ = _member(sub_keys_s, emb_keys)

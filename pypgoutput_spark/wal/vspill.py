@@ -280,47 +280,22 @@ def scan_stream_controls(rb: pa.RecordBatch, fates: StreamFates,
                 int(_v._skey(seg[i : i + 1], np.array([sub]))[0])
             )
 
-    # in-chunk validation (vector) — exactly the in-memory resolver's
+    # in-chunk validation — the SHARED grammar helper (one copy of the
+    # rules for all three resolvers); membership answered from the
+    # fate map's open-stream bookkeeping
     ctrl_mask = is_s | is_e | is_cm | is_a
     sr = np.nonzero(in_chunk & ~ctrl_mask)[0]
     if sr.size:
-        if (lens[sr] < 5).any():
-            raise ValueError("truncated in-chunk message (no xid prefix)")
-        t_in = first[sr]
-        if (t_in == _v._T).any():
-            i = sr[t_in == _v._T][0]
-            raise _codec.UnsupportedStreamOp(
-                f"Truncate inside a streamed transaction at lsn={lsn[i]} "
-                "is not supported"
-            )
-        bad2pc = np.isin(t_in, [_v._BP, _v._PP, _v._KP, _v._RP, _v._SP])
-        if bad2pc.any():
-            i = sr[bad2pc][0]
-            raise ValueError(
-                f"two-phase control frame {chr(first[i])!r} inside a "
-                f"stream chunk at lsn={lsn[i]} (mis-sequenced frame)"
-            )
-        aux = np.isin(t_in, [_v._R, _v._O, _v._Y])
-        if skip_foreign_origins and (t_in == _v._O).any():
-            for k in np.unique(top_key[sr[t_in == _v._O]]):
-                fates.foreign.add(int(k))
-        dml = sr[~aux]
-        if dml.size:
-            emb_keys = _v._skey(seg[dml], _v._be(data, starts[dml] + 1, 4))
-            tk = top_key[dml]
-            foreign = emb_keys != tk
-            if foreign.any():
-                known = np.array(
-                    [int(k) in fates.first_lsn for k in emb_keys[foreign]]
-                )
-                if known.any():
-                    i = int(dml[foreign][known][0])
-                    raise ValueError(
-                        f"in-chunk message carries xid="
-                        f"{int(_v._be(data, starts[[i]] + 1, 4)[0])} inside "
-                        f"the chunk of a different open stream at "
-                        f"lsn={lsn[i]} (mis-sequenced chunk)"
-                    )
+        _aux, _dml, _emb, _tk, o_top = _v._classify_in_chunk(
+            data, starts, lens, seg, lsn, first, sr, top_key[sr],
+            lambda q: np.fromiter(
+                (int(k) in fates.first_lsn for k in q),
+                dtype=bool, count=q.size,
+            ),
+            skip_foreign_origins=skip_foreign_origins,
+        )
+        for k in o_top:
+            fates.foreign.add(int(k))
 
 
 def make_fate_resolver(final: _FinalFates):
@@ -350,31 +325,20 @@ def make_fate_resolver(final: _FinalFates):
         shift = np.where(in_chunk & ~drop, 4, 0)
         sr = np.nonzero(in_chunk & ~drop)[0]
         if sr.size:
-            t_in = first[sr]
-            aux = np.isin(t_in, [_v._R, _v._O, _v._Y])
+            # the SHARED grammar helper; validate=False — pass 1 already
+            # validated these bytes — but the mis-sequence check still
+            # runs here against the group's FULL key set (pass 1 could
+            # only test against streams opened so far, so a message
+            # referencing a stream opened later in the group must fail
+            # here instead of passing as a subxid)
+            lens = offs[1:] - starts
+            aux, dml, emb_keys, tk, _o = _v._classify_in_chunk(
+                data, starts, lens, seg, lsn, first, sr, top_key[sr],
+                lambda q: _v._member(final.fs_keys, q)[0],
+                validate=False,
+            )
             drop[sr[aux]] = True
-            dml = sr[~aux]
             if dml.size:
-                emb_keys = _v._skey(
-                    seg[dml], _v._be(data, starts[dml] + 1, 4)
-                )
-                tk = top_key[dml]
-                foreign_chunk = emb_keys != tk
-                if foreign_chunk.any():
-                    # pass 1 checks this against streams opened SO FAR;
-                    # re-check against the group's full key set so a
-                    # message referencing a stream opened later in the
-                    # group still fails instead of passing as a subxid
-                    hit, _ = _v._member(
-                        final.fs_keys, emb_keys[foreign_chunk]
-                    )
-                    if hit.any():
-                        i = int(dml[foreign_chunk][hit][0])
-                        raise ValueError(
-                            f"in-chunk message carries the xid of a "
-                            f"different open stream at lsn={lsn[i]} "
-                            "(mis-sequenced chunk)"
-                        )
                 committed, cpos = _v._member(final.c_keys, tk)
                 full_aborted, _ = _v._member(final.fa_keys, tk)
                 sub_aborted, _ = _v._member(final.sub_keys, emb_keys)
@@ -402,6 +366,24 @@ def make_fate_resolver(final: _FinalFates):
         return drop, shift
 
     return resolver
+
+
+def _default_spill_dir() -> Optional[str]:
+    """Executor-local scratch for the spool file: the first of Spark's
+    configured local dirs (``SPARK_LOCAL_DIRS``, which Spark exports to
+    python workers — the same disks shuffle spills land on; PySpark's
+    own ``shuffle.ExternalMerger`` resolves its spill dirs from the same
+    variable), falling back to the system temp dir when unset (plain
+    pytest, driver-local decode). Matters operationally: on hosts where
+    /tmp is RAM-backed tmpfs, spooling a multi-GB streamed transaction
+    there would re-create exactly the memory pressure the spill exists
+    to avoid — the provisioned scratch disks are the right target."""
+    dirs = os.environ.get("SPARK_LOCAL_DIRS")
+    if dirs:
+        first = dirs.split(",")[0].strip()
+        if first and os.path.isdir(first):
+            return first
+    return None
 
 
 class SpilledGroup:
@@ -449,7 +431,8 @@ def group_stream_batches_spill(
                     fates = StreamFates()
                     fd, path = tempfile.mkstemp(
                         prefix="pgoutput_stream_spill_", suffix=".arrow",
-                        dir=spill_dir,
+                        dir=spill_dir if spill_dir is not None
+                        else _default_spill_dir(),
                     )
                     os.close(fd)
                     writer = pa.ipc.new_file(path, pending[0].schema)

@@ -11,6 +11,8 @@ no-op.
 
 from __future__ import annotations
 
+import dataclasses
+
 import duckdb
 import pandas as pd
 import pytest
@@ -188,6 +190,37 @@ def test_replay_quarantine_key_change_toast(spark, tmp_path):
             .sort_values(["repo", "path"]).reset_index(drop=True))
     got = (table.read().toPandas()
            .sort_values(["repo", "path"]).reset_index(drop=True))
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+
+
+def test_replay_quarantine_streamed_with_spill(spark, tmp_path):
+    """Repair over a protocol-v2 streamed WAL with the ingest run's
+    bounded-memory spill threshold passed through: the repair window
+    re-decodes the same frames, so a streamed transaction that needed
+    the spill during ingest needs it during repair too (1-byte
+    threshold → every stream group takes the spool-file path on both
+    legs), and the repaired table still lands the exact oracle state."""
+    p_s = dataclasses.replace(P, stream_pct=60, stream_abort_pct=0)
+    good = gen.spark_frames_df(spark, p_s)
+    bad_pdf, bad_lsns = _corrupt(good.toPandas())
+    corrupted = spark.createDataFrame(bad_pdf, good.schema)
+
+    table = _mk_table(spark, tmp_path)
+    qdir = str(tmp_path / "quarantine")
+    pipeline.run_ingest(spark, corrupted, table, n_batches=2, strict=False,
+                        quarantine_dir=qdir, stream_spill_bytes=1)
+    wm = table.watermark_lsn
+    assert wm > 0
+
+    rep = replay_quarantine(spark, good, table, qdir, stream_spill_bytes=1)
+    assert rep["repaired"] == len(bad_lsns)
+    assert table.watermark_lsn == wm
+
+    want = (duckdb.sql(gen.duckdb_final_state_sql(p_s, with_sha=False)).df()
+            .sort_values(["repo", "path"]).reset_index(drop=True))
+    got = _state(spark, table)
     assert len(got) == len(want) > 0
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
                                   check_dtype=False)

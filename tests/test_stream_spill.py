@@ -227,6 +227,32 @@ def test_spill_grouper_engages_and_cleans_up(tmp_path):
     assert not glob.glob(str(tmp_path / "pgoutput_stream_spill_*"))
 
 
+def test_spill_dir_defaults_to_spark_local_dirs(tmp_path, monkeypatch):
+    """With no explicit spill_dir the spool lands in the first of
+    SPARK_LOCAL_DIRS — the executor scratch disks shuffle spills use
+    (PySpark's ExternalMerger resolves its spill dirs from the same
+    variable) — not the system temp dir: on hosts where /tmp is
+    RAM-backed tmpfs, spooling there would re-create exactly the memory
+    pressure the spill exists to avoid."""
+    local = tmp_path / "scratch0"
+    local.mkdir()
+    monkeypatch.setenv("SPARK_LOCAL_DIRS", f"{local},{tmp_path / 'nope'}")
+    assert vspill._default_spill_dir() == str(local)
+    p = GenParams(n_txns=20, ops_per_txn=5, toast_pct=0,
+                  txns_per_segment=10, stream_pct=100, stream_abort_pct=0)
+    rb = _frames_batch(p)
+    spooled = 0
+    for g in vspill.group_stream_batches_spill(iter(_slices(rb, 3)), 1):
+        if isinstance(g, vspill.SpilledGroup):
+            spooled += 1
+            assert os.path.dirname(g.path) == str(local)
+            list(vspill.decode_spilled_group(g, {}, _plain()))
+    assert spooled, "1-byte threshold must force at least one spill"
+    # unset (plain pytest, driver-local decode) → system temp default
+    monkeypatch.delenv("SPARK_LOCAL_DIRS")
+    assert vspill._default_spill_dir() is None
+
+
 def test_spill_validation_parity():
     """Grammar violations fail identically under the spill path: open
     stream at partition end, unknown Stream Commit, in-chunk Truncate

@@ -153,10 +153,19 @@ def _stat_coerce(v, domain: str):
             return decimal.Decimal(str(v))
         raise TypeError(f"not decimal-comparable: {v!r}")
     if domain == "iso":
-        if isinstance(v, (datetime.datetime, datetime.date)):
-            return v.isoformat()
-        if isinstance(v, str):
+        # compare as real datetimes, NOT isoformat strings: caller bounds
+        # arrive in SQL spellings ('2024-06-15 10:00:00', space separator;
+        # date-only '2024-06-15') while stored stats use isoformat's 'T'
+        # separator — lexicographic comparison across spellings prunes
+        # directories that DO contain matching rows (silent data loss).
+        # fromisoformat normalizes all of them; a naive-vs-aware mix
+        # raises TypeError at compare time → caught → never pruned.
+        if isinstance(v, datetime.datetime):
             return v
+        if isinstance(v, datetime.date):
+            return datetime.datetime(v.year, v.month, v.day)
+        if isinstance(v, str):
+            return datetime.datetime.fromisoformat(v)
         raise TypeError(f"not a date/timestamp bound: {v!r}")
     if domain == "str":
         if isinstance(v, str):

@@ -119,9 +119,7 @@ def encode_binary_frames(sf_dir: str):
         return cells(r, r.p * 2, int(r.k) % 2 != 0, r.s + "+", ("u", None))
 
     def dele(r):
-        from pypgoutput_spark.wal import codec as _c
-
-        return [_c.binary_cell(20, str(int(r.k)))] + [("n", None)] * 11
+        return [codec.binary_cell(20, str(int(r.k)))] + [("n", None)] * 11
 
     return _encode_stream(
         orders, REL_ID, "order_metrics", REL_COLS,

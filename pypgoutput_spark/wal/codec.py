@@ -36,6 +36,8 @@ from typing import Iterable, List, Optional, Sequence, Tuple
 PG_EPOCH = datetime(2000, 1, 1, tzinfo=timezone.utc)
 # microseconds between unix epoch and PG epoch (2000-01-01)
 PG_EPOCH_UNIX_US = 946_684_800_000_000
+#: days from Unix epoch (1970-01-01) to PG epoch (2000-01-01)
+PG_EPOCH_DAYS = 10957
 
 _I8 = struct.Struct(">b")
 _I16 = struct.Struct(">h")
@@ -611,6 +613,19 @@ def decode_batch(payloads: Iterable[bytes]) -> dict:
         ap["old_kind"](m.get("old_kind"))
         old = m.get("old")
         new = m.get("new")
+        for cells in (old, new):
+            if cells is not None and any(c == "b" for c, _ in cells):
+                # 'b' cells carry raw bytes (decode_message's documented
+                # surface) but THIS columnar surface types vals as text —
+                # mixing bytes into it would corrupt Arrow conversion
+                # downstream; binary=on streams need the registry-aware
+                # kernels (decode_frames_raw) for per-OID conversion
+                raise ValueError(
+                    "binary-mode ('b') TupleData cell in decode_batch: "
+                    "vals columns are text-typed — decode binary=on "
+                    "streams via decode_frames_raw (OID-aware), or read "
+                    "raw cells from decode_message"
+                )
         ap["old_cats"]([c for c, _ in old] if old is not None else None)
         ap["old_vals"]([v for _, v in old] if old is not None else None)
         ap["new_cats"]([c for c, _ in new] if new is not None else None)
@@ -734,6 +749,9 @@ def _numeric_to_binary(text: str) -> bytes:
     d = Decimal(text)
     if d.is_nan():
         return struct.pack(">hhHh", 0, 0, 0xC000, 0)
+    if d.is_infinite():
+        # PG14+ numeric ±Infinity: dedicated sign words, no digit groups
+        return struct.pack(">hhHh", 0, 0, 0xD000 if d > 0 else 0xF000, 0)
     t = d.as_tuple()  # exact — Decimal arithmetic would round at context prec
     sign = 0x4000 if t.sign else 0x0000
     dscale = max(0, -t.exponent)
@@ -769,11 +787,21 @@ def _binary_to_numeric_text(raw: bytes) -> str:
     """PG binary ``numeric`` → the text PG would print (dscale decimals)."""
     from decimal import Decimal
 
+    if len(raw) < 8:
+        raise ValueError("truncated binary numeric cell (corrupt frame)")
     ndigits, weight, sign, dscale = struct.unpack_from(">hhHh", raw, 0)
     if sign == 0xC000:
         return "NaN"
+    if sign == 0xD000:  # PG14+ numeric ±Infinity sign words
+        return "Infinity"
+    if sign == 0xF000:
+        return "-Infinity"
     if sign not in (0x0000, 0x4000):
         raise ValueError(f"bad numeric sign word 0x{sign:04x}")
+    if ndigits < 0 or len(raw) != 8 + 2 * ndigits:
+        # trailing junk or a short digit list would otherwise silently
+        # decode to a wrong value (np/struct read only what they need)
+        raise ValueError("binary numeric digit count mismatch (corrupt frame)")
     groups = struct.unpack_from(f">{ndigits}h", raw, 8)
     from decimal import localcontext
 
@@ -797,6 +825,50 @@ def _pg_ts_text(us: int) -> str:
     timestamp→string cast (CASTs identically either way)."""
     dt = PG_EPOCH + timedelta(microseconds=us)
     return dt.strftime("%Y-%m-%d %H:%M:%S") + f".{dt.microsecond:06d}"
+
+
+def _arrow_ts_text(us: int) -> str:
+    """PG-epoch µs → text via Arrow's timestamp cast — the spelling the
+    vectorized kernel produces; used for values outside datetime's year
+    range (1..9999), which Arrow renders fine ('10000-01-01 …') except
+    within ~292 years of the int64 ends, where its cast yields a
+    placeholder — surfaced as a typed corrupt-frame error, never as
+    column data."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if us > 0x7FFFFFFFFFFFFFFF - PG_EPOCH_UNIX_US:
+        raise ValueError("binary timestamp out of range (corrupt frame)")
+    s = pc.cast(
+        pc.cast(pa.array([us + PG_EPOCH_UNIX_US]), pa.timestamp("us")),
+        pa.string(),
+    )[0].as_py()
+    if s.startswith("<value out of range"):
+        raise ValueError("binary timestamp out of range (corrupt frame)")
+    return s
+
+
+def _pg_date_text(days: int) -> str:
+    """PG-epoch days → 'YYYY-MM-DD' (caller handles the ±infinity
+    sentinels). datetime covers years 1..9999; outside that, render
+    through Arrow like the vectorized kernel (typed error at the int32
+    extremes Arrow cannot render)."""
+    try:
+        return (PG_EPOCH + timedelta(days=days)).strftime("%Y-%m-%d")
+    except OverflowError:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if days > 0x7FFFFFFF - PG_EPOCH_DAYS:
+            raise ValueError("binary date out of range (corrupt frame)")
+        s = pc.cast(
+            pc.cast(pa.array([days + PG_EPOCH_DAYS], type=pa.int32()),
+                    pa.date32()),
+            pa.string(),
+        )[0].as_py()
+        if s.startswith("<value out of range"):
+            raise ValueError("binary date out of range (corrupt frame)")
+        return s
 
 
 def binary_cell(oid: int, text: Optional[str]) -> Tuple[str, Optional[bytes]]:
@@ -824,9 +896,17 @@ def binary_cell(oid: int, text: Optional[str]) -> Tuple[str, Optional[bytes]]:
     if oid == 701:
         return ("b", _F8.pack(float(text)))
     if oid == 1082:
+        if text == "infinity":  # PG date ±infinity sentinels
+            return ("b", _I32.pack(0x7FFFFFFF))
+        if text == "-infinity":
+            return ("b", _I32.pack(-0x80000000))
         d = datetime.fromisoformat(text + "T00:00:00").replace(tzinfo=timezone.utc)
         return ("b", _I32.pack((d - PG_EPOCH).days))
     if oid in (1114, 1184):
+        if text == "infinity":  # PG timestamp ±infinity sentinels
+            return ("b", _I64.pack(0x7FFFFFFFFFFFFFFF))
+        if text == "-infinity":
+            return ("b", _I64.pack(-0x8000000000000000))
         dt = datetime.fromisoformat(text)
         dt = dt.replace(tzinfo=timezone.utc) if dt.tzinfo is None else dt
         return ("b", _I64.pack(datetime_to_pg_ts(dt)))
@@ -856,6 +936,16 @@ def binary_to_text(oid: int, raw: bytes) -> str:
         if len(raw) != 1 or raw[0] not in (0, 1):
             raise ValueError("bad boolean binary cell")
         return "t" if raw[0] else "f"
+    if oid in (21, 23, 20, 700, 701, 1082, 1114, 1184):
+        # fixed-width cells: validate the width FIRST — struct/np would
+        # otherwise raise untyped struct.error on short cells and
+        # SILENTLY decode only the leading bytes of oversized ones
+        want = {21: 2, 23: 4, 20: 8, 700: 4, 701: 8, 1082: 4,
+                1114: 8, 1184: 8}[oid]
+        if len(raw) != want:
+            raise ValueError(
+                f"bad binary cell width for type oid {oid} (corrupt frame)"
+            )
     if oid == 21:
         return str(_I16.unpack(raw)[0])
     if oid == 23:
@@ -867,18 +957,41 @@ def binary_to_text(oid: int, raw: bytes) -> str:
         # byte-identical to the vectorized kernel's columnar cast
         # (shortest round-trip; Arrow prints integral floats as '3',
         # Python repr as '3.0' — both CAST equal, but RAW parity matters)
+        import math
+
         import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
 
         v = np.frombuffer(raw, dtype=">f4" if oid == 700 else ">f8")
+        f = float(v[0])
+        if not math.isfinite(f):
+            # PG text-mode spellings, not Arrow's 'inf'/'-inf'/'nan' —
+            # binary- and text-mode streams must carry identical raw text
+            return "NaN" if math.isnan(f) else \
+                ("Infinity" if f > 0 else "-Infinity")
         return pc.cast(
             pa.array(v.astype("=f4" if oid == 700 else "=f8")), pa.string()
         )[0].as_py()
     if oid == 1082:
-        return (PG_EPOCH + timedelta(days=_I32.unpack(raw)[0])).strftime("%Y-%m-%d")
+        (days,) = _I32.unpack(raw)
+        if days == 0x7FFFFFFF:  # PG date 'infinity' sentinel
+            return "infinity"
+        if days == -0x80000000:
+            return "-infinity"
+        return _pg_date_text(days)
     if oid in (1114, 1184):
-        return _pg_ts_text(_I64.unpack(raw)[0])
+        (us,) = _I64.unpack(raw)
+        if us == 0x7FFFFFFFFFFFFFFF:  # PG timestamp 'infinity' sentinel
+            return "infinity"
+        if us == -0x8000000000000000:
+            return "-infinity"
+        try:
+            return _pg_ts_text(us)
+        except OverflowError:
+            # beyond datetime's year range (PG permits to 294276 AD) —
+            # render through Arrow exactly like the vectorized kernel
+            return _arrow_ts_text(us)
     if oid == 1700:
         return _binary_to_numeric_text(raw)
     if oid == 2950:

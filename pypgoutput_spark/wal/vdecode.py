@@ -308,11 +308,14 @@ def _numeric_texts(data: np.ndarray, gs: np.ndarray, gl: np.ndarray):
     w = _be(data, gs + 2, 2)
     sign = _be(data, gs + 4, 2) & 0xFFFF
     sc = _be(data, gs + 6, 2)
-    bad = ~np.isin(sign, (0x0000, 0x4000, 0xC000))
+    bad = ~np.isin(sign, (0x0000, 0x4000, 0xC000, 0xD000, 0xF000))
     if bad.any():
         raise ValueError(
             f"bad numeric sign word 0x{int(sign[bad][0]):04x}"
         )
+    # PG14+ numeric ±Infinity (0xD000/0xF000): rare — rendered by the
+    # exact per-cell fallback below ('Infinity'/'-Infinity')
+    is_inf = np.isin(sign, (0xD000, 0xF000))
     if ((gl - 8) != 2 * nd).any() or (nd < 0).any() or (sc < 0).any():
         raise ValueError("binary numeric digit count mismatch (corrupt frame)")
     nd_max = int(nd.max()) if m else 0
@@ -385,7 +388,7 @@ def _numeric_texts(data: np.ndarray, gs: np.ndarray, gl: np.ndarray):
         logical = pos_idx[None, :] - 4 * (w[:, None] + 1)
         beyond = (logical >= sc[:, None]) & (pos_idx[None, :] < 4 * nd[:, None])
         drop_bad = ((C != ord("0")) & beyond).any(axis=1)
-    fallback = ~canon | drop_bad
+    fallback = ~canon | drop_bad | is_inf
     if fallback.any():
         # exact per-cell Decimal semantics for the non-canonical few
         for i in np.nonzero(fallback)[0]:
@@ -404,6 +407,19 @@ def _numeric_texts(data: np.ndarray, gs: np.ndarray, gl: np.ndarray):
                 offs[i + 1 :] += delta
                 L = np.diff(offs)
     return out, np.diff(offs)
+
+
+def _no_placeholders(sarr, what: str):
+    """Arrow's date/timestamp→string cast renders values within ~292
+    years of the int32/int64 ends as '<value out of range: N>' instead
+    of raising — which would land as COLUMN DATA. Surface it as a typed
+    corrupt-frame error (checked only on binary date/timestamp cohorts;
+    one vectorized prefix match)."""
+    import pyarrow.compute as pc
+
+    hit = pc.any(pc.starts_with(sarr, "<value out of range")).as_py()
+    if hit:
+        raise ValueError(f"binary {what} out of range (corrupt frame)")
 
 
 def _bin_convert(data: np.ndarray, cat_m, vstart, vlen, rids, lsns, plain):
@@ -534,14 +550,55 @@ def _bin_convert(data: np.ndarray, cat_m, vstart, vlen, rids, lsns, plain):
             m8 = data[gs[:, None] + np.arange(w)]
             f = m8.view(f">f{w}").ravel().astype(f"=f{w}")
             sarr = pc.cast(pa.array(f), pa.string())
+            nonfin = ~np.isfinite(f)
+            if nonfin.any():
+                # PG text-mode spellings, not Arrow's 'inf'/'-inf'/'nan'
+                # — binary- and text-mode streams must carry identical
+                # raw text (rare; patched per cell)
+                vals = sarr.to_pylist()
+                for i in np.nonzero(nonfin)[0]:
+                    vals[i] = "NaN" if np.isnan(f[i]) else (
+                        "Infinity" if f[i] > 0 else "-Infinity")
+                sarr = pa.array(vals, type=pa.string())
         elif oid == 1082:
-            days = (_be(data, gs, 4) + _PG_EPOCH_DAYS).astype(np.int32)
-            sarr = pc.cast(pa.array(days, type=pa.date32()), pa.string())
-        else:  # 1114 / 1184
-            us = _be(data, gs, 8) + _codec.PG_EPOCH_UNIX_US
+            raw_days = _be(data, gs, 4)
+            # PG date ±infinity sentinels (INT32_MAX/MIN) — the epoch
+            # shift would wrap them into garbage renderings
+            sent = (raw_days == 0x7FFFFFFF) | (raw_days == -0x80000000)
+            days64 = np.where(sent, 0, raw_days) + _PG_EPOCH_DAYS
+            if ((days64 > 0x7FFFFFFF) | (days64 < -0x80000000)).any():
+                raise ValueError("binary date out of range (corrupt frame)")
             sarr = pc.cast(
-                pc.cast(pa.array(us), pa.timestamp("us")), pa.string()
+                pa.array(days64.astype(np.int32), type=pa.date32()),
+                pa.string(),
             )
+            _no_placeholders(sarr, "date")
+            if sent.any():
+                vals = sarr.to_pylist()
+                for i in np.nonzero(sent)[0]:
+                    vals[i] = "infinity" if raw_days[i] > 0 else "-infinity"
+                sarr = pa.array(vals, type=pa.string())
+        else:  # 1114 / 1184
+            raw_us = _be(data, gs, 8)
+            # PG timestamp ±infinity sentinels (INT64_MAX/MIN)
+            sent = (raw_us == 0x7FFFFFFFFFFFFFFF) | \
+                (raw_us == -0x8000000000000000)
+            safe = np.where(sent, 0, raw_us)
+            if (safe > 0x7FFFFFFFFFFFFFFF - _codec.PG_EPOCH_UNIX_US).any():
+                raise ValueError(
+                    "binary timestamp out of range (corrupt frame)"
+                )
+            sarr = pc.cast(
+                pc.cast(pa.array(safe + _codec.PG_EPOCH_UNIX_US),
+                        pa.timestamp("us")),
+                pa.string(),
+            )
+            _no_placeholders(sarr, "timestamp")
+            if sent.any():
+                vals = sarr.to_pylist()
+                for i in np.nonzero(sent)[0]:
+                    vals[i] = "infinity" if raw_us[i] > 0 else "-infinity"
+                sarr = pa.array(vals, type=pa.string())
         _take_strings(gsel, sarr)
 
     cat_m[rr, cc] = _t

@@ -332,3 +332,116 @@ def test_binary_cells_across_mid_stream_retype():
     pdf2, rb2 = _frames(rows[:6] + bad + rows[7:])
     with pytest.raises(Exception):
         _vec(rb2, plain)
+
+
+# ---------------------------------------------------------------------------
+# special values: ±infinity / NaN sentinels and range edges (r5 s12)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("oid,text", [
+    (1114, "infinity"), (1114, "-infinity"),
+    (1184, "infinity"), (1184, "-infinity"),
+    (1082, "infinity"), (1082, "-infinity"),
+    (1700, "Infinity"), (1700, "-Infinity"),
+    (700, "Infinity"), (701, "Infinity"), (701, "-Infinity"), (701, "NaN"),
+])
+def test_special_value_roundtrip(oid, text):
+    """PG's ±infinity sentinels (INT64/32_MAX/MIN for timestamps/dates,
+    0xD000/0xF000 numeric sign words, IEEE ±inf/NaN floats) round-trip
+    to the exact text-mode spellings — not Arrow's 'inf' or a silent
+    '<value out of range: N>' placeholder."""
+    cat, raw = codec.binary_cell(oid, text)
+    assert cat == "b"
+    assert codec.binary_to_text(oid, raw) == text
+
+
+def test_special_values_kernel_parity():
+    """A row carrying timestamp 'infinity', date '-infinity', numeric
+    'Infinity', float '-Infinity'/'NaN' decodes to identical PG
+    spellings on BOTH kernels, with no placeholder strings."""
+    vals = list(ROW1)
+    vals[6] = "infinity"      # created (1114)
+    vals[7] = "-infinity"     # d (1082)
+    vals[5] = "Infinity"      # amount (1700)
+    vals[3] = "-Infinity"     # score (701)
+    vals[4] = "NaN"           # ratio (700)
+    pdf, rb = _frames(_one_insert(_bcells(vals)))
+    plain = _plain()
+    ldf, vdf = _loop(pdf, plain), _vec(rb, plain)
+    _assert_rows_equal(ldf, vdf)
+    got = list(vdf.new_vals.iloc[0])
+    assert got[6] == "infinity" and got[7] == "-infinity"
+    assert got[5] == "Infinity" and got[3] == "-Infinity" and got[4] == "NaN"
+    assert not any(v and "out of range" in v for v in got)
+
+
+def test_timestamp_near_int64_edge_raises_typed():
+    """A non-sentinel timestamp Arrow cannot render (within ~292 years
+    of the int64 ends) raises a typed corrupt-frame error on both
+    kernels — never the '<value out of range: N>' placeholder as data."""
+    near = 0x7FFFFFFFFFFFFFFF - 10  # not the sentinel; unrenderable
+    cells = _bcells(ROW1)
+    cells[6] = ("b", struct.pack(">q", near))
+    pdf, rb = _frames(_one_insert(cells))
+    plain = _plain()
+    with pytest.raises(ValueError, match="out of range"):
+        _vec(rb, plain)
+    with pytest.raises(ValueError, match="out of range"):
+        _loop(pdf, plain, strict=True)
+
+
+def test_timestamp_beyond_datetime_year_parity():
+    """Years past 9999 are legitimate PG values (range to 294276 AD):
+    both kernels render them identically through Arrow instead of the
+    loop kernel dying on datetime's year ceiling."""
+    us_unix = 253402300800000000  # 10000-01-01 00:00:00
+    cells = _bcells(ROW1)
+    cells[6] = ("b", struct.pack(">q", us_unix - codec.PG_EPOCH_UNIX_US))
+    pdf, rb = _frames(_one_insert(cells))
+    plain = _plain()
+    ldf, vdf = _loop(pdf, plain), _vec(rb, plain)
+    _assert_rows_equal(ldf, vdf)
+    assert vdf.new_vals.iloc[0][6] == "10000-01-01 00:00:00.000000"
+
+
+def test_oversized_float_cell_raises_both_kernels():
+    """An 8-byte cell for float4 must be a typed width error — np reads
+    two floats and taking [0] would silently decode a wrong value."""
+    cells = _bcells(ROW1)
+    cells[4] = ("b", struct.pack(">ff", 1.5, 99.0))  # ratio is oid 700
+    pdf, rb = _frames(_one_insert(cells))
+    plain = _plain()
+    with pytest.raises(ValueError, match="width"):
+        _vec(rb, plain)
+    with pytest.raises(ValueError, match="width"):
+        _loop(pdf, plain, strict=True)
+
+
+def test_numeric_trailing_junk_raises_both_kernels():
+    """A numeric cell with trailing junk bytes must raise — unpack_from
+    would silently ignore the tail and decode a plausible value."""
+    _, good = codec.binary_cell(1700, "12.34")
+    cells = _bcells(ROW1)
+    cells[5] = ("b", good + b"\xff\xff")
+    pdf, rb = _frames(_one_insert(cells))
+    plain = _plain()
+    with pytest.raises(ValueError, match="digit count mismatch"):
+        _vec(rb, plain)
+    with pytest.raises(ValueError, match="digit count mismatch"):
+        _loop(pdf, plain, strict=True)
+
+
+def test_short_int_cell_raises_typed_error():
+    """A truncated int2 cell raises ValueError (the typed-error
+    contract), not a bare struct.error."""
+    with pytest.raises(ValueError, match="width"):
+        codec.binary_to_text(21, b"\x01")
+
+
+def test_decode_batch_rejects_binary_cells():
+    """decode_batch's vals columns are text-typed; a binary=on stream
+    must fail loudly there (bytes mixed into string columns corrupt the
+    Arrow conversion downstream) and point at the OID-aware kernels."""
+    payload = codec.encode_insert(RID, _bcells(ROW1))
+    with pytest.raises(ValueError, match="decode_frames_raw"):
+        codec.decode_batch([payload])

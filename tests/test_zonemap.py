@@ -202,3 +202,56 @@ def test_sort_cols_push_range_to_parquet_reader(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "GreaterThanOrEqual(ts,5)" in plan, plan
     assert _rows(df) == sorted((f"k{i}", i, f"n{i}") for i in range(5, 10))
+
+
+def test_zone_iso_domain_compares_datetimes_not_strings():
+    """Timestamp stats are stored as isoformat ('T' separator) while
+    callers pass SQL spellings (space separator, date-only): comparing
+    them lexicographically falsely pruned directories that DO contain
+    matching rows. The iso domain now compares real datetimes."""
+    ct = {"ts": "timestamp"}
+    stats = {"ts": ["2024-06-15T10:00:00", "2024-06-15T12:00:00"]}
+    # SQL-spelled bounds that cover the whole directory: must keep
+    assert _zones_may_match(
+        stats, {"ts": ("2024-06-15 00:00:00", "2024-06-15 23:59:59")}, ct)
+    # date-only hi bound = midnight; a dir whose min IS midnight matches
+    assert _zones_may_match(
+        {"ts": ["2024-06-15T00:00:00", "2024-06-15T08:00:00"]},
+        {"ts": (None, "2024-06-15")}, ct)
+    # genuinely disjoint ranges still prune across spellings
+    assert not _zones_may_match(
+        stats, {"ts": ("2024-06-16 00:00:00", None)}, ct)
+    assert not _zones_may_match(
+        stats, {"ts": (None, "2024-06-14")}, ct)
+    import datetime as _dt
+    # datetime.date bound vs datetime stat: same domain, no false prune
+    assert _zones_may_match(
+        {"ts": ["2024-06-15T00:00:00", "2024-06-15T08:00:00"]},
+        {"ts": (None, _dt.date(2024, 6, 15))}, ct)
+    # unparseable bound: conservative keep
+    assert _zones_may_match(stats, {"ts": ("not-a-date", None)}, ct)
+
+
+def test_scan_with_sql_spelled_timestamp_bounds(spark, tmp_path):
+    """End to end: scan() over a timestamp stats column with SQL-spelled
+    string bounds returns exactly the filtered read (no silently
+    missing rows from spelling-sensitive pruning — stored stats use
+    isoformat's 'T' separator, the bounds use spaces)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "lk"),
+        schema=[("k", "string"), ("ts", "timestamp"), ("v", "string")],
+        key_cols=["k"], n_buckets=4, props={"stats_cols": ["ts"]},
+    )
+    rows = [(f"k{i:02d}", "I", 10 + i,
+             {"v": f"2024-06-{10 + i % 5:02d} 0{i % 9}:00:00"},
+             {"v": f"v{i}"}) for i in range(40)]
+    changes = spark.createDataFrame(
+        rows, schema="k STRING, final_op STRING, max_lsn BIGINT, "
+                     "r_ts STRUCT<v: STRING>, r_v STRUCT<v: STRING>")
+    merge_into(t, changes, watermark_lsn=100, auto_compact=False)
+    lo, hi = "2024-06-11 00:00:00", "2024-06-12 23:59:59"
+    got = sorted(r["k"] for r in t.scan({"ts": (lo, hi)}).collect())
+    want = sorted(
+        r["k"] for r in t.read()
+        .filter(f"ts >= '{lo}' and ts <= '{hi}'").collect())
+    assert got == want and len(want) > 0

@@ -131,22 +131,30 @@ def _empty_pending() -> dict:
     return {"xids": {}, "t_void": {}}
 
 
-def stored_pending_2pc(tables) -> dict:
-    """Pending PREPARED-transaction state persisted by the last
-    commit(s) — read from the managed table with the highest watermark
-    (the same convention as :func:`stored_open_tx`). Shape:
-    ``{"xids": {str(xid): {gid, b_lsn, segment, sealed}}, "t_void":
-    {str(relation_id): max_truncate_lsn}}``."""
+def _truncate_floor_expr(scrutinee: str, floors: dict) -> str:
+    """SQL predicate keeping rows ABOVE each relation's truncate floor:
+    ``CASE <scrutinee> WHEN rid THEN lsn > floor … ELSE true END``.
+    One builder for both truncate paths (the pre-decode DML filter and
+    the staged-release t_void filter) so the floor predicate cannot
+    silently diverge between them."""
+    cases = " ".join(
+        f"WHEN {int(rid)} THEN lsn > {int(tl)}" for rid, tl in floors.items()
+    )
+    return f"CASE {scrutinee} {cases} ELSE true END"
+
+
+def _best_metrics(tables) -> dict:
+    """Commit metrics of the managed table with the HIGHEST watermark —
+    the single carried-state convention (one snapshot read per table)."""
     tabs = list(tables.values()) if isinstance(tables, dict) else [tables]
-    best: dict = _empty_pending()
+    best: dict = {}
     best_wm = -1
     for t in tabs:
         snap = t.snapshot()
         if snap["watermark_lsn"] > best_wm:
             best_wm = snap["watermark_lsn"]
-            best = snap["metrics"].get("pending_2pc") or _empty_pending()
-    return {"xids": dict(best.get("xids") or {}),
-            "t_void": dict(best.get("t_void") or {})}
+            best = snap.get("metrics") or {}
+    return best
 
 
 def _serialize_tx(open_tx: Optional[dict]) -> dict:
@@ -157,33 +165,41 @@ def _deserialize_tx(stored: Optional[dict]) -> dict:
     return {int(k): tuple(v) for k, v in (stored or {}).items()}
 
 
+def stored_carry_state(tables) -> dict:
+    """All three carried-state pieces — open transactions, pending
+    prepared (2PC) transactions, foreign-origin span flags — from ONE
+    snapshot read per table (run_ingest/stream_ingest previously called
+    the three accessors below, re-reading every snapshot three times)."""
+    m = _best_metrics(tables)
+    pend = m.get("pending_2pc") or _empty_pending()
+    return {
+        "open_tx": _deserialize_tx(m.get("open_tx", {})),
+        "pending_2pc": {"xids": dict(pend.get("xids") or {}),
+                        "t_void": dict(pend.get("t_void") or {})},
+        "open_foreign": {int(x) for x in m.get("open_foreign", [])},
+    }
+
+
+def stored_pending_2pc(tables) -> dict:
+    """Pending PREPARED-transaction state persisted by the last
+    commit(s) — read from the managed table with the highest watermark
+    (the same convention as :func:`stored_open_tx`). Shape:
+    ``{"xids": {str(xid): {gid, b_lsn, segment, sealed}}, "t_void":
+    {str(relation_id): max_truncate_lsn}}``."""
+    return stored_carry_state(tables)["pending_2pc"]
+
+
 def stored_open_tx(tables) -> dict:
     """Carried open-transaction state persisted by the last commit(s) —
     read from the managed table with the highest watermark."""
-    tabs = list(tables.values()) if isinstance(tables, dict) else [tables]
-    best: dict = {}
-    best_wm = -1
-    for t in tabs:
-        snap = t.snapshot()
-        if snap["watermark_lsn"] > best_wm:
-            best_wm = snap["watermark_lsn"]
-            best = snap["metrics"].get("open_tx", {})
-    return _deserialize_tx(best)
+    return stored_carry_state(tables)["open_tx"]
 
 
 def stored_open_foreign(tables) -> set:
     """Carried foreign-origin span flags (segments whose open
     transaction already saw its Origin message) persisted by the last
     commit(s) — the skip_foreign_origins sibling of stored_open_tx."""
-    tabs = list(tables.values()) if isinstance(tables, dict) else [tables]
-    best: list = []
-    best_wm = -1
-    for t in tabs:
-        snap = t.snapshot()
-        if snap["watermark_lsn"] > best_wm:
-            best_wm = snap["watermark_lsn"]
-            best = snap["metrics"].get("open_foreign", [])
-    return {int(x) for x in best}
+    return stored_carry_state(tables)["open_foreign"]
 
 
 def _mtype_o_pred(frames):
@@ -601,6 +617,16 @@ def apply_frames_batch(
     staged_commit: list = []
     excl: list = []
     if twopc_active:
+        # resolve the staging dir BEFORE the validations below use it:
+        # the unknown-xid check accepts a decided xid that is absent
+        # from the carried state when its staged files survive on disk
+        # (crash replay after one table's merge committed) — with the
+        # default dir assigned only later, that re-resolution path
+        # raised instead of reading the surviving stage
+        if pending_dir is None:
+            pending_dir = os.path.join(
+                table_map[min(table_map)].meta_dir, "pending2pc"
+            )
         all_prepared = {int(xs) for xs in pend_xids} | set(opened_now)
         still_pending = all_prepared - set(commit_now) - rollback_now
         # resolution reads staging for every decided xid whose 'b' is NOT
@@ -656,10 +682,27 @@ def apply_frames_batch(
                         f"Truncate at lsn={t_lsn} inside the open prepared "
                         f"transaction xid={xi} is not supported"
                     )
-        if pending_dir is None:
-            pending_dir = os.path.join(
-                table_map[min(table_map)].meta_dir, "pending2pc"
-            )
+
+    # outgoing 2PC carry — driver-side pure, computed BEFORE the decode
+    # section so the no-relation skip path carries the batch's
+    # transitions too (discarding them poisoned the next batch's
+    # unknown-xid validation)
+    next_pending = pend_state
+    if twopc_active:
+        nxids: Dict[str, dict] = {}
+        for x in sorted(still_pending):
+            info = opened_now.get(x) or pend_xids[str(x)]
+            nxids[str(x)] = {
+                "gid": info["gid"], "b_lsn": int(info["b_lsn"]),
+                "segment": int(info["segment"]),
+                "sealed": bool(info.get("sealed")),
+            }
+        nvoid: Dict[str, int] = {}
+        if nxids:
+            nvoid = dict(t_void)
+            for rid, tl in t_lsn_by_rid.items():
+                nvoid[str(rid)] = max(int(nvoid.get(str(rid), -1)), int(tl))
+        next_pending = {"xids": nxids, "t_void": nvoid}
 
     # ---- pre-decode filter: drop DML made dead by a later same-relation
     # truncate (relation id read JVM-side from the payload header)
@@ -667,10 +710,7 @@ def apply_frames_batch(
     if gated:
         eff_frames = frames.filter((F.col("lsn") > late_wm) | r_pred)
     if t_lsn_by_rid:
-        cases = " ".join(
-            f"WHEN {rid} THEN lsn > {tl}" for rid, tl in t_lsn_by_rid.items()
-        )
-        keep_dml = f"CASE {_RID_EXPR} {cases} ELSE true END"
+        keep_dml = _truncate_floor_expr(_RID_EXPR, t_lsn_by_rid)
         if "mtype" in frames.columns:
             eff_frames = eff_frames.filter(
                 ~F.col("mtype").isin("I", "U", "D") | F.expr(keep_dml)
@@ -690,10 +730,21 @@ def apply_frames_batch(
         rid: tbl for rid, tbl in table_map.items() if registry.versions(rid)
     }
     if not managed:
+        if twopc_active and commit_now:
+            # a Commit Prepared decision needs the decided transaction's
+            # (staged or in-batch) events merged into a registered table
+            # — with no relation schema known, proceeding would silently
+            # drop a COMMITTED transaction. Fail loudly; openings/seals/
+            # rollbacks below carry forward fine without a schema.
+            raise ValueError(
+                "two-phase Commit Prepared in a batch with no registered "
+                f"relation (xids {sorted(commit_now)}): cannot resolve "
+                "the staged transaction without a Relation schema"
+            )
         out = {
             "skipped": True, "reason": "no-relation",
             "open_tx": carry,
-            "pending_2pc": pending_2pc or _empty_pending(),
+            "pending_2pc": next_pending,
             "late_frames": late_frames,
             "watermark_lsn": max(t.watermark_lsn for t in table_map.values()),
         }
@@ -823,12 +874,8 @@ def apply_frames_batch(
                     .dropDuplicates(["lsn"])
                 )
                 if t_void:
-                    cases = " ".join(
-                        f"WHEN {rid} THEN lsn > {tl}"
-                        for rid, tl in t_void.items()
-                    )
                     stg = stg.filter(
-                        F.expr(f"CASE relation_id {cases} ELSE true END")
+                        F.expr(_truncate_floor_expr("relation_id", t_void))
                     )
                 events_src = events_src.unionByName(stg)
             if commit_now:
@@ -855,20 +902,7 @@ def apply_frames_batch(
                 n_staged_rows = pend_df.count()
                 if n_staged_rows:
                     pend_df.write.mode("append").parquet(pending_dir)
-            nxids: Dict[str, dict] = {}
-            for x in sorted(still_pending):
-                info = opened_now.get(x) or pend_xids[str(x)]
-                nxids[str(x)] = {
-                    "gid": info["gid"], "b_lsn": int(info["b_lsn"]),
-                    "segment": int(info["segment"]),
-                    "sealed": bool(info.get("sealed")),
-                }
-            nvoid: Dict[str, int] = {}
-            if nxids:
-                nvoid = dict(t_void)
-                for rid, tl in t_lsn_by_rid.items():
-                    nvoid[str(rid)] = max(int(nvoid.get(str(rid), -1)), int(tl))
-            new_pending = {"xids": nxids, "t_void": nvoid}
+            new_pending = next_pending  # precomputed driver-side above
             two_metrics = {
                 "prepared": sorted(all_prepared),
                 "committed": sorted(commit_now),
@@ -1026,10 +1060,10 @@ def run_ingest(
         # here instead of silently advancing the watermark past it
         check_continuity(frames, after_lsn=watermark)
     registry = RelationRegistry.from_frames(frames)  # full R cohort, resume-safe
-    open_tx = stored_open_tx(table_map)
-    pending_2pc = stored_pending_2pc(table_map)
-    open_foreign = stored_open_foreign(table_map) if skip_foreign_origins \
-        else set()
+    carry0 = stored_carry_state(table_map)  # one snapshot read per table
+    open_tx = carry0["open_tx"]
+    pending_2pc = carry0["pending_2pc"]
+    open_foreign = carry0["open_foreign"] if skip_foreign_origins else set()
     if watermark >= 0:
         frames = frames.filter(F.col("lsn") > watermark)
 
@@ -1259,9 +1293,7 @@ def stream_ingest(
         registry.merge_frames(spark.read.schema(FRAMES_SCHEMA).parquet(frames_dir))
     except Exception:  # noqa: BLE001 — empty/not-yet-created dir: stream-seeded
         pass
-    state = {"open_tx": stored_open_tx(table_map),
-             "pending_2pc": stored_pending_2pc(table_map),
-             "open_foreign": stored_open_foreign(table_map)}
+    state = stored_carry_state(table_map)  # one snapshot read per table
 
     def _apply(batch_df, batch_id: int) -> None:
         # mid-stream R frames merge into the registry inside

@@ -605,3 +605,81 @@ def test_receiver_producer_two_phase_byte_parity(spark):
         receiver.encode_frames_pdf(
             gen.GenParams(n_txns=20, two_phase_pct=10), txn_hi=10
         )
+
+
+def test_replayed_decision_resolves_from_default_staging_dir(spark):
+    """Crash-replay shape: one table's merge committed (its carried
+    state dropped the xid) and the decision batch replays with NO
+    explicit pending_dir — the default staging dir under the table's
+    _meta must be consulted BEFORE the unknown-xid validation raises
+    (the default was previously assigned only after that check, so this
+    exact replay path failed permanently)."""
+    tmp = tempfile.mkdtemp(prefix="p2pc_")
+    table = _mk_table(spark, tmp)
+    b1 = _frames_df(spark, [
+        (0, 1, "R", _rel_payload()),
+        (0, 100, "b", codec.encode_begin_prepare(100, 110, 5, 777, "gid-777")),
+        (0, 101, "I", _ins(("rA", "p1"), "prepared-value")),
+        (0, 109, "P", codec.encode_prepare(109, 110, 5, 777, "gid-777")),
+    ])
+    registry = RelationRegistry.from_frames(b1)
+    m1 = pipe.apply_frames_batch(table, b1, registry,
+                                 pending_2pc=pipe.stored_pending_2pc(table))
+    assert m1["two_phase"]["staged_rows"] == 1
+    default_dir = os.path.join(table.meta_dir, "pending2pc")
+    assert os.path.isdir(default_dir)
+    # decision replay with EMPTY carried state (the committed table's
+    # snapshot already dropped xid 777) and the default staging dir
+    b2 = _frames_df(spark, [
+        (1, 400, "K", codec.encode_commit_prepared(400, 401, 9, 777, "gid-777")),
+    ])
+    m2 = pipe.apply_frames_batch(table, b2, registry,
+                                 pending_2pc=pipe._empty_pending())
+    assert m2["two_phase"]["committed"] == [777]
+    rows = {r["repo"]: r["content"] for r in table.read().collect()}
+    assert rows == {"rA": "prepared-value"}
+    assert not os.path.isdir(default_dir)  # GC after resolution
+
+
+def test_no_relation_skip_carries_two_phase_transitions(spark):
+    """Stream-seeded shape: a batch carrying only 2PC control frames
+    (no Relation, no DML) must advance the pending carry — discarding
+    the transitions made the NEXT batch's validation raise
+    'Prepare/decision for unknown xid'. A Commit Prepared in such a
+    batch still fails loudly (its events cannot merge w/o a schema)."""
+    tmp = tempfile.mkdtemp(prefix="p2pc_")
+    table = _mk_table(spark, tmp)
+    empty_reg = RelationRegistry()  # nothing registered yet
+    b1 = _frames_df(spark, [
+        (0, 100, "b", codec.encode_begin_prepare(100, 110, 5, 777, "g7")),
+        (0, 109, "P", codec.encode_prepare(109, 110, 5, 777, "g7")),
+    ])
+    m1 = pipe.apply_frames_batch(table, b1, empty_reg,
+                                 pending_2pc=pipe.stored_pending_2pc(table))
+    assert m1["skipped"] and m1["reason"] == "no-relation"
+    assert m1["pending_2pc"]["xids"] == {
+        "777": {"gid": "g7", "b_lsn": 100, "segment": 0, "sealed": True}
+    }
+    # rollback decision for the carried xid in a later no-relation batch
+    # (metadata letter 'x' — the stamped-frames contract reserves 'r'
+    # for in-chunk Relation messages; the payload byte stays 'r')
+    b2 = _frames_df(spark, [
+        (1, 200, "x",
+         codec.encode_rollback_prepared(110, 210, 5, 9, 777, "g7")),
+    ])
+    m2 = pipe.apply_frames_batch(table, b2, empty_reg,
+                                 pending_2pc=m1["pending_2pc"])
+    assert m2["skipped"] and m2["pending_2pc"]["xids"] == {}
+    # a COMMIT decision with no registered relation fails loudly
+    b3 = _frames_df(spark, [
+        (0, 300, "b", codec.encode_begin_prepare(300, 310, 5, 888, "g8")),
+        (0, 309, "P", codec.encode_prepare(309, 310, 5, 888, "g8")),
+    ])
+    m3 = pipe.apply_frames_batch(table, b3, empty_reg,
+                                 pending_2pc=m2["pending_2pc"])
+    b4 = _frames_df(spark, [
+        (1, 400, "K", codec.encode_commit_prepared(400, 401, 9, 888, "g8")),
+    ])
+    with pytest.raises(ValueError, match="no registered relation"):
+        pipe.apply_frames_batch(table, b4, empty_reg,
+                                pending_2pc=m3["pending_2pc"])

@@ -708,7 +708,10 @@ def q_cdc_erasure_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where("md5(concat(repo, '|', path)) < '20'").distinct()
     )
     wm = table.watermark_lsn
-    assert table.erase(victims) is not None
+    # the mutation must live OUTSIDE assert: python -O strips asserts,
+    # which would silently return the un-erased table
+    erased = table.erase(victims)
+    assert erased is not None
     assert table.watermark_lsn == wm, "erase must be watermark-neutral"
     return table.read().selectExpr(
         "repo", "path", "`commit`", "lang", "content",
@@ -737,7 +740,9 @@ def q_cdc_redaction_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         table.read().selectExpr("repo", "path")
         .where("md5(concat(repo, '|', path)) < '10'").distinct()
     )
-    assert table.redact(victims, {"content": "__REDACTED__"}) is not None
+    # mutation outside assert (python -O strips asserts)
+    redacted = table.redact(victims, {"content": "__REDACTED__"})
+    assert redacted is not None
     return table.read().selectExpr(
         "repo", "path", "`commit`", "lang", "content",
         "sha2(content, 256) AS content_sha",

@@ -1021,6 +1021,12 @@ class LakeTable:
             new_buckets, replaced_buckets=[],
             watermark_lsn=watermark_lsn, dir_bytes=dbytes,
             metrics={"mode": "bootstrap"},
+            # revalidate the emptiness check at publish: an ingest merge
+            # racing between snapshot() and commit() would otherwise be
+            # silently clobbered (its base dirs overlaid, its deltas
+            # dropped, its watermark regressed) — the same optimistic
+            # guard every other rewrite path carries
+            expected_head_version=snap["version"],
         )
 
     def erase(self, keys_df) -> Optional[int]:
@@ -1109,6 +1115,11 @@ class LakeTable:
         snap = self.snapshot()
         keys = snap["key_cols"]
         col_types = dict(snap["schema"])
+        if not replacements:
+            # an empty dict would pay a full victim-bucket rewrite that
+            # changes nothing AND emit no-change 'U' feed rows — always
+            # a caller bug; refuse loudly
+            raise ValueError("redact requires at least one replacement column")
         bad = [c for c in replacements if c in keys or c not in col_types]
         if bad:
             raise ValueError(
@@ -1174,16 +1185,32 @@ class LakeTable:
             )
             if not affected:
                 return None
-            resolved = self.read(version=ver, buckets=affected)
+            resolved = self.read(version=ver, buckets=affected).withColumn(
+                "_bucket", _bucket_col(keys, snap["n_buckets"])
+            )
             # victims = probe keys that actually exist. Zero live victims
             # → no rewrite at all (a content-identical base swap would
-            # burn I/O and feed nothing).
+            # burn I/O and feed nothing). ONE aggregate job yields both
+            # the live-victim count and the truly-hit buckets.
             victims = resolved.join(
                 probe.select(*keys), on=list(keys), how="left_semi"
             )
-            n_hit = victims.count()
+            per_bucket = victims.groupBy("_bucket").count().collect()
+            n_hit = int(sum(r["count"] for r in per_bucket))
             if n_hit == 0:
                 return None
+            hit = sorted(int(r["_bucket"]) for r in per_bucket)
+            if len(hit) < len(affected):
+                # a probe key that hashes to a populated bucket but has
+                # no row there must not drag that bucket into the
+                # rewrite: it would be re-written content-identical —
+                # O(bucket) I/O for nothing — and widen the
+                # CommitConflict surface against concurrent
+                # compaction/ingest of untouched buckets
+                affected = hit
+                resolved = resolved.filter(F.col("_bucket").isin(affected))
+            resolved = resolved.drop("_bucket")
+            victims = victims.drop("_bucket")
             kept = resolved.join(probe.select(*keys), on=list(keys), how="left_anti")
             staged, dbytes = self.write_buckets(
                 new_rows_fn(kept, victims).withColumn(

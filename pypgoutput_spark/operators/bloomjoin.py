@@ -36,12 +36,19 @@ deliberate so the probe filter stays a pure codegen'd scan predicate.
 
 from __future__ import annotations
 
-from pypgoutput_spark.functions.detsql import DUCKDB, Dialect
+from pypgoutput_spark.functions.detsql import DUCKDB, SPARK, Dialect
 
 
 def _pos(key_sql: str, seed, n_bits: int) -> str:
-    """Bit position of hash ``seed`` for ``key_sql`` (non-negative)."""
-    return f"pmod(xxhash64(CAST({key_sql} AS BIGINT), {seed}), {n_bits})"
+    """Bit position of hash ``seed`` for ``key_sql`` (non-negative).
+
+    Hashes ``CAST(key AS STRING)``: a BIGINT cast would NULL out every
+    non-integral key (string/uuid), making xxhash64 hash only the seed —
+    all build keys set the same bits and the filter silently passes
+    everything (or, under ANSI mode, the cast throws). The string form
+    also normalizes int-vs-bigint build/probe columns to one hash
+    domain."""
+    return f"pmod(xxhash64(CAST({key_sql} AS STRING), {seed}), {n_bits})"
 
 
 def bloom_build_words(keys_df, key_col: str, n_bits: int, n_hashes: int):
@@ -144,9 +151,7 @@ def q_join_bloom_semijoin(spark, sf_dir: str):
     matched, _words = bloom_semi_join(orders, "o_custkey", keys, "c_custkey")
     return matched.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.expr(
-            "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE)"
-        ).alias("revenue"),
+        F.expr(SPARK.exact_sum("o_totalprice")).alias("revenue"),
     )
 
 

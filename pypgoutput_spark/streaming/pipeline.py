@@ -1134,12 +1134,26 @@ def read_messages(spark, messages_dir: str):
 
     One dropDuplicates shuffle over the message volume — messages are a
     vanishing fraction of WAL traffic, so this never approaches the
-    table-merge cost."""
-    return (
-        spark.read.parquet(messages_dir)
-        .dropDuplicates(["lsn"])
-        .drop("batch_wm")
-    )
+    table-merge cost.
+
+    A sink that never delivered a message has no directory yet (the
+    writer creates it on first delivery): a polling consumer gets an
+    EMPTY typed frame, not PATH_NOT_FOUND. Caught from the read (not an
+    os.path probe) so object-store sink URIs behave identically."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(messages_dir)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" not in str(exc):
+            raise
+        return spark.createDataFrame(
+            [],
+            schema="segment BIGINT, lsn BIGINT, xid BIGINT, "
+                   "commit_ts_us BIGINT, transactional BOOLEAN, "
+                   "prefix STRING, content STRING",
+        )
+    return df.dropDuplicates(["lsn"]).drop("batch_wm")
 
 
 def lag_report(frames, tables: Union[LakeTable, Dict[int, LakeTable]],

@@ -90,3 +90,34 @@ def test_entry_matches_oracle(spark):
         assert g[0] == w[0]
         assert g[1] == w[1]
         assert g[2] == pytest.approx(w[2], rel=1e-12)
+
+
+def test_string_keys_actually_prune(spark):
+    """Non-integral keys must still PRUNE: hashing CAST(key AS BIGINT)
+    NULLed every string/uuid key, so all build keys set the same bits
+    and the filter passed everything — correct results, zero pruning,
+    nothing flagged. The hash input is CAST(key AS STRING) now."""
+    from pyspark.sql import functions as F
+
+    keys = spark.range(0, 500).selectExpr("concat('uuid-', id) AS k")
+    n_bits = bj.bloom_size_bits(500)
+    words = bj.bloom_build_words(keys, "k", n_bits, 6)
+    probe = (
+        spark.range(0, 50000)
+        .selectExpr("concat('other-', id) AS k")  # disjoint
+        .unionByName(keys)
+        .withColumn("__w", F.lit(words).cast("array<bigint>"))
+    )
+    kept = {r[0] for r in probe.where(
+        bj.bloom_probe_predicate("k", "__w", n_bits, 6)).collect()}
+    assert all(f"uuid-{i}" in kept for i in range(500))  # no false negs
+    n_fp = len(kept) - 500
+    assert n_fp < 1000, f"string keys are not pruning (fp={n_fp})"
+    # int-vs-bigint build/probe columns share one hash domain via STRING
+    ikeys = spark.range(0, 100).selectExpr("CAST(id AS INT) AS k")
+    iwords = bj.bloom_build_words(ikeys, "k", n_bits, 6)
+    iprobe = (spark.range(0, 100).selectExpr("id AS k")  # BIGINT probe
+              .withColumn("__w", F.lit(iwords).cast("array<bigint>")))
+    n_kept = iprobe.where(
+        bj.bloom_probe_predicate("k", "__w", n_bits, 6)).count()
+    assert n_kept == 100  # every int key found via its bigint spelling

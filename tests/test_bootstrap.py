@@ -158,3 +158,35 @@ def test_bootstrap_refuses_nonempty_and_bad_watermark(spark, tmp_path):
     pipeline.run_ingest(spark, gen.spark_frames_df(spark, P_PREFIX), t)
     with pytest.raises(ValueError, match="empty table"):
         t.bootstrap_load(rows, watermark_lsn=t.watermark_lsn + 1)
+
+
+def test_bootstrap_conflicts_with_racing_commit(spark, tmp_path, monkeypatch):
+    """The emptiness check is revalidated at publish: an ingest merge
+    that commits between bootstrap_load's snapshot() and its commit()
+    must raise CommitConflict — not be silently clobbered (base dirs
+    overlaid, watermark regressed)."""
+    from pypgoutput_spark.lake.table import CommitConflict
+
+    table = _mk_table(spark, tmp_path, "race")
+    rows = spark.createDataFrame(
+        [("r1", "p1", "c", "py", "x")],
+        schema=", ".join(f"`{c}` string" for c in gen.ALL_COLUMNS),
+    )
+    other = LakeTable(spark, table.path)  # the racing writer's handle
+    raced = [False]
+    orig_write = LakeTable.write_buckets
+
+    def write_and_race(self, staged, ver):
+        out = orig_write(self, staged, ver)
+        if not raced[0]:  # fire once, between bootstrap's stage+commit
+            raced[0] = True
+            pipeline.run_ingest(
+                spark, gen.spark_frames_df(spark, P_PREFIX), other
+            )
+        return out
+
+    monkeypatch.setattr(LakeTable, "write_buckets", write_and_race)
+    with pytest.raises(CommitConflict):
+        table.bootstrap_load(rows, watermark_lsn=5)
+    # the racing ingest's data survives untouched
+    assert other.read().count() > 0 and other.watermark_lsn > 5

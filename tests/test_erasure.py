@@ -206,3 +206,33 @@ def test_redact_missing_keys_is_noop(spark, tmp_path):
         spark.createDataFrame([("ghost",)], "k STRING"), {"a": "x"}
     ) is None
     assert t.current_version() == ver
+
+
+def test_erase_skips_buckets_without_victims(spark, tmp_path):
+    """A probe key that hashes to a populated bucket but has NO row
+    there must not drag that bucket into the rewrite (content-identical
+    rewrite + widened CommitConflict surface): the affected-bucket list
+    in the commit metrics must be identical with and without the absent
+    key in the probe."""
+    t1, t2 = _mk(spark, tmp_path, "a"), _mk(spark, tmp_path, "b")
+    for t in (t1, t2):
+        _seed(spark, t)
+    v1 = t1.erase(spark.createDataFrame([("k1",)], "k string"))
+    assert v1 is not None
+    only_k1 = t1.snapshot()["metrics"]["erasure"]["buckets"]
+    v2 = t2.erase(spark.createDataFrame(
+        [("k1",), ("absent-key-xyz",)], "k string"))
+    assert v2 is not None
+    m2 = t2.snapshot()["metrics"]["erasure"]
+    assert m2["buckets"] == only_k1
+    assert m2["n_erased"] == 1 and m2["n_keys"] == 2
+    # table state identical either way
+    assert sorted(r["k"] for r in t2.read().collect()) == \
+        sorted(r["k"] for r in t1.read().collect())
+
+
+def test_redact_empty_replacements_raises(spark, tmp_path):
+    t = _mk(spark, tmp_path, "er")
+    _seed(spark, t)
+    with pytest.raises(ValueError, match="at least one replacement"):
+        t.redact(spark.createDataFrame([("k1",)], "k string"), {})

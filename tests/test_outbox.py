@@ -285,3 +285,17 @@ def test_outbox_sink_delivery_and_replay(spark, tmp_path):
     raw_rows = spark.read.parquet(mdir).count()
     assert raw_rows == 2 * len(want)
     check()
+
+
+def test_read_messages_empty_sink_returns_typed_empty(spark, tmp_path):
+    """A consumer polling a sink that never delivered a message (the
+    writer creates the dir on first delivery) gets an EMPTY typed
+    frame, not PATH_NOT_FOUND."""
+    from pypgoutput_spark.streaming import pipeline as P
+
+    df = P.read_messages(spark, str(tmp_path / "never_created"))
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == [
+        "segment", "lsn", "xid", "commit_ts_us",
+        "transactional", "prefix", "content",
+    ]

@@ -111,8 +111,26 @@ def check_continuity(frames, after_lsn: int = -1, max_report: int = 20,
     spans = (
         frames.groupBy("segment")
         .agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi"))
-        .where(F.col("hi") > F.lit(after_lsn))
+        # >=, not >: the segment CONTAINING the watermark must anchor
+        # the dense chain. With segment-split ingest the watermark IS a
+        # segment's max LSN — a strict filter dropped that anchor, so a
+        # lost FIRST-pending segment left a dense-looking tail and the
+        # guard passed in exactly its headline scenario (lost committed
+        # transactions at the resume point).
+        .where(F.col("hi") >= F.lit(after_lsn))
+        .persist()  # three small actions below read it; scan once
     )
+    try:
+        return _check_continuity_spans(spans, after_lsn, expect_from_segment,
+                                       max_report)
+    finally:
+        spans.unpersist()
+
+
+def _check_continuity_spans(spans, after_lsn, expect_from_segment, max_report):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
     w = Window.orderBy("segment")
     checked = spans.select(
         "segment", "lo", "hi",

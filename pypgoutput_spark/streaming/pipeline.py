@@ -1176,24 +1176,27 @@ def lag_report(frames, tables: Union[LakeTable, Dict[int, LakeTable]],
     table_map = {relation_id: tables} if isinstance(tables, LakeTable) \
         else dict(tables)
     wms = {rid: t.watermark_lsn for rid, t in table_map.items()}
+    wm_set = sorted(set(wms.values()))
+    # frames_pending counts per-FRAME lsn > wm inside the same map-side-
+    # combining pass (a watermark mid-segment — split='lsn', streaming
+    # restarts — must not inflate the count with that segment's
+    # already-applied frames; the contract says STRICTLY above)
     per_seg = frames.groupBy("segment").agg(
-        F.max("lsn").alias("hi"), F.count("*").alias("n")
+        F.max("lsn").alias("hi"),
+        *[F.sum(F.when(F.col("lsn") > wm, 1).otherwise(0)).alias(f"np_{wm}")
+          for wm in wm_set],
     )
     # one conditional-aggregate row covering every distinct watermark —
     # the per-segment relation never leaves the executors
     aggs = [F.max("hi").alias("spool_max")]
-    for wm in sorted(set(wms.values())):
+    for wm in wm_set:
         aggs.append(F.sum(F.when(F.col("hi") > wm, 1).otherwise(0))
                     .alias(f"segs_{wm}"))
-        aggs.append(F.sum(F.when(F.col("hi") > wm, F.col("n")).otherwise(0))
-                    .alias(f"frames_{wm}"))
+        aggs.append(F.sum(f"np_{wm}").alias(f"frames_{wm}"))
     row = per_seg.agg(*aggs).collect()[0]
     spool_max = row["spool_max"] if row["spool_max"] is not None else -1
     out = {}
     for rid, wm in wms.items():
-        # frames_pending over-counts inside the watermark's own segment
-        # only when a cut fell mid-segment; segment-split ingest never
-        # does, and the lsn_lag number is the alarmed-on quantity anyway
         out[rid] = {
             "watermark_lsn": wm,
             "spool_max_lsn": spool_max,

@@ -46,10 +46,9 @@ def test_hole_below_watermark_is_retention_not_loss(spark):
     wm = frames.filter("segment <= 2").agg({"lsn": "max"}).collect()[0][0]
     pruned = frames.filter("segment <> 1")
     out = check_continuity(pruned, after_lsn=int(wm))
-    # retained-above-watermark chain is 2..5 (segment 2 anchors: its
-    # span reaches the watermark, so hi > after_lsn keeps it)... the
-    # watermark IS segment 2's max lsn, so 2 drops and 3..5 remain
-    assert out["first_segment"] in (2, 3)
+    # the watermark IS segment 2's max lsn; hi >= after_lsn retains it
+    # as the dense-chain anchor, so the checked chain is 2..5
+    assert out["first_segment"] == 2
 
 
 def test_hole_above_watermark_raises(spark):
@@ -106,3 +105,20 @@ def test_run_ingest_verify_continuity_stops_before_commit(spark, tmp_path):
                         verify_continuity=True)
     assert table.current_version() > 0
     assert table.read().count() > 0
+
+
+def test_lost_first_pending_segment_raises(spark):
+    """The guard's HEADLINE scenario: segments 0-1 applied (watermark =
+    segment 1's max LSN — what segment-split ingest always produces),
+    segment 2 lost from the spool. The watermark's own segment must
+    anchor the dense chain: a strict hi > watermark filter dropped it,
+    leaving the dense-looking tail 3..5 and a silent pass over the lost
+    committed transactions."""
+    frames = _frames(spark)
+    wm = frames.filter("segment <= 1").agg({"lsn": "max"}).collect()[0][0]
+    holed = frames.filter("segment <> 2")
+    with pytest.raises(WalContinuityError, match=r"segments 1\.\.3"):
+        check_continuity(holed, after_lsn=int(wm))
+    # intact spool at the same watermark still passes, chain anchored at 1
+    out = check_continuity(frames, after_lsn=int(wm))
+    assert out["first_segment"] == 1

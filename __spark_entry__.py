@@ -145,6 +145,28 @@ P_MVIEW = _gen.GenParams(
 #: pass fresh=True.
 _INGEST_MEMO: dict = {}
 
+#: per-process memo of MATERIALIZED frame streams: the deterministic
+#: generator emits byte-identical frames for identical GenParams, and
+#: several entries replay the same stream (P_ENTRY feeds seven entries
+#: between re-ingests); materializing once to parquet means every scan
+#: of the ingest (stats prescan, decode+merge per batch) reads a tiny
+#: column-pruned parquet instead of re-running the Python generator —
+#: and the parquet layout is segment-clustered (generator partitions are
+#: contiguous segment runs; small files are never split by the reader),
+#: so the decode skips its per-batch repartition-by-segment exchange
+#: (``clustered=True`` — the same contract bench.py's headline uses).
+_FRAMES_MEMO: dict = {}
+
+
+def _frames_parquet(spark: SparkSession, p: _gen.GenParams) -> DataFrame:
+    hit = _FRAMES_MEMO.get(p)
+    if hit is None or hit[0] is not spark:
+        tmp = tempfile.mkdtemp(prefix="pypgoutput_spark_frames_")
+        path = f"{tmp}/frames"
+        _gen.spark_frames_df(spark, p).write.parquet(path)
+        _FRAMES_MEMO[p] = (spark, path)
+    return spark.read.parquet(_FRAMES_MEMO[p][1])
+
 
 def _ingest_cdc(spark: SparkSession, p: _gen.GenParams,
                 kc_toast_passes: int = 0, strict: bool = True,
@@ -163,10 +185,11 @@ def _ingest_cdc(spark: SparkSession, p: _gen.GenParams,
         schema=[(c, "string") for c in _gen.ALL_COLUMNS],
         key_cols=list(_gen.KEY_COLUMNS), n_buckets=8, props=props,
     )
-    frames = _gen.spark_frames_df(spark, p)
+    frames = _frames_parquet(spark, p)
     _pipeline.run_ingest(spark, frames, table, n_batches=n_batches,
                          kc_toast_passes=kc_toast_passes, strict=strict,
-                         skip_foreign_origins=skip_foreign_origins)
+                         skip_foreign_origins=skip_foreign_origins,
+                         clustered=True)
     if not fresh:
         _INGEST_MEMO[key] = (spark, table)
     return table
@@ -287,8 +310,8 @@ def q_cdc_multi_relation_final_state(spark: SparkSession, sf_dir: str) -> DataFr
         )
         for r in range(P_MULTI.n_relations)
     }
-    frames = _gen.spark_frames_df(spark, P_MULTI)
-    _pipeline.run_ingest(spark, frames, tables, n_batches=2)
+    frames = _frames_parquet(spark, P_MULTI)
+    _pipeline.run_ingest(spark, frames, tables, n_batches=2, clustered=True)
     parts = [
         t.read().select(
             F.lit(rid).cast("bigint").alias("relation_id"),
@@ -347,9 +370,10 @@ def q_cdc_epoch_consistent_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in range(P_MULTI.n_relations)
         }
         log = EpochLog.create(f"{tmp}/epochs")
-        frames = _gen.spark_frames_df(spark, P_MULTI)
+        frames = _frames_parquet(spark, P_MULTI)
         _pipeline.run_ingest(spark, frames, tables, n_batches=3,
-                             epoch_log=log, verify_continuity=True)
+                             epoch_log=log, verify_continuity=True,
+                             clustered=True)
         _INGEST_MEMO[key] = (spark, tables, log)
     assert log.current_epoch() == 3, log.current_epoch()
     pinned = log.read_all(tables, epoch=2)
@@ -645,7 +669,7 @@ def q_cdc_repair_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=[(c, "string") for c in _gen.ALL_COLUMNS],
         key_cols=list(_gen.KEY_COLUMNS), n_buckets=8,
     )
-    good = _gen.spark_frames_df(spark, P_ENTRY)
+    good = _frames_parquet(spark, P_ENTRY)
     corrupted = good.withColumn(
         "payload",
         F.when(
@@ -656,9 +680,9 @@ def q_cdc_repair_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qdir = f"{tmp}/quarantine"
     _pipeline.run_ingest(spark, corrupted, table, n_batches=3,
-                         strict=False, quarantine_dir=qdir)
+                         strict=False, quarantine_dir=qdir, clustered=True)
     wm = table.watermark_lsn
-    rep = replay_quarantine(spark, good, table, qdir)
+    rep = replay_quarantine(spark, good, table, qdir, clustered=True)
     assert rep["repaired"] > 0, "corruption must produce dead letters"
     assert table.watermark_lsn == wm, "repair must not move the watermark"
     return table.read().selectExpr(
@@ -823,7 +847,8 @@ def q_cdc_snapshot_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mirror.bootstrap_load(src.read(), watermark_lsn=src.watermark_lsn)
     _pipeline.run_ingest(
-        spark, _gen.spark_frames_df(spark, P_BOOT), mirror, n_batches=2
+        spark, _frames_parquet(spark, P_BOOT), mirror, n_batches=2,
+        clustered=True,
     )
     return mirror.read().selectExpr(
         "repo", "path", "`commit`", "lang", "content",

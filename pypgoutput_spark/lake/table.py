@@ -725,7 +725,11 @@ class LakeTable:
         part = df.repartition(F.col("_bucket"))
         if sort_cols:
             part = part.sortWithinPartitions("_bucket", *sort_cols)
+        t0 = time.monotonic()
         part.write.partitionBy("_bucket").parquet(stage)
+        if os.environ.get("PYPGOUT_PROF"):
+            print(f"      [prof] write_buckets job: {time.monotonic() - t0:6.3f}s",
+                  flush=True)
         out: Dict[str, List[str]] = {}
         dir_bytes: Dict[str, int] = {}
         if os.path.exists(stage):

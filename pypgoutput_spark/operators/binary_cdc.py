@@ -80,8 +80,6 @@ def encode_binary_frames(sf_dir: str):
     themselves (``repr`` round-trips), never a rounded text rendering."""
     import duckdb
 
-    from pypgoutput_spark.wal import codec
-
     orders = (
         duckdb.connect()
         .execute(
@@ -92,6 +90,23 @@ def encode_binary_frames(sf_dir: str):
         )
         .df()
     )
+    # doubled price, flipped flag, '+'-suffixed status in upd; jsonb rides
+    # as TOAST-unchanged — resolution must preserve the insert's value
+    ins, upd, dele = _order_cell_fns()
+    return _encode_stream(
+        orders, REL_ID, "order_metrics", REL_COLS,
+        insert_cells=ins, upd_cells=upd, del_cells=dele,
+        upd_draw=lambda r: _draw("obu", int(r.k)),
+        del_draw=lambda r: _draw("obd", int(r.k)),
+        upd_pct=UPD_PCT, del_pct=DEL_PCT,
+        n_segments=N_SEGMENTS, xid_base=9300,
+    )
+
+
+def _order_cell_fns():
+    """The per-row cell builders shared by the driver-side and
+    distributed encoders (row fields: k, c, s, p, ts, prio)."""
+    from pypgoutput_spark.wal import codec
 
     def cells(r, price: float, flag_t: bool, status: str, pr_cell):
         k = int(r.k)
@@ -114,15 +129,37 @@ def encode_binary_frames(sf_dir: str):
         return cells(r, r.p, int(r.k) % 2 == 0, r.s, pr)
 
     def upd(r):
-        # doubled price, flipped flag, '+'-suffixed status; jsonb rides
-        # as TOAST-unchanged — resolution must preserve the insert's value
         return cells(r, r.p * 2, int(r.k) % 2 != 0, r.s + "+", ("u", None))
 
     def dele(r):
         return [codec.binary_cell(20, str(int(r.k)))] + [("n", None)] * 11
 
-    return _encode_stream(
-        orders, REL_ID, "order_metrics", REL_COLS,
+    return ins, upd, dele
+
+
+def encode_binary_frames_spark(spark, sf_dir: str):
+    """Distributed twin of :func:`encode_binary_frames` (byte-identical
+    frames): ~200k orders × 12 binary cells is millions of driver-side
+    Python struct-packs — ~19 s serial at sf0.1 — so the per-row encode
+    runs on executors via the shared row emitter instead (guide §4.2:
+    let Spark distribute; hand each task its row slice). Only the row
+    COUNT is read driver-side (parquet footer metadata, no Spark job)."""
+    import duckdb
+
+    from pypgoutput_spark.operators.corpus_cdc import _encode_stream_spark
+
+    n_rows = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/orders.parquet')"
+    ).fetchone()[0]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "o_orderkey AS k", "o_custkey AS c", "o_orderstatus AS s",
+        "CAST(o_totalprice AS DOUBLE) AS p", "o_orderdate AS ts",
+        "o_orderpriority AS prio",
+    )
+    ins, upd, dele = _order_cell_fns()
+    return _encode_stream_spark(
+        spark, orders, int(n_rows), "k",
+        REL_ID, "order_metrics", REL_COLS,
         insert_cells=ins, upd_cells=upd, del_cells=dele,
         upd_draw=lambda r: _draw("obu", int(r.k)),
         del_draw=lambda r: _draw("obd", int(r.k)),
@@ -136,17 +173,19 @@ def q_binary_typed_final_state(spark, sf_dir: str):
     from pypgoutput_spark.streaming import pipeline as _pipeline
     from pypgoutput_spark.wal.generator import FRAMES_SCHEMA
 
-    frames = spark.createDataFrame(
-        encode_binary_frames(sf_dir), schema=FRAMES_SCHEMA
-    )
+    from pypgoutput_spark.operators.corpus_cdc import _materialize_frames
+
     tmp = tempfile.mkdtemp(prefix="pypgoutput_spark_bin_")
+    frames = _materialize_frames(
+        spark, encode_binary_frames_spark(spark, sf_dir), f"{tmp}/frames"
+    )
     table = LakeTable.create(
         spark, f"{tmp}/lake",
         schema=[(c, "string") for c in COLUMNS],
         key_cols=["id"], n_buckets=8,
     )
     _pipeline.run_ingest(spark, frames, table, relation_id=REL_ID,
-                         n_batches=N_SEGMENTS)
+                         n_batches=N_SEGMENTS, clustered=True)
     table.read().createOrReplaceTempView("cdc_bin_final")
     return spark.sql("""
 SELECT CAST(id AS BIGINT) AS id, CAST(cust AS INT) AS cust,

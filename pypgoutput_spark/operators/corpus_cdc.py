@@ -73,6 +73,49 @@ def _cell(v):
     return ("t", str(v))
 
 
+def _row_frames(row, r: int, n: int, q: int, seg_span: int, rel_id: int,
+                insert_cells, upd_cells, del_cells,
+                upd_draw, del_draw, upd_pct: int, del_pct: int,
+                xid_base: int) -> list:
+    """Frames contributed by global row ``r`` — ROW-LOCAL given (r, n, q):
+    the segment's Begin rides the first row, its Commit the last, so the
+    encode parallelizes over arbitrary row partitions with no cross-row
+    state. ONE implementation under both the driver-side and distributed
+    encoders so an LSN-layout change cannot desynchronize them."""
+    from pypgoutput_spark.wal import codec
+
+    out = []
+    seg, r0 = r // q, r % q
+    base = 10 + seg_span * seg
+    if r0 == 0:  # open the segment's transaction
+        out.append({
+            "segment": seg, "lsn": base, "mtype": "B",
+            "payload": codec.encode_begin(base, seg * 1_000_000, xid_base + seg),
+        })
+    ev = base + 1 + 4 * r0
+    out.append({
+        "segment": seg, "lsn": ev, "mtype": "I",
+        "payload": codec.encode_insert(rel_id, insert_cells(row)),
+    })
+    if upd_draw(row) < upd_pct:
+        out.append({
+            "segment": seg, "lsn": ev + 1, "mtype": "U",
+            "payload": codec.encode_update(rel_id, upd_cells(row)),
+        })
+    if del_draw(row) < del_pct:
+        out.append({
+            "segment": seg, "lsn": ev + 2, "mtype": "D",
+            "payload": codec.encode_delete(rel_id, del_cells(row), "K"),
+        })
+    if r0 == q - 1 or r == n - 1:  # close the segment's transaction
+        c = base + 1 + 4 * q
+        out.append({
+            "segment": seg, "lsn": c, "mtype": "C",
+            "payload": codec.encode_commit(c - 1, c, seg * 1_000_000),
+        })
+    return out
+
+
 def _encode_stream(rows_df, rel_id: int, rel_name: str, rel_cols,
                    insert_cells, upd_cells, del_cells,
                    upd_draw, del_draw, upd_pct: int, del_pct: int,
@@ -81,8 +124,9 @@ def _encode_stream(rows_df, rel_id: int, rel_name: str, rel_cols,
     Relation message, then per segment one transaction whose events are
     the rows' inserts plus draw-gated revision updates and deletions —
     4 LSN slots per row (I, U?, D?, spare), B/C never straddling a
-    segment. ONE implementation so an LSN-layout change cannot
-    desynchronize the documents and embeddings twins."""
+    segment. Driver-side (pandas) form; :func:`_encode_stream_spark`
+    runs the identical per-row emitter (:func:`_row_frames`) on
+    executors for large sources."""
     import pandas as pd
 
     from pypgoutput_spark.wal import codec
@@ -94,35 +138,86 @@ def _encode_stream(rows_df, rel_id: int, rel_name: str, rel_cols,
     out.append({"segment": 0, "lsn": 1, "mtype": "R", "payload": rel})
     seg_span = 4 * q + 2  # B + up to 3 events per row (4th slot spare) + C
     for r, row in enumerate(rows_df.itertuples(index=False)):
-        seg, r0 = r // q, r % q
-        base = 10 + seg_span * seg
-        if r0 == 0:  # open the segment's transaction
-            out.append({
-                "segment": seg, "lsn": base, "mtype": "B",
-                "payload": codec.encode_begin(base, seg * 1_000_000, xid_base + seg),
-            })
-        ev = base + 1 + 4 * r0
-        out.append({
-            "segment": seg, "lsn": ev, "mtype": "I",
-            "payload": codec.encode_insert(rel_id, insert_cells(row)),
-        })
-        if upd_draw(row) < upd_pct:
-            out.append({
-                "segment": seg, "lsn": ev + 1, "mtype": "U",
-                "payload": codec.encode_update(rel_id, upd_cells(row)),
-            })
-        if del_draw(row) < del_pct:
-            out.append({
-                "segment": seg, "lsn": ev + 2, "mtype": "D",
-                "payload": codec.encode_delete(rel_id, del_cells(row), "K"),
-            })
-        if r0 == q - 1 or r == n - 1:  # close the segment's transaction
-            c = base + 1 + 4 * q
-            out.append({
-                "segment": seg, "lsn": c, "mtype": "C",
-                "payload": codec.encode_commit(c - 1, c, seg * 1_000_000),
-            })
+        out.extend(_row_frames(
+            row, r, n, q, seg_span, rel_id, insert_cells, upd_cells,
+            del_cells, upd_draw, del_draw, upd_pct, del_pct, xid_base,
+        ))
     return pd.DataFrame(out)
+
+
+def _encode_stream_spark(spark, rows_df, n_rows: int, order_col: str,
+                         rel_id: int, rel_name: str, rel_cols,
+                         insert_cells, upd_cells, del_cells,
+                         upd_draw, del_draw, upd_pct: int, del_pct: int,
+                         n_segments: int, xid_base: int):
+    """Distributed twin of :func:`_encode_stream`: the per-row encode —
+    thousands of struct-packs per 100k rows, pure Python — runs on
+    EXECUTORS via mapInPandas instead of serially on the driver (guide
+    §4: the driver does no data work; the row→frames emitter is
+    row-local given the global row number, so any partitioning works).
+    Byte-identical output: the same :func:`_row_frames` emitter over the
+    same ``order_col``-ordered row numbering, plus the lsn=1 Relation
+    frame. Returns a DataFrame in FRAMES_SCHEMA."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pypgoutput_spark.wal import codec
+    from pypgoutput_spark.wal.generator import FRAMES_SCHEMA
+
+    n = n_rows
+    q = (n + n_segments - 1) // n_segments
+    seg_span = 4 * q + 2
+    # global row number by the (unique) order column. The single-task
+    # window sort is bounded by the SOURCE row count, not frame count,
+    # and everything downstream is parallel again.
+    df = rows_df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(order_col)) - 1
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            out = []
+            rns = pdf["rn"].tolist()
+            for i, row in enumerate(pdf.drop(columns=["rn"]).itertuples(index=False)):
+                out.extend(_row_frames(
+                    row, int(rns[i]), n, q, seg_span, rel_id,
+                    insert_cells, upd_cells, del_cells,
+                    upd_draw, del_draw, upd_pct, del_pct, xid_base,
+                ))
+            if out:
+                yield pd.DataFrame(out)
+
+    frames = df.repartition(16, "rn").mapInPandas(enc, schema=FRAMES_SCHEMA)
+    rel = codec.encode_relation(rel_id, "public", rel_name, "d", rel_cols)
+    rel_df = spark.createDataFrame(
+        [(0, 1, "R", bytearray(rel))], schema=FRAMES_SCHEMA
+    )
+    return frames.unionByName(rel_df)
+
+
+def _materialize_frames(spark, frames_pdf, path: str):
+    """Driver-encoded frames (pandas) → one parquet pass, repartitioned
+    so each WAL segment lands wholly in one file: every ingest scan then
+    reads column-pruned parquet instead of re-shipping the driver-local
+    relation per job, and the decode runs ``clustered=True`` (zero
+    repartition-by-segment exchange per micro-batch). Small files are
+    never split by the scan, so the segment-per-partition contract
+    holds on read."""
+    from pyspark.sql import functions as F
+
+    from pypgoutput_spark.wal.generator import FRAMES_SCHEMA
+
+    df = (
+        frames_pdf if hasattr(frames_pdf, "sparkSession")
+        else spark.createDataFrame(frames_pdf, schema=FRAMES_SCHEMA)
+    )
+    (
+        df.repartition(F.col("segment"))
+        .sortWithinPartitions("segment", "lsn")
+        .write.parquet(path)
+    )
+    return spark.read.parquet(path)
 
 
 def encode_documents_frames(sf_dir: str):
@@ -169,16 +264,17 @@ def q_documents_corpus(spark, sf_dir: str):
     from pypgoutput_spark.streaming import pipeline as _pipeline
     from pypgoutput_spark.wal.generator import FRAMES_SCHEMA
 
-    frames = spark.createDataFrame(
-        encode_documents_frames(sf_dir), schema=FRAMES_SCHEMA
-    )
     tmp = tempfile.mkdtemp(prefix="pypgoutput_spark_docs_")
+    frames = _materialize_frames(
+        spark, encode_documents_frames(sf_dir), f"{tmp}/frames"
+    )
     table = LakeTable.create(
         spark, f"{tmp}/lake",
         schema=[(c, "string") for c in COLUMNS],
         key_cols=["doc_id"], n_buckets=8,
     )
-    _pipeline.run_ingest(spark, frames, table, relation_id=REL_ID, n_batches=4)
+    _pipeline.run_ingest(spark, frames, table, relation_id=REL_ID, n_batches=4,
+                         clustered=True)
     d = SPARK
     final = table.read()
     final.createOrReplaceTempView("cdc_docs_final")
@@ -322,17 +418,17 @@ def q_embeddings_index(spark, sf_dir: str):
     from pypgoutput_spark.streaming import pipeline as _pipeline
     from pypgoutput_spark.wal.generator import FRAMES_SCHEMA
 
-    frames = spark.createDataFrame(
-        encode_embeddings_frames(sf_dir), schema=FRAMES_SCHEMA
-    )
     tmp = tempfile.mkdtemp(prefix="pypgoutput_spark_emb_")
+    frames = _materialize_frames(
+        spark, encode_embeddings_frames(sf_dir), f"{tmp}/frames"
+    )
     table = LakeTable.create(
         spark, f"{tmp}/lake",
         schema=[("vec_id", "string"), ("qcsv", "string"), ("label", "string")],
         key_cols=["vec_id"], n_buckets=8,
     )
     _pipeline.run_ingest(spark, frames, table, relation_id=EMB_REL_ID,
-                         n_batches=EMB_SEGMENTS)
+                         n_batches=EMB_SEGMENTS, clustered=True)
     d = SPARK
     table.read().createOrReplaceTempView("cdc_emb_final")
     return spark.sql(f"""

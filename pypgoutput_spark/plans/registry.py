@@ -128,6 +128,19 @@ class RelationRegistry:
             self.add_relation(row["lsn"], codec.decode_message(payload))
         return len(r_frames)
 
+    def merge_rows(self, rows) -> int:
+        """Merge pre-collected Relation frames (rows with ``lsn``,
+        ``mtype``, ``payload``) — the driver-side twin of
+        :meth:`merge_frames` for callers that already hold the R cohort
+        from a fused lookup (streaming.pipeline.run_ingest collects the
+        registry, truncate and 2PC cohorts in ONE job)."""
+        for row in sorted(rows, key=lambda r: r["lsn"]):
+            payload = bytes(row["payload"])
+            if row["mtype"] == "r":
+                _subxid, payload = codec.strip_stream_xid(payload)
+            self.add_relation(row["lsn"], codec.decode_message(payload))
+        return len(rows)
+
     @classmethod
     def from_frames(cls, frames_df) -> "RelationRegistry":
         """Extract and decode the 'R' cohort of a frames DataFrame."""

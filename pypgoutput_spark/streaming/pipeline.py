@@ -38,6 +38,7 @@ from __future__ import annotations
 import math
 import os
 import shutil
+import time as _time
 from typing import Callable, Dict, List, Optional, Union
 
 from pyspark.sql import functions as F
@@ -55,6 +56,19 @@ from pypgoutput_spark.wal.generator import RELATION_ID
 #: JVM-side relation id of a DML frame (big-endian int32 at payload[1:5]) —
 #: lets pre-decode filters scope per-relation without touching Python
 _RID_EXPR = "CAST(conv(hex(substring(payload, 2, 4)), 16, 10) AS BIGINT)"
+
+#: phase-level timing marks (guide §1): set PYPGOUT_PROF=1 to print how
+#: each micro-batch's wall splits across stats scan / aux lookup /
+#: decode+merge — profiling aid only, zero cost when unset
+_PROF = bool(os.environ.get("PYPGOUT_PROF"))
+
+
+def _prof(label: str, t0: float) -> float:
+    if _PROF:
+        now = _time.monotonic()
+        print(f"    [prof] {label}: {now - t0:6.3f}s", flush=True)
+        return now
+    return t0
 
 
 def evolve_to_relation(table: LakeTable, rv, key_cols) -> bool:
@@ -129,6 +143,60 @@ def _span_close_pred(frames):
 
 def _empty_pending() -> dict:
     return {"xids": {}, "t_void": {}}
+
+
+def _observed_write(df, path: str) -> int:
+    """Append ``df`` as parquet and return its row count from an
+    observed metric riding the SAME job — replaces the count-then-write
+    two-action pattern (each extra action re-ran a full job over the
+    cached decode). A write that turns out empty removes the directory
+    it itself created, so "the sink exists" keeps meaning "something was
+    delivered" for every downstream probe (read_messages PATH_NOT_FOUND
+    contract, the 2PC decided-xid staging validation)."""
+    from pyspark.sql import Observation
+
+    existed = os.path.isdir(path)
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "append"
+    ).parquet(path)
+    try:
+        n = int(obs.get["n"])
+    except Exception:  # noqa: BLE001 — zero-task write: no rows
+        n = 0
+    if n == 0 and not existed:
+        shutil.rmtree(path, ignore_errors=True)
+    return n
+
+
+def _segment_stats_aggs(frames, skip_foreign_origins: bool, live) -> list:
+    """The per-segment metadata aggregate list of the batch stats scan —
+    factored out so :func:`run_ingest` can run ONE scan covering every
+    batch (segments never split across segment-cut batches) instead of
+    one scan per batch."""
+    t_pred = _mtype_pred(frames, "T")
+    b_pred, c_pred = _span_open_pred(frames), _span_close_pred(frames)
+    p2_pred = _p2_pred(frames)
+    r_pred = _r_pred(frames)
+    aggs = [
+        F.max(F.when(live, F.col("lsn"))).alias("max_lsn"),
+        F.min(F.when(live, F.col("lsn"))).alias("min_lsn"),
+        F.count(F.when(live, 1)).alias("n"),
+        F.count(F.when(~live & ~r_pred, 1)).alias("n_late"),
+        F.max(F.when(b_pred & live, F.col("lsn"))).alias("b_lsn"),
+        F.max(F.when(c_pred & live, F.col("lsn"))).alias("c_lsn"),
+        F.collect_list(F.when(t_pred & live, F.col("lsn"))).alias("t_lsns"),
+        F.collect_list(F.when(p2_pred & live, F.col("lsn"))).alias("p2_lsns"),
+        F.count(F.when(r_pred, 1)).alias("n_r"),
+    ]
+    if skip_foreign_origins:
+        # the foreign-span carry needs each segment's newest top-level
+        # Origin LSN — rides the same metadata-only scan
+        aggs.append(
+            F.max(F.when(_mtype_o_pred(frames) & live, F.col("lsn")))
+            .alias("o_lsn")
+        )
+    return aggs
 
 
 def _truncate_floor_expr(scrutinee: str, floors: dict) -> str:
@@ -363,9 +431,20 @@ def apply_frames_batch(
     skip_foreign_origins: bool = False,
     open_foreign: Optional[set] = None,
     stream_spill_bytes: Optional[int] = None,
+    pre_seg_rows: Optional[list] = None,
+    pre_aux_rows: Optional[list] = None,
 ) -> dict:
     """One micro-batch: frames → decode once → route per relation →
     LWW → merge each table. Returns metrics (incl. ``open_tx`` carry-out).
+
+    ``pre_seg_rows`` / ``pre_aux_rows``: this batch's slice of a fused
+    whole-ingest prescan (see :func:`run_ingest`) — the per-segment
+    stats rows and the rare payload-carrying cohort rows, already
+    collected. When provided, the batch runs ZERO driver-side planning
+    jobs (the stats scan and aux lookup are skipped); per-batch cost is
+    the single decode→LWW→merge job. Only valid when the batch never
+    gates late frames (``late_wm`` unset — run_ingest's batches are
+    pre-filtered by watermark).
 
     ``stream_spill_bytes``: bounded-memory decode of oversized
     protocol-v2 streamed transactions — stream groups whose buffered
@@ -431,6 +510,7 @@ def apply_frames_batch(
     """
     single = isinstance(tables, LakeTable)
     table_map: Dict[int, LakeTable] = {relation_id: tables} if single else dict(tables)
+    _t = _time.monotonic()
 
     # ---- batch stats: one metadata-only scan, grouped by segment --------
     # (Truncate LSNs ride along as a collect_list over the lsn column, so
@@ -447,25 +527,12 @@ def apply_frames_batch(
     # or below late_wm is excluded from stats/decode but counted here
     gated = late_wm is not None and late_wm >= 0
     live = (F.col("lsn") > late_wm) if gated else F.lit(True)
-    aggs = [
-        F.max(F.when(live, F.col("lsn"))).alias("max_lsn"),
-        F.min(F.when(live, F.col("lsn"))).alias("min_lsn"),
-        F.count(F.when(live, 1)).alias("n"),
-        F.count(F.when(~live & ~r_pred, 1)).alias("n_late"),
-        F.max(F.when(b_pred & live, F.col("lsn"))).alias("b_lsn"),
-        F.max(F.when(c_pred & live, F.col("lsn"))).alias("c_lsn"),
-        F.collect_list(F.when(t_pred & live, F.col("lsn"))).alias("t_lsns"),
-        F.collect_list(F.when(p2_pred & live, F.col("lsn"))).alias("p2_lsns"),
-        F.count(F.when(r_pred, 1)).alias("n_r"),
-    ]
-    if skip_foreign_origins:
-        # the foreign-span carry needs each segment's newest top-level
-        # Origin LSN — rides the same metadata-only scan
-        aggs.append(
-            F.max(F.when(_mtype_o_pred(frames) & live, F.col("lsn")))
-            .alias("o_lsn")
-        )
-    seg_rows = frames.groupBy("segment").agg(*aggs).collect()
+    if pre_seg_rows is not None and not gated:
+        seg_rows = pre_seg_rows
+    else:
+        aggs = _segment_stats_aggs(frames, skip_foreign_origins, live)
+        seg_rows = frames.groupBy("segment").agg(*aggs).collect()
+        _t = _prof("stats scan", _t)
     late_frames = int(sum(r["n_late"] for r in seg_rows))
     # mid-stream DDL: merge the batch's R cohort into the caller's registry
     # — but only when the stats scan saw R frames, so the common DML-only
@@ -516,14 +583,19 @@ def apply_frames_batch(
     t_frames: list = []   # (segment, lsn) of live Truncate frames
     p2_rows: list = []    # (segment, lsn, decoded) of 2PC control frames
     if t_all_lsns or open_b_lsns or p2_all_lsns:
-        aux = (
-            frames.filter(
-                F.col("lsn").isin([*t_all_lsns, *open_b_lsns, *p2_all_lsns])
-                & (t_pred | b_pred | p2_pred)
+        if pre_aux_rows is not None:
+            want = {*t_all_lsns, *open_b_lsns, *p2_all_lsns}
+            aux = [r for r in pre_aux_rows if r["lsn"] in want]
+        else:
+            aux = (
+                frames.filter(
+                    F.col("lsn").isin([*t_all_lsns, *open_b_lsns, *p2_all_lsns])
+                    & (t_pred | b_pred | p2_pred)
+                )
+                .select("segment", "lsn", "payload")
+                .collect()
             )
-            .select("segment", "lsn", "payload")
-            .collect()
-        )
+            _t = _prof("aux lookup", _t)
         for row in aux:
             payload = bytes(row["payload"])
             first = payload[0:1]
@@ -785,6 +857,7 @@ def apply_frames_batch(
         snap = tbl.snapshot()
         table_cols[rid] = (keys, [n for n, _ in snap["schema"] if n not in keys])
         n_projections += len(vs)
+    _t = _prof("evolve/plan", _t)
 
     raw = decode_op.decode_frames_raw(
         eff_frames, registry, strict=strict, clustered=clustered,
@@ -842,14 +915,18 @@ def apply_frames_batch(
         if staged:
             raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
             if not strict and quarantine_dir:
+                # ONE job: the quarantine write carries the dead-letter
+                # count as an observed metric (and materializes the
+                # cache); a batch with zero dead letters removes the
+                # directory it just created so downstream probes keep
+                # seeing "never quarantined"
                 dead = raw.filter(F.col("op") == "E")
-                dead_letters = dead.count()  # also materializes the cache
-                if dead_letters:
-                    dead.select("segment", "lsn", "error").write.mode(
-                        "append"
-                    ).parquet(quarantine_dir)
+                dead_letters = _observed_write(
+                    dead.select("segment", "lsn", "error"), quarantine_dir
+                )
             elif n_projections > 1 or messages_dir is not None:
                 raw.count()  # materialize once before fan-out
+            _t = _prof("stage/materialize", _t)
 
         # ---- two-phase staging and resolution (see docstring) ----------
         events_src = raw
@@ -878,6 +955,7 @@ def apply_frames_batch(
                         F.expr(_truncate_floor_expr("relation_id", t_void))
                     )
                 events_src = events_src.unionByName(stg)
+                _t = _prof("2pc staged-read plan", _t)
             if commit_now:
                 # stamp the true commit timestamp from 'K' onto the
                 # resolved transactions' events (decode stamped the
@@ -892,16 +970,18 @@ def apply_frames_batch(
                     F.coalesce(stamp[F.col("xid")], F.col("commit_ts_us")),
                 )
             # stage this batch's events of still-undecided transactions;
-            # cost ∝ prepared events (the count doubles as the cache
-            # materializer — staging is what forced the persist)
+            # cost ∝ prepared events. ONE job: the staging write carries
+            # the row count as an observed metric (and materializes the
+            # cache — staging is what forced the persist); an all-empty
+            # stage removes the directory it just created so the
+            # decided-xid validation keeps seeing "nothing ever staged"
             n_staged_rows = 0
             if stage_xids:
                 pend_df = raw.filter(
                     F.col("xid").isin(stage_xids) & ~F.col("op").isin(*markers)
                 )
-                n_staged_rows = pend_df.count()
-                if n_staged_rows:
-                    pend_df.write.mode("append").parquet(pending_dir)
+                n_staged_rows = _observed_write(pend_df, pending_dir)
+                _t = _prof("2pc staging write", _t)
             new_pending = next_pending  # precomputed driver-side above
             two_metrics = {
                 "prepared": sorted(all_prepared),
@@ -923,9 +1003,12 @@ def apply_frames_batch(
                 F.col("new_vals")[0].alias("prefix"),
                 F.col("new_vals")[1].alias("content"),
             ).withColumn("batch_wm", F.lit(int(watermark_lsn)))
-            n_messages = msgs.count()  # scans the cache, not the kernel
-            if n_messages:
-                msgs.write.mode("append").parquet(messages_dir)
+            # ONE job (scans the cache, not the kernel): count rides the
+            # write as an observed metric; a message-free batch removes
+            # the directory it just created, preserving the "writer
+            # creates the sink on FIRST delivery" contract read_messages
+            # relies on
+            n_messages = _observed_write(msgs, messages_dir)
 
         out: dict = {
             "skipped": False,
@@ -978,6 +1061,7 @@ def apply_frames_batch(
                 tbl, changes, watermark_lsn, truncate=truncated,
                 extra_metrics=extra,
             )
+            _t = _prof(f"merge rid={rid}", _t)
             out["relations"][rid] = m
         # staging GC: with nothing pending any more, the staged files are
         # unreferenced (PG xids never recur). Strictly AFTER the merges:
@@ -1059,7 +1143,7 @@ def run_ingest(
         # segment lost between the last applied batch and this one fails
         # here instead of silently advancing the watermark past it
         check_continuity(frames, after_lsn=watermark)
-    registry = RelationRegistry.from_frames(frames)  # full R cohort, resume-safe
+    frames_all = frames  # unfiltered: registry R cohort is resume-safe
     carry0 = stored_carry_state(table_map)  # one snapshot read per table
     open_tx = carry0["open_tx"]
     pending_2pc = carry0["pending_2pc"]
@@ -1067,9 +1151,18 @@ def run_ingest(
     if watermark >= 0:
         frames = frames.filter(F.col("lsn") > watermark)
 
-    if n_batches <= 1:
-        batches = [frames]
-    elif split == "lsn":
+    # ---- fused whole-ingest prescan (segment-cut batches, the default):
+    # segments never split across segment-cut batches, so ONE per-segment
+    # stats scan covers every batch, and ONE payload lookup collects the
+    # registry ('R'), truncate ('T'), open-Begin and 2PC control cohorts
+    # together. Per batch the driver then plans from sliced rows — zero
+    # planning jobs per batch instead of two (stats + aux) plus the
+    # per-ingest registry and bounds jobs. The lsn-cut path keeps the old
+    # shape (a segment may straddle its batches).
+    seg_rows_all: Optional[list] = None
+    aux_rows: Optional[list] = None
+    if split == "lsn" and n_batches > 1:
+        registry = RelationRegistry.from_frames(frames_all)
         bounds = frames.agg(
             F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
         ).collect()[0]
@@ -1078,31 +1171,70 @@ def run_ingest(
         lo, hi = int(bounds["lo"]), int(bounds["hi"])
         span = max(1, math.ceil((hi - lo + 1) / n_batches))
         batches = [
-            frames.filter(
+            (frames.filter(
                 (F.col("lsn") >= lo + i * span) & (F.col("lsn") < lo + (i + 1) * span)
-            )
+            ), None, None)
             for i in range(n_batches)
             if lo + i * span <= hi
         ]
     else:
-        bounds = frames.agg(
-            F.min("segment").alias("lo"), F.max("segment").alias("hi")
-        ).collect()[0]
-        if bounds["lo"] is None:
+        seg_rows_all = frames.groupBy("segment").agg(
+            *_segment_stats_aggs(frames, skip_foreign_origins, F.lit(True))
+        ).collect()
+        if not seg_rows_all and n_batches > 1:
             return _empty_replay(epoch_log, table_map, on_batch)
-        lo, hi = int(bounds["lo"]), int(bounds["hi"])
-        span = max(1, math.ceil((hi - lo + 1) / n_batches))
-        batches = [
-            frames.filter(
-                (F.col("segment") >= lo + i * span)
-                & (F.col("segment") < lo + (i + 1) * span)
-            )
-            for i in range(n_batches)
-            if lo + i * span <= hi
+        t_lsns = [l for r in seg_rows_all for l in (r["t_lsns"] or [])]
+        p2_lsns = [l for r in seg_rows_all for l in (r["p2_lsns"] or [])]
+        open_b = [
+            r["b_lsn"] for r in seg_rows_all
+            if r["b_lsn"] is not None
+            and (r["c_lsn"] is None or r["b_lsn"] > r["c_lsn"])
         ]
+        cohort = [*t_lsns, *open_b, *p2_lsns]
+        pred = _r_pred(frames_all)
+        if cohort:
+            pred = pred | (
+                F.col("lsn").isin(cohort)
+                & (_mtype_pred(frames_all, "T") | _span_open_pred(frames_all)
+                   | _p2_pred(frames_all))
+            )
+        has_mtype = "mtype" in frames_all.columns
+        sel = ["segment", "lsn", "payload"] + (["mtype"] if has_mtype else [])
+        aux_rows = frames_all.filter(pred).select(*sel).collect()
+        if has_mtype:
+            r_rows = [r for r in aux_rows if r["mtype"] in ("R", "r")]
+        else:
+            r_rows = [
+                {"lsn": r["lsn"], "mtype": "R", "payload": r["payload"]}
+                for r in aux_rows if bytes(r["payload"])[:1] == b"R"
+            ]
+        registry = RelationRegistry()
+        registry.merge_rows(r_rows)
+        if n_batches <= 1:
+            batches = [(frames, None, None)]
+        else:
+            lo = min(int(r["segment"]) for r in seg_rows_all)
+            hi = max(int(r["segment"]) for r in seg_rows_all)
+            span = max(1, math.ceil((hi - lo + 1) / n_batches))
+            batches = [
+                (frames.filter(
+                    (F.col("segment") >= lo + i * span)
+                    & (F.col("segment") < lo + (i + 1) * span)
+                ), lo + i * span, lo + (i + 1) * span)
+                for i in range(n_batches)
+                if lo + i * span <= hi
+            ]
 
     out = []
-    for batch_frames in batches:
+    for batch_frames, lo_b, hi_b in batches:
+        if seg_rows_all is not None:
+            seg_slice = (
+                seg_rows_all if lo_b is None
+                else [r for r in seg_rows_all if lo_b <= int(r["segment"]) < hi_b]
+            )
+            pre_kw = {"pre_seg_rows": seg_slice, "pre_aux_rows": aux_rows}
+        else:
+            pre_kw = {}
         metrics = apply_frames_batch(
             tables, batch_frames, registry, relation_id,
             salt_buckets=salt_buckets, strict=strict, clustered=clustered,
@@ -1112,6 +1244,7 @@ def run_ingest(
             skip_foreign_origins=skip_foreign_origins,
             open_foreign=open_foreign,
             stream_spill_bytes=stream_spill_bytes,
+            **pre_kw,
         )
         open_tx = metrics.get("open_tx", {})
         pending_2pc = metrics.get("pending_2pc", pending_2pc)

@@ -700,7 +700,8 @@ class LakeTable:
     def _stage_dir(self, version: int) -> str:
         return os.path.join(self.path, "data", f"commit-{version:08d}-{uuid.uuid4().hex[:8]}")
 
-    def write_buckets(self, df, version: int) -> Tuple[Dict[str, List[str]], Dict[str, int]]:
+    def write_buckets(self, df, version: int,
+                      pre_partitioned: bool = False) -> Tuple[Dict[str, List[str]], Dict[str, int]]:
         """Write rows (must carry ``_bucket``) as one directory per bucket;
         returns ({bucket: [dir]}, {dir: bytes}) for the snapshot — the
         writer records sizes at write time (manifest-entry analog), so
@@ -722,7 +723,11 @@ class LakeTable:
             c for c in (self.snapshot().get("props", {}).get("sort_cols") or ())
             if c in df.columns
         ]
-        part = df.repartition(F.col("_bucket"))
+        # ``pre_partitioned``: the caller guarantees ``df`` is already
+        # hash-partitioned by ``_bucket`` (fused LWW collapse) — the
+        # repartition exchange here would move nothing but still cost a
+        # full shuffle stage
+        part = df if pre_partitioned else df.repartition(F.col("_bucket"))
         if sort_cols:
             part = part.sortWithinPartitions("_bucket", *sort_cols)
         t0 = time.monotonic()

@@ -104,10 +104,25 @@ def _resolved_expr_flat(col: str) -> str:
 
 
 def lww_changes_flat(projected_df, key_cols: Sequence[str],
-                     value_cols: Sequence[str], salt_buckets: int = 0):
+                     value_cols: Sequence[str], salt_buckets: int = 0,
+                     bucket_expr=None):
     """LWW over the flat projection (operators.decode.project_relation):
     same semantics as :func:`lww_changes`, but the shuffle carries plain
     string columns instead of map objects — the hot-path form.
+
+    ``bucket_expr``: the target table's hash-bucket expression over the
+    (already type-cast) key columns. When given (and unsalted), the
+    collapse SHARES its exchange with the merge's bucket placement: the
+    events are repartitioned by ``_bucket`` once and the aggregate groups
+    by (``_bucket``, keys) — hash partitioning on a subset of the group
+    keys satisfies the aggregate's required distribution, so Catalyst
+    plans NO second exchange, and the output is already laid out for the
+    per-bucket delta write (merge_into/write_buckets skip their
+    repartition). One exchange instead of two per merge. The trade: the
+    exchange carries raw events instead of map-combined partials — the
+    right side of the trade when events-per-key-per-partition is low
+    (CDC change batches); for pathological single-key floods use
+    ``salt_buckets``, which keeps the two-phase combining shape.
     """
     final_aggs = [
         "max_by(op, lsn) AS final_op",
@@ -116,6 +131,13 @@ def lww_changes_flat(projected_df, key_cols: Sequence[str],
     ]
     if salt_buckets <= 1:
         aggs = final_aggs + [_resolved_expr_flat(c) for c in value_cols]
+        if bucket_expr is not None:
+            pre = projected_df.withColumn("_bucket", bucket_expr).repartition(
+                F.col("_bucket")
+            )
+            return pre.groupBy("_bucket", *key_cols).agg(
+                *[F.expr(a) for a in aggs]
+            )
         return projected_df.groupBy(*key_cols).agg(*[F.expr(a) for a in aggs])
 
     salted = projected_df.withColumn(

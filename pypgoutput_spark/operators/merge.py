@@ -72,6 +72,7 @@ def merge_into(
     auto_compact: bool = True,
     extra_metrics: Optional[dict] = None,
     repair: bool = False,
+    bucketed: Optional[int] = None,
 ) -> dict:
     """Apply an LWW change set. Returns the batch metrics dict.
 
@@ -88,6 +89,15 @@ def merge_into(
     trigger; ``LakeTable.wait_maintenance`` joins it); ``"sync"`` runs
     it inline before returning; ``False`` leaves compaction entirely to
     an external maintenance job.
+    ``bucketed``: the bucket modulus the caller staged under — it
+    already cast the key columns to the table types, computed
+    ``_bucket``, and the frame is HASH-PARTITIONED by it (the fused LWW
+    collapse, operators.lww.lww_changes_flat with ``bucket_expr``) — so
+    the merge skips its key cast and the write skips its repartition
+    exchange. If a rebucket raced in (the head's modulus no longer
+    matches), the fused layout is discarded and the normal
+    re-bucket-under-head path runs; the commit's ``expected_n_buckets``
+    guard then still sees staged-modulus == head-modulus.
     """
     snap = table.snapshot()
     if repair:
@@ -110,9 +120,13 @@ def merge_into(
     # type-sensitive — a bigint-keyed table must bucket/join changes as
     # bigint or every match is missed
     col_types = dict(snap["schema"])
-    changes = changes.withColumns(
-        {k: F.col(k).cast(col_types[k]) for k in keys}
-    )
+    pre_bucketed = bucketed is not None and int(bucketed) == snap["n_buckets"]
+    if bucketed is not None and not pre_bucketed:
+        changes = changes.drop("_bucket")  # staged under a raced-out modulus
+    if not pre_bucketed:
+        changes = changes.withColumns(
+            {k: F.col(k).cast(col_types[k]) for k in keys}
+        )
 
     if truncate or not (snap["buckets"] or snap.get("deltas")):
         # initial load / full replace: the target contributes nothing, so
@@ -127,10 +141,14 @@ def merge_into(
             F.count(F.when(F.col("final_op") == "D", 1)).alias("d"),
         )
         resolved = observed.filter(F.col("final_op") != "D").select(
+            *(["_bucket"] if pre_bucketed else []),
             *keys,
             *[F.col(f"r_{c}.v").cast(col_types[c]).alias(c) for c in value_cols],
         )
-        staged, dbytes = table.write_buckets(_with_bucket(resolved, snap), snap["version"] + 1)
+        staged, dbytes = table.write_buckets(
+            resolved if pre_bucketed else _with_bucket(resolved, snap),
+            snap["version"] + 1, pre_partitioned=pre_bucketed,
+        )
         got = _obs_get(obs)
         metrics = {
             "upserts": int(got["n"] - got["d"]),
@@ -172,10 +190,14 @@ def merge_into(
         F.count(F.when(F.col("final_op") == "D", 1)).alias("d"),
     )
     delta = observed.select(
+        *(["_bucket"] if pre_bucketed else []),
         *keys, "final_op", "max_lsn",
         *[F.col(f"r_{c}").alias(f"r_{c}") for c in value_cols],
     )
-    staged, dbytes = table.write_buckets(_with_bucket(delta, snap), snap["version"] + 1)
+    staged, dbytes = table.write_buckets(
+        delta if pre_bucketed else _with_bucket(delta, snap),
+        snap["version"] + 1, pre_partitioned=pre_bucketed,
+    )
     got = _obs_get(obs)
     n_changes = int(got["n"])
     metrics = {

@@ -855,7 +855,9 @@ def apply_frames_batch(
         if int(hi_lsn) > tbl.watermark_lsn:
             evolve_to_relation(tbl, vs[-1], keys)
         snap = tbl.snapshot()
-        table_cols[rid] = (keys, [n for n, _ in snap["schema"] if n not in keys])
+        table_cols[rid] = (
+            keys, [n for n, _ in snap["schema"] if n not in keys], snap,
+        )
         n_projections += len(vs)
     _t = _prof("evolve/plan", _t)
 
@@ -1028,7 +1030,7 @@ def apply_frames_batch(
             out["messages"] = int(n_messages)
         base_cols = ["lsn", "op", "xid", "begin_lsn", "commit_ts_us"]
         for rid, tbl in managed.items():
-            keys, value_cols = table_cols[rid]
+            keys, value_cols, tsnap = table_cols[rid]
             proj = project_all_versions(
                 events_src, registry, rid, keys, value_cols, base_cols,
                 versions=vs_by_rid[rid],
@@ -1047,7 +1049,27 @@ def apply_frames_batch(
                 proj, keys, value_cols, base_cols,
                 guard_kc_toast=kc_toast_passes == 0,
             )
-            changes = lww_changes_flat(proj, keys, value_cols, salt_buckets=salt_buckets)
+            bucketed_n = None
+            if salt_buckets <= 1:
+                # fused collapse+placement (lww.lww_changes_flat): cast
+                # keys to the table types, bucket under the snapshot's
+                # modulus, and let the LWW aggregate reuse the bucket
+                # exchange — one shuffle per merge instead of two
+                from pypgoutput_spark.lake.table import _bucket_col
+
+                key_types = {n: t for n, t in tsnap["schema"] if n in keys}
+                proj = proj.withColumns(
+                    {k: F.col(k).cast(key_types[k]) for k in keys}
+                )
+                bexpr = _bucket_col(keys, tsnap["n_buckets"])
+                changes = lww_changes_flat(
+                    proj, keys, value_cols, bucket_expr=bexpr
+                )
+                bucketed_n = tsnap["n_buckets"]
+            else:
+                changes = lww_changes_flat(
+                    proj, keys, value_cols, salt_buckets=salt_buckets
+                )
             extra = {
                 "lineage": lineage,
                 "open_tx": _serialize_tx(carry),
@@ -1059,7 +1081,7 @@ def apply_frames_batch(
                 extra["pending_2pc"] = new_pending
             m = merge_into(
                 tbl, changes, watermark_lsn, truncate=truncated,
-                extra_metrics=extra,
+                extra_metrics=extra, bucketed=bucketed_n,
             )
             _t = _prof(f"merge rid={rid}", _t)
             out["relations"][rid] = m

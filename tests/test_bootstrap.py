@@ -176,8 +176,8 @@ def test_bootstrap_conflicts_with_racing_commit(spark, tmp_path, monkeypatch):
     raced = [False]
     orig_write = LakeTable.write_buckets
 
-    def write_and_race(self, staged, ver):
-        out = orig_write(self, staged, ver)
+    def write_and_race(self, staged, ver, **kw):
+        out = orig_write(self, staged, ver, **kw)
         if not raced[0]:  # fire once, between bootstrap's stage+commit
             raced[0] = True
             pipeline.run_ingest(

@@ -1029,7 +1029,8 @@ def apply_frames_batch(
         if messages_dir is not None:
             out["messages"] = int(n_messages)
         base_cols = ["lsn", "op", "xid", "begin_lsn", "commit_ts_us"]
-        for rid, tbl in managed.items():
+
+        def _merge_one(rid, tbl):
             keys, value_cols, tsnap = table_cols[rid]
             proj = project_all_versions(
                 events_src, registry, rid, keys, value_cols, base_cols,
@@ -1079,12 +1080,35 @@ def apply_frames_batch(
                 extra["open_foreign"] = sorted(foreign_out)
             if twopc_active or (pending_2pc or {}).get("xids"):
                 extra["pending_2pc"] = new_pending
-            m = merge_into(
+            return merge_into(
                 tbl, changes, watermark_lsn, truncate=truncated,
                 extra_metrics=extra, bucketed=bucketed_n,
             )
-            _t = _prof(f"merge rid={rid}", _t)
-            out["relations"][rid] = m
+
+        if len(managed) > 1:
+            # independent tables, independent jobs: submit the merges
+            # from a small thread pool so one table's write-stage tail
+            # back-fills with the next table's tasks (guide §2.6) —
+            # snapshots, staging dirs and commit locks are per table, and
+            # the shared decode is already persisted+materialized
+            # (n_projections > 1 forces the staged path above)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(4, len(managed)),
+                thread_name_prefix="relation-merge",
+            ) as pool:
+                futs = {
+                    rid: pool.submit(_merge_one, rid, tbl)
+                    for rid, tbl in managed.items()
+                }
+                for rid, fut in futs.items():
+                    out["relations"][rid] = fut.result()
+            _t = _prof("merges (parallel)", _t)
+        else:
+            for rid, tbl in managed.items():
+                out["relations"][rid] = _merge_one(rid, tbl)
+                _t = _prof(f"merge rid={rid}", _t)
         # staging GC: with nothing pending any more, the staged files are
         # unreferenced (PG xids never recur). Strictly AFTER the merges:
         # a crash before the commits must leave the files for the replay.

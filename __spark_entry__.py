@@ -159,13 +159,22 @@ _FRAMES_MEMO: dict = {}
 
 
 def _frames_parquet(spark: SparkSession, p: _gen.GenParams) -> DataFrame:
+    from pypgoutput_spark.operators.corpus_cdc import frames_clustered_safe
+
     hit = _FRAMES_MEMO.get(p)
     if hit is None or hit[0] is not spark:
         tmp = tempfile.mkdtemp(prefix="pypgoutput_spark_frames_")
         path = f"{tmp}/frames"
         _gen.spark_frames_df(spark, p).write.parquet(path)
-        _FRAMES_MEMO[p] = (spark, path)
+        # clustered decode is only claimed while no file can be SPLIT by
+        # the scan (segment-per-partition contract); larger streams fall
+        # back to the repartition decode automatically
+        _FRAMES_MEMO[p] = (spark, path, frames_clustered_safe(path))
     return spark.read.parquet(_FRAMES_MEMO[p][1])
+
+
+def _frames_clustered(p: _gen.GenParams) -> bool:
+    return bool(_FRAMES_MEMO.get(p, (None, None, False))[2])
 
 
 def _ingest_cdc(spark: SparkSession, p: _gen.GenParams,
@@ -189,7 +198,7 @@ def _ingest_cdc(spark: SparkSession, p: _gen.GenParams,
     _pipeline.run_ingest(spark, frames, table, n_batches=n_batches,
                          kc_toast_passes=kc_toast_passes, strict=strict,
                          skip_foreign_origins=skip_foreign_origins,
-                         clustered=True)
+                         clustered=_frames_clustered(p))
     if not fresh:
         _INGEST_MEMO[key] = (spark, table)
     return table
@@ -311,7 +320,8 @@ def q_cdc_multi_relation_final_state(spark: SparkSession, sf_dir: str) -> DataFr
         for r in range(P_MULTI.n_relations)
     }
     frames = _frames_parquet(spark, P_MULTI)
-    _pipeline.run_ingest(spark, frames, tables, n_batches=2, clustered=True)
+    _pipeline.run_ingest(spark, frames, tables, n_batches=2,
+                         clustered=_frames_clustered(P_MULTI))
     parts = [
         t.read().select(
             F.lit(rid).cast("bigint").alias("relation_id"),
@@ -373,7 +383,7 @@ def q_cdc_epoch_consistent_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         frames = _frames_parquet(spark, P_MULTI)
         _pipeline.run_ingest(spark, frames, tables, n_batches=3,
                              epoch_log=log, verify_continuity=True,
-                             clustered=True)
+                             clustered=_frames_clustered(P_MULTI))
         _INGEST_MEMO[key] = (spark, tables, log)
     assert log.current_epoch() == 3, log.current_epoch()
     pinned = log.read_all(tables, epoch=2)
@@ -680,9 +690,11 @@ def q_cdc_repair_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qdir = f"{tmp}/quarantine"
     _pipeline.run_ingest(spark, corrupted, table, n_batches=3,
-                         strict=False, quarantine_dir=qdir, clustered=True)
+                         strict=False, quarantine_dir=qdir,
+                         clustered=_frames_clustered(P_ENTRY))
     wm = table.watermark_lsn
-    rep = replay_quarantine(spark, good, table, qdir, clustered=True)
+    rep = replay_quarantine(spark, good, table, qdir,
+                            clustered=_frames_clustered(P_ENTRY))
     assert rep["repaired"] > 0, "corruption must produce dead letters"
     assert table.watermark_lsn == wm, "repair must not move the watermark"
     return table.read().selectExpr(
@@ -848,7 +860,7 @@ def q_cdc_snapshot_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirror.bootstrap_load(src.read(), watermark_lsn=src.watermark_lsn)
     _pipeline.run_ingest(
         spark, _frames_parquet(spark, P_BOOT), mirror, n_batches=2,
-        clustered=True,
+        clustered=_frames_clustered(P_BOOT),
     )
     return mirror.read().selectExpr(
         "repo", "path", "`commit`", "lang", "content",

@@ -173,7 +173,10 @@ def q_binary_typed_final_state(spark, sf_dir: str):
     from pypgoutput_spark.streaming import pipeline as _pipeline
     from pypgoutput_spark.wal.generator import FRAMES_SCHEMA
 
-    from pypgoutput_spark.operators.corpus_cdc import _materialize_frames
+    from pypgoutput_spark.operators.corpus_cdc import (
+        _materialize_frames,
+        frames_clustered_safe,
+    )
 
     tmp = tempfile.mkdtemp(prefix="pypgoutput_spark_bin_")
     frames = _materialize_frames(
@@ -185,7 +188,8 @@ def q_binary_typed_final_state(spark, sf_dir: str):
         key_cols=["id"], n_buckets=8,
     )
     _pipeline.run_ingest(spark, frames, table, relation_id=REL_ID,
-                         n_batches=N_SEGMENTS, clustered=True)
+                         n_batches=N_SEGMENTS,
+                         clustered=frames_clustered_safe(f"{tmp}/frames"))
     table.read().createOrReplaceTempView("cdc_bin_final")
     return spark.sql("""
 SELECT CAST(id AS BIGINT) AS id, CAST(cust AS INT) AS cust,

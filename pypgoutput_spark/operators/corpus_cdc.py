@@ -30,6 +30,7 @@ this entry pins the same property for the Spark re-expression.
 from __future__ import annotations
 
 import hashlib
+import os
 import tempfile
 
 from pypgoutput_spark.functions.detsql import DUCKDB, SPARK, Dialect
@@ -196,14 +197,32 @@ def _encode_stream_spark(spark, rows_df, n_rows: int, order_col: str,
     return frames.unionByName(rel_df)
 
 
+def frames_clustered_safe(path: str, limit_bytes: int = 100 << 20) -> bool:
+    """True when a materialized frame directory may be decoded with
+    ``clustered=True``: every parquet file under ``limit_bytes`` (safely
+    below the default ``spark.sql.files.maxPartitionBytes`` of 128 MB),
+    so the scan packs whole files into partitions and never SPLITS one —
+    the segment-per-partition contract the clustered decode relies on.
+    A file over the limit (a larger scale factor) falls back to the
+    repartition-by-segment decode: one more exchange, always correct."""
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                try:
+                    if os.path.getsize(os.path.join(root, f)) > limit_bytes:
+                        return False
+                except OSError:
+                    return False
+    return True
+
+
 def _materialize_frames(spark, frames_pdf, path: str):
     """Driver-encoded frames (pandas) → one parquet pass, repartitioned
     so each WAL segment lands wholly in one file: every ingest scan then
     reads column-pruned parquet instead of re-shipping the driver-local
-    relation per job, and the decode runs ``clustered=True`` (zero
-    repartition-by-segment exchange per micro-batch). Small files are
-    never split by the scan, so the segment-per-partition contract
-    holds on read."""
+    relation per job, and the decode runs clustered (zero
+    repartition-by-segment exchange per micro-batch) whenever
+    :func:`frames_clustered_safe` holds for the written files."""
     from pyspark.sql import functions as F
 
     from pypgoutput_spark.wal.generator import FRAMES_SCHEMA
@@ -274,7 +293,7 @@ def q_documents_corpus(spark, sf_dir: str):
         key_cols=["doc_id"], n_buckets=8,
     )
     _pipeline.run_ingest(spark, frames, table, relation_id=REL_ID, n_batches=4,
-                         clustered=True)
+                         clustered=frames_clustered_safe(f"{tmp}/frames"))
     d = SPARK
     final = table.read()
     final.createOrReplaceTempView("cdc_docs_final")
@@ -428,7 +447,8 @@ def q_embeddings_index(spark, sf_dir: str):
         key_cols=["vec_id"], n_buckets=8,
     )
     _pipeline.run_ingest(spark, frames, table, relation_id=EMB_REL_ID,
-                         n_batches=EMB_SEGMENTS, clustered=True)
+                         n_batches=EMB_SEGMENTS,
+                         clustered=frames_clustered_safe(f"{tmp}/frames"))
     d = SPARK
     table.read().createOrReplaceTempView("cdc_emb_final")
     return spark.sql(f"""

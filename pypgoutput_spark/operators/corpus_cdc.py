@@ -189,7 +189,8 @@ def _encode_stream_spark(spark, rows_df, n_rows: int, order_col: str,
             if out:
                 yield pd.DataFrame(out)
 
-    frames = df.repartition(16, "rn").mapInPandas(enc, schema=FRAMES_SCHEMA)
+    n_enc = max(16, spark.sparkContext.defaultParallelism)
+    frames = df.repartition(n_enc, "rn").mapInPandas(enc, schema=FRAMES_SCHEMA)
     rel = codec.encode_relation(rel_id, "public", rel_name, "d", rel_cols)
     rel_df = spark.createDataFrame(
         [(0, 1, "R", bytearray(rel))], schema=FRAMES_SCHEMA

@@ -926,8 +926,11 @@ def apply_frames_batch(
                 dead_letters = _observed_write(
                     dead.select("segment", "lsn", "error"), quarantine_dir
                 )
-            elif n_projections > 1 or messages_dir is not None:
-                raw.count()  # materialize once before fan-out
+            elif n_projections > 1:
+                raw.count()  # materialize once before the merge fan-out
+            # (messages-only staging needs no explicit materializer: the
+            # observed message write below is the first action over the
+            # cache and populates it)
             _t = _prof("stage/materialize", _t)
 
         # ---- two-phase staging and resolution (see docstring) ----------

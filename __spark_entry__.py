@@ -152,9 +152,10 @@ _INGEST_MEMO: dict = {}
 #: of the ingest (stats prescan, decode+merge per batch) reads a tiny
 #: column-pruned parquet instead of re-running the Python generator —
 #: and the parquet layout is segment-clustered (generator partitions are
-#: contiguous segment runs; small files are never split by the reader),
-#: so the decode skips its per-batch repartition-by-segment exchange
-#: (``clustered=True`` — the same contract bench.py's headline uses).
+#: contiguous segment runs), so the decode skips its per-batch
+#: repartition-by-segment exchange whenever ``frames_clustered_safe``
+#: holds for the written files (no file large enough for the scan to
+#: split it — the same contract bench.py's headline uses).
 _FRAMES_MEMO: dict = {}
 
 

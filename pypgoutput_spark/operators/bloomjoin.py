@@ -107,15 +107,46 @@ def bloom_semi_join(probe_df, probe_key: str, keys_df, build_key: str,
     """``probe_df`` rows whose ``probe_key`` appears in ``keys_df``'s
     ``build_key`` — exact (bloom prunes, the semi-join verifies).
     Returns (filtered_df, words) — words exposed so tests can pin the
-    filter's pruning behavior."""
+    filter's pruning behavior.
+
+    Mixed-type keys: the hash renders ``CAST(key AS STRING)``, and an
+    int build key spells '5' while a double probe value spells '5.0' —
+    a silent false NEGATIVE (the bloom drops a genuinely matching row
+    before the exact join ever sees it). When the two key dtypes differ
+    and both are numeric, both sides are therefore hashed through
+    ``CAST(key AS DECIMAL(38,0))`` so equal values render equally (a
+    fractional probe value rounds — it can only equal an integral build
+    key never, so that is a false POSITIVE at worst, which the exact
+    join removes). A non-numeric dtype mismatch has no safe common
+    rendering and raises instead of silently mis-filtering."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import NumericType
+
+    build_t = keys_df.schema[build_key].dataType
+    probe_t = probe_df.schema[probe_key].dataType
+    build_hash_df = keys_df.select(build_key)
+    probe_hash_sql = probe_key
+    if build_t != probe_t:
+        if not (isinstance(build_t, NumericType)
+                and isinstance(probe_t, NumericType)):
+            raise ValueError(
+                "bloom_semi_join: build/probe key dtypes differ and are "
+                f"not both numeric ({build_t.simpleString()} vs "
+                f"{probe_t.simpleString()}): CAST-AS-STRING hashing would "
+                "silently drop matches; cast the columns to one type first"
+            )
+        build_hash_df = keys_df.selectExpr(
+            f"CAST({build_key} AS DECIMAL(38,0)) AS {build_key}")
+        probe_hash_sql = f"CAST({probe_key} AS DECIMAL(38,0))"
     keys = keys_df.select(build_key).distinct()
     n_bits = bloom_size_bits(keys.count(), bits_per_key)
-    words = bloom_build_words(keys, build_key, n_bits, n_hashes)
-    from pyspark.sql import functions as F
+    words = bloom_build_words(
+        build_hash_df.distinct(), build_key, n_bits, n_hashes)
 
     pre = (
         probe_df.withColumn("__bloom_words", F.lit(words).cast("array<bigint>"))
-        .where(bloom_probe_predicate(probe_key, "__bloom_words", n_bits, n_hashes))
+        .where(bloom_probe_predicate(
+            probe_hash_sql, "__bloom_words", n_bits, n_hashes))
         .drop("__bloom_words")
     )
     out = pre.join(keys, pre[probe_key] == keys[build_key], "left_semi")

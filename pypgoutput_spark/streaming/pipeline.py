@@ -169,6 +169,65 @@ def _observed_write(df, path: str) -> int:
     return n
 
 
+def _twopc_commit_evidence(frames, commit_now, opened_now, pend_xids,
+                           p_seal, pending_dir) -> bool:
+    """Is there any mergeable DML behind this batch's Commit Prepared
+    decisions? Probed only on the no-registered-relation skip path (a
+    batch whose registry knows no schema at all — rare), so the bounded
+    ``limit(1)`` jobs below never ride a hot loop.
+
+    Evidence = staged rows for a decided xid under ``pending_dir``
+    (events staged by an earlier batch), or frames inside a decided
+    transaction's prepared span in THIS batch: plain DML between its
+    'b' (or batch start, for a carried-open span) and its 'P' seal, or
+    stream chunks ('S', xid in the chunk header) for a Stream-Prepare
+    transaction. No evidence means an empty prepared transaction, or
+    one that never produced stageable rows — its decision is consumed
+    without a merge, exactly as the managed path consumes it, instead
+    of wedging ingest with a raise on every retry."""
+    xids = sorted(int(x) for x in commit_now)
+    spark = frames.sparkSession
+    if pending_dir and os.path.isdir(pending_dir):
+        staged = (
+            spark.read.schema(decode_op.RAW_SCHEMA)
+            .parquet(pending_dir)
+            .filter(F.col("xid").isin(xids))
+        )
+        if staged.limit(1).count():
+            return True
+    dml_preds = []
+    chunk_preds = []
+    for x in xids:
+        info = opened_now.get(x)
+        if info is not None:
+            lo, seg = int(info["b_lsn"]), int(info["segment"])
+        elif str(x) in pend_xids and x in p_seal:
+            # carried open, sealed this batch: span covers the batch
+            # start up to the seal. Carried-and-sealed-EARLIER xids have
+            # no in-batch frames by construction (nothing follows 'P'),
+            # so the staging probe above is their only evidence channel.
+            lo, seg = -1, int(pend_xids[str(x)]["segment"])
+        else:
+            continue
+        hi = p_seal.get(x)
+        hi_sql = f" AND lsn < {int(hi)}" if hi is not None else ""
+        dml_preds.append(f"(segment = {seg} AND lsn > {lo}{hi_sql})")
+        # Stream-Prepare ('p') spans are zero-width — their body arrived
+        # as v2 chunks, whose Stream Start frames carry the xid at
+        # payload[1:5] (the same header slot _RID_EXPR reads)
+        chunk_preds.append(f"(segment = {seg} AND {_RID_EXPR} = {x})")
+    if not dml_preds:
+        return False
+    dml_mtype = (
+        F.col("mtype").isin("I", "U", "D") if "mtype" in frames.columns
+        else F.expr("substring(payload, 1, 1) IN (X'49', X'55', X'44')")
+    )
+    pred = (dml_mtype & F.expr(" OR ".join(dml_preds))) | (
+        _mtype_pred(frames, "S") & F.expr(" OR ".join(chunk_preds))
+    )
+    return bool(frames.filter(pred).limit(1).count())
+
+
 def _segment_stats_aggs(frames, skip_foreign_origins: bool, live) -> list:
     """The per-segment metadata aggregate list of the batch stats scan —
     factored out so :func:`run_ingest` can run ONE scan covering every
@@ -802,12 +861,19 @@ def apply_frames_batch(
         rid: tbl for rid, tbl in table_map.items() if registry.versions(rid)
     }
     if not managed:
-        if twopc_active and commit_now:
-            # a Commit Prepared decision needs the decided transaction's
-            # (staged or in-batch) events merged into a registered table
-            # — with no relation schema known, proceeding would silently
-            # drop a COMMITTED transaction. Fail loudly; openings/seals/
-            # rollbacks below carry forward fine without a schema.
+        if twopc_active and commit_now and _twopc_commit_evidence(
+            frames, commit_now, opened_now, pend_xids, p_seal, pending_dir
+        ):
+            # a Commit Prepared decision with staged or in-batch DML
+            # needs those events merged into a registered table — with
+            # no relation schema known, proceeding would silently drop a
+            # COMMITTED transaction. Fail loudly. A decision with NO
+            # mergeable evidence (empty prepared transaction, or one
+            # whose events never reached a managed relation) is consumed
+            # exactly like the managed path consumes it: the xid already
+            # left next_pending above, so retrying the batch cannot
+            # wedge ingest on it. Openings/seals/rollbacks below carry
+            # forward fine without a schema either way.
             raise ValueError(
                 "two-phase Commit Prepared in a batch with no registered "
                 f"relation (xids {sorted(commit_now)}): cannot resolve "
@@ -1307,6 +1373,25 @@ def run_ingest(
     return out
 
 
+def _is_missing_path_exc(exc) -> bool:
+    """Missing-input-path spellings vary across Spark builds: error
+    class ``PATH_NOT_FOUND`` (4.x), message "Path does not exist" (3.x
+    and some vendor builds). Prefer the structured error class; fall
+    back to the message only when no class is attached."""
+    err_cls = None
+    get_cls = getattr(exc, "getCondition", None)  # 4.x name
+    if not callable(get_cls):
+        get_cls = getattr(exc, "getErrorClass", None)  # pre-4.x name
+    if callable(get_cls):
+        try:
+            err_cls = get_cls()
+        except Exception:  # noqa: BLE001 — some builds raise here
+            err_cls = None
+    if err_cls is not None:
+        return err_cls == "PATH_NOT_FOUND"
+    return "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc)
+
+
 def read_messages(spark, messages_dir: str):
     """The outbox-consumer read over a ``messages_dir`` sink: collapses
     crash-replay duplicates exactly (a message's identity is its LSN —
@@ -1327,7 +1412,7 @@ def read_messages(spark, messages_dir: str):
     try:
         df = spark.read.parquet(messages_dir)
     except AnalysisException as exc:
-        if "PATH_NOT_FOUND" not in str(exc):
+        if not _is_missing_path_exc(exc):
             raise
         return spark.createDataFrame(
             [],

@@ -50,6 +50,36 @@ def test_bloom_semi_join_exact(spark):
     assert any(w != 0 for w in words)
 
 
+def test_bloom_semi_join_mixed_numeric_key_types_exact(spark):
+    """Int build keys vs double probe keys: CAST-AS-STRING renders '5'
+    vs '5.0', so unnormalized hashing would bloom-drop every genuine
+    match (a silent false negative BEFORE the exact join). The
+    DECIMAL(38,0) normalization must keep the join exact."""
+    left = spark.range(0, 2000).selectExpr("CAST(id AS DOUBLE) AS k")
+    right = spark.range(0, 2000).where("id % 11 = 0").selectExpr(
+        "CAST(id AS BIGINT) AS rk"
+    )
+    got, _ = bj.bloom_semi_join(left, "k", right, "rk")
+    expect = left.join(right, left["k"] == right["rk"], "left_semi")
+    assert sorted(r[0] for r in got.collect()) == sorted(
+        r[0] for r in expect.collect()
+    )
+    # fractional probe values are never equal to an integral build key;
+    # they may round into a bloom false positive but must not survive
+    frac = spark.range(0, 500).selectExpr("id + 0.5 AS k")
+    got2, _ = bj.bloom_semi_join(frac, "k", right, "rk")
+    assert got2.count() == 0
+
+
+def test_bloom_semi_join_non_numeric_type_mismatch_raises(spark):
+    """A string-vs-int key mismatch has no safe common rendering — the
+    operator must refuse loudly instead of silently mis-filtering."""
+    left = spark.range(0, 10).selectExpr("CAST(id AS STRING) AS k")
+    right = spark.range(0, 10).selectExpr("id AS rk")
+    with pytest.raises(ValueError, match="not both numeric"):
+        bj.bloom_semi_join(left, "k", right, "rk")
+
+
 def test_probe_predicate_is_codegen_not_lambda(spark):
     """The probe must compile as plain codegen'd expressions — no
     higher-order-function (interpreted) nodes in the plan."""

@@ -299,3 +299,35 @@ def test_read_messages_empty_sink_returns_typed_empty(spark, tmp_path):
         "segment", "lsn", "xid", "commit_ts_us",
         "transactional", "prefix", "content",
     ]
+
+
+def test_missing_path_detection_across_spark_builds():
+    """read_messages' missing-path probe must recognize every spelling:
+    error class PATH_NOT_FOUND (Spark 4.x), message 'Path does not
+    exist' (3.x / vendor builds) — and must NOT swallow other analysis
+    errors."""
+    from pypgoutput_spark.streaming.pipeline import _is_missing_path_exc
+
+    class _Exc(Exception):
+        def __init__(self, msg, cls=None, broken=False):
+            super().__init__(msg)
+            self._cls, self._broken = cls, broken
+
+        def getErrorClass(self):
+            if self._broken:
+                raise RuntimeError("no class")
+            return self._cls
+
+    class _NoApi(Exception):
+        pass
+
+    assert _is_missing_path_exc(_Exc("[PATH_NOT_FOUND] Path does not"
+                                     " exist: /x", cls="PATH_NOT_FOUND"))
+    assert _is_missing_path_exc(_NoApi("Path does not exist: /x"))
+    assert _is_missing_path_exc(_Exc("Path does not exist: /x", cls=None))
+    assert _is_missing_path_exc(_Exc("Path does not exist: /x", broken=True))
+    # a different structured class wins over a coincidental message
+    assert not _is_missing_path_exc(
+        _Exc("Path does not exist mentioned in passing",
+             cls="UNABLE_TO_INFER_SCHEMA"))
+    assert not _is_missing_path_exc(_NoApi("some other analysis error"))

@@ -645,8 +645,11 @@ def test_no_relation_skip_carries_two_phase_transitions(spark):
     """Stream-seeded shape: a batch carrying only 2PC control frames
     (no Relation, no DML) must advance the pending carry — discarding
     the transitions made the NEXT batch's validation raise
-    'Prepare/decision for unknown xid'. A Commit Prepared in such a
-    batch still fails loudly (its events cannot merge w/o a schema)."""
+    'Prepare/decision for unknown xid'. A Commit Prepared for an EMPTY
+    prepared transaction (no staged rows, no in-batch DML) is consumed
+    like the managed path consumes it — raising would wedge ingest
+    permanently on every retry of the batch; only a decision with
+    mergeable evidence fails loudly (next test)."""
     tmp = tempfile.mkdtemp(prefix="p2pc_")
     table = _mk_table(spark, tmp)
     empty_reg = RelationRegistry()  # nothing registered yet
@@ -670,7 +673,9 @@ def test_no_relation_skip_carries_two_phase_transitions(spark):
     m2 = pipe.apply_frames_batch(table, b2, empty_reg,
                                  pending_2pc=m1["pending_2pc"])
     assert m2["skipped"] and m2["pending_2pc"]["xids"] == {}
-    # a COMMIT decision with no registered relation fails loudly
+    # a COMMIT decision for an EMPTY prepared transaction (b/P carried,
+    # nothing staged, no in-batch DML) is consumed without a merge —
+    # the xid leaves the pending carry and ingest keeps moving
     b3 = _frames_df(spark, [
         (0, 300, "b", codec.encode_begin_prepare(300, 310, 5, 888, "g8")),
         (0, 309, "P", codec.encode_prepare(309, 310, 5, 888, "g8")),
@@ -680,6 +685,45 @@ def test_no_relation_skip_carries_two_phase_transitions(spark):
     b4 = _frames_df(spark, [
         (1, 400, "K", codec.encode_commit_prepared(400, 401, 9, 888, "g8")),
     ])
+    m4 = pipe.apply_frames_batch(table, b4, empty_reg,
+                                 pending_2pc=m3["pending_2pc"])
+    assert m4["skipped"] and m4["pending_2pc"]["xids"] == {}
+
+
+def test_no_relation_commit_with_mergeable_evidence_fails_loudly(spark):
+    """The loud-refusal half of the no-relation Commit Prepared rule:
+    when the decided transaction HAS mergeable events — DML inside its
+    prepared span in this batch, or rows staged by an earlier batch —
+    resolving without a Relation schema would silently drop a COMMITTED
+    transaction, so the batch must raise."""
+    tmp = tempfile.mkdtemp(prefix="p2pc_")
+    table = _mk_table(spark, tmp)
+    empty_reg = RelationRegistry()
+    # in-batch DML evidence: b .. I .. P .. K all in one schema-less batch
+    b1 = _frames_df(spark, [
+        (0, 100, "b", codec.encode_begin_prepare(100, 110, 5, 777, "g7")),
+        (0, 101, "I", _ins(("rX", "pX"), "vX")),
+        (0, 109, "P", codec.encode_prepare(109, 110, 5, 777, "g7")),
+        (0, 120, "K", codec.encode_commit_prepared(120, 121, 9, 777, "g7")),
+    ])
     with pytest.raises(ValueError, match="no registered relation"):
-        pipe.apply_frames_batch(table, b4, empty_reg,
-                                pending_2pc=m3["pending_2pc"])
+        pipe.apply_frames_batch(table, b1, empty_reg,
+                                pending_2pc=pipe.stored_pending_2pc(table))
+    # staged-rows evidence: a carried sealed xid whose events survive
+    # under pending_dir from an earlier batch
+    pend_dir = os.path.join(tmp, "pending2pc")
+    spark.createDataFrame(
+        [(301, "I", RID, 999, 300, 5, 1, None, None, ["rY", "pY", "vY"],
+          None, 1, None)],
+        schema=decode_op.RAW_SCHEMA,
+    ).write.parquet(pend_dir)
+    b2 = _frames_df(spark, [
+        (1, 400, "K", codec.encode_commit_prepared(400, 401, 9, 999, "g9")),
+    ])
+    with pytest.raises(ValueError, match="no registered relation"):
+        pipe.apply_frames_batch(
+            table, b2, empty_reg, pending_dir=pend_dir,
+            pending_2pc={"xids": {"999": {"gid": "g9", "b_lsn": 300,
+                                          "segment": 1, "sealed": True}},
+                         "t_void": {}},
+        )

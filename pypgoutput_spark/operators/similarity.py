@@ -121,22 +121,11 @@ FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
 """.strip()
 
 
-def lsh_topk_sql(d: Dialect, k: int = 10, bits_per_band: int = 4,
-                 n_bands: int = 8, multiprobe: int = 2) -> str:
-    """IVF/LSH-cell top-k: the query probes only vectors sharing at least
-    one LSH band cell (candidates ~ corpus × per-band collision rate,
-    never a full scan), then exact cosine ranks the candidates — the
-    two-stage ANN serving shape. Bands reuse the first
-    ``bits_per_band × n_bands`` hyperplanes; the exact variant
-    (`sim_topk_bruteforce`) is the recall baseline.
-
-    ``multiprobe``: also probe the cells at Hamming distance 1 from each
-    query band key (flipping the ``multiprobe`` lowest bits) — widens
-    only the QUERY's probe set, so index width/build cost are unchanged.
-    Measured on the sf0.01 corpus (tools/ann_recall.py, recorded in
-    BENCH/BASELINE.md): defaults (4 bits × 8 bands, 2 probes) reach
-    recall@10 ≈ 0.95 while scanning ~7%% of the corpus; the r2 defaults
-    (4×4, no probes) sat at 0.45."""
+def _lsh_en_ctes(d: Dialect, bits_per_band: int = 4, n_bands: int = 8) -> str:
+    """The banded-embedding projection CTEs (``e`` → ``en`` with
+    quantized vector, norm, and per-band cell keys) — one definition
+    shared by the oracle's inline prefix and the Spark runner's staged
+    view, so the banding rule cannot drift between them."""
     na = d.dot_bigint("qv", "qv", DIM)
     band_structs = []
     for b in range(n_bands):
@@ -155,15 +144,42 @@ def lsh_topk_sql(d: Dialect, k: int = 10, bits_per_band: int = 4,
         if d.name == "spark"
         else f"[{', '.join(band_structs)}]"
     )
+    return (
+        f"e AS (SELECT vec_id, {_quant(d)} AS qv FROM embeddings),\n"
+        f"en AS (SELECT vec_id, qv, {na} AS nrm, {arr} AS bandarr FROM e)"
+    )
+
+
+def lsh_topk_sql(d: Dialect, k: int = 10, bits_per_band: int = 4,
+                 n_bands: int = 8, multiprobe: int = 2,
+                 en_tbl: str = "") -> str:
+    """IVF/LSH-cell top-k: the query probes only vectors sharing at least
+    one LSH band cell (candidates ~ corpus × per-band collision rate,
+    never a full scan), then exact cosine ranks the candidates — the
+    two-stage ANN serving shape. Bands reuse the first
+    ``bits_per_band × n_bands`` hyperplanes; the exact variant
+    (`sim_topk_bruteforce`) is the recall baseline.
+
+    ``multiprobe``: also probe the cells at Hamming distance 1 from each
+    query band key (flipping the ``multiprobe`` lowest bits) — widens
+    only the QUERY's probe set, so index width/build cost are unchanged.
+    Measured on the sf0.01 corpus (tools/ann_recall.py, recorded in
+    BENCH/BASELINE.md): defaults (4 bits × 8 bands, 2 probes) reach
+    recall@10 ≈ 0.95 while scanning ~7%% of the corpus; the r2 defaults
+    (4×4, no probes) sat at 0.45.
+
+    ``en_tbl``: name of a staged banded-embedding view (the build-once
+    index table); empty renders the inline ``e``/``en`` prefix — the
+    oracle's form, and the default."""
     dot_ab = d.dot_bigint("a.qv", "q.qv", DIM)
+    en = en_tbl or "en"
+    prefix = "" if en_tbl else _lsh_en_ctes(d, bits_per_band, n_bands) + ",\n"
     return f"""
-WITH e AS (SELECT vec_id, {_quant(d)} AS qv FROM embeddings),
-en AS (SELECT vec_id, qv, {na} AS nrm, {arr} AS bandarr FROM e),
-eb AS (
+WITH {prefix}eb AS (
   SELECT vec_id, s.band AS band, s.k AS k
-  FROM (SELECT vec_id, {d.unnest('bandarr')} AS s FROM en)
+  FROM (SELECT vec_id, {d.unnest('bandarr')} AS s FROM {en})
 ),
-qid AS (SELECT min(vec_id) AS qv_id FROM en),
+qid AS (SELECT min(vec_id) AS qv_id FROM {en}),
 flips AS (SELECT {d.unnest(_arr_int(d, [0] + [1 << b for b in range(multiprobe)]))} AS m),
 qcells AS (
   SELECT DISTINCT eb.band, {d.xor('eb.k', 'flips.m')} AS k
@@ -178,8 +194,8 @@ cand AS (
 SELECT a.vec_id,
   CAST({dot_ab} AS DOUBLE) / sqrt(CAST(a.nrm AS DOUBLE) * CAST(q.nrm AS DOUBLE)) AS score
 FROM cand c
-JOIN en a ON c.vec_id = a.vec_id
-JOIN en q ON q.vec_id = (SELECT qv_id FROM qid)
+JOIN {en} a ON c.vec_id = a.vec_id
+JOIN {en} q ON q.vec_id = (SELECT qv_id FROM qid)
 ORDER BY score DESC, a.vec_id
 LIMIT {k}
 """.strip()
@@ -290,7 +306,8 @@ SELECT vec_id, c_id FROM cells
 
 def ivf_topk_sql(d: Dialect, k: int = 10, n_centroids: int = N_CENTROIDS,
                  n_probes: int = N_PROBES, q_offset: int = 0,
-                 n_iters: int = N_ITERS) -> str:
+                 n_iters: int = N_ITERS, en_tbl: str = "",
+                 scored_tbl: str = "", cells_tbl: str = "") -> str:
     """IVF-Flat top-k: the query ranks only the vectors assigned to its
     ``n_probes`` nearest cells — the second ANN family next to the
     LSH-cell path (`sim_lsh_topk`); exact cosine then ranks candidates.
@@ -298,17 +315,22 @@ def ivf_topk_sql(d: Dialect, k: int = 10, n_centroids: int = N_CENTROIDS,
     size; at scale the cells table is partitioned by c_id so a probe
     reads only its cells' partitions. ``q_offset`` picks the
     (q_offset+1)-th smallest vec_id as the query (recall measurement
-    loops it; 0 = the CORRECTNESS entry)."""
+    loops it; 0 = the CORRECTNESS entry).
+
+    ``en_tbl``/``scored_tbl``/``cells_tbl``: staged index-view names
+    for the Spark runner (build-once tables); empty renders the
+    oracle's inline Lloyd prefix — the default."""
     dot_aq = d.dot_bigint("a.qv", "q.qv", DIM)
+    en = en_tbl or "en"
+    prefix = "" if en_tbl else f"{_ivf_cells_ctes(d, n_centroids, n_iters)},\n"
     return f"""
-WITH {_ivf_cells_ctes(d, n_centroids, n_iters)},
-qid AS (SELECT vec_id AS q_id FROM en ORDER BY vec_id LIMIT 1 OFFSET {q_offset}),
-{_ivf_probe_ctes(n_probes).rstrip().rstrip(',')}
+WITH {prefix}qid AS (SELECT vec_id AS q_id FROM {en} ORDER BY vec_id LIMIT 1 OFFSET {q_offset}),
+{_ivf_probe_ctes(n_probes, scored_tbl or "scored", cells_tbl or "cells").rstrip().rstrip(',')}
 SELECT a.vec_id,
   CAST({dot_aq} AS DOUBLE) / sqrt(CAST(a.nrm AS DOUBLE) * CAST(q.nrm AS DOUBLE)) AS score
 FROM cand c
-JOIN en a ON c.vec_id = a.vec_id
-JOIN en q ON q.vec_id = (SELECT q_id FROM qid)
+JOIN {en} a ON c.vec_id = a.vec_id
+JOIN {en} q ON q.vec_id = (SELECT q_id FROM qid)
 ORDER BY score DESC, a.vec_id
 LIMIT {k}
 """.strip()
@@ -523,19 +545,22 @@ ORDER BY dist ASC, a.vec_id
 LIMIT {k}"""
 
 
-def _ivf_probe_ctes(n_probes: int) -> str:
+def _ivf_probe_ctes(n_probes: int, scored_tbl: str = "scored",
+                    cells_tbl: str = "cells") -> str:
     """qprobe/cand CTEs over the IVF prefix's ``scored``/``cells``
     (candidates = vectors in the query's ``n_probes`` best cells, query
     excluded) — shared by the oracle and the Spark runner so the
-    candidate rule cannot drift."""
+    candidate rule cannot drift. ``scored_tbl``/``cells_tbl`` point the
+    Spark runner at staged index views; the defaults render the
+    oracle's inline-CTE names."""
     return f"""qprobe AS (
-  SELECT s.c_id FROM scored s JOIN qid ON s.vec_id = qid.q_id
+  SELECT s.c_id FROM {scored_tbl} s JOIN qid ON s.vec_id = qid.q_id
   ORDER BY s.score DESC, s.c_id LIMIT {n_probes}
 ),
 cand AS (
-  SELECT DISTINCT cells.vec_id
-  FROM cells JOIN qprobe ON cells.c_id = qprobe.c_id
-  CROSS JOIN qid WHERE cells.vec_id <> qid.q_id
+  SELECT DISTINCT {cells_tbl}.vec_id
+  FROM {cells_tbl} JOIN qprobe ON {cells_tbl}.c_id = qprobe.c_id
+  CROSS JOIN qid WHERE {cells_tbl}.vec_id <> qid.q_id
 ),
 """
 
@@ -567,19 +592,18 @@ WITH {_ivf_cells_ctes(d, n_centroids, n_iters)},
 
 
 def q_ivf_pq_topk(spark, sf_dir: str):
-    """Spark runner: staged PQ views (build-once index tables) + inline
-    IVF prefix; the probe/candidate CTEs and the ADC/refine tail are the
-    same text the oracle runs."""
-    from pypgoutput_spark.operators.qlib import register_views
-
+    """Spark runner: staged PQ views + staged IVF views (both build-once
+    index tables); the probe/candidate CTEs and the ADC/refine tail are
+    the same text the oracle runs, pointed at the staged names."""
     nm = _pq_stage_views(spark, sf_dir)
-    register_views(spark, sf_dir, ("embeddings",), spread=("embeddings",))
+    iv = _ivf_stage_views(spark, sf_dir)
     return spark.sql(
-        f"WITH {_ivf_cells_ctes(SPARK, N_CENTROIDS, N_ITERS)},\n"
+        "WITH "
         + _pq_topk_tail(SPARK, 10, 0, 10,
                         nm["pq_e"], nm["pq_subs"], nm["pq_cbf"],
                         nm["pq_codes_v"],
-                        extra_ctes=_ivf_probe_ctes(N_PROBES),
+                        extra_ctes=_ivf_probe_ctes(
+                            N_PROBES, iv["ivf_scored"], iv["ivf_cells"]),
                         cand_tbl="cand")
     )
 
@@ -639,6 +663,88 @@ def _pq_stage_views(spark, sf_dir: str) -> dict:
     return nm
 
 
+def _ann_view_names(sf_dir: str) -> dict:
+    """Corpus-scoped LSH/IVF staging view names (same rule as
+    :func:`_pq_view_names`: corpus identity lives IN the name)."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:8]
+    return {v: f"{v}_{tag}"
+            for v in ("lsh_en", "ivf_en", "ivf_scored", "ivf_cells")}
+
+
+def _lsh_stage_views(spark, sf_dir: str) -> dict:
+    """Stage the banded-embedding projection (``en``: vec_id, qv, nrm,
+    bandarr) as a localCheckpoint'd view. Catalyst inlines WITH-CTEs, so
+    the inline form re-evaluates the 32 hyperplane dot products once per
+    ``en`` reference (three in `sim_lsh_topk` — measured 4.1 s warm vs
+    0.4 s over the staged view at sf0.1). In production this IS the
+    persisted LSH index table — banded once, probed by every query —
+    exactly the split `_pq_stage_views` already applies to PQ."""
+    from pypgoutput_spark.operators.qlib import register_views
+
+    nm = _ann_view_names(sf_dir)
+    if spark.catalog.tableExists(nm["lsh_en"]):
+        return nm
+    register_views(spark, sf_dir, ("embeddings",), spread=("embeddings",))
+    spark.sql(
+        f"WITH {_lsh_en_ctes(SPARK)} SELECT vec_id, qv, nrm, bandarr FROM en"
+    ).localCheckpoint().createOrReplaceTempView(nm["lsh_en"])
+    return nm
+
+
+def _ivf_stage_views(spark, sf_dir: str) -> dict:
+    """Stage the IVF index artifacts — ``en`` (quantized + norm),
+    ``scored`` (vec × final-centroid cosine), ``cells`` (vec → cell) —
+    as localCheckpoint'd views: the inline form re-runs the whole
+    Lloyd chain per CTE reference (`sim_ivf_topk` references the
+    prefix 4×). In production centroids and cell assignments ARE
+    persisted index tables maintained by CDC, served to many queries.
+    ``cells`` is derived from the STAGED ``scored`` with the same
+    max-score/min-c_id text as the inline CTE, so the assignment rule
+    cannot drift."""
+    from pypgoutput_spark.operators.qlib import register_views
+
+    nm = _ann_view_names(sf_dir)
+    if spark.catalog.tableExists(nm["ivf_cells"]):
+        return nm
+    register_views(spark, sf_dir, ("embeddings",), spread=("embeddings",))
+    d = SPARK
+    na = d.dot_bigint("qv", "qv", DIM)
+    spark.sql(
+        f"WITH ive AS (SELECT vec_id, {_quant(d)} AS qv FROM embeddings) "
+        f"SELECT vec_id, qv, {na} AS nrm FROM ive"
+    ).localCheckpoint().createOrReplaceTempView(nm["ivf_en"])
+    spark.sql(
+        f"WITH {_ivf_cells_ctes(d, N_CENTROIDS, N_ITERS)} "
+        "SELECT vec_id, c_id, score FROM scored"
+    ).localCheckpoint().createOrReplaceTempView(nm["ivf_scored"])
+    spark.sql(f"""
+WITH best AS (SELECT vec_id, max(score) AS ms FROM {nm['ivf_scored']} GROUP BY vec_id)
+SELECT s.vec_id, min(s.c_id) AS c_id
+FROM {nm['ivf_scored']} s JOIN best b ON s.vec_id = b.vec_id AND s.score = b.ms
+GROUP BY s.vec_id
+""".strip()).localCheckpoint().createOrReplaceTempView(nm["ivf_cells"])
+    return nm
+
+
+def q_lsh_topk(spark, sf_dir: str):
+    nm = _lsh_stage_views(spark, sf_dir)
+    return spark.sql(lsh_topk_sql(SPARK, en_tbl=nm["lsh_en"]))
+
+
+def q_ivf_cells(spark, sf_dir: str):
+    nm = _ivf_stage_views(spark, sf_dir)
+    return spark.sql(f"SELECT vec_id, c_id FROM {nm['ivf_cells']}")
+
+
+def q_ivf_topk(spark, sf_dir: str):
+    nm = _ivf_stage_views(spark, sf_dir)
+    return spark.sql(ivf_topk_sql(
+        SPARK, en_tbl=nm["ivf_en"], scored_tbl=nm["ivf_scored"],
+        cells_tbl=nm["ivf_cells"]))
+
+
 def q_pq_codes(spark, sf_dir: str):
     nm = _pq_stage_views(spark, sf_dir)
     return spark.sql(f"SELECT vec_id, m, code FROM {nm['pq_codes_v']}")
@@ -664,9 +770,9 @@ QUERIES = {
     "sim_topk_bruteforce": (_runner(topk_bruteforce_sql), topk_bruteforce_sql(DUCKDB)),
     "sim_lsh_buckets": (_runner(lsh_buckets_sql), lsh_buckets_sql(DUCKDB)),
     "sim_lsh_ann_pairs": (_runner(lsh_ann_pairs_sql), lsh_ann_pairs_sql(DUCKDB)),
-    "sim_lsh_topk": (_runner(lsh_topk_sql), lsh_topk_sql(DUCKDB)),
-    "sim_ivf_cells": (_runner(ivf_cells_sql), ivf_cells_sql(DUCKDB)),
-    "sim_ivf_topk": (_runner(ivf_topk_sql), ivf_topk_sql(DUCKDB)),
+    "sim_lsh_topk": (q_lsh_topk, lsh_topk_sql(DUCKDB)),
+    "sim_ivf_cells": (q_ivf_cells, ivf_cells_sql(DUCKDB)),
+    "sim_ivf_topk": (q_ivf_topk, ivf_topk_sql(DUCKDB)),
     "sim_pq_codes": (q_pq_codes, pq_codes_sql(DUCKDB)),
     "sim_pq_topk": (q_pq_topk, pq_topk_sql(DUCKDB)),
     "sim_ivf_pq_topk": (q_ivf_pq_topk, ivf_pq_topk_sql(DUCKDB)),

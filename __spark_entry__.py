@@ -141,8 +141,10 @@ P_MVIEW = _gen.GenParams(
 #: IDENTICAL deterministic ingest (P_ENTRY feeds final-state,
 #: time-travel, point-lookup and version-diff; P_FEED feeds the change
 #: feed and SCD2) — read-only consumers share one table instead of each
-#: re-running the same 8-15 s ingest. Mutating consumers (rebucket)
-#: pass fresh=True.
+#: re-running the same 8-15 s ingest. Mutating consumers (rebucket,
+#: erase, redact) pass clone=True: they get a private self-contained
+#: filesystem copy of the shared ingest (see ``_clone_table``) instead
+#: of re-paying the whole decode+merge for identical state.
 _INGEST_MEMO: dict = {}
 
 #: per-process memo of MATERIALIZED frame streams: the deterministic
@@ -178,11 +180,48 @@ def _frames_clustered(p: _gen.GenParams) -> bool:
     return bool(_FRAMES_MEMO.get(p, (None, None, False))[2])
 
 
+def _clone_table(spark: SparkSession, src: LakeTable) -> LakeTable:
+    """Private filesystem copy of an ingested table for a MUTATING
+    consumer: re-running the identical deterministic ingest per mutator
+    re-pays decode+merge compute for state that is a pure function of
+    the already-ingested bytes — cloning is O(table bytes) (hundreds of
+    KB here), the re-ingest O(stream compute). Snapshots record
+    absolute staging dirs, so every ``_meta`` JSON has the source root
+    rewritten to the clone root: the clone is fully self-contained and
+    neither table's mutation/compaction/vacuum can ever touch the
+    other's files."""
+    import os as _os
+    import shutil as _shutil
+
+    src.wait_maintenance()  # no half-staged commit dirs mid-copy
+    tmp = tempfile.mkdtemp(prefix="pypgoutput_spark_clone_")
+    dst = f"{tmp}/lake"
+    _shutil.copytree(src.path, dst)
+    for root, _dirs, files in _os.walk(_os.path.join(dst, "_meta")):
+        for f in files:
+            if not f.endswith(".json"):
+                continue
+            fp = _os.path.join(root, f)
+            with open(fp) as fh:
+                txt = fh.read()
+            if src.path in txt:
+                with open(fp, "w") as fh:
+                    fh.write(txt.replace(src.path, dst))
+    return LakeTable(spark, dst)
+
+
 def _ingest_cdc(spark: SparkSession, p: _gen.GenParams,
                 kc_toast_passes: int = 0, strict: bool = True,
                 n_batches: int = 3, fresh: bool = False,
                 skip_foreign_origins: bool = False,
-                props: dict | None = None) -> LakeTable:
+                props: dict | None = None,
+                clone: bool = False) -> LakeTable:
+    if clone:
+        return _clone_table(spark, _ingest_cdc(
+            spark, p, kc_toast_passes=kc_toast_passes, strict=strict,
+            n_batches=n_batches, skip_foreign_origins=skip_foreign_origins,
+            props=props,
+        ))
     key = (p, kc_toast_passes, strict, n_batches, skip_foreign_origins,
            _json.dumps(props, sort_keys=True) if props else None)
     if not fresh:
@@ -712,7 +751,7 @@ def q_cdc_rebucket_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarded against racing commits), then read back. The oracle is the
     UNCHANGED final-state SQL: a hash match proves the rewrite changed
     the layout and nothing else."""
-    table = _ingest_cdc(spark, P_ENTRY, fresh=True)  # rebucket mutates
+    table = _ingest_cdc(spark, P_ENTRY, clone=True)  # rebucket mutates its private clone
     table.rebucket(32)
     assert table.snapshot()["n_buckets"] == 32
     return table.read().selectExpr(
@@ -739,7 +778,7 @@ def q_cdc_erasure_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the victims and disturbed nothing else. (Physical purge
     after ``expire_snapshots`` is pinned byte-level in
     tests/test_erasure.py.)"""
-    table = _ingest_cdc(spark, P_ENTRY, fresh=True)  # erase mutates
+    table = _ingest_cdc(spark, P_ENTRY, clone=True)  # erase mutates its private clone
     victims = (
         table.read().selectExpr("repo", "path")
         .where("md5(concat(repo, '|', path)) < '20'").distinct()
@@ -772,7 +811,7 @@ def q_cdc_redaction_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle applies the same CASE to the final-state SQL, so the
     hash match proves redact changed exactly the victims' named column
     and nothing else."""
-    table = _ingest_cdc(spark, P_ENTRY, fresh=True)  # redact mutates
+    table = _ingest_cdc(spark, P_ENTRY, clone=True)  # redact mutates its private clone
     victims = (
         table.read().selectExpr("repo", "path")
         .where("md5(concat(repo, '|', path)) < '10'").distinct()

@@ -645,16 +645,20 @@ def _pq_stage_views(spark, sf_dir: str) -> dict:
         f"SELECT vec_id, ms.m AS m, {_pq_sub_expr(d, PQ_M)} AS sv FROM {nm['pq_e']} "
         f"CROSS JOIN (SELECT {d.unnest(d.sequence('0', str(PQ_M - 1)))} AS m) ms"
     ).localCheckpoint().createOrReplaceTempView(nm["pq_subs"])
+    # seed folded INTO the first Lloyd pass: cb0 is referenced exactly
+    # once (d0's join), so inlining re-evaluates nothing and saves one
+    # checkpoint job of the staging chain
     cb = spark.sql(
-        f"WITH {_pq_seed_ctes(d, PQ_K, nm['pq_e'], nm['pq_subs'])} "
-        "SELECT m, c_id, cv FROM cb0"
+        f"WITH {_pq_seed_ctes(d, PQ_K, nm['pq_e'], nm['pq_subs'])},\n"
+        f"{_pq_lloyd_ctes(d, PQ_M, nm['pq_subs'], 'cb0', '0')} "
+        "SELECT m, c_id, cv FROM cb1"
     ).localCheckpoint()
-    for _ in range(2):  # staged Lloyd passes (lineage cut per pass)
-        cb.createOrReplaceTempView("pq_cb_cur")
-        cb = spark.sql(
-            f"WITH {_pq_lloyd_ctes(d, PQ_M, nm['pq_subs'], 'pq_cb_cur', 'x')} "
-            "SELECT m, c_id, cv FROM cbn"
-        ).localCheckpoint()
+    # second staged Lloyd pass (lineage cut per pass)
+    cb.createOrReplaceTempView("pq_cb_cur")
+    cb = spark.sql(
+        f"WITH {_pq_lloyd_ctes(d, PQ_M, nm['pq_subs'], 'pq_cb_cur', 'x')} "
+        "SELECT m, c_id, cv FROM cbn"
+    ).localCheckpoint()
     cb.createOrReplaceTempView(nm["pq_cbf"])
     spark.sql(
         f"WITH {_pq_assign_ctes(d, PQ_M, nm['pq_subs'], nm['pq_cbf'])} "

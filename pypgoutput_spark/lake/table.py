@@ -223,17 +223,27 @@ def _dir_key(path: str) -> Tuple[str, ...]:
     return tuple(parts[-2:])
 
 
-def _direct_bucket_writer(stage: str):
+def _direct_bucket_writer(stage: str, stat_cols: tuple = ()):
     """Task-side bucket writer for :meth:`LakeTable.write_buckets`: a
     ``mapInArrow`` kernel that streams each bucket's rows into one
     parquet file under an attempt-unique ``_bucket=<b>-<uuid>`` dir and
-    emits one (bucket, dir, bytes) row per file written. Memory is
-    O(one arrow batch): batches are split by bucket and appended to
+    emits one (bucket, dir, bytes, stats) row per file written. Memory
+    is O(one arrow batch): batches are split by bucket and appended to
     per-bucket open writers, never concatenated. The ``_bucket`` column
     itself is dropped from the files (the dynamic-partition writer's
-    behavior — readers apply the table DDL, which has no ``_bucket``)."""
+    behavior — readers apply the table DDL, which has no ``_bucket``).
+
+    ``stat_cols``: STRING-domain zone-map columns whose per-dir min/max
+    ride the write itself (the Iceberg manifest-stats shape) instead of
+    a post-write stats job; each entry is (name, source_col, is_struct)
+    — ``is_struct`` marks the delta spelling ``r_<name>.v``. Restricted
+    to strings because UTF-8 byte order ≡ code-point order, so arrow
+    ``min_max`` agrees exactly with both the Spark job it replaces and
+    the Python comparisons pruning uses; nulls are skipped on every
+    path (a delete row's NULL carrier can never match a range)."""
 
     def write(batches):
+        import json as _json
         import os as _os
         import uuid as _uuid
 
@@ -241,7 +251,7 @@ def _direct_bucket_writer(stage: str):
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        writers: dict = {}  # bucket -> [dir, file, ParquetWriter]
+        writers: dict = {}  # bucket -> [dir, file, ParquetWriter, stats]
         for b in batches:
             t = pa.Table.from_batches([b])
             col = t.column("_bucket")
@@ -256,16 +266,38 @@ def _direct_bucket_writer(stage: str):
                     fp = _os.path.join(
                         d, f"part-{_uuid.uuid4().hex[:8]}.snappy.parquet")
                     w = [d, fp, pq.ParquetWriter(
-                        fp, sub.schema, compression="snappy")]
+                        fp, sub.schema, compression="snappy"), {}]
                     writers[bk] = w
                 w[2].write_table(sub)
+                for name, src, is_struct in stat_cols:
+                    arr = sub.column(src)
+                    if is_struct:
+                        arr = pc.struct_field(arr, "v")
+                    mm = pc.min_max(arr)  # nulls skipped
+                    mn, mx = mm["min"].as_py(), mm["max"].as_py()
+                    if mn is None:
+                        continue
+                    cur = w[3].get(name)
+                    if cur is None:
+                        w[3][name] = [mn, mx]
+                    else:
+                        cur[0] = min(cur[0], mn)
+                        cur[1] = max(cur[1], mx)
         out = []
-        for bk, (d, fp, wr) in writers.items():
+        for bk, (d, fp, wr, stats) in writers.items():
             wr.close()
+            if stat_cols:
+                # a requested column with no surviving entry saw only
+                # NULLs — stored as [None, None], which PRUNES (a range
+                # predicate never matches NULL), exactly like the Spark
+                # stats job it replaces
+                full = {name: stats.get(name, [None, None])
+                        for name, _src, _is in stat_cols}
             out.append({"bucket": str(bk), "dir": d,
-                        "bytes": _os.path.getsize(fp)})
+                        "bytes": _os.path.getsize(fp),
+                        "stats": _json.dumps(full) if stat_cols else None})
         sch = pa.schema([("bucket", pa.string()), ("dir", pa.string()),
-                         ("bytes", pa.int64())])
+                         ("bytes", pa.int64()), ("stats", pa.string())])
         yield pa.RecordBatch.from_pylist(out, schema=sch)
 
     return write
@@ -342,6 +374,12 @@ class LakeTable:
         self._maintenance = None  # lazy single-thread compactor
         self._pending_compaction = None
         self._sched_lock = threading.Lock()
+        #: write-time zone-map stats staged by :meth:`write_buckets`,
+        #: keyed by absolute staged dir; consumed (popped) by
+        #: :meth:`commit`. Purely an optimization cache: a dir absent
+        #: here (other process, crash replay, non-string stat column)
+        #: falls back to the post-write stats job.
+        self._pending_dir_stats: Dict[str, dict] = {}
 
     # ------------------------------------------------------------------ setup
 
@@ -778,10 +816,30 @@ class LakeTable:
         and is reclaimed by the orphan sweep (bucket-dir granularity,
         age-gated), exactly like a crash between write and commit."""
         stage = self._stage_dir(version)
+        snap = self.snapshot()
+        props = snap.get("props", {}) or {}
         sort_cols = [
-            c for c in (self.snapshot().get("props", {}).get("sort_cols") or ())
-            if c in df.columns
+            c for c in (props.get("sort_cols") or ()) if c in df.columns
         ]
+        # write-time zone-map stats (§ _direct_bucket_writer): engaged
+        # only when EVERY stat-eligible column is STRING-domain (min/max
+        # semantics identical across arrow, the Spark stats job, and the
+        # pruner's Python comparisons) and present in ``df`` — partial
+        # coverage would leave a commit-side merge problem, so anything
+        # else keeps the post-write stats job for the whole dir
+        col_types = {n: t for n, t in snap["schema"]}
+        stat_cols = []
+        for c in (props.get("stats_cols") or ()):
+            if not _stat_domain(col_types.get(c, "")):
+                continue  # never stat-able: the stats job skips it too
+            if _stat_domain(col_types.get(c, "")) == "str" and c in df.columns:
+                stat_cols.append((c, c, False))
+            elif (_stat_domain(col_types.get(c, "")) == "str"
+                  and f"r_{c}" in df.columns):
+                stat_cols.append((c, f"r_{c}", True))
+            else:
+                stat_cols = []
+                break
         # ``pre_partitioned``: the caller guarantees ``df`` is already
         # hash-partitioned by ``_bucket`` (fused LWW collapse) — the
         # repartition exchange here would move nothing but still cost a
@@ -792,8 +850,8 @@ class LakeTable:
         os.makedirs(stage, exist_ok=True)
         t0 = time.monotonic()
         rows = part.mapInArrow(
-            _direct_bucket_writer(stage),
-            schema="bucket STRING, dir STRING, bytes BIGINT",
+            _direct_bucket_writer(stage, tuple(stat_cols)),
+            schema="bucket STRING, dir STRING, bytes BIGINT, stats STRING",
         ).collect()  # ≤ one row per (task, bucket): bounded metadata
         if os.environ.get("PYPGOUT_PROF"):
             print(f"      [prof] write_buckets job: {time.monotonic() - t0:6.3f}s",
@@ -803,6 +861,8 @@ class LakeTable:
         for r in rows:
             out.setdefault(r["bucket"], []).append(r["dir"])
             dir_bytes[r["dir"]] = int(r["bytes"])
+            if r["stats"] is not None:
+                self._pending_dir_stats[r["dir"]] = json.loads(r["stats"])
         return out, dir_bytes
 
     def _collect_dir_stats(
@@ -933,13 +993,33 @@ class LakeTable:
         stats_cols = pre.get("props", {}).get("stats_cols") or ()
         new_dir_stats: Dict[str, dict] = {}
         if stats_cols:
+            # prefer stats the writer computed at write time (zero extra
+            # jobs — see write_buckets); only dirs it could not cover
+            # (other process, crash replay, non-string stat column) pay
+            # the post-write stats job, restricted to exactly those dirs
             eff_schema = [list(c) for c in (schema or pre["schema"])]
-            new_dir_stats.update(self._collect_dir_stats(
-                new_buckets, stats_cols, eff_schema, pre["key_cols"], delta=False,
-            ))
-            new_dir_stats.update(self._collect_dir_stats(
-                delta_buckets, stats_cols, eff_schema, pre["key_cols"], delta=True,
-            ))
+            for dirmap, is_delta in ((new_buckets, False),
+                                     (delta_buckets, True)):
+                rest: Dict[str, List[str]] = {}
+                for b, dd in (dirmap or {}).items():
+                    miss = []
+                    for d in dd:
+                        st = self._pending_dir_stats.pop(d, None)
+                        if st is not None:
+                            new_dir_stats[d] = st
+                        else:
+                            miss.append(d)
+                    if miss:
+                        rest[b] = miss
+                if rest:
+                    new_dir_stats.update(self._collect_dir_stats(
+                        rest, stats_cols, eff_schema, pre["key_cols"],
+                        delta=is_delta,
+                    ))
+        # cdf sidecar dirs never carry zone maps: drop their staged stats
+        for dd in (cdf_buckets or {}).values():
+            for d in dd:
+                self._pending_dir_stats.pop(d, None)
         _maybe_crash("pre_snapshot")
         with _commit_lock(self.meta_dir):
             prev = self.snapshot()

@@ -255,3 +255,44 @@ def test_scan_with_sql_spelled_timestamp_bounds(spark, tmp_path):
         r["k"] for r in t.read()
         .filter(f"ts >= '{lo}' and ts <= '{hi}'").collect())
     assert got == want and len(want) > 0
+
+
+def test_write_time_stats_equal_stats_job(spark, tmp_path):
+    """String-domain stats_cols ride the write itself (the direct
+    writer's per-bucket min/max — zero extra jobs); the recorded
+    dir_stats must be EXACTLY what the post-write stats job would have
+    computed for the same dirs, for base (plain column) and delta
+    (r_<col>.v struct) writes alike, including NULL carriers."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "wt"),
+        schema=[("k", "string"), ("name", "string")],
+        key_cols=["k"], n_buckets=2, props={"stats_cols": ["name"]},
+    )
+    merge_into(t, spark.createDataFrame(
+        [("a", "I", 10, {"v": "mango"}), ("b", "I", 10, {"v": "apple"}),
+         ("c", "I", 10, {"v": None})],
+        schema="k STRING, final_op STRING, max_lsn BIGINT, r_name STRUCT<v: STRING>",
+    ), watermark_lsn=10)
+    merge_into(t, spark.createDataFrame(
+        [("b", "U", 20, {"v": "zebra"}), ("c", "D", 20, None)],
+        schema="k STRING, final_op STRING, max_lsn BIGINT, r_name STRUCT<v: STRING>",
+    ), watermark_lsn=20, auto_compact=False)
+    snap = t.snapshot()
+    got = snap["dir_stats"]
+    assert got, "stats_cols table must record dir_stats"
+    # every referenced dir has a stats entry for the string column
+    ref = [d for dd in snap["buckets"].values() for d in dd] + [
+        d for dd in snap.get("deltas", {}).values() for d in dd
+    ]
+    assert set(got) == set(ref)
+    # recompute via the stats JOB over the same dirs: must match exactly
+    eff = [list(c) for c in snap["schema"]]
+    want = {}
+    want.update(t._collect_dir_stats(
+        snap["buckets"], ["name"], eff, snap["key_cols"], delta=False))
+    want.update(t._collect_dir_stats(
+        snap.get("deltas", {}), ["name"], eff, snap["key_cols"], delta=True))
+    assert got == want
+    # and pruning on those stats behaves: a range above every max prunes
+    assert t.scan({"name": ("zz", None)}).count() == 0
+    assert sorted(r["name"] for r in t.scan({"name": ("m", "n")}).collect()) == ["mango"]

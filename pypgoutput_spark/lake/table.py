@@ -824,18 +824,33 @@ class LakeTable:
         # write-time zone-map stats (§ _direct_bucket_writer): engaged
         # only when EVERY stat-eligible column is STRING-domain (min/max
         # semantics identical across arrow, the Spark stats job, and the
-        # pruner's Python comparisons) and present in ``df`` — partial
+        # pruner's Python comparisons) and is ACTUALLY a string in
+        # ``df`` — the df is the ground truth, not the pre-commit
+        # snapshot: a retype rewrite stages data already CAST to the new
+        # type while the snapshot still shows the old one. Partial
         # coverage would leave a commit-side merge problem, so anything
         # else keeps the post-write stats job for the whole dir
+        from pyspark.sql.types import StringType, StructType
+
+        def _df_is_str(name: str) -> bool:
+            t = df.schema[name].dataType
+            if isinstance(t, StructType):  # delta spelling r_<c>.v
+                try:
+                    t = t["v"].dataType
+                except KeyError:
+                    return False
+            return isinstance(t, StringType)
+
         col_types = {n: t for n, t in snap["schema"]}
         stat_cols = []
         for c in (props.get("stats_cols") or ()):
             if not _stat_domain(col_types.get(c, "")):
                 continue  # never stat-able: the stats job skips it too
-            if _stat_domain(col_types.get(c, "")) == "str" and c in df.columns:
+            if (_stat_domain(col_types.get(c, "")) == "str"
+                    and c in df.columns and _df_is_str(c)):
                 stat_cols.append((c, c, False))
             elif (_stat_domain(col_types.get(c, "")) == "str"
-                  and f"r_{c}" in df.columns):
+                  and f"r_{c}" in df.columns and _df_is_str(f"r_{c}")):
                 stat_cols.append((c, f"r_{c}", True))
             else:
                 stat_cols = []

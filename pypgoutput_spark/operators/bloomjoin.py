@@ -114,11 +114,15 @@ def bloom_semi_join(probe_df, probe_key: str, keys_df, build_key: str,
     a silent false NEGATIVE (the bloom drops a genuinely matching row
     before the exact join ever sees it). When the two key dtypes differ
     and both are numeric, both sides are therefore hashed through
-    ``CAST(key AS DECIMAL(38,0))`` so equal values render equally (a
-    fractional probe value rounds — it can only equal an integral build
-    key never, so that is a false POSITIVE at worst, which the exact
-    join removes). A non-numeric dtype mismatch has no safe common
-    rendering and raises instead of silently mis-filtering."""
+    ``CAST(key AS DOUBLE)`` — the join's own mixed-numeric equality
+    coerces through (at most) double, so two values the exact join
+    would call equal always render the same double string: no false
+    negatives BY CONSTRUCTION, for every numeric pairing including
+    bigint values beyond 2^53 (where a decimal rendering would be finer
+    than the join's own coercion and silently drop matches). Distinct
+    values that collide at double precision are false POSITIVES, which
+    the exact join removes. A non-numeric dtype mismatch has no safe
+    common rendering and raises instead of silently mis-filtering."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import NumericType
 
@@ -136,8 +140,8 @@ def bloom_semi_join(probe_df, probe_key: str, keys_df, build_key: str,
                 "silently drop matches; cast the columns to one type first"
             )
         build_hash_df = keys_df.selectExpr(
-            f"CAST({build_key} AS DECIMAL(38,0)) AS {build_key}")
-        probe_hash_sql = f"CAST({probe_key} AS DECIMAL(38,0))"
+            f"CAST({build_key} AS DOUBLE) AS {build_key}")
+        probe_hash_sql = f"CAST({probe_key} AS DOUBLE)"
     keys = keys_df.select(build_key).distinct()
     n_bits = bloom_size_bits(keys.count(), bits_per_key)
     words = bloom_build_words(

@@ -609,14 +609,12 @@ def q_ivf_pq_topk(spark, sf_dir: str):
 
 
 def _pq_view_names(sf_dir: str) -> dict:
-    """Corpus-scoped staging view names: the staged artifacts live in the
-    session catalog, so the corpus identity must be IN the name — a
+    """Corpus-scoped PQ staging view names: the staged artifacts live in
+    the session catalog, so the corpus identity must be IN the name — a
     session-global name plus an external memo would let a second sf_dir's
     staging silently overwrite the first's views while the memo still
-    claims them fresh."""
-    import hashlib
-
-    tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:8]
+    claims them fresh (:func:`_corpus_tag`)."""
+    tag = _corpus_tag(sf_dir)
     return {v: f"{v}_{tag}" for v in ("pq_e", "pq_subs", "pq_cbf", "pq_codes_v")}
 
 
@@ -667,12 +665,18 @@ def _pq_stage_views(spark, sf_dir: str) -> dict:
     return nm
 
 
-def _ann_view_names(sf_dir: str) -> dict:
-    """Corpus-scoped LSH/IVF staging view names (same rule as
-    :func:`_pq_view_names`: corpus identity lives IN the name)."""
+def _corpus_tag(sf_dir: str) -> str:
+    """Corpus-identity suffix for staged view names: the corpus must be
+    IN the name (one session may serve several sf_dirs) — shared by the
+    PQ and LSH/IVF staging so the identity rule cannot drift."""
     import hashlib
 
-    tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:8]
+    return hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:8]
+
+
+def _ann_view_names(sf_dir: str) -> dict:
+    """Corpus-scoped LSH/IVF staging view names (:func:`_corpus_tag`)."""
+    tag = _corpus_tag(sf_dir)
     return {v: f"{v}_{tag}"
             for v in ("lsh_en", "ivf_en", "ivf_scored", "ivf_cells")}
 

@@ -178,13 +178,15 @@ def _twopc_commit_evidence(frames, commit_now, opened_now, pend_xids,
 
     Evidence = staged rows for a decided xid under ``pending_dir``
     (events staged by an earlier batch), or frames inside a decided
-    transaction's prepared span in THIS batch: plain DML between its
-    'b' (or batch start, for a carried-open span) and its 'P' seal, or
-    stream chunks ('S', xid in the chunk header) for a Stream-Prepare
-    transaction. No evidence means an empty prepared transaction, or
-    one that never produced stageable rows — its decision is consumed
-    without a merge, exactly as the managed path consumes it, instead
-    of wedging ingest with a raise on every retry."""
+    transaction's prepared span in THIS batch: plain DML or logical
+    messages ('M' — a committed transaction carrying only outbox
+    messages still has deliverable content) between its 'b' (or batch
+    start, for a carried-open span) and its 'P' seal, or stream chunks
+    ('S', xid in the chunk header) for a Stream-Prepare transaction.
+    No evidence means an empty prepared transaction, or one that never
+    produced stageable rows — its decision is consumed without a merge,
+    exactly as the managed path consumes it, instead of wedging ingest
+    with a raise on every retry."""
     xids = sorted(int(x) for x in commit_now)
     spark = frames.sparkSession
     if pending_dir and os.path.isdir(pending_dir):
@@ -219,8 +221,9 @@ def _twopc_commit_evidence(frames, commit_now, opened_now, pend_xids,
     if not dml_preds:
         return False
     dml_mtype = (
-        F.col("mtype").isin("I", "U", "D") if "mtype" in frames.columns
-        else F.expr("substring(payload, 1, 1) IN (X'49', X'55', X'44')")
+        F.col("mtype").isin("I", "U", "D", "M") if "mtype" in frames.columns
+        else F.expr(
+            "substring(payload, 1, 1) IN (X'49', X'55', X'44', X'4D')")
     )
     pred = (dml_mtype & F.expr(" OR ".join(dml_preds))) | (
         _mtype_pred(frames, "S") & F.expr(" OR ".join(chunk_preds))

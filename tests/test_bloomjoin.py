@@ -69,6 +69,20 @@ def test_bloom_semi_join_mixed_numeric_key_types_exact(spark):
     frac = spark.range(0, 500).selectExpr("id + 0.5 AS k")
     got2, _ = bj.bloom_semi_join(frac, "k", right, "rk")
     assert got2.count() == 0
+    # beyond 2^53 the join's own BIGINT=DOUBLE equality coerces through
+    # double (2^53+1 == double(2^53)), so the bloom must hash the SAME
+    # coercion — a finer rendering (decimal/exact) would bloom-drop a
+    # row the exact join returns
+    big_build = spark.createDataFrame(
+        [(2**53 + 1,), (2**53 + 3,)], schema="rk BIGINT")
+    big_probe = spark.createDataFrame(
+        [(float(2**53),), (123.0,)], schema="k DOUBLE")
+    got3, _ = bj.bloom_semi_join(big_probe, "k", big_build, "rk")
+    expect3 = big_probe.join(
+        big_build, big_probe["k"] == big_build["rk"], "left_semi")
+    assert sorted(r[0] for r in got3.collect()) == sorted(
+        r[0] for r in expect3.collect())
+    assert got3.count() == expect3.count() > 0
 
 
 def test_bloom_semi_join_non_numeric_type_mismatch_raises(spark):

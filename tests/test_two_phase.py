@@ -709,6 +709,19 @@ def test_no_relation_commit_with_mergeable_evidence_fails_loudly(spark):
     with pytest.raises(ValueError, match="no registered relation"):
         pipe.apply_frames_batch(table, b1, empty_reg,
                                 pending_2pc=pipe.stored_pending_2pc(table))
+    # message-only evidence: a committed prepared transaction carrying
+    # ONLY a logical message ('M') has deliverable content too — the
+    # outbox path stages it like DML, so it must refuse as loudly
+    b1m = _frames_df(spark, [
+        (0, 200, "b", codec.encode_begin_prepare(200, 210, 5, 778, "g8")),
+        (0, 201, "M",
+         codec.encode_logical_message(True, 201, "audit", b"payload")),
+        (0, 209, "P", codec.encode_prepare(209, 210, 5, 778, "g8")),
+        (0, 220, "K", codec.encode_commit_prepared(220, 221, 9, 778, "g8")),
+    ])
+    with pytest.raises(ValueError, match="no registered relation"):
+        pipe.apply_frames_batch(table, b1m, empty_reg,
+                                pending_2pc=pipe.stored_pending_2pc(table))
     # staged-rows evidence: a carried sealed xid whose events survive
     # under pending_dir from an earlier batch
     pend_dir = os.path.join(tmp, "pending2pc")

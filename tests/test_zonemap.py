@@ -296,3 +296,32 @@ def test_write_time_stats_equal_stats_job(spark, tmp_path):
     # and pruning on those stats behaves: a range above every max prunes
     assert t.scan({"name": ("zz", None)}).count() == 0
     assert sorted(r["name"] for r in t.scan({"name": ("m", "n")}).collect()) == ["mango"]
+
+
+def test_retype_rewrite_with_stats_cols_stays_correct(spark, tmp_path):
+    """A retype rewrite stages data already CAST to the NEW type while
+    the pre-commit snapshot still shows the old one — the write-time
+    stats fast path must gate on the DataFrame's actual type (falling
+    back to the stats job), not crash serializing non-string minima."""
+    from pypgoutput_spark.plans.registry import SchemaAction
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "rt"),
+        schema=[("k", "string"), ("name", "string")],
+        key_cols=["k"], n_buckets=2, props={"stats_cols": ["name"]},
+    )
+    merge_into(t, spark.createDataFrame(
+        [("a", "I", 10, {"v": "7"}), ("b", "I", 10, {"v": "3"}),
+         ("c", "I", 10, {"v": "11"})],
+        schema="k STRING, final_op STRING, max_lsn BIGINT, r_name STRUCT<v: STRING>",
+    ), watermark_lsn=10)
+    t.evolve_schema([SchemaAction("retype", "name", "bigint")])
+    snap = t.snapshot()
+    assert dict(snap["schema"])["name"] == "bigint"
+    assert sorted(r["name"] for r in t.read().collect()) == [3, 7, 11]
+    # stats recorded for the rewritten dirs under the NEW (num) domain,
+    # via the fallback job — and numeric pruning works on them
+    ref = [d for dd in snap["buckets"].values() for d in dd]
+    assert all(d in snap["dir_stats"] for d in ref)
+    assert sorted(r["name"] for r in t.scan({"name": (5, None)}).collect()) \
+        == [7, 11]

@@ -395,25 +395,33 @@ def _emb_parse(d: Dialect, col: str = "qcsv") -> str:
     return d.array_transform(f"split({col}, ',')", "x -> CAST(x AS BIGINT)")
 
 
-def _emb_assign_sql(d: Dialect, src: str) -> str:
+def _emb_assign_sql(d: Dialect, src: str, en_tbl: str = "") -> str:
     """IVF cell assignment over ``src(vec_id BIGINT, qv ARRAY<BIGINT>)``
     — the index-build step of sim_ivf_cells (deterministic md5 seeding,
     broadcast-sized centroid table, tie → smallest c_id), run over the
-    CDC-RESOLVED corpus: the index always reflects the mirror."""
+    CDC-RESOLVED corpus: the index always reflects the mirror.
+
+    ``en_tbl``: a pre-materialized (vec_id, qv, nrm) view name — the
+    Spark runner's form: Catalyst inlines WITH-CTEs, so the inline
+    ``en`` re-runs the mirror's merge-on-read resolution + CSV parse
+    once per reference (~4× through seed/s/b/asg). Empty renders the
+    inline CTE — the oracle's form, and the default."""
     from pypgoutput_spark.operators.similarity import DIM
 
     na = d.dot_bigint("qv", "qv", DIM)
-    dot = d.dot_bigint("en.qv", "c.cv", DIM)
+    en = en_tbl or "en"
+    dot = d.dot_bigint(f"{en}.qv", "c.cv", DIM)
+    prefix = ("" if en_tbl
+              else f"en AS (SELECT vec_id, qv, {na} AS nrm FROM {src}),\n")
     return f"""
-en AS (SELECT vec_id, qv, {na} AS nrm FROM {src}),
-seed AS (
+{prefix}seed AS (
   SELECT vec_id AS c_id, qv AS cv, nrm AS cnrm
-  FROM en ORDER BY {d.md5_int(d.s('vec_id'))}, vec_id LIMIT {EMB_CENTROIDS}
+  FROM {en} ORDER BY {d.md5_int(d.s('vec_id'))}, vec_id LIMIT {EMB_CENTROIDS}
 ),
 s AS (
-  SELECT en.vec_id, c.c_id,
+  SELECT {en}.vec_id, c.c_id,
     CAST({dot} AS DOUBLE) / sqrt(CAST(c.cnrm AS DOUBLE)) AS score
-  FROM en CROSS JOIN seed c
+  FROM {en} CROSS JOIN seed c
 ),
 b AS (SELECT vec_id, max(score) AS ms FROM s GROUP BY vec_id),
 asg AS (
@@ -452,13 +460,23 @@ def q_embeddings_index(spark, sf_dir: str):
                          clustered=frames_clustered_safe(f"{tmp}/frames"))
     d = SPARK
     table.read().createOrReplaceTempView("cdc_emb_final")
-    return spark.sql(f"""
+    # materialize the (vec_id, qv, nrm) projection ONCE: the inline-CTE
+    # form re-ran the mirror's merge-on-read resolution + CSV parse per
+    # ``en`` reference (~4× through seed/s/b/asg — the §9 staged-view
+    # rule applied within one query)
+    from pypgoutput_spark.operators.similarity import DIM
+
+    na = d.dot_bigint("qv", "qv", DIM)
+    en = spark.sql(f"""
 WITH parsed AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id, {_emb_parse(d)} AS qv
   FROM cdc_emb_final
-),
-{_emb_assign_sql(d, 'parsed')}
-""".strip())
+)
+SELECT vec_id, qv, {na} AS nrm FROM parsed
+""".strip()).localCheckpoint()
+    en.createOrReplaceTempView("cdc_emb_en")
+    return spark.sql("WITH " + _emb_assign_sql(d, "parsed",
+                                               en_tbl="cdc_emb_en"))
 
 
 def embeddings_index_oracle(d: Dialect = DUCKDB) -> str:
